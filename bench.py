@@ -1,0 +1,70 @@
+"""Benchmark harness (driver contract: one JSON line on stdout).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS]. Each query is executed once as a warm-up-free
+timed run (collect() to force full execution including result transfer),
+and the metric is total wall seconds across the suite.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Headline set: the flagship grep + one representative per operator family.
+HEADLINE = [
+    "grep_contains",
+    "agg_pricing_summary",
+    "join_broadcast_dim",
+    "join_multiway",
+    "topk_customers",
+    "window_rank_orders",
+    "json_extract_events",
+]
+
+
+def main() -> None:
+    from distgrep_spark import queries as q
+    from distgrep_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("distgrep-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # One tiny warm-up action so JVM/codegen startup isn't billed to q1.
+    spark.range(1).collect()
+
+    names = [n for n in HEADLINE if n in q.QUERIES]
+    names += [n for n in sorted(q.QUERIES) if n not in names]
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        try:
+            q.QUERIES[name](spark, sf_dir).collect()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as e:  # noqa: BLE001
+            print(f"bench error in {name}: {e}", file=sys.stderr)
+            timings[name] = -1.0
+
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    print(
+        json.dumps(
+            {
+                "metric": "total_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

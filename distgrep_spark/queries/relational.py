@@ -1,0 +1,596 @@
+"""Relational core: filters, aggregations, joins, sort/top-k, set ops,
+scalar functions (SURVEY.md §2.2 rows "Joins" through "Scalar fns").
+
+The reference is a single-table engine; these queries are the planned
+engine surface over the TPC-H-ish fixtures. Design rules applied
+throughout:
+
+- every computed column aliased identically in Spark and oracle SQL;
+- double aggregates use the exact-DECIMAL accumulation discipline
+  (``functions.numeric``) so Spark's and DuckDB's summation orders and
+  rounding rules cannot flip the driver's value hash; per-row arithmetic
+  stays unrounded (identical IEEE expression trees are bit-identical);
+- small dims joined with an explicit ``broadcast()`` hint — at 100 TB the
+  fact side never shuffles for these joins;
+- no ``orderBy`` unless the query IS a top-k (global sorts are paid only
+  when semantics require them).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from distgrep_spark.functions.numeric import davg, dsum, sql_davg, sql_dsum
+from distgrep_spark.queries.registry import query
+from distgrep_spark.sources.catalog import load_table
+
+
+# ---------------------------------------------------------------------------
+# Aggregations
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dsum("l_quantity", "sum_qty")},
+           {sql_dsum("l_extendedprice", "sum_base_price")},
+           {sql_dsum("l_extendedprice * (1 - l_discount)", "sum_disc_price")},
+           {sql_dsum("l_extendedprice * (1 - l_discount) * (1 + l_tax)", "sum_charge")},
+           {sql_davg("l_quantity", "avg_qty")},
+           {sql_davg("l_extendedprice", "avg_price")},
+           {sql_davg("l_discount", "avg_disc")},
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: the canonical scan→filter→
+    partial-agg→exchange→final-agg pipeline. At 100 TB this is one wide
+    stage whose shuffle carries only 6 group rows per map partition."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            dsum(disc_price, "sum_disc_price"),
+            dsum(charge, "sum_charge"),
+            davg("l_quantity", "avg_qty"),
+            davg("l_extendedprice", "avg_price"),
+            davg("l_discount", "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "agg_count_distinct",
+    oracle=f"""
+    SELECT event_type,
+           count(*)                AS n_events,
+           count(DISTINCT user_id) AS n_users,
+           {sql_dsum("value", "total_value")}
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-count: Catalyst plans expand+two-phase aggregation.
+    (The approx/HLL variant is ``agg_approx_distinct`` — rows-only check.)"""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+        dsum("value", "total_value"),
+    )
+
+
+@query("agg_approx_distinct")  # no oracle: HLL estimates are engine-specific
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++): at 100 TB the exact distinct
+    of a high-cardinality key shuffles every value; the sketch shuffles a
+    fixed-size buffer per partition. rows-only driver check; pytest bounds
+    the estimate against the exact count at ±5 %."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx_users")
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n, {sql_dsum("l_quantity", "sum_qty")}
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP: hierarchy subtotals in one pass (Expand → single shuffle),
+    not one job per grouping level."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"), dsum("l_quantity", "sum_qty")
+    )
+
+
+@query(
+    "agg_cube",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n, {sql_dsum("o_totalprice", "total")}
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two low-cardinality dimensions."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"), dsum("o_totalprice", "total")
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, count(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via SQL (the DataFrame API has no direct
+    grouping-sets verb; spark.sql is the idiomatic spelling)."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, count(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_broadcast_dim",
+    oracle=f"""
+    SELECT p.p_brand,
+           {sql_dsum("l.l_extendedprice * (1 - l.l_discount)", "revenue")},
+           count(*) AS n_items
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    """,
+)
+def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact ⋈ small dim with an explicit broadcast hint: zero shuffle of
+    the fact table; the only exchange is the final 25-row aggregation.
+    At 100 TB `part` (bounded in the millions) still broadcasts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    return (
+        li.join(broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "join_shuffle_fact",
+    oracle=f"""
+    SELECT o.o_orderpriority,
+           count(*) AS n_lines,
+           {sql_dsum("l.l_extendedprice", "total_price")}
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def join_shuffle_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact ⋈ fact on the FK: both sides shuffle on l_orderkey/o_orderkey
+    (sort-merge at scale; AQE may downgrade to broadcast at small SF).
+    This is the join whose key distribution matters most at 100 TB —
+    o_orderkey is near-uniform, so no salting needed here."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum("l_extendedprice", "total_price"),
+        )
+    )
+
+
+@query(
+    "join_multiway",
+    oracle=f"""
+    SELECT n.n_name,
+           {sql_dsum("l.l_extendedprice * (1 - l.l_discount)", "revenue")}
+    FROM customer c
+      JOIN orders o   ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN nation n   ON c.c_nationkey = n.n_nationkey
+      JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+)
+def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped 5-way join. nation/region broadcast (bounded
+    cardinality forever); customer⋈orders⋈lineitem shuffle on their keys;
+    Catalyst pushes r_name='ASIA' below the joins so the customer side is
+    pre-filtered before any exchange."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .where(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join: existence check without row multiplication — the
+    right side deduplicates before the probe, so output ≤ left input."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join: customers with no orders (NOT IN with non-null keys)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@query(
+    "join_outer",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name,
+           count(o.o_orderkey) AS n_orders,
+           coalesce({sql_dsum("o.o_totalprice", "x").replace(" AS x", "")}, 0) AS total_spent
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey, c.c_name
+    """,
+)
+def join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join + aggregate: null-extension semantics (count skips
+    nulls; sum coalesced to 0 for order-less customers)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(dsum("o_totalprice"), F.lit(0.0)).alias("total_spent"),
+        )
+    )
+
+
+@query(
+    "join_range",
+    oracle="""
+    SELECT s.s_suppkey, s.s_name, count(*) AS n_richer_customers
+    FROM supplier s JOIN customer c ON c.c_acctbal > s.s_acctbal
+    GROUP BY s.s_suppkey, s.s_name
+    """,
+)
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (theta/range) join: Spark plans BroadcastNestedLoopJoin with
+    the 10-row supplier side broadcast. At scale a raw theta join is
+    quadratic — the scale path is binning both sides on the range key first
+    (see operators/similarity.py for the same trick on embeddings)."""
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.join(broadcast(s), c.c_acctbal > s.s_acctbal)
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("n_richer_customers"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sort / top-k / set ops
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "topk_customers",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name, {sql_dsum("o.o_totalprice", "total_spent")}
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey, c.c_name
+    ORDER BY total_spent DESC, c_custkey
+    LIMIT 10
+    """,
+)
+def topk_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k = orderBy().limit(k): Spark plans TakeOrderedAndProject —
+    each partition keeps its local top-10, the driver merges k*P rows; no
+    global sort ever materializes. Tie-broken on c_custkey for determinism."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(dsum("o_totalprice", "total_spent"))
+        .orderBy(F.col("total_spent").desc(), F.col("c_custkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "sort_global",
+    oracle="""
+    SELECT p_partkey, p_name, p_retailprice
+    FROM part
+    ORDER BY p_retailprice DESC, p_partkey
+    """,
+)
+def sort_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global sort (range-partitioned exchange + per-partition sort).
+    Kept on the small `part` table: at 100 TB you top-k or bucket instead."""
+    return (
+        load_table(spark, sf_dir, "part")
+        .select("p_partkey", "p_name", "p_retailprice")
+        .orderBy(F.col("p_retailprice").desc(), F.col("p_partkey"))
+    )
+
+
+@query(
+    "set_union_intersect_except",
+    oracle="""
+    WITH big_spenders AS (
+      SELECT DISTINCT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 300000
+    ),
+    machinery AS (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+    )
+    SELECT 'union' AS op, c_custkey FROM (SELECT c_custkey FROM big_spenders UNION SELECT c_custkey FROM machinery)
+    UNION ALL
+    SELECT 'intersect' AS op, c_custkey FROM (SELECT c_custkey FROM big_spenders INTERSECT SELECT c_custkey FROM machinery)
+    UNION ALL
+    SELECT 'except' AS op, c_custkey FROM (SELECT c_custkey FROM big_spenders EXCEPT SELECT c_custkey FROM machinery)
+    """,
+)
+def set_union_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) / INTERSECT / EXCEPT over two keyed views, tagged
+    and stacked so one query exercises all three set operators."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        o.where(F.col("o_totalprice") > 300000)
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    mach = c.where(F.col("c_mktsegment") == "MACHINERY").select("c_custkey")
+    return (
+        big.union(mach).distinct().select(F.lit("union").alias("op"), "c_custkey")
+        .unionAll(big.intersect(mach).select(F.lit("intersect").alias("op"), "c_custkey"))
+        .unionAll(big.exceptAll(mach).distinct().select(F.lit("except").alias("op"), "c_custkey"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar functions: string / date / math / json
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "scalar_string_fns",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_name)                          AS name_upper,
+           length(p_name)                         AS name_len,
+           substring(p_name, 1, 3)                AS name_prefix,
+           regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+           concat_ws('|', p_brand, p_type)        AS brand_type,
+           strpos(p_name, 'e')                    AS first_e
+    FROM part
+    """,
+)
+def scalar_string_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function battery: all JVM built-ins, whole-stage-codegen'd —
+    no Python in the row path."""
+    return load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_name", 1, 3).alias("name_prefix"),
+        F.regexp_extract("p_name", r"([a-z]+)$", 1).alias("last_word"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.instr(F.col("p_name"), "e").alias("first_e"),
+    )
+
+
+@query(
+    "scalar_date_fns",
+    oracle=f"""
+    SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month,
+           year(o_orderdate)    AS order_year,
+           quarter(o_orderdate) AS order_quarter,
+           count(*)             AS n_orders,
+           {sql_dsum("o_totalprice", "total")}
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+    GROUP BY 1, 2, 3
+    """,
+)
+def scalar_date_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp truncation + parts; the month-truncated group key is what
+    a partitioned lake would prune on."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.where(F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        .groupBy(
+            F.date_trunc("month", "o_orderdate").alias("order_month"),
+            F.year("o_orderdate").alias("order_year"),
+            F.quarter("o_orderdate").alias("order_quarter"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", "total"),
+        )
+    )
+
+
+@query(
+    "scalar_math_fns",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge,
+           round(sqrt(l_quantity), 4)    AS qty_sqrt,
+           round(ln(l_extendedprice), 4) AS price_ln,
+           abs(l_discount - 0.05)        AS disc_dev,
+           CAST(ceil(l_quantity / 10.0) AS BIGINT) AS qty_bucket,
+           l_quantity % 7                AS qty_mod
+    FROM lineitem
+    WHERE l_linenumber <= 2
+    """,
+)
+def scalar_math_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math battery: arithmetic, sqrt/ln, abs, ceil, modulo. `charge` is
+    deliberately unrounded — the identical IEEE expression tree is
+    bit-identical across engines, while round() half-rules are not."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.where(F.col("l_linenumber") <= 2).select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))).alias(
+            "charge"
+        ),
+        F.round(F.sqrt("l_quantity"), 4).alias("qty_sqrt"),
+        F.round(F.log("l_extendedprice"), 4).alias("price_ln"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.ceil(F.col("l_quantity") / 10.0).alias("qty_bucket"),
+        (F.col("l_quantity") % 7).alias("qty_mod"),
+    )
+
+
+@query(
+    "json_extract_events",
+    oracle=f"""
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           count(*) AS n,
+           {sql_dsum("value", "total_value")}
+    FROM events
+    GROUP BY 1
+    """,
+)
+def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """get_json_object over the events.props JSON-string column (the
+    semi-structured path: extract → cast → aggregate)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(F.get_json_object("props", "$.k").cast("bigint").alias("k"), F.col("value"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", "total_value"))
+    )
+
+
+@query(
+    "from_json_struct",
+    oracle="""
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 90
+    """,
+)
+def from_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_json with an explicit schema → typed struct column; the filter
+    on the parsed field happens JVM-side."""
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.withColumn("p", F.from_json("props", "k BIGINT"))
+    return parsed.where(F.col("p.k") > 90).select("event_id", F.col("p.k").alias("k"))
+
+
+@query(
+    "conditional_case",
+    oracle="""
+    SELECT CASE WHEN o_totalprice >= 300000 THEN 'high'
+                WHEN o_totalprice >= 100000 THEN 'mid'
+                ELSE 'low' END AS price_band,
+           o_orderstatus,
+           count(*) AS n
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def conditional_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN banding + group (when/otherwise chain)."""
+    o = load_table(spark, sf_dir, "orders")
+    band = (
+        F.when(F.col("o_totalprice") >= 300000, "high")
+        .when(F.col("o_totalprice") >= 100000, "mid")
+        .otherwise("low")
+    )
+    return o.groupBy(band.alias("price_band"), F.col("o_orderstatus")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@query(
+    "filter_predicates",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, o_orderpriority
+    FROM orders
+    WHERE o_orderstatus = 'O'
+      AND o_totalprice BETWEEN 100000 AND 200000
+      AND o_orderpriority LIKE '1-%'
+      AND o_custkey IS NOT NULL
+    """,
+)
+def filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate battery: equality, BETWEEN, LIKE prefix, null check —
+    all pushed to the parquet scan (asserted in tests/test_plans.py)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.where(
+        (F.col("o_orderstatus") == "O")
+        & F.col("o_totalprice").between(100000, 200000)
+        & F.col("o_orderpriority").like("1-%")
+        & F.col("o_custkey").isNotNull()
+    ).select("o_orderkey", "o_totalprice", "o_orderpriority")

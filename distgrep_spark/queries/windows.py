@@ -1,0 +1,161 @@
+"""Window functions (SURVEY.md §2.2 "Window functions").
+
+All orderings inside windows carry a unique tie-break key (o_orderkey /
+l_linenumber) so results are deterministic and hash-match the DuckDB
+oracle. Double window-sums use the exact-DECIMAL discipline
+(functions/numeric.py); per-row arithmetic on identical inputs stays
+unrounded. Window partition keys are the same keys upstream shuffles
+used — Catalyst reuses the exchange instead of re-shuffling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from distgrep_spark.functions.numeric import DEC
+from distgrep_spark.queries.registry import query
+from distgrep_spark.sources.catalog import load_table
+
+
+@query(
+    "window_rank_orders",
+    oracle="""
+    SELECT * FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER w AS rn,
+             rank()       OVER w AS rnk,
+             dense_rank() OVER w AS drnk
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    ) WHERE rn <= 3
+    """,
+)
+def window_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer via ranking window — the distributed
+    answer to per-group top-k (no driver-side loop)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+        )
+        .where(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "window_lag_lead",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           lag(o_totalprice)  OVER w AS prev_price,
+           lead(o_totalprice) OVER w AS next_price,
+           o_totalprice - coalesce(lag(o_totalprice) OVER w, 0) AS delta
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead across each customer's order history (sequence deltas)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        (F.col("o_totalprice") - F.coalesce(F.lag("o_totalprice").over(w), F.lit(0.0))).alias(
+            "delta"
+        ),
+    )
+
+
+@query(
+    "window_running_sum",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+           / count(*) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS moving_avg_3
+    FROM orders
+    """,
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-based windows: running total + 3-row moving average (exact
+    decimal accumulation inside the frame, double at the boundary)."""
+    o = load_table(spark, sf_dir, "orders")
+    ordered = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    running = ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    moving = ordered.rowsBetween(-2, Window.currentRow)
+    dec_price = F.col("o_totalprice").cast(DEC)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(dec_price).over(running).cast("double").alias("running_total"),
+        (
+            F.sum(dec_price).over(moving).cast("double") / F.count(F.lit(1)).over(moving)
+        ).alias("moving_avg_3"),
+    )
+
+
+@query(
+    "window_share_of_group",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice /
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(25,6))) OVER (PARTITION BY l_orderkey)
+                  AS DOUBLE) AS price_share,
+           count(*) OVER (PARTITION BY l_orderkey) AS lines_in_order
+    FROM lineitem
+    """,
+)
+def window_share_of_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unordered (whole-partition) window aggregate: each line's share of
+    its order — the windowed alternative to a self-join with a groupBy."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (
+            F.col("l_extendedprice")
+            / F.sum(F.col("l_extendedprice").cast(DEC)).over(w).cast("double")
+        ).alias("price_share"),
+        F.count(F.lit(1)).over(w).alias("lines_in_order"),
+    )
+
+
+@query(
+    "window_ntile_percent",
+    oracle="""
+    SELECT c_custkey, c_acctbal,
+           ntile(4) OVER (ORDER BY c_acctbal DESC, c_custkey) AS quartile,
+           percent_rank() OVER (ORDER BY c_acctbal DESC, c_custkey) AS pct_rank
+    FROM customer
+    """,
+)
+def window_ntile_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global (unpartitioned) ntile/percent_rank — single-partition window;
+    fine on dimension-sized inputs, deliberately NOT for fact tables (at
+    100 TB a global ordered window serializes; bucket first instead)."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return c.select(
+        "c_custkey",
+        "c_acctbal",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+    )
