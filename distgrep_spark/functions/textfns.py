@@ -1,0 +1,62 @@
+"""Text column builders shared by text-analysis and dedup operators.
+
+All pure Column expressions (JVM built-ins / higher-order functions) — no
+Python UDFs anywhere in the tokenize/shingle path, so the hot loops stay
+inside whole-stage codegen at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Whitespace tokenizer shared with the DuckDB oracles
+# (string_split_regex(trim(x), '\s+')).
+WS = r"\s+"
+
+# BPE-ish fallback token pattern: letter runs, digit runs, single symbols.
+BPE_ISH = r"[a-z]+|[A-Z]+|[0-9]+|[^\sa-zA-Z0-9]"
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens of a text column (trimmed first so edge
+    whitespace doesn't produce empty tokens)."""
+    return F.split(F.trim(col), WS)
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def bpe_ish_count(col: Column) -> Column:
+    """Sub-word-ish token count via regexp (a cheap stand-in for a real
+    BPE tokenizer; counts letter runs, digit runs, and symbols)."""
+    return F.regexp_count(col, F.lit(BPE_ISH))
+
+
+def word_ngrams(col: Column, n: int) -> Column:
+    """Array of space-joined word n-grams (n >= 1). Uses sequence +
+    transform over the token array — one pass, no explode until the
+    caller wants rows."""
+    t = tokens(col)
+    if n == 1:
+        return t
+    gram = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(t) - (n - 1), F.lit(0))),
+        # 1-based element_at; sequence is empty when the text is too short
+        lambda i: F.concat_ws(" ", *[F.element_at(t, i + j) for j in range(n)]),
+    )
+    return gram
+
+
+def stopword_ratio(col: Column, stopwords: tuple[str, ...]) -> Column:
+    """Fraction of whitespace tokens that are stopwords (double)."""
+    t = tokens(col)
+    hits = F.size(F.filter(t, lambda x: x.isin(*stopwords)))
+    return hits * F.lit(1.0) / F.size(t)
+
+
+def avg_token_len(col: Column) -> Column:
+    t = tokens(col)
+    total = F.aggregate(F.transform(t, F.length), F.lit(0), lambda a, x: a + x)
+    return total * F.lit(1.0) / F.size(t)

@@ -1,0 +1,105 @@
+"""Text analysis operators: stats, quality, language heuristic,
+fingerprints (north-star extensions; BASELINE.json).
+
+Everything is built-in column expressions — the whole module is UDF-free,
+so at 100 TB these run inside whole-stage codegen on the scan output with
+no Python round-trip and no shuffle (they're all per-row until the caller
+aggregates).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from distgrep_spark.functions.textfns import (
+    avg_token_len,
+    bpe_ish_count,
+    stopword_ratio,
+    token_count,
+    tokens,
+)
+
+# Stopword probe set shared with the DuckDB oracles. The fixture vocabulary
+# is lowercase ASCII; a production build would swap in per-language lists.
+STOPWORDS = ("the", "a", "of", "and")
+
+
+def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document stats: chars, tokens, avg token length, stopword ratio."""
+    c = F.col(text_col)
+    return df.select(
+        id_col,
+        F.length(c).alias("n_chars_calc"),
+        token_count(c).alias("n_tokens"),
+        avg_token_len(c).alias("avg_token_len"),
+        stopword_ratio(c, STOPWORDS).alias("stop_ratio"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Composite quality score in [0,1]: length saturation + stopword
+    signal + char saturation (the standard cheap pre-filter before
+    expensive LLM-pipeline stages). Formula kept to a fixed IEEE
+    evaluation order so the DuckDB oracle is bit-identical."""
+    c = F.col(text_col)
+    nt = token_count(c)
+    score = (
+        F.lit(0.4) * F.least(F.lit(1.0), nt / F.lit(100.0))
+        + F.lit(0.3) * stopword_ratio(c, STOPWORDS)
+        + F.lit(0.3) * F.least(F.lit(1.0), F.length(c) / F.lit(500.0))
+    )
+    return df.select(id_col, score.alias("quality"))
+
+
+def lang_guess(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic language ID: stopword-density n-gram-free classifier.
+
+    The fixture corpus shares one vocabulary across its `lang` labels, so
+    this is exercised as a deterministic two-way rule (en-like vs other);
+    swapping in per-language stopword tables turns it into a real
+    classifier without touching the plan shape."""
+    c = F.col(text_col)
+    guess = F.when(stopword_ratio(c, STOPWORDS) > 0.05, "en_like").otherwise("other")
+    return df.select(id_col, guess.alias("lang_guess"))
+
+
+def fingerprint_md5(col: Column) -> Column:
+    """Normalized-content fingerprint: md5 of lower(trim(text)).
+    Stable across engines (DuckDB md5 matches) and runs."""
+    return F.md5(F.lower(F.trim(col)))
+
+
+def fingerprint_rolling(col: Column) -> Column:
+    """Rolling (order-sensitive) hash over whitespace tokens:
+    ``h = fold(tokens, 0, xxhash64(h, token))`` — hash chaining instead of
+    the classic ``h*31 + x`` polynomial, which overflows under ANSI mode.
+
+    Order-sensitive (unlike a bag-of-tokens hash) so reordered text gets a
+    different fingerprint; xxhash64 is Spark-deterministic, so this column
+    is stable across runs but has no cross-engine oracle (rows-only)."""
+    return F.aggregate(
+        tokens(col),
+        F.lit(0).cast("long"),
+        lambda acc, t: F.xxhash64(acc, t),
+    )
+
+
+def fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    c = F.col(text_col)
+    return df.select(
+        id_col,
+        fingerprint_md5(c).alias("fp_md5"),
+        fingerprint_rolling(c).alias("fp_rolling"),
+    )
+
+
+def token_counts_by(df: DataFrame, group_col: str, text_col: str = "text") -> DataFrame:
+    """Corpus token accounting per group (integer sums → exact)."""
+    c = F.col(text_col)
+    return df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(c)).alias("ws_tokens"),
+        F.sum(bpe_ish_count(c)).alias("bpe_ish_tokens"),
+        F.sum(F.length(c)).alias("total_chars"),
+    )

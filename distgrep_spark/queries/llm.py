@@ -1,3 +1,272 @@
-"""LLM-data-pipeline queries (dedup, similarity, text analysis,
-multimodal) — filled in by operators/{dedup,similarity,text,multimodal}.
+"""LLM-data-pipeline queries: dedup, similarity search, text analysis,
+multimodal plumbing (north-star extensions; graded alongside SURVEY.md §2).
+
+Oracle status per query:
+- SQL-expressible (exact dedup, n-gram Jaccard, cosine top-k, text
+  stats/quality/fingerprint, multimodal metadata) → full DuckDB oracle.
+- Hash-sketch based (MinHash LSH, SimHash, hyperplane ANN, rolling
+  fingerprint) → xxhash64 has no DuckDB twin → rows-only here, exact
+  pytest oracles in tests/test_dedup.py / test_similarity.py.
 """
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from distgrep_spark.operators.dedup import (
+    dedup_by_hash,
+    dedup_exact,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from distgrep_spark.operators.multimodal import (
+    attach_fake_payload,
+    extract_byte_features,
+    payload_metadata,
+)
+from distgrep_spark.operators.similarity import ann_lsh_topk, cosine_topk
+from distgrep_spark.operators.text import (
+    fingerprints,
+    lang_guess,
+    quality_score,
+    text_stats,
+    token_counts_by,
+)
+from distgrep_spark.queries.registry import query
+from distgrep_spark.sources.catalog import load_table
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT text, min(doc_id) AS doc_id, count(*) AS n_copies
+    FROM documents
+    GROUP BY text
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup with deterministic min-id survivor."""
+    return dedup_exact(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "dedup_hash",
+    oracle="""
+    SELECT md5(text) AS text_md5, min(doc_id) AS doc_id, count(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def q_dedup_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Digest-keyed dedup (shuffles 16-byte hashes, not documents)."""
+    return dedup_by_hash(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+      FROM toks, LATERAL unnest(generate_series(1, greatest(len(t) - 2, 0))) AS u(i)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+      FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, c * 1.0 / (sa.n_grams + sb.n_grams - c) AS jaccard
+    FROM common
+      JOIN sizes sa ON doc_a = sa.doc_id
+      JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE c * 1.0 / (sa.n_grams + sb.n_grams - c) >= 0.5
+    """,
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact trigram-Jaccard near-dup pairs (threshold 0.5) via shingle
+    inverted index — the exact baseline MinHash-LSH approximates."""
+    return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), n=3, threshold=0.5)
+
+
+@query("dedup_minhash_lsh")  # xxhash64 sketches: no DuckDB twin → rows-only
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded MinHash-LSH candidates with signature-estimated Jaccard;
+    pytest asserts recall vs the exact ngram_jaccard pairs."""
+    return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"), min_est_jaccard=0.5)
+
+
+@query("dedup_simhash")  # rows-only: xxhash64-based
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs within Hamming distance 3."""
+    return simhash_pairs(load_table(spark, sf_dir, "documents"), max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+_TOPK_ORACLE = """
+    WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, c.vec_id,
+             list_cosine_similarity(c.v, q.qv) AS cos_sim
+      FROM c, q
+      WHERE c.vec_id <> q.query_id
+    )
+    SELECT query_id, vec_id, cos_sim, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, vec_id) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+"""
+
+
+@query("sim_cosine_topk", oracle=_TOPK_ORACLE)
+def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for 5 query vectors — exact, oracle
+    bit-matches because both engines promote float32→double before
+    multiplying (see operators/similarity.py)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return cosine_topk(emb, qs, k=10, exclude_self=True)
+
+
+@query("sim_ann_lsh")  # rows-only: bucketing is engine-side deterministic
+def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k (recall measured in pytest)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ann_lsh_topk(emb, qs, k=10, exclude_self=True)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_stats",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS t FROM documents
+    )
+    SELECT doc_id,
+           length(text) AS n_chars_calc,
+           len(t)       AS n_tokens,
+           list_sum(list_transform(t, x -> length(x))) * 1.0 / len(t) AS avg_token_len,
+           len(list_filter(t, x -> x IN ('the', 'a', 'of', 'and'))) * 1.0 / len(t)
+             AS stop_ratio
+    FROM toks
+    """,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document stats (chars, tokens, avg token length, stopword
+    ratio) — pure higher-order-function expressions."""
+    return text_stats(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "text_quality",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS t FROM documents
+    )
+    SELECT doc_id,
+           0.4 * least(1.0, len(t) / 100.0)
+         + 0.3 * (len(list_filter(t, x -> x IN ('the', 'a', 'of', 'and'))) * 1.0 / len(t))
+         + 0.3 * least(1.0, length(text) / 500.0) AS quality
+    FROM toks
+    """,
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score (fixed IEEE evaluation order on both
+    engines → exact hash match on doubles)."""
+    return quality_score(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "text_lang_guess",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN len(list_filter(t, x -> x IN ('the', 'a', 'of', 'and'))) * 1.0 / len(t)
+                     > 0.05
+                THEN 'en_like' ELSE 'other' END AS lang_guess
+    FROM toks
+    """,
+)
+def q_text_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-density language heuristic."""
+    return lang_guess(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "text_token_counts",
+    oracle=r"""
+    SELECT lang,
+           count(*) AS n_docs,
+           sum(len(string_split_regex(trim(text), '\s+'))) AS ws_tokens,
+           sum(len(regexp_extract_all(text, '[a-z]+|[A-Z]+|[0-9]+|[^\sa-zA-Z0-9]')))
+             AS bpe_ish_tokens,
+           sum(length(text)) AS total_chars
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q_text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token accounting per language (integer sums → exact)."""
+    return token_counts_by(load_table(spark, sf_dir, "documents"), "lang")
+
+
+@query("text_fingerprints")  # rolling hash is xxhash64-based → rows-only
+def q_text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """md5 + order-sensitive rolling-hash fingerprints per document.
+    (The md5 half is oracle-covered via dedup_hash; the rolling half is
+    pytest-verified.)"""
+    return fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "multimodal_metadata",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           md5(encode(text))          AS payload_md5,
+           'fake/png'                 AS format,
+           CAST(doc_id % 640 + 64 AS INT) AS width,
+           CAST(doc_id % 480 + 48 AS INT) AS height
+    FROM documents
+    """,
+)
+def q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JVM-only metadata pass over binary payloads (sizes + digests) —
+    the cheap prefilter before any decode."""
+    return payload_metadata(attach_fake_payload(load_table(spark, sf_dir, "documents")))
+
+
+@query("multimodal_byte_features")  # Pandas-UDF path → rows-only + pytest
+def q_multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas feature extraction over payload bytes
+    (the stubbed 'decode'; schema/batching is the real plumbing)."""
+    return extract_byte_features(attach_fake_payload(load_table(spark, sf_dir, "documents")))

@@ -1,0 +1,126 @@
+"""Dedup operator tests: exact pytest oracles for the hash-sketch ops the
+DuckDB gate can't cover (MinHash-LSH, SimHash), plus exact-dedup
+determinism."""
+
+from __future__ import annotations
+
+import itertools
+
+import pytest
+
+from distgrep_spark.operators.dedup import (
+    dedup_by_hash,
+    dedup_exact,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+
+BASE = "the quick brown fox jumps over the lazy dog and runs far away home tonight"
+DOCS = [
+    (0, BASE),
+    (1, BASE),  # exact dup of 0
+    (2, BASE.replace("lazy", "sleepy")),  # near dup of 0
+    (3, "completely different text about spark query engines and shuffles here now"),
+    (4, "completely different text about spark query engines and shuffles here today"),  # near dup of 3
+    (5, "unrelated short doc"),
+    (6, "another unrelated document talking about databases and storage formats entirely"),
+]
+
+
+def py_trigram_jaccard(a: str, b: str) -> float:
+    def grams(s):
+        t = s.split()
+        return {" ".join(t[i : i + 3]) for i in range(len(t) - 2)}
+
+    ga, gb = grams(a), grams(b)
+    return len(ga & gb) / len(ga | gb)
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_dedup_exact_min_survivor(docs_df):
+    rows = {r["text"]: (r["doc_id"], r["n_copies"]) for r in dedup_exact(docs_df).collect()}
+    assert rows[BASE] == (0, 2)  # min-id survivor, both copies counted
+    assert len(rows) == 6
+
+
+def test_dedup_hash_matches_exact(docs_df):
+    assert dedup_by_hash(docs_df).count() == dedup_exact(docs_df).count()
+
+
+def test_ngram_jaccard_matches_python_oracle(docs_df):
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs_df, n=3, threshold=0.3).collect()
+    }
+    want = {
+        (a, b): py_trigram_jaccard(ta, tb)
+        for (a, ta), (b, tb) in itertools.combinations(DOCS, 2)
+        if py_trigram_jaccard(ta, tb) >= 0.3
+    }
+    assert set(got) == set(want)
+    for pair, j in want.items():
+        assert got[pair] == pytest.approx(j)
+
+
+def test_ngram_jaccard_max_df_prunes(docs_df):
+    # max_df=1 keeps only shingles unique to one doc -> no common shingles
+    assert ngram_jaccard_pairs(docs_df, n=3, threshold=0.1, max_df=1).count() == 0
+
+
+def test_minhash_lsh_finds_planted_pairs(docs_df):
+    pairs = {
+        (r["doc_a"], r["doc_b"]) for r in minhash_lsh_pairs(docs_df, min_est_jaccard=0.5).collect()
+    }
+    assert (0, 1) in pairs  # exact dup always collides
+    assert (0, 2) in pairs or (1, 2) in pairs  # near dup
+    assert (3, 4) in pairs
+    # dissimilar docs must not appear
+    assert not any(5 in p or 6 in p for p in pairs)
+
+
+def test_minhash_recall_on_fixture(spark):
+    """On the sf0.01 corpus, banded LSH at est>=0.5 must recover every
+    exact-Jaccard>=0.5 pair (the planted near-dups sit at j~0.99, far
+    above the band threshold)."""
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()
+    }
+    approx = {
+        (r["doc_a"], r["doc_b"]) for r in minhash_lsh_pairs(docs, min_est_jaccard=0.5).collect()
+    }
+    assert exact, "fixture should contain planted near-dup pairs"
+    assert exact <= approx or len(exact - approx) / len(exact) < 0.1
+
+
+def test_simhash_pairs(spark):
+    """SimHash needs long documents: a 1-word edit in an n-token doc flips
+    a bit only where the per-bit ±1 sum sits within ±2 of zero, so flips
+    shrink as n grows. 150-token docs with a 1-word edit land within a few
+    bits; short docs (like DOCS above) legitimately do not."""
+    words = [f"w{i % 37}x{i % 11}" for i in range(150)]
+    base = " ".join(words)
+    edited = " ".join(["CHANGED" if i == 75 else w for i, w in enumerate(words)])
+    other = " ".join(f"z{i % 41}q{i % 13}" for i in range(150))
+    df = spark.createDataFrame(
+        [(0, base), (1, base), (2, edited), (3, other)], ["doc_id", "text"]
+    )
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_pairs(df, max_hamming=8).collect()
+    }
+    assert pairs[(0, 1)] == 0  # identical docs -> identical fingerprints
+    assert (0, 2) in pairs and pairs[(0, 2)] <= 8  # 1-word edit stays close
+    assert not any(3 in p for p in pairs)  # unrelated doc excluded
+
+
+def test_sketches_deterministic(docs_df):
+    a = sorted(map(tuple, minhash_lsh_pairs(docs_df, min_est_jaccard=0.3).collect()))
+    b = sorted(map(tuple, minhash_lsh_pairs(docs_df, min_est_jaccard=0.3).collect()))
+    assert a == b
