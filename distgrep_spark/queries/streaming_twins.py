@@ -1,6 +1,118 @@
-"""Batch twins of the streaming queries (streaming/ module).
+"""Batch twins of the streaming pipelines (streaming/pipelines.py).
 
-The driver collects batch DataFrames, so the registry entries here are the
-batch-mode equivalents of each streaming pipeline; pytest runs the actual
-``readStream`` variants and asserts they produce the same rows.
+The driver collects batch DataFrames, so the registry entries run each
+streaming transformation in batch mode — by construction the SAME code
+the stream executes (the functions are batch/stream-polymorphic). pytest
+(tests/test_streaming.py) runs the actual ``readStream`` variants and
+asserts they produce these very rows, closing the loop:
+DuckDB oracle ⇔ batch twin ⇔ stream output.
 """
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from distgrep_spark.queries.registry import query
+from distgrep_spark.sources.catalog import load_table
+from distgrep_spark.streaming.pipelines import (
+    grep_event_counts,
+    session_counts,
+    sliding_counts,
+    stateful_dedup,
+    tumbling_counts,
+)
+
+
+@query(
+    "stream_grep_counts",
+    oracle="""
+    SELECT event_type AS line, count(*) AS freq
+    FROM events
+    WHERE contains(event_type, 'c')
+    GROUP BY event_type
+    """,
+)
+def q_stream_grep_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """distgrep over the event stream (batch twin): running counts of
+    matching event types."""
+    return grep_event_counts(load_table(spark, sf_dir, "events"), "c")
+
+
+@query(
+    "stream_tumbling_counts",
+    oracle="""
+    SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
+           time_bucket(INTERVAL '10 minutes', ts) + INTERVAL 10 MINUTE AS window_end,
+           event_type,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 10-minute windows (Spark window() aligns to the epoch,
+    exactly DuckDB's time_bucket)."""
+    return tumbling_counts(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "stream_sliding_counts",
+    oracle="""
+    WITH w AS (
+      SELECT time_bucket(INTERVAL '5 minutes', ts) - to_minutes(5 * o.o) AS window_start, ts
+      FROM events, (SELECT unnest([0, 1]) AS o) o
+    )
+    SELECT window_start,
+           window_start + INTERVAL 10 MINUTE AS window_end,
+           count(*) AS n
+    FROM w
+    WHERE ts >= window_start AND ts < window_start + INTERVAL 10 MINUTE
+    GROUP BY 1
+    """,
+)
+def q_stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 10-minute windows every 5 minutes (each event in 2
+    windows; the oracle enumerates both candidate buckets per row)."""
+    return sliding_counts(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "stream_session_counts",
+    oracle="""
+    WITH x AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL 5 MINUTE THEN 1 ELSE 0 END AS brk
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    y AS (
+      SELECT user_id, ts,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+      FROM x
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 5 MINUTE AS session_end,
+           count(*) AS n_events
+    FROM y GROUP BY user_id, sid
+    """,
+)
+def q_stream_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based per-user sessions: session_window in Spark ==
+    gaps-and-islands in the oracle."""
+    return session_counts(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "stream_dedup",
+    oracle="""
+    SELECT * FROM events
+    WHERE event_id IN (SELECT min(event_id) FROM events GROUP BY event_id)
+    """,
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed dedup twin. event_id is already unique in the fixture, so
+    the batch twin is the identity set; the streaming test injects real
+    duplicates and asserts dropDuplicatesWithinWatermark removes them."""
+    return stateful_dedup(load_table(spark, sf_dir, "events"))

@@ -1,0 +1,131 @@
+"""Streaming pipelines over the events table.
+
+Batch/stream-polymorphic: each function branches only on
+``df.isStreaming`` to attach the watermark (a no-op concept in batch).
+Scale notes: watermarks bound the state store (without one, windowed
+state grows forever); ``dropDuplicates`` within a watermark keeps the
+dedup state finite; sliding windows multiply state by window/slide — at
+100 TB/day choose slides accordingly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENT_SCHEMA = (
+    "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+
+def read_event_stream(
+    spark: SparkSession,
+    path: str,
+    *,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream of events (explicit schema — streaming sources
+    never infer). ``max_files_per_trigger`` throttles micro-batch size;
+    in tests it forces multi-batch runs so watermark semantics engage."""
+    reader = spark.readStream.schema(EVENT_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def _with_watermark(df: DataFrame, watermark: str | None) -> DataFrame:
+    if df.isStreaming and watermark is not None:
+        return df.withWatermark("ts", watermark)
+    return df
+
+
+def grep_event_counts(df: DataFrame, pattern: str, column: str = "event_type") -> DataFrame:
+    """The distgrep query, streamified: running count of matching events
+    per distinct value — same filter→groupBy→count plan as the batch
+    flagship (operators/grep.py), fed by a stream."""
+    return (
+        df.where(F.col(column).contains(pattern))
+        .groupBy(F.col(column).alias("line"))
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def tumbling_counts(
+    df: DataFrame,
+    *,
+    window: str = "10 minutes",
+    watermark: str | None = "30 minutes",
+) -> DataFrame:
+    """Tumbling-window event counts (window start/end flattened so the
+    schema is oracle-friendly)."""
+    return (
+        _with_watermark(df, watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def sliding_counts(
+    df: DataFrame,
+    *,
+    window: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str | None = "30 minutes",
+) -> DataFrame:
+    """Sliding-window counts: each event lands in window/slide windows."""
+    return (
+        _with_watermark(df, watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n",
+        )
+    )
+
+
+def session_counts(
+    df: DataFrame,
+    *,
+    gap: str = "5 minutes",
+    watermark: str | None = "30 minutes",
+) -> DataFrame:
+    """Per-user session windows (gap-based). session_window is the
+    Spark-native stateful session assembler; in batch mode it degenerates
+    to gaps-and-islands, which is exactly the DuckDB oracle."""
+    return (
+        _with_watermark(df, watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def stateful_dedup(
+    df: DataFrame,
+    *,
+    key: str = "event_id",
+    watermark: str | None = "30 minutes",
+) -> DataFrame:
+    """Exactly-once-style dedup by key within the watermark horizon.
+    The watermark bounds the dedup state store; events with the same key
+    arriving inside the horizon are dropped."""
+    d = _with_watermark(df, watermark)
+    if df.isStreaming and watermark is not None:
+        # watermark-scoped state expiry; without it state grows unbounded
+        return d.dropDuplicatesWithinWatermark([key])
+    return d.dropDuplicates([key])

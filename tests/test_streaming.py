@@ -1,0 +1,126 @@
+"""Structured Streaming tests: the readStream pipelines must reproduce
+their batch twins (which the DuckDB oracle already certifies), plus
+watermark late-data and stateful-dedup semantics.
+
+All tests drive real micro-batch execution (availableNow trigger) into a
+memory sink.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from distgrep_spark.sources.catalog import load_table
+from distgrep_spark.streaming.pipelines import (
+    grep_event_counts,
+    read_event_stream,
+    stateful_dedup,
+    tumbling_counts,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def event_dir(spark, tmp_path_factory):
+    """Events re-written as a micros-timestamp parquet directory (the
+    NANOS source fixture can't be streamed directly; production streams
+    write micros anyway)."""
+    d = tmp_path_factory.mktemp("events_stream")
+    load_table(spark, SF, "events").coalesce(2).write.mode("overwrite").parquet(str(d / "in"))
+    return str(d / "in")
+
+
+def run_to_memory(stream_df, name, mode):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def rows_set(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_stream_grep_matches_batch(spark, event_dir):
+    stream = read_event_stream(spark, event_dir)
+    assert stream.isStreaming
+    run_to_memory(grep_event_counts(stream, "c"), "grep_counts", "complete")
+    got = rows_set(spark.sql("SELECT * FROM grep_counts"))
+    want = rows_set(grep_event_counts(spark.read.parquet(event_dir), "c"))
+    assert got == want and got  # click + purchase
+
+
+def test_stream_tumbling_matches_batch(spark, event_dir):
+    stream = read_event_stream(spark, event_dir)
+    run_to_memory(tumbling_counts(stream), "tumbling", "complete")
+    got = rows_set(spark.sql("SELECT * FROM tumbling"))
+    want = rows_set(tumbling_counts(spark.read.parquet(event_dir)))
+    assert got == want and got
+
+
+def test_stream_dedup_drops_duplicates(spark, event_dir, tmp_path):
+    # inject exact duplicates: two copies of the same file
+    dup_dir = tmp_path / "dups"
+    src = spark.read.parquet(event_dir).limit(100)
+    src.write.mode("overwrite").parquet(str(dup_dir))
+    src.write.mode("append").parquet(str(dup_dir))
+    assert spark.read.parquet(str(dup_dir)).count() == 200
+    stream = read_event_stream(spark, str(dup_dir))
+    run_to_memory(stateful_dedup(stream), "dedup", "append")
+    out = spark.sql("SELECT * FROM dedup")
+    assert out.count() == 100
+    assert out.select("event_id").distinct().count() == 100
+
+
+def test_late_data_dropped_by_watermark(spark, tmp_path):
+    """Three files processed as separate micro-batches
+    (maxFilesPerTrigger=1); the third carries an event hours older than
+    the watermark → the windowed agg must drop it.
+
+    Why three batches, not two: Spark filters late records with the
+    PREVIOUS batch's watermark and evicts state with the CURRENT one
+    (SPARK-40925, needed to chain stateful operators). A late row in
+    batch 1 sees a late-filter watermark still at epoch — it gets
+    aggregated and its stale window is immediately evicted+emitted. Only
+    from batch 2 onward does the advanced watermark gate input rows."""
+    d = tmp_path / "late"
+    os.makedirs(d)
+    schema = "event_id long, ts string, user_id long, event_type string, value double, props string"
+
+    def mk(rows):
+        return spark.createDataFrame(rows, schema).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    mk(
+        [(i, f"2024-01-01 12:{10 + i}:00", 1, "click", 1.0, "{}") for i in range(5)]
+    ).coalesce(1).write.parquet(str(d / "f1"))
+    mk([(50, "2024-01-01 12:15:00", 1, "click", 1.0, "{}")]).coalesce(1).write.parquet(str(d / "f2"))
+    mk([(99, "2024-01-01 09:00:00", 1, "click", 1.0, "{}")]).coalesce(1).write.parquet(str(d / "f3"))
+    # file source orders batches by modification time: make them strictly increasing
+    now = time.time()
+    for sub, ts in (("f1", now - 240), ("f2", now - 120), ("f3", now)):
+        for root, _, files in os.walk(d / sub):
+            for f in files:
+                os.utime(os.path.join(root, f), (ts, ts))
+
+    stream = read_event_stream(spark, str(d / "*"), max_files_per_trigger=1)
+    agg = tumbling_counts(stream, window="10 minutes", watermark="10 minutes")
+    q = run_to_memory(agg, "late_windows", "append")
+    dropped = sum(
+        op.get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        for op in p.get("stateOperators", [])
+    )
+    assert dropped == 1
+    starts = {r["window_start"].isoformat() for r in spark.sql("SELECT * FROM late_windows").collect()}
+    # the 09:00 late event's window must have been dropped
+    assert "2024-01-01T09:00:00" not in starts
