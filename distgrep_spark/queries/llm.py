@@ -252,7 +252,7 @@ def q_text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT doc_id,
            octet_length(encode(text)) AS n_bytes,
-           md5(encode(text))          AS payload_md5,
+           md5(text)                  AS payload_md5,
            'fake/png'                 AS format,
            CAST(doc_id % 640 + 64 AS INT) AS width,
            CAST(doc_id % 480 + 48 AS INT) AS height
