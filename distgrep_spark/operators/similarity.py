@@ -23,6 +23,8 @@ double-first makes Spark and DuckDB bit-identical — verified).
 
 from __future__ import annotations
 
+import json
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
@@ -94,21 +96,36 @@ def _hyperplanes(dim: int, num_planes: int, seed: int) -> list[list[float]]:
     return planes
 
 
-def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign-pattern bucket id (one bit per hyperplane) as a long."""
-    bucket = F.lit(0).cast("long")
-    for j, plane in enumerate(planes):
-        d = dot(vec, F.array(*[F.lit(p) for p in plane]))
-        bucket = bucket + F.when(d > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
-    return bucket
+def plane_dots(vec: Column, planes: list[list[float]]) -> Column:
+    """Array of dot products of ``vec`` against every hyperplane.
+
+    The planes ship as ONE string literal parsed by ``from_json``: a
+    4096-float nested ``F.lit`` costs ~2.4 s of element-wise py4j
+    round-trips at plan-build time (measured), while a JSON literal is
+    one call — and Catalyst constant-folds the deterministic
+    ``from_json(literal)`` to a plain array literal, so runtime cost is
+    identical (verified via explain)."""
+    planes_lit = F.from_json(F.lit(json.dumps(planes)), "array<array<double>>")
+    return F.transform(planes_lit, lambda p: dot(vec, p))
 
 
-def _table_buckets(vec: Column, tables: list[list[list[float]]]) -> Column:
-    """Array of (table, bucket) structs — one LSH bucket per hash table."""
+def table_buckets(dots: Column, num_tables: int, num_planes: int) -> Column:
+    """Array of (table, bucket) structs from a MATERIALIZED dot-products
+    column (pass a column reference, not an inline ``plane_dots`` call —
+    HOF lambdas inline their argument into every use site). Table t's
+    bucket is the sign pattern of its plane slice folded as a binary
+    number."""
     return F.array(
         *[
-            F.struct(F.lit(t).alias("table"), lsh_bucket(vec, planes).alias("bucket"))
-            for t, planes in enumerate(tables)
+            F.struct(
+                F.lit(t).alias("table"),
+                F.aggregate(
+                    F.slice(dots, t * num_planes + 1, num_planes),
+                    F.lit(0).cast("long"),
+                    lambda acc, d: acc * 2 + F.when(d > 0, 1).otherwise(0),
+                ).alias("bucket"),
+            )
+            for t in range(num_tables)
         ]
     )
 
@@ -138,16 +155,28 @@ def ann_lsh_topk(
     broadcast, and the scored candidate set is ~|corpus|·(1-(1-2^-H)^L)
     per query instead of |corpus|. Hyperplanes come from a seeded LCG at
     plan time → fully deterministic, no RNG at runtime."""
-    tables = [
-        _hyperplanes(dim, num_planes, seed + 7919 * t) for t in range(num_tables)
+    planes = [
+        row
+        for t in range(num_tables)
+        for row in _hyperplanes(dim, num_planes, seed + 7919 * t)
     ]
-    c = corpus.select(F.col(id_col), as_double(F.col(vec_col)).alias("_cv")).select(
-        id_col, "_cv", F.explode(_table_buckets(F.col("_cv"), tables)).alias("tb")
+    c = (
+        corpus.select(F.col(id_col), as_double(F.col(vec_col)).alias("_cv"))
+        .withColumn("_dots", plane_dots(F.col("_cv"), planes))
+        .select(
+            id_col,
+            "_cv",
+            F.explode(table_buckets(F.col("_dots"), num_tables, num_planes)).alias("tb"),
+        )
     )
-    q = queries.select(
-        F.col(query_id_col), as_double(F.col(vec_col)).alias("_qv")
-    ).select(
-        query_id_col, "_qv", F.explode(_table_buckets(F.col("_qv"), tables)).alias("tb")
+    q = (
+        queries.select(F.col(query_id_col), as_double(F.col(vec_col)).alias("_qv"))
+        .withColumn("_dots", plane_dots(F.col("_qv"), planes))
+        .select(
+            query_id_col,
+            "_qv",
+            F.explode(table_buckets(F.col("_dots"), num_tables, num_planes)).alias("tb"),
+        )
     )
     cand = (
         c.join(broadcast(q), "tb")
