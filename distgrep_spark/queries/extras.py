@@ -1,0 +1,259 @@
+"""Second-wave operator coverage: array/map scalar functions, pivot,
+exact percentiles, union-by-name, as-of join, and the reference client's
+highlight presentation op (reference client.go:17-21, 69-79).
+
+Every query here has a DuckDB oracle; outputs are scalars (or
+deterministically sorted scalars) so the driver's order-insensitive
+value-hash discipline applies cleanly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from distgrep_spark.operators.asof import asof_join
+from distgrep_spark.operators.grep import grep_lines, highlight
+from distgrep_spark.queries.registry import query
+from distgrep_spark.sources.catalog import load_table
+
+# ---------------------------------------------------------------------------
+# Array & map scalar functions
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "scalar_array_fns",
+    oracle="""
+    SELECT l_orderkey,
+           count(*)                         AS n_lines,
+           min(l_quantity)                  AS min_qty,
+           max(l_quantity)                  AS max_qty,
+           count(DISTINCT l_quantity)       AS n_distinct_qty,
+           bool_or(l_quantity = 15.0)       AS has_qty_15,
+           sum(l_quantity)                  AS qty_sum
+    FROM lineitem
+    GROUP BY l_orderkey
+    """,
+)
+def q_scalar_array_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array builders + higher-order functions: per order, collect the
+    quantity array then answer everything FROM the array (size,
+    element_at, array_distinct, array_contains, aggregate-fold). The
+    oracle states the same facts as plain group aggregates — same values,
+    which is the point: the array path is semantically checked, not just
+    runnable. Quantities are small integers in double, so the fold sum is
+    exact regardless of order."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qtys = F.sort_array(F.collect_list("l_quantity"))
+    return (
+        li.groupBy("l_orderkey")
+        .agg(qtys.alias("qtys"))
+        .select(
+            "l_orderkey",
+            F.size("qtys").alias("n_lines"),
+            F.element_at("qtys", 1).alias("min_qty"),
+            F.element_at("qtys", -1).alias("max_qty"),
+            F.size(F.array_distinct("qtys")).alias("n_distinct_qty"),
+            F.array_contains("qtys", F.lit(15.0)).alias("has_qty_15"),
+            F.aggregate("qtys", F.lit(0.0), lambda acc, x: acc + x).alias("qty_sum"),
+        )
+    )
+
+
+@query(
+    "scalar_map_fns",
+    oracle="""
+    SELECT l_orderkey,
+           max(CASE WHEN l_linenumber = 1 THEN l_quantity END) AS qty_line1,
+           count(DISTINCT l_linenumber) AS n_lines,
+           max(l_linenumber)            AS max_lineno
+    FROM lineitem
+    GROUP BY l_orderkey
+    """,
+)
+def q_scalar_map_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map builders + lookups: per order, build linenumber->quantity with
+    map_from_entries, then read it back via element_at / size / map_keys.
+    The fixture's line numbers are NOT unique per order (unlike real
+    TPC-H), and Spark's ANSI mode rejects duplicate map keys outright —
+    so keys are pre-aggregated (max quantity per line number) first,
+    which also keeps the oracle deterministic."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_line = li.groupBy("l_orderkey", "l_linenumber").agg(
+        F.max("l_quantity").alias("q")
+    )
+    m = F.map_from_entries(
+        F.sort_array(F.collect_list(F.struct("l_linenumber", "q")))
+    )
+    return (
+        per_line.groupBy("l_orderkey")
+        .agg(m.alias("m"))
+        .select(
+            "l_orderkey",
+            F.element_at("m", F.lit(1)).alias("qty_line1"),
+            F.size("m").alias("n_lines"),
+            F.array_max(F.map_keys("m")).alias("max_lineno"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pivot / conditional aggregation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pivot_status_totals",
+    oracle="""
+    SELECT o_orderpriority,
+           sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END) AS total_f,
+           sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END) AS total_o,
+           sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END) AS total_p
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_pivot_status_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with EXPLICIT value list — omitting it makes Spark run an
+    extra distinct scan just to discover the columns, a silent 2x on the
+    input at scale. Equivalent to conditional aggregation (the oracle)."""
+    o = load_table(spark, sf_dir, "orders")
+    p = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.sum("o_totalprice"))
+    )
+    return p.select(
+        "o_orderpriority",
+        F.col("F").alias("total_f"),
+        F.col("O").alias("total_o"),
+        F.col("P").alias("total_p"),
+    )
+
+
+@query(
+    "agg_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.25) AS q25,
+           quantile_cont(l_quantity, 0.50) AS q50,
+           quantile_cont(l_quantity, 0.75) AS q75,
+           quantile_cont(l_quantity, 0.99) AS q99
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles (Spark ``percentile`` ==
+    DuckDB ``quantile_cont``, verified on ties and interpolated points).
+    Exact percentile is a full sort per group — fine on bounded group
+    counts; at 100 TB reach for approx_percentile (KLL/GK sketch, merges
+    map-side) and accept rank error instead."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pct = F.expr("percentile(l_quantity, array(0.25, 0.50, 0.75, 0.99))")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(pct.alias("p"))
+        .select(
+            "l_returnflag",
+            F.element_at("p", 1).alias("q25"),
+            F.element_at("p", 2).alias("q50"),
+            F.element_at("p", 3).alias("q75"),
+            F.element_at("p", 4).alias("q99"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Union by name (schema-mismatched sources)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "set_union_by_name",
+    oracle="""
+    SELECT c_name AS name, 'customer' AS side, c_acctbal AS acctbal
+    FROM customer
+    UNION ALL BY NAME
+    SELECT 'supplier' AS side, s_name AS name FROM supplier
+    """,
+)
+def q_set_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName(allowMissingColumns): positional union would silently
+    mis-align these projections (different column order, one side missing
+    a column); by-name alignment nulls the gap — DuckDB's
+    UNION ALL BY NAME twin."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_name").alias("name"),
+        F.lit("customer").alias("side"),
+        F.col("c_acctbal").alias("acctbal"),
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.lit("supplier").alias("side"), F.col("s_name").alias("name")
+    )
+    return c.unionByName(s, allowMissingColumns=True)
+
+
+# ---------------------------------------------------------------------------
+# As-of join
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_asof_events",
+    oracle="""
+    WITH clicks AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    errors AS (
+      SELECT user_id, ts AS err_ts, max(value) AS err_value
+      FROM events WHERE event_type = 'error' GROUP BY user_id, ts
+    )
+    SELECT c.event_id, c.user_id, c.ts, e.err_ts, e.err_value
+    FROM clicks c
+    ASOF LEFT JOIN errors e ON c.user_id = e.user_id AND c.ts >= e.err_ts
+    """,
+)
+def q_join_asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time correctness: each click joined to the latest error
+    at-or-before it for the same user (operators/asof.py — union +
+    window-fill, not a quadratic range join). Errors are pre-aggregated
+    per (user, ts) so the pick is deterministic on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    errors = (
+        ev.where(F.col("event_type") == "error")
+        .groupBy("user_id", F.col("ts").alias("err_ts"))
+        .agg(F.max("value").alias("err_value"))
+    )
+    return asof_join(
+        clicks,
+        errors,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="err_ts",
+        payload=["err_value"],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Highlight (reference presentation op)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "grep_highlight",
+    oracle="""
+    SELECT replace(text, 'the', '*the*') AS line
+    FROM documents
+    WHERE contains(text, 'the')
+    """,
+)
+def q_grep_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference client's highlight mode (client.go:69-79) as an
+    engine projection: matched lines with every occurrence wrapped in
+    asterisks. Keeps duplicates (highlight precedes the dedup/count)."""
+    docs = load_table(spark, sf_dir, "documents").select(F.col("text").alias("line"))
+    matched = grep_lines(docs, "the", column="line")
+    return highlight(matched, "the", column="line", style="asterisks")
