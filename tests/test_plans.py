@@ -1,0 +1,89 @@
+"""Plan-shape assertions (SURVEY.md §3.5, §5.2): the parity between the
+reference's hard-coded physical plan and what Catalyst generates for our
+declarative queries is documented EXECUTABLE fact here, plus the
+scale-critical plan properties (pushdown, pruning, broadcast) that keep
+these queries viable at 100 TB.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import distgrep_spark.queries as q
+from tests.conftest import SF_ORACLE
+
+
+def formatted_plan(df) -> str:
+    jvm = df.sparkSession._jvm
+    return df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+@pytest.fixture(scope="module")
+def grep_plan(spark):
+    return formatted_plan(q.QUERIES["grep_contains"](spark, SF_ORACLE))
+
+
+def test_grep_is_partial_final_aggregate(grep_plan):
+    """The reference's Map (partial combine, worker.go:31-42) / shuffle
+    (server.go:176-191) / Reduce (worker.go:46-62) pipeline must appear
+    as HashAggregate(partial) -> Exchange -> HashAggregate(final)."""
+    assert "partial_count" in grep_plan
+    assert "Exchange" in grep_plan
+    assert grep_plan.count("HashAggregate") >= 2
+
+
+def test_grep_contains_pushed_to_scan(grep_plan):
+    """The substring predicate must reach the parquet reader, not run as
+    a post-scan filter only."""
+    assert "StringContains" in grep_plan
+
+
+def test_grep_scan_prunes_to_one_column(grep_plan):
+    """documents has 5 columns; the grep reads exactly one."""
+    assert "ReadSchema: struct<text:string>" in grep_plan
+
+
+def test_dim_join_broadcasts(spark):
+    """lineitem x part must be a broadcast hash join — a shuffle join on
+    the fact table at 100 TB is the canonical avoidable exchange."""
+    plan = formatted_plan(q.QUERIES["join_broadcast_dim"](spark, SF_ORACLE))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_filter_pushdown_variants(spark):
+    """Equality, range, and prefix predicates all push to the scan."""
+    plan = formatted_plan(q.QUERIES["filter_predicates"](spark, SF_ORACLE))
+    assert "EqualTo(o_orderstatus,O)" in plan
+    assert "GreaterThanOrEqual(o_totalprice" in plan
+    assert "StringStartsWith(o_orderpriority" in plan
+
+
+def test_column_pruning_on_projection(spark):
+    """A query touching 3 of lineitem's 16 columns must not scan 16."""
+    plan = formatted_plan(q.QUERIES["scalar_array_fns"](spark, SF_ORACLE))
+    read = next(line for line in plan.splitlines() if "ReadSchema" in line)
+    assert "l_orderkey" in read and "l_quantity" in read
+    assert "l_comment" not in read and "l_shipdate" not in read
+
+
+def test_topk_plans_take_ordered(spark):
+    """orderBy().limit(k) must plan TakeOrderedAndProject, not a global
+    sort of the whole input."""
+    plan = formatted_plan(q.QUERIES["topk_customers"](spark, SF_ORACLE))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_whole_stage_codegen_covers_grep(spark):
+    """The grep hot path stays inside generated JVM code (no Python
+    boundary): explain(codegen=false) formatted output marks codegen'd
+    operators; assert the Filter participates."""
+    df = q.QUERIES["grep_filter_only"](spark, SF_ORACLE)
+    simple = df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "simple"
+        )
+    )
+    assert "*" in simple  # WholeStageCodegen stages are starred
