@@ -116,3 +116,21 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the batch twin is the identity set; the streaming test injects real
     duplicates and asserts dropDuplicatesWithinWatermark removes them."""
     return stateful_dedup(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "stream_running_totals",
+    oracle="""
+    SELECT user_id, count(*) AS n_events,
+           sum(coalesce(value, 0.0)) AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
+def q_stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the applyInPandasWithState running-totals operator
+    (streaming/stateful.py): in batch the running state collapses to a
+    plain groupBy; the streaming test certifies the cross-batch state
+    carry against exactly this aggregate."""
+    from distgrep_spark.streaming.stateful import running_user_totals
+
+    return running_user_totals(load_table(spark, sf_dir, "events"))

@@ -1,0 +1,42 @@
+"""Source readers (sources/readers.py): explicit-schema csv/json reads
+(never inference — that's a second scan of the input at 100 TB) and the
+malformed-row discipline."""
+
+from __future__ import annotations
+
+from distgrep_spark.sources.readers import read_csv, read_json, read_lines
+
+
+def test_read_lines_strips_newlines_like_reference(spark, tmp_path):
+    """bufio.ScanLines parity (reference server.go:41-49): \\n and \\r\\n
+    both delimit; neither appears in the row values."""
+    p = tmp_path / "mixed.txt"
+    p.write_bytes(b"unix\nwindows\r\nlast")
+    vals = {r["value"] for r in read_lines(spark, str(p)).collect()}
+    assert vals == {"unix", "windows", "last"}
+
+
+def test_read_csv_explicit_schema(spark, tmp_path):
+    p = tmp_path / "t.csv"
+    p.write_text("k;v\n1;one\n2;two\n")
+    df = read_csv(spark, str(p), "k int, v string", sep=";")
+    assert df.schema.simpleString() == "struct<k:int,v:string>"
+    assert sorted(map(tuple, df.collect())) == [(1, "one"), (2, "two")]
+
+
+def test_read_csv_malformed_rows_null_not_crash(spark, tmp_path):
+    """Permissive mode: a malformed cell nulls, it doesn't kill the job
+    (the reference's failure mode IS a crash — server.go:55 log.Fatalf)."""
+    p = tmp_path / "bad.csv"
+    p.write_text("k,v\n1,one\nnot_an_int,two\n")
+    rows = {
+        tuple(r) for r in read_csv(spark, str(p), "k int, v string").collect()
+    }
+    assert rows == {(None, "two"), (1, "one")}
+
+
+def test_read_json_explicit_schema(spark, tmp_path):
+    p = tmp_path / "t.jsonl"
+    p.write_text('{"k": 1, "tags": ["a"]}\n{"k": 2, "tags": []}\n')
+    df = read_json(spark, str(p), "k long, tags array<string>")
+    assert {r["k"]: r["tags"] for r in df.collect()} == {1: ["a"], 2: []}

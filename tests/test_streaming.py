@@ -124,3 +124,31 @@ def test_late_data_dropped_by_watermark(spark, tmp_path):
     starts = {r["window_start"].isoformat() for r in spark.sql("SELECT * FROM late_windows").collect()}
     # the 09:00 late event's window must have been dropped
     assert "2024-01-01T09:00:00" not in starts
+
+def test_stateful_running_totals_matches_batch(spark, tmp_path):
+    """applyInPandasWithState: state must carry across micro-batches —
+    the stream is split into 3 files fed one per trigger, and the LAST
+    update per user must equal the batch groupBy on the full input."""
+    from distgrep_spark.streaming.stateful import running_user_totals
+
+    src = load_table(spark, SF, "events")
+    d = tmp_path / "in"
+    src.repartition(3).write.mode("overwrite").parquet(str(d))
+    stream = read_event_stream(spark, str(d), max_files_per_trigger=1)
+    run_to_memory(running_user_totals(stream), "running_totals", "update")
+    updates = spark.sql("select * from running_totals").collect()
+    assert len(updates) > 0
+    # memory sink appends every update; the final state per user is the
+    # last row emitted for that user (collect preserves batch order)
+    final = {}
+    for r in updates:
+        final[r["user_id"]] = (r["n_events"], r["total_value"])
+    batch = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in running_user_totals(src).collect()
+    }
+    assert set(final) == set(batch)
+    for u, (n, s) in batch.items():
+        fn, fs = final[u]
+        assert fn == n
+        assert abs(fs - s) < 1e-6
