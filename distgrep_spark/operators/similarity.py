@@ -82,6 +82,86 @@ def cosine_topk(
     ).where(F.col("rank") <= k)
 
 
+def l2sq(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def ann_ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    exclude_self: bool = False,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: coarse-quantize the corpus
+    into ``n_centroids`` lists by nearest centroid, probe the ``nprobe``
+    nearest lists per query, brute-force only inside them.
+
+    Expected cost ~ nprobe/n_centroids of brute force; recall depends on
+    how well the centroids tile the data. Centroids here are the first
+    ``n_centroids`` corpus vectors by id — a deterministic, id-pruned
+    scan standing in for a k-means codebook (at 100 TB you'd train the
+    codebook once on a sample and broadcast it; the assignment/probe/
+    score dataflow — which is what this operator exercises — is
+    identical). Assignment is map-side (centroids are plan literals, no
+    shuffle); the probe join shuffles on the single int cluster id.
+    """
+    cent_rows = (
+        corpus.select(id_col, vec_col).orderBy(id_col).limit(n_centroids).collect()
+    )
+    cents = [[float(x) for x in r[vec_col]] for r in cent_rows]
+    cents_lit = F.from_json(F.lit(json.dumps(cents)), "array<array<double>>")
+
+    c = (
+        corpus.select(F.col(id_col), as_double(F.col(vec_col)).alias("_cv"))
+        .withColumn("_dists", F.transform(cents_lit, lambda p: l2sq(F.col("_cv"), p)))
+        .withColumn(
+            "_cluster", F.array_position(F.col("_dists"), F.array_min(F.col("_dists")))
+        )
+        .select(id_col, "_cv", "_cluster")
+    )
+    # nprobe nearest centroids per query: sort (dist, idx) structs
+    # lexicographically, slice, unpack
+    q = (
+        queries.select(F.col(query_id_col), as_double(F.col(vec_col)).alias("_qv"))
+        .withColumn("_dists", F.transform(cents_lit, lambda p: l2sq(F.col("_qv"), p)))
+        .withColumn(
+            "_probe",
+            F.explode(
+                F.slice(
+                    F.sort_array(
+                        F.arrays_zip(
+                            F.col("_dists"),
+                            F.sequence(F.lit(1), F.size(F.col("_dists"))).alias("idx"),
+                        )
+                    ),
+                    1,
+                    nprobe,
+                )
+            ),
+        )
+        .select(query_id_col, "_qv", F.col("_probe.idx").cast("long").alias("_cluster"))
+    )
+    scored = c.join(broadcast(q), "_cluster").select(
+        query_id_col,
+        id_col,
+        cosine(F.col("_cv"), F.col("_qv")).alias("cos_sim"),
+    )
+    if exclude_self:
+        scored = scored.where(F.col(query_id_col) != F.col(id_col))
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cos_sim").desc(), F.col(id_col))
+    return scored.select(
+        query_id_col, id_col, "cos_sim", F.row_number().over(w).alias("rank")
+    ).where(F.col("rank") <= k)
+
+
 def _hyperplanes(dim: int, num_planes: int, seed: int) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes (xorshift-free: a simple
     seeded LCG is enough for LSH bucketing and keeps this dependency-free)."""

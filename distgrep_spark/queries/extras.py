@@ -257,3 +257,36 @@ def q_grep_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(F.col("text").alias("line"))
     matched = grep_lines(docs, "the", column="line")
     return highlight(matched, "the", column="line", style="asterisks")
+
+
+# ---------------------------------------------------------------------------
+# Skew-salted join
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_salted_skew",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_lines,
+           sum(CAST(l_quantity AS DECIMAL(25,6))) AS qty_total
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def q_join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted fact-dim join (operators/skew.py): same rows as the plain
+    join — which is exactly what the oracle certifies — with the big
+    side's hot keys spread over 16 sub-keys so no single shuffle
+    partition can become the straggler. At this SF Spark may broadcast
+    the replicated side anyway; the operator targets the 100 TB regime
+    where it cannot."""
+    from distgrep_spark.operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    joined = salted_join(li, o, left_on="l_orderkey", right_on="o_orderkey", buckets=16)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col("l_quantity").cast("decimal(25,6)")).alias("qty_total"),
+    )

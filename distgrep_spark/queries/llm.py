@@ -270,3 +270,16 @@ def q_multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched mapInPandas feature extraction over payload bytes
     (the stubbed 'decode'; schema/batching is the real plumbing)."""
     return extract_byte_features(attach_fake_payload(load_table(spark, sf_dir, "documents")))
+
+
+@query("sim_ann_ivf")  # rows-only: centroid choice is engine-side
+def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate top-k (the scale path next to
+    brute-force sim_cosine_topk; recall measured in pytest)."""
+    from distgrep_spark.operators.similarity import ann_ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ann_ivf_topk(emb, qs, k=10, exclude_self=True)

@@ -79,3 +79,40 @@ def test_ann_deterministic(emb_df):
     a = sorted(map(tuple, ann_lsh_topk(df, qs, k=3, dim=DIM).collect()))
     b = sorted(map(tuple, ann_lsh_topk(df, qs, k=3, dim=DIM).collect()))
     assert a == b
+
+
+def test_ivf_recall_on_fixture(spark):
+    from distgrep_spark.operators.similarity import ann_ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    qs = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in cosine_topk(emb, qs, k=10, exclude_self=True)
+        .select("query_id", "vec_id")
+        .collect()
+    }
+    approx = {
+        (r["query_id"], r["vec_id"])
+        for r in ann_ivf_topk(emb, qs, k=10, exclude_self=True)
+        .select("query_id", "vec_id")
+        .collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    # measured 0.92 at defaults (16 lists, nprobe 4); bound leaves
+    # headroom but catches a broken assignment/probe path
+    assert recall >= 0.6, f"IVF recall@10 too low: {recall}"
+
+
+def test_ivf_deterministic(spark):
+    from distgrep_spark.operators.similarity import ann_ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    qs = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    a = sorted(map(tuple, ann_ivf_topk(emb, qs, k=5).collect()))
+    b = sorted(map(tuple, ann_ivf_topk(emb, qs, k=5).collect()))
+    assert a == b
