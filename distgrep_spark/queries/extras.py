@@ -290,3 +290,73 @@ def q_join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_lines"),
         F.sum(F.col("l_quantity").cast("decimal(25,6)")).alias("qty_total"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Lateral explode / null-safe equality
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "lateral_explode_tokens",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+    )
+    SELECT doc_id, i AS pos, t[i] AS tok
+    FROM toks, LATERAL unnest(generate_series(1, len(t))) AS u(i)
+    """,
+)
+def q_lateral_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode as the lateral-view/unnest twin: one row per token with
+    its 1-based position. The explode multiplies rows ~300x here — at
+    scale follow it with the aggregation you actually need (Catalyst
+    pushes projections into the generate, it cannot un-multiply rows)."""
+    from distgrep_spark.functions.textfns import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+
+
+@query(
+    "join_null_safe",
+    oracle="""
+    WITH l AS (
+      SELECT CASE WHEN o_orderkey % 10 = 0 THEN NULL
+                  ELSE o_custkey % 20 END AS grp
+      FROM orders
+    ),
+    r AS (
+      SELECT CASE WHEN n_nationkey >= 20 THEN NULL
+                  ELSE n_nationkey END AS grp
+      FROM nation
+    )
+    SELECT coalesce(l.grp, -1) AS grp, count(*) AS n
+    FROM l JOIN r ON l.grp IS NOT DISTINCT FROM r.grp
+    GROUP BY coalesce(l.grp, -1)
+    """,
+)
+def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (eqNullSafe == IS NOT DISTINCT FROM): a
+    plain equi-join silently drops every NULL key — here NULL keys on
+    both sides (5 NULL rows on the right) must multiply, which the group
+    counts certify."""
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    l = o.select(
+        F.when(F.col("o_orderkey") % 10 == 0, None)
+        .otherwise(F.col("o_custkey") % 20)
+        .alias("grp")
+    )
+    r = n.select(
+        F.when(F.col("n_nationkey") >= 20, None)
+        .otherwise(F.col("n_nationkey"))
+        .alias("grp_r")
+    )
+    return (
+        l.join(r, l["grp"].eqNullSafe(r["grp_r"]))
+        .groupBy(F.coalesce(F.col("grp"), F.lit(-1)).alias("grp"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
