@@ -55,18 +55,17 @@ def _byte_features(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     features (length, 16-bin byte histogram, coarse entropy bin). This is
     the stand-in 'decode'; its shape (batch-in, batch-out, stable schema)
     is exactly what a real decoder uses."""
+    import numpy as np
+
     for pdf in pdf_iter:
         rows = []
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-            b = bytes(payload)
-            hist = [0.0] * 16
-            for byte in b:
-                hist[byte >> 4] += 1.0
-            n = float(len(b)) or 1.0
-            hist = [h / n for h in hist]
+            b = np.frombuffer(bytes(payload), dtype=np.uint8)
+            n = max(len(b), 1)
+            hist = np.bincount(b >> 4, minlength=16).astype(np.float64) / n
             # coarse "entropy" proxy: number of non-empty bins
-            ent_bin = sum(1 for h in hist if h > 0)
-            rows.append((int(doc_id), len(b), ent_bin, hist))
+            ent_bin = int(np.count_nonzero(hist))
+            rows.append((int(doc_id), len(b), ent_bin, hist.tolist()))
         yield pd.DataFrame(
             rows, columns=["doc_id", "n_bytes", "byte_entropy_bin", "byte_histogram"]
         )

@@ -159,3 +159,38 @@ def window_ntile_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(w).alias("quartile"),
         F.percent_rank().over(w).alias("pct_rank"),
     )
+
+
+@query(
+    "window_range_frame",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           sum(CAST(o_totalprice AS DECIMAL(25,6)))
+             OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+                   RANGE BETWEEN 1000.0 PRECEDING AND 1000.0 FOLLOWING)
+             AS nearby_price_sum,
+           count(*)
+             OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+                   RANGE BETWEEN 1000.0 PRECEDING AND 1000.0 FOLLOWING)
+             AS nearby_orders
+    FROM orders
+    """,
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame (value-based, vs the ROWS frames elsewhere): peers
+    within +-1000 of each order's price for the same customer. RANGE
+    frames are order-value-driven so ties share a frame — semantics ROWS
+    cannot express; decimal sum keeps the oracle order-insensitive."""
+    # PySpark's Window.rangeBetween only accepts integer offsets; float
+    # RANGE bounds need the SQL form of the frame.
+    frame = (
+        "OVER (PARTITION BY o_custkey ORDER BY o_totalprice "
+        "RANGE BETWEEN 1000.0 PRECEDING AND 1000.0 FOLLOWING)"
+    )
+    return load_table(spark, sf_dir, "orders").selectExpr(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        f"sum(CAST(o_totalprice AS DECIMAL(25,6))) {frame} AS nearby_price_sum",
+        f"count(*) {frame} AS nearby_orders",
+    )

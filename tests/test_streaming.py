@@ -152,3 +152,38 @@ def test_stateful_running_totals_matches_batch(spark, tmp_path):
         fn, fs = final[u]
         assert fn == n
         assert abs(fs - s) < 1e-6
+
+
+def test_rate_source_streams(spark):
+    """The rate source (SURVEY §2.2 scans row): synthetic benchmark
+    stream — a real micro-batch must deliver monotonically timestamped
+    rows through the same pipeline surface as the file source."""
+    stream = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 500)
+        .load()
+        .withColumn("event_type", F.concat(F.lit("synthetic-"), F.col("value") % 3))
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("rate_rows")
+        .outputMode("append")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 30
+        n = 0
+        while time.time() < deadline:
+            n = spark.sql("select count(*) c from rate_rows").first()["c"]
+            if n >= 100:
+                break
+            time.sleep(1)
+        assert n >= 100
+        kinds = {
+            r["event_type"]
+            for r in spark.sql("select distinct event_type from rate_rows").collect()
+        }
+        assert kinds == {"synthetic-0", "synthetic-1", "synthetic-2"}
+    finally:
+        q.stop()
