@@ -11,6 +11,7 @@ DuckDB oracle ⇔ batch twin ⇔ stream output.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from distgrep_spark.queries.registry import query
 from distgrep_spark.sources.catalog import load_table
@@ -134,3 +135,31 @@ def q_stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     from distgrep_spark.streaming.stateful import running_user_totals
 
     return running_user_totals(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "stream_interval_join",
+    oracle="""
+    SELECT c.event_id, c.user_id, c.ts,
+           e.ts AS err_ts, e.value AS err_value
+    FROM events c JOIN events e
+      ON c.user_id = e.user_id
+     AND c.event_type = 'click' AND e.event_type = 'error'
+     AND e.ts >= c.ts - INTERVAL 10 MINUTE AND e.ts <= c.ts
+    """,
+)
+def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-stream interval join: clicks x errors of
+    the same user within a 10-minute lookback. In batch this is a range
+    join; streaming buffers both sides bounded by watermark + the
+    two-sided time condition (streaming/pipelines.py)."""
+    from distgrep_spark.streaming.pipelines import interval_join_clicks_errors
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    errors = ev.where(F.col("event_type") == "error").select(
+        F.col("user_id").alias("err_user_id"),
+        F.col("ts").alias("err_ts"),
+        F.col("value").alias("err_value"),
+    )
+    return interval_join_clicks_errors(clicks, errors)

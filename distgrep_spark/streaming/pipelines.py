@@ -129,3 +129,36 @@ def stateful_dedup(
         # watermark-scoped state expiry; without it state grows unbounded
         return d.dropDuplicatesWithinWatermark([key])
     return d.dropDuplicates([key])
+
+
+def interval_join_clicks_errors(
+    clicks: DataFrame,
+    errors: DataFrame,
+    *,
+    lookback: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream inner join: each click paired with every error by
+    the same user in the preceding ``lookback`` (inclusive both ends).
+
+    Both inputs must carry watermarks and the join condition must bound
+    event time on BOTH sides — that pair of constraints is what lets the
+    engine expire buffered state; an unbounded stream-stream join would
+    hold both streams forever. In batch the same expression is a plain
+    range join (the DuckDB oracle for the registry twin).
+
+    Expects clicks(event_id, user_id, ts) and errors with columns already
+    aliased apart: (err_user_id, err_ts, err_value).
+    """
+    c = _with_watermark(clicks, watermark)
+    e = errors
+    if errors.isStreaming and watermark is not None:
+        e = errors.withWatermark("err_ts", watermark)
+    cond = (
+        (c["user_id"] == e["err_user_id"])
+        & (e["err_ts"] >= F.col("ts") - F.expr(f"INTERVAL {lookback}"))
+        & (e["err_ts"] <= F.col("ts"))
+    )
+    return c.join(e, cond, "inner").select(
+        "event_id", "user_id", "ts", "err_ts", "err_value"
+    )

@@ -108,3 +108,33 @@ def test_highlight_styles(lines_df):
     assert any("\x1b[1;31mAchille\x1b[0m" in line for line in classic)
     plain = {r["line"] for r in highlight(df, "Achille", style="none").collect()}
     assert "Achille" in plain
+
+
+# ---------------------------------------------------------------------------
+# Property-based parity (hypothesis): arbitrary line multisets + patterns
+# ---------------------------------------------------------------------------
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    _LINE = st.text(alphabet=list("abA *"), max_size=8)
+
+    @settings(
+        max_examples=25,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(lines=st.lists(_LINE, max_size=25), pattern=st.text(alphabet=list("abA"), max_size=3))
+    def test_distgrep_matches_counter_on_arbitrary_input(spark, lines, pattern):
+        """For ANY line multiset and pattern, distgrep == Counter over
+        the matching lines (the portable restatement of the reference's
+        worker.go:33-37 + reduce semantics; '' matches everything like
+        Go strings.Count)."""
+        df = spark.createDataFrame([(line,) for line in lines], "value string")
+        got = {(r["line"], r["freq"]) for r in distgrep(df, pattern).collect()}
+        want = set(Counter(line for line in lines if pattern in line).items())
+        assert got == want
+
+except ImportError:  # pragma: no cover - hypothesis is baked in, but gate anyway
+    pass

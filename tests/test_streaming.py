@@ -187,3 +187,36 @@ def test_rate_source_streams(spark):
         assert kinds == {"synthetic-0", "synthetic-1", "synthetic-2"}
     finally:
         q.stop()
+
+
+def test_stream_stream_interval_join_matches_batch(spark, event_dir, tmp_path):
+    """Stream-stream join: two watermarked file streams joined on user +
+    a two-sided time bound must produce exactly the batch range-join
+    rows once both streams drain."""
+    from distgrep_spark.streaming.pipelines import interval_join_clicks_errors
+
+    ev = spark.read.parquet(event_dir)
+    cdir, edir = tmp_path / "clicks", tmp_path / "errors"
+    clicks_b = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    errors_b = ev.where(F.col("event_type") == "error").select(
+        F.col("user_id").alias("err_user_id"),
+        F.col("ts").alias("err_ts"),
+        F.col("value").alias("err_value"),
+    )
+    clicks_b.write.mode("overwrite").parquet(str(cdir))
+    errors_b.write.mode("overwrite").parquet(str(edir))
+
+    clicks_s = spark.readStream.schema(
+        "event_id bigint, user_id bigint, ts timestamp"
+    ).parquet(str(cdir))
+    errors_s = spark.readStream.schema(
+        "err_user_id bigint, err_ts timestamp, err_value double"
+    ).parquet(str(edir))
+    run_to_memory(
+        interval_join_clicks_errors(clicks_s, errors_s), "ssjoin", "append"
+    )
+    got = rows_set(spark.sql("select * from ssjoin"))
+    want = rows_set(interval_join_clicks_errors(clicks_b, errors_b))
+    assert got == want and len(want) > 0
