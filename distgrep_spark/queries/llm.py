@@ -283,3 +283,33 @@ def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return ann_ivf_topk(emb, qs, k=10, exclude_self=True)
+
+
+@query(
+    "dedup_clusters_cc",
+    oracle="""
+    SELECT d.doc_id, g.cluster_rep
+    FROM documents d
+    JOIN (SELECT text, min(doc_id) AS cluster_rep
+          FROM documents GROUP BY text) g USING (text)
+    """,
+)
+def q_dedup_clusters_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs -> clusters via iterative connected components
+    (operators/graph.py): exact-dup pairs feed the component search, and
+    the resulting labels must equal min-doc-id per text group — which is
+    exactly the (non-iterative) SQL oracle, making the fixpoint itself
+    oracle-checked."""
+    from distgrep_spark.operators.graph import dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    hashed = docs.select("doc_id", F.md5("text").alias("h"))
+    pairs = (
+        hashed.alias("a")
+        .join(
+            hashed.alias("b"),
+            (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    )
+    return dedup_clusters(docs, pairs)
