@@ -392,3 +392,35 @@ def q_join_range_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         keys=["s_suppkey", "s_name"],
         bucket_width=500.0,
     ).withColumnRenamed("n_greater", "n_richer_customers")
+
+
+@query(
+    "text_edit_distance",
+    oracle="""
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           levenshtein(a.text, b.text) AS edit_dist
+    FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+    WHERE length(a.text) < 200 AND length(b.text) < 200
+    """,
+)
+def q_text_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact edit distance between consecutive short documents —
+    levenshtein is O(len^2) per pair, which is WHY the dedup pipeline
+    gates it behind cheap sketches (MinHash/SimHash candidates first,
+    expensive verify on the shortlist); the length filter here is that
+    same discipline in miniature."""
+    d = load_table(spark, sf_dir, "documents")
+    a = d.where(F.length("text") < 200).select(
+        F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a")
+    )
+    b = d.where(F.length("text") < 200).select(
+        F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b")
+    )
+    return (
+        a.join(b, F.col("doc_b") == F.col("doc_a") + 1)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("text_a", "text_b").alias("edit_dist"),
+        )
+    )
