@@ -187,24 +187,28 @@ def minhash_lsh_pairs(
     ).select(id_col, "sig", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     a = banded.select(F.col(id_col).alias("doc_a"), F.col("sig").alias("sig_a"), "band", "key")
     b = banded.select(F.col(id_col).alias("doc_b"), F.col("sig").alias("sig_b"), "band", "key")
-    cand = (
+    est = (
         a.join(b, ["band", "key"])
         .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sig_a", "sig_b")
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
-    est = cand.select(
-        "doc_a",
-        "doc_b",
-        (
-            F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
-            * F.lit(1.0)
-            / F.lit(num_hashes)
-        ).alias("est_jaccard"),
+        # estimate + threshold BEFORE the pair-dedup exchange: the
+        # zip_with is map-side on the join output, so the dropDuplicates
+        # shuffle carries (doc_a, doc_b, est) survivors instead of two
+        # 64-long signature arrays per candidate (~1 KB/row)
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.size(
+                    F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v)
+                )
+                * F.lit(1.0)
+                / F.lit(num_hashes)
+            ).alias("est_jaccard"),
+        )
     )
     if min_est_jaccard is not None:
         est = est.where(F.col("est_jaccard") >= min_est_jaccard)
-    return est
+    return est.dropDuplicates(["doc_a", "doc_b"])
 
 
 # ---------------------------------------------------------------------------
