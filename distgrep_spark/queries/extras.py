@@ -424,3 +424,77 @@ def q_text_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.levenshtein("text_a", "text_b").alias("edit_dist"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Python UDTF / grouped Pandas UDAF
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "udtf_split_sentences",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, string_split(text, '. ') AS parts FROM documents
+    )
+    SELECT doc_id, i - 1 AS sent_id, parts[i] AS sentence
+    FROM s, LATERAL unnest(generate_series(1, len(parts))) AS u(i)
+    WHERE parts[i] <> ''
+    """,
+)
+def q_udtf_split_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF in a LATERAL join (functions/udtfs.py): imperative
+    row generation, hash-checked against the declarative split+unnest
+    twin."""
+    from distgrep_spark.functions.udtfs import SplitSentences
+
+    spark.udtf.register("split_sentences", SplitSentences)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("docs_udtf")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.sent_id, s.sentence
+        FROM docs_udtf d, LATERAL split_sentences(d.text) s
+        """
+    )
+
+
+@query(
+    "udaf_length_quantiles",
+    oracle="""
+    SELECT lang,
+           count(*) AS n_docs,
+           quantile_cont(n_chars, 0.25) AS q25,
+           quantile_cont(n_chars, 0.50) AS q50,
+           quantile_cont(n_chars, 0.75) AS q75
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q_udaf_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped Pandas UDAF (applyInPandas): per-language length
+    quantiles via numpy. np.percentile's linear interpolation is the
+    quantile_cont formula; with integer inputs and dyadic quantiles both
+    engines' arithmetic is exact, so the Arrow round trip is value-hash
+    checked. Scale note: each group must fit one executor's memory —
+    fine for bounded group counts (languages), wrong for per-user groups
+    at 100 TB (use built-in percentile there)."""
+    import numpy as np
+    import pandas as pd
+
+    def quants(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["n_chars"].to_numpy(dtype="float64")
+        q25, q50, q75 = np.percentile(v, [25, 50, 75])
+        return pd.DataFrame(
+            {
+                "lang": [pdf["lang"].iloc[0]],
+                "n_docs": [len(v)],
+                "q25": [q25],
+                "q50": [q50],
+                "q75": [q75],
+            }
+        )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").applyInPandas(
+        quants, "lang string, n_docs long, q25 double, q50 double, q75 double"
+    )
