@@ -220,3 +220,75 @@ def test_stream_stream_interval_join_matches_batch(spark, event_dir, tmp_path):
     got = rows_set(spark.sql("select * from ssjoin"))
     want = rows_set(interval_join_clicks_errors(clicks_b, errors_b))
     assert got == want and len(want) > 0
+
+
+def test_checkpoint_recovery_exactly_once(spark, tmp_path):
+    """Kill a streaming query mid-input, restart from the same
+    checkpoint: the union of outputs must cover every input exactly once
+    (file source + checkpoint = replayable offsets + idempotent sink)."""
+    from distgrep_spark.streaming.stateful import running_user_totals
+
+    src = load_table(spark, SF, "events")
+    d, ckpt, out = tmp_path / "in", tmp_path / "ckpt", tmp_path / "out"
+    src.repartition(4).write.mode("overwrite").parquet(str(d))
+
+    def start():
+        stream = read_event_stream(spark, str(d), max_files_per_trigger=1)
+        return (
+            stream.select("event_id")
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = start()
+    # stop after the first batch lands, mid-stream
+    deadline = time.time() + 60
+    while time.time() < deadline and not q.recentProgress:
+        time.sleep(0.2)
+    q.stop()
+    q.awaitTermination(60)
+
+    q2 = start()  # resume from checkpoint
+    q2.awaitTermination(120)
+
+    got = [r["event_id"] for r in spark.read.parquet(str(out)).collect()]
+    want = {r["event_id"] for r in src.collect()}
+    assert len(got) == len(want), "duplicated or lost rows across restart"
+    assert set(got) == want
+
+
+def test_foreach_batch_sink(spark, tmp_path):
+    """foreachBatch: arbitrary batch-DataFrame logic as the sink —
+    here, per-batch aggregation appended to parquet, a shape the
+    declarative sinks can't express (multi-table writes, upserts)."""
+    src = load_table(spark, SF, "events")
+    d, out = tmp_path / "in", tmp_path / "fb_out"
+    src.repartition(3).write.mode("overwrite").parquet(str(d))
+    seen_batches = []
+
+    def handle(batch_df, batch_id):
+        seen_batches.append(batch_id)
+        (
+            batch_df.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(str(out))
+        )
+
+    stream = read_event_stream(spark, str(d), max_files_per_trigger=1)
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert len(seen_batches) >= 2  # maxFilesPerTrigger=1 over 3 files
+    total = (
+        spark.read.parquet(str(out)).agg(F.sum("n").alias("s")).first()["s"]
+    )
+    assert total == src.count()
