@@ -26,10 +26,13 @@ def get_spark(
     cpus: str | int | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    master: str | None = None,
 ) -> SparkSession:
     """Build (or fetch) the session.
 
     ``cpus`` defaults to ``$SPARK_GRAFT_CPUS`` (driver contract) or ``*``.
+    ``master`` overrides the ``local[cpus]`` default (e.g. a cluster URL
+    from the CLI's ``-s`` flag).
     """
     cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS", "*")
     shuffle_partitions = shuffle_partitions or int(
@@ -37,7 +40,7 @@ def get_spark(
     )
     builder = (
         SparkSession.builder.appName(app_name)
-        .master(f"local[{cpus}]")
+        .master(master or f"local[{cpus}]")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
