@@ -1,0 +1,102 @@
+"""Embedding clustering: per-label centroids and Lloyd k-means.
+
+``centroids_by`` is the one-pass "train a codebook from labeled data"
+step (long-form output so plain SQL can oracle-check every dimension).
+``kmeans`` is the unsupervised version — iterative algorithm #2 in this
+repo (after connected components): assignment is map-side against
+broadcast-as-literal centroids (the IVF machinery), the update step is
+one groupBy-avg per round, and the k x dim centroid matrix — the ONLY
+thing that ever reaches the driver — is a few KB regardless of corpus
+size. That loop shape is exactly how you train an IVF codebook at
+100 TB: iterate on a sample, then one final map-side assignment pass
+over everything.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from distgrep_spark.operators.similarity import as_double, l2sq
+
+
+def centroids_by(
+    df: DataFrame,
+    group_col: str = "label",
+    *,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Long-form per-group centroids: (group, dim, avg_val) — one row
+    per dimension so the oracle is a plain posexplode/unnest + avg."""
+    return (
+        df.select(group_col, F.posexplode(as_double(F.col(vec_col))).alias("dim", "v"))
+        .groupBy(group_col, "dim")
+        .agg(F.avg("v").alias("avg_val"))
+    )
+
+
+def _assign(df: DataFrame, cents: list[list[float]], id_col: str, vec_col: str) -> DataFrame:
+    cents_lit = F.from_json(F.lit(json.dumps(cents)), "array<array<double>>")
+    return (
+        df.select(F.col(id_col), as_double(F.col(vec_col)).alias("_v"))
+        .withColumn("_d", F.transform(cents_lit, lambda c: l2sq(F.col("_v"), c)))
+        .select(
+            id_col,
+            "_v",
+            (F.array_position(F.col("_d"), F.array_min(F.col("_d"))) - 1)
+            .cast("int")
+            .alias("cluster"),
+        )
+    )
+
+
+def kmeans(
+    df: DataFrame,
+    *,
+    k: int,
+    max_iter: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd k-means: returns (id, cluster) with cluster in [0, k).
+
+    Deterministic init (the k lowest-id vectors); stops early when no
+    assignment changes. Ties in the distance argmin break to the lowest
+    cluster index on both assignment passes, so results are stable for a
+    fixed centroid sequence.
+    """
+    init = (
+        df.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
+    )
+    cents = [[float(x) for x in r[vec_col]] for r in init]
+
+    assigned = _assign(df, cents, id_col, vec_col).localCheckpoint()
+    for _ in range(max_iter):
+        new_cents_rows = (
+            assigned.select("cluster", F.posexplode("_v").alias("dim", "v"))
+            .groupBy("cluster", "dim")
+            .agg(F.avg("v").alias("a"))
+            .groupBy("cluster")
+            .agg(F.map_from_entries(F.collect_list(F.struct("dim", "a"))).alias("m"))
+            .collect()
+        )
+        by_cluster = {r["cluster"]: r["m"] for r in new_cents_rows}
+        dim = len(cents[0])
+        # empty clusters keep their previous centroid
+        cents = [
+            [by_cluster[c][d] for d in range(dim)] if c in by_cluster else cents[c]
+            for c in range(k)
+        ]
+        new_assigned = _assign(df, cents, id_col, vec_col).localCheckpoint()
+        changed = (
+            new_assigned.alias("n")
+            .join(assigned.alias("o"), id_col)
+            .where(F.col("n.cluster") != F.col("o.cluster"))
+            .count()
+        )
+        assigned = new_assigned
+        if changed == 0:
+            break
+    return assigned.select(id_col, "cluster")

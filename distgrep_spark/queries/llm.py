@@ -342,3 +342,33 @@ def q_text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from distgrep_spark.operators.text import tfidf_top_terms
 
     return tfidf_top_terms(load_table(spark, sf_dir, "documents"), k=3)
+
+
+@query(
+    "embed_centroids_by_label",
+    oracle="""
+    SELECT label, i - 1 AS dim, avg(embedding[i]::DOUBLE) AS avg_val
+    FROM embeddings, LATERAL unnest(generate_series(1, len(embedding))) AS u(i)
+    GROUP BY label, i - 1
+    """,
+)
+def q_embed_centroids_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids in long form (label, dim, avg) —
+    the supervised 'train a codebook' step, oracle-checked per
+    dimension. Float avg over different summation orders can drift in
+    the last ulp; the checker's 1e-9-relative NEAR tolerance covers it."""
+    from distgrep_spark.operators.clustering import centroids_by
+
+    return centroids_by(load_table(spark, sf_dir, "embeddings"))
+
+
+@query("kmeans_clusters")  # rows-only: iterative, float-order dependent
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd k-means assignments over embeddings (k=10). The fixture's
+    label blobs overlap too much to be a recovery oracle (within-cluster
+    spread ~5x centroid separation — measured); k-means semantics are
+    certified in pytest on planted well-separated clusters instead
+    (tests/test_clustering.py)."""
+    from distgrep_spark.operators.clustering import kmeans
+
+    return kmeans(load_table(spark, sf_dir, "embeddings"), k=10)
