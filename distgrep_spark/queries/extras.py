@@ -498,3 +498,31 @@ def q_udaf_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.groupBy("lang").applyInPandas(
         quants, "lang string, n_docs long, q25 double, q50 double, q75 double"
     )
+
+
+@query(
+    "latest_event_per_user",
+    oracle="""
+    SELECT event_id, user_id, ts, event_type, value
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-latest-per-key — the CDC/compaction primitive (and the
+    batch shape of streaming upsert sinks). One shuffle on the key;
+    event_id breaks timestamp ties so both engines pick the same row."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("event_id", "user_id", "ts", "event_type", "value")
+    )
