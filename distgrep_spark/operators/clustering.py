@@ -29,11 +29,23 @@ def centroids_by(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Long-form per-group centroids: (group, dim, avg_val) — one row
-    per dimension so the oracle is a plain posexplode/unnest + avg."""
+    per dimension so the oracle is a plain posexplode/unnest + avg.
+
+    The mean is a sequential fold over the SORTED values, not a plain
+    ``avg``: double summation isn't associative, so a partial-aggregated
+    avg depends on partitioning and can differ from the oracle engine in
+    the last ulp. Folding in canonical ascending order makes both
+    engines execute the identical sequence of IEEE additions."""
+    v_sorted = F.sort_array(F.collect_list("v"))
     return (
         df.select(group_col, F.posexplode(as_double(F.col(vec_col))).alias("dim", "v"))
         .groupBy(group_col, "dim")
-        .agg(F.avg("v").alias("avg_val"))
+        .agg(
+            (
+                F.aggregate(v_sorted, F.lit(0.0), lambda acc, x: acc + x)
+                / F.count(F.lit(1))
+            ).alias("avg_val")
+        )
     )
 
 

@@ -347,7 +347,9 @@ def q_text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "embed_centroids_by_label",
     oracle="""
-    SELECT label, i - 1 AS dim, avg(embedding[i]::DOUBLE) AS avg_val
+    SELECT label, i - 1 AS dim,
+           list_aggregate(list_sort(list(embedding[i]::DOUBLE)), 'sum')
+             / count(*) AS avg_val
     FROM embeddings, LATERAL unnest(generate_series(1, len(embedding))) AS u(i)
     GROUP BY label, i - 1
     """,
