@@ -107,9 +107,15 @@ def q_scalar_map_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pivot_status_totals",
     oracle="""
     SELECT o_orderpriority,
-           sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END) AS total_f,
-           sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END) AS total_o,
-           sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END) AS total_p
+           CAST(sum(CASE WHEN o_orderstatus = 'F'
+                         THEN CAST(o_totalprice AS DECIMAL(25,6)) END)
+                AS DOUBLE) AS total_f,
+           CAST(sum(CASE WHEN o_orderstatus = 'O'
+                         THEN CAST(o_totalprice AS DECIMAL(25,6)) END)
+                AS DOUBLE) AS total_o,
+           CAST(sum(CASE WHEN o_orderstatus = 'P'
+                         THEN CAST(o_totalprice AS DECIMAL(25,6)) END)
+                AS DOUBLE) AS total_p
     FROM orders
     GROUP BY o_orderpriority
     """,
@@ -117,12 +123,14 @@ def q_scalar_map_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_pivot_status_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot with EXPLICIT value list — omitting it makes Spark run an
     extra distinct scan just to discover the columns, a silent 2x on the
-    input at scale. Equivalent to conditional aggregation (the oracle)."""
+    input at scale. Equivalent to conditional aggregation (the oracle).
+    Sums route through decimal so the value hash is independent of
+    summation order on both engines."""
     o = load_table(spark, sf_dir, "orders")
     p = (
         o.groupBy("o_orderpriority")
         .pivot("o_orderstatus", ["F", "O", "P"])
-        .agg(F.sum("o_totalprice"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(25,6)")).cast("double"))
     )
     return p.select(
         "o_orderpriority",
