@@ -534,3 +534,82 @@ def q_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("event_id", "user_id", "ts", "event_type", "value")
     )
+
+
+# ---------------------------------------------------------------------------
+# Funnel + stratified sampling
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "funnel_view_click",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS first_view
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT DISTINCT v.user_id
+      FROM v JOIN events e
+        ON e.user_id = v.user_id AND e.event_type = 'click'
+       AND e.ts > v.first_view
+    )
+    SELECT (SELECT count(*) FROM v) AS n_view_users,
+           (SELECT count(*) FROM c) AS n_converted
+    """,
+)
+def q_funnel_view_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage funnel: users with a view, and of those, users with a
+    click strictly after their first view. The ordered-sequence
+    constraint is what separates a funnel from two independent counts —
+    expressed as min-ts + semi-join (one shuffle per stage, no window
+    over the raw stream)."""
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    converted = (
+        v.join(
+            clicks,
+            (F.col("user_id") == F.col("c_user")) & (F.col("c_ts") > F.col("first_view")),
+            "left_semi",
+        )
+    )
+    return v.agg(F.count(F.lit(1)).alias("n_view_users")).crossJoin(
+        converted.agg(F.count(F.lit(1)).alias("n_converted"))
+    )
+
+
+@query(
+    "sample_stratified",
+    oracle="""
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents
+    ) WHERE rn <= 20
+    """,
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: up to 20 docs per language,
+    chosen by md5-of-id order — hash order is uniform-ish like a random
+    sample but reproducible on any engine and any partitioning, which
+    `sampleBy(seed)` is not (its picks depend on Spark's partition
+    layout, so it cannot be oracle-checked)."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 20)
+        .select("doc_id", "lang")
+    )
