@@ -613,3 +613,30 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 20)
         .select("doc_id", "lang")
     )
+
+
+@query(
+    "scalar_try_arithmetic",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_discount = 0 THEN NULL
+                ELSE l_extendedprice / l_discount END AS price_per_disc,
+           CASE WHEN l_quantity BETWEEN -128 AND 127
+                THEN CAST(l_quantity AS TINYINT) END  AS qty_tiny
+    FROM lineitem
+    WHERE l_linenumber = 1
+    """,
+)
+def q_scalar_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe arithmetic: under Spark 4's default ANSI mode a zero
+    divisor or narrowing overflow THROWS mid-job; try_divide/try_cast
+    turn those rows into NULLs instead — the right failure mode for a
+    pipeline 40 TB into a 100 TB scan. The oracle states the same
+    semantics with guards."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.where(F.col("l_linenumber") == 1).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.try_divide("l_extendedprice", "l_discount").alias("price_per_disc"),
+        F.col("l_quantity").try_cast("tinyint").alias("qty_tiny"),
+    )
