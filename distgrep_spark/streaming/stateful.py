@@ -65,3 +65,78 @@ def running_user_totals(df: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+SESSION_OUTPUT_SCHEMA = (
+    "user_id bigint, session_start timestamp, session_end timestamp, n_events bigint"
+)
+SESSION_STATE_SCHEMA = "start long, last long, n bigint"
+
+_GAP_SECONDS = 300
+
+
+def _sessionize(key: tuple, pdfs, state: GroupState):
+    """Per-user gap sessionizer with an event-time timeout: a session is
+    EMITTED only when the watermark passes last_event + gap (the timer
+    firing), or — within a batch — when a later event arrives past the
+    gap. State holds one (start, last, n) row per live session."""
+    import pandas as pd
+
+    out = []
+    if state.hasTimedOut:
+        start, last, n = state.get
+        out.append((key[0], start, last, n))
+        state.remove()
+    else:
+        rows = pd.concat(list(pdfs)) if pdfs else pd.DataFrame()
+        if len(rows):
+            # epoch seconds (floored), sorted: state transitions are
+            # order-defined and the gap compare works in one unit
+            ts = sorted(int(t.value // 1_000_000_000) for t in pd.to_datetime(rows["ts"]))
+            if state.exists:
+                start, last, n = state.get
+            else:
+                start, last, n = ts[0], ts[0], 0
+            for t in ts:
+                if t - last > _GAP_SECONDS:
+                    out.append((key[0], start, last, n))
+                    start, last, n = t, t, 1
+                else:
+                    last = max(last, t)
+                    n += 1
+            state.update((start, last, n))
+            state.setTimeoutTimestamp((last + _GAP_SECONDS) * 1000)
+    yield pd.DataFrame(
+        [
+            {
+                "user_id": u,
+                "session_start": pd.Timestamp(s, unit="s"),
+                "session_end": pd.Timestamp(e, unit="s"),
+                "n_events": n,
+            }
+            for (u, s, e, n) in out
+        ],
+        columns=["user_id", "session_start", "session_end", "n_events"],
+    )
+
+
+def sessionize_with_timeout(df: DataFrame, *, watermark: str = "10 minutes") -> DataFrame:
+    """Gap-based sessions emitted via EventTimeTimeout timers — the
+    applyInPandasWithState twin of session_window, but with custom
+    per-session payload possible (the built-in can only aggregate).
+    Sessions close when the watermark passes last_event + gap, so state
+    is bounded by live sessions, not stream length."""
+    if not df.isStreaming:
+        raise ValueError("sessionize_with_timeout is streaming-only; "
+                         "use pipelines.session_counts for batch")
+    return (
+        df.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize,
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -292,3 +292,47 @@ def test_foreach_batch_sink(spark, tmp_path):
         spark.read.parquet(str(out)).agg(F.sum("n").alias("s")).first()["s"]
     )
     assert total == src.count()
+
+
+def test_sessionize_with_timeout(spark, tmp_path):
+    """EventTimeTimeout sessionizer: a session closes when a later event
+    arrives past the gap (within-state path) or when the watermark
+    passes last+gap (timer path). The stream feeds file-by-file so the
+    watermark actually advances between triggers."""
+    from datetime import datetime
+
+    from distgrep_spark.streaming.stateful import sessionize_with_timeout
+
+    def ev(eid, uid, seconds):
+        return (eid, datetime(2024, 1, 1, 0, 0, 0).replace(second=0)
+                .fromtimestamp(1704067200 + seconds), uid, "x", 1.0, "{}")
+
+    schema = ("event_id bigint, ts timestamp, user_id bigint, "
+              "event_type string, value double, props string")
+    d = tmp_path / "in"
+    # file 1: user 7 has a 2-event burst; user 8 one event
+    spark.createDataFrame([ev(1, 7, 0), ev(2, 7, 60), ev(3, 8, 0)], schema) \
+        .coalesce(1).write.mode("overwrite").parquet(str(d / "f1"))
+    # file 2: 30 min later — past the 5-min gap AND far enough that the
+    # 10-min watermark passes both earlier sessions' last+gap
+    spark.createDataFrame([ev(4, 7, 1800), ev(5, 8, 1800)], schema) \
+        .coalesce(1).write.mode("overwrite").parquet(str(d / "f2"))
+
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1) \
+        .parquet(str(d / "*"))
+    q = (
+        sessionize_with_timeout(stream, watermark="10 minutes")
+        .writeStream.format("memory").queryName("sessions_t")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], int(r["session_start"].timestamp()) - 1704067200,
+         int(r["session_end"].timestamp()) - 1704067200, r["n_events"])
+        for r in spark.sql("select * from sessions_t").collect()
+    }
+    # both users' first sessions must have closed, with exact bounds
+    assert (7, 0, 60, 2) in got, got
+    assert (8, 0, 0, 1) in got, got
+    # the open sessions at t=1800 must NOT have been emitted
+    assert not any(s[1] == 1800 for s in got), got
