@@ -373,4 +373,6 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tests/test_clustering.py)."""
     from distgrep_spark.operators.clustering import kmeans
 
-    return kmeans(load_table(spark, sf_dir, "embeddings"), k=10)
+    # bounded iterations: 4 Lloyd rounds is the fixed budget (real
+    # codebook training iterates on a sample, not the full corpus)
+    return kmeans(load_table(spark, sf_dir, "embeddings"), k=10, max_iter=4)
