@@ -640,3 +640,63 @@ def q_scalar_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_divide("l_extendedprice", "l_discount").alias("price_per_disc"),
         F.col("l_quantity").try_cast("tinyint").alias("qty_tiny"),
     )
+
+
+@query(
+    "text_pii_flags",
+    oracle=r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[a-zA-Z0-9._]+@[a-zA-Z0-9.]+\.[a-zA-Z]+'))
+             AS n_emails,
+           len(regexp_extract_all(text, 'https?://[^ ]+'))            AS n_urls,
+           len(regexp_extract_all(text, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS n_phones
+    FROM documents
+    """,
+)
+def q_text_pii_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII/link detection battery — the filter pass every training-data
+    pipeline runs before release. Patterns restricted to the
+    Java-regex/RE2 common dialect (verified identical counts on probe
+    strings); counts, not spans, so redaction policy stays downstream."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_count(
+            "text", F.lit(r"[a-zA-Z0-9._]+@[a-zA-Z0-9.]+\.[a-zA-Z]+")
+        ).alias("n_emails"),
+        F.regexp_count("text", F.lit(r"https?://[^ ]+")).alias("n_urls"),
+        F.regexp_count("text", F.lit(r"[0-9]{3}-[0-9]{3}-[0-9]{4}")).alias("n_phones"),
+    )
+
+
+@query(
+    "agg_variance_exact",
+    oracle="""
+    SELECT l_returnflag,
+           (CAST(sum(CAST(l_quantity AS DECIMAL(25,6)) * CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE)
+            - CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE)
+              * CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) / count(*))
+           / (count(*) - 1) AS qty_var
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_variance_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample variance from EXACT decimal sums (sum, sum-of-squares)
+    with the final arithmetic in double: built-in var_samp is a
+    streaming-stable estimator whose bits depend on merge order AND
+    engine, so it can never hash-match across engines — the
+    two-decimal-sums form is order-free on both. (Catastrophic
+    cancellation is bounded here because the sums are exact; only the
+    last double ops round.)"""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("decimal(25,6)")
+    return li.groupBy("l_returnflag").agg(
+        (
+            (
+                F.sum(q * q).cast("double")
+                - F.sum(q).cast("double") * F.sum(q).cast("double") / F.count(F.lit(1))
+            )
+            / (F.count(F.lit(1)) - 1)
+        ).alias("qty_var")
+    )
