@@ -124,3 +124,20 @@ def test_sketches_deterministic(docs_df):
     a = sorted(map(tuple, minhash_lsh_pairs(docs_df, min_est_jaccard=0.3).collect()))
     b = sorted(map(tuple, minhash_lsh_pairs(docs_df, min_est_jaccard=0.3).collect()))
     assert a == b
+
+
+def test_minhash_estimate_invariants(spark):
+    """Sketch invariants: identical docs estimate 1.0; estimates stay in
+    [0, 1]; pair orientation is canonical (doc_a < doc_b)."""
+    df = spark.createDataFrame(
+        [(0, "a b c d e f g"), (1, "a b c d e f g"), (2, "a b c d e f x"),
+         (3, "q r s t u v w")],
+        ["doc_id", "text"],
+    )
+    pairs = minhash_lsh_pairs(df, n=2, min_est_jaccard=None).collect()
+    assert pairs, "identical docs must collide in some band"
+    by_pair = {(r["doc_a"], r["doc_b"]): r["est_jaccard"] for r in pairs}
+    assert by_pair[(0, 1)] == 1.0
+    for (a, b), est in by_pair.items():
+        assert a < b
+        assert 0.0 <= est <= 1.0

@@ -40,3 +40,17 @@ def test_read_json_explicit_schema(spark, tmp_path):
     p.write_text('{"k": 1, "tags": ["a"]}\n{"k": 2, "tags": []}\n')
     df = read_json(spark, str(p), "k long, tags array<string>")
     assert {r["k"]: r["tags"] for r in df.collect()} == {1: ["a"], 2: []}
+
+
+def test_metadata_columns_for_lineage(spark, tmp_path):
+    """_metadata.file_path/file_name: per-row provenance without a
+    schema change — at 100 TB the only way to answer 'which input file
+    produced this bad row' without re-deriving partitioning."""
+    d = tmp_path / "lineage"
+    spark.createDataFrame([(1,), (2,)], "x int").write.parquet(str(d / "a"))
+    spark.createDataFrame([(3,)], "x int").write.parquet(str(d / "b"))
+    df = spark.read.parquet(str(d / "*")).select(
+        "x", "_metadata.file_path"
+    )
+    rows = {r["x"]: r["file_path"] for r in df.collect()}
+    assert "/a/" in rows[1] and "/a/" in rows[2] and "/b/" in rows[3]
