@@ -144,3 +144,47 @@ def tfidf_top_terms(
     return scored.select(
         id_col, "tok", "score", F.row_number().over(w).alias("rnk")
     ).where(F.col("rnk") <= k)
+
+
+def chunk_documents(
+    df: DataFrame,
+    *,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into overlapping fixed-token chunks — the context
+    -window preprocessing step of every LLM training pipeline. Returns
+    (id, chunk_id, chunk_text, n_tokens), chunk_id 0-based; chunks start
+    every (chunk_tokens - overlap) tokens, the last chunk may be short,
+    and a document shorter than one chunk yields exactly one chunk.
+
+    Pure array expressions (tokenize once into a materialized column,
+    then slice per chunk start): map-side, no shuffle, no Python — at
+    100 TB chunking is a projection, not a job."""
+    stride = chunk_tokens - overlap
+    if stride <= 0:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    toks = df.select(id_col, tokens(F.col(text_col)).alias("_toks"))
+    # chunk starts: 1, 1+stride, ... while start <= max(n - overlap, 1)
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.size("_toks") - F.lit(overlap), F.lit(1)),
+        F.lit(stride),
+    )
+    return (
+        toks.select(
+            id_col,
+            F.posexplode(starts).alias("chunk_id", "_start"),
+            F.col("_toks"),
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            F.concat_ws(" ", F.slice("_toks", F.col("_start"), chunk_tokens)).alias(
+                "chunk_text"
+            ),
+            F.size(F.slice("_toks", F.col("_start"), chunk_tokens)).alias("n_tokens"),
+        )
+    )

@@ -376,3 +376,113 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bounded iterations: 4 Lloyd rounds is the fixed budget (real
     # codebook training iterates on a sample, not the full corpus)
     return kmeans(load_table(spark, sf_dir, "embeddings"), k=10, max_iter=4)
+
+
+@query(
+    "text_chunk_documents",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+    )
+    SELECT doc_id,
+           CAST((u.i - 1) // 48 AS INT)              AS chunk_id,
+           array_to_string(list_slice(t, u.i, u.i + 63), ' ') AS chunk_text,
+           len(list_slice(t, u.i, u.i + 63))         AS n_tokens
+    FROM toks,
+         LATERAL unnest(generate_series(1, greatest(len(t) - 16, 1), 48)) AS u(i)
+    """,
+)
+def q_text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping 64-token chunks with 16-token overlap (stride 48) —
+    the LLM context-window preprocessing step, as a pure map-side
+    projection (operators/text.py chunk_documents)."""
+    from distgrep_spark.operators.text import chunk_documents
+
+    return chunk_documents(
+        load_table(spark, sf_dir, "documents"), chunk_tokens=64, overlap=16
+    )
+
+
+@query(
+    "text_normalize",
+    oracle=r"""
+    SELECT doc_id,
+           trim(regexp_replace(
+                 regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                 ' +', ' ', 'g')) AS norm_text
+    FROM documents
+    """,
+)
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization (lowercase, punctuation to spaces,
+    whitespace collapse) — the pass that runs BEFORE hashing/dedup so
+    'Hello, World!' and 'hello world' collide. Pure projections."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9 ]", " "),
+            r" +",
+            " ",
+        )
+    )
+    return d.select("doc_id", norm.alias("norm_text"))
+
+
+@query(
+    "dedup_materialize",
+    oracle="""
+    SELECT doc_id, text FROM documents
+    QUALIFY doc_id = min(doc_id) OVER (PARTITION BY text)
+    """,
+)
+def q_dedup_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end of the dedup pipeline: the corpus itself with only the
+    min-id representative of each duplicate group kept (pairs/clusters
+    answer 'what is duplicated'; this materializes the cleaned
+    dataset)."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("text")
+    return (
+        d.withColumn("_rep", F.min("doc_id").over(w))
+        .where(F.col("doc_id") == F.col("_rep"))
+        .select("doc_id", "text")
+    )
+
+
+@query(
+    "pack_token_budget",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id, n_tokens,
+           CAST((sum(n_tokens) OVER (ORDER BY doc_id
+                                     ROWS UNBOUNDED PRECEDING) - n_tokens)
+                // 2048 AS BIGINT) AS batch_id
+    FROM toks
+    """,
+)
+def q_pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget batch packing: docs fill ~2048-token batches in
+    stable doc_id order (batch = exclusive-cumsum div budget — the
+    streaming-friendly approximation of bin packing; a doc can straddle
+    a boundary, which training loaders tolerate). Integer window math,
+    so the oracle is exact. At 100 TB: range-partition by doc_id, cumsum
+    per partition + broadcast per-partition offsets — same arithmetic,
+    no global window."""
+    from distgrep_spark.functions.textfns import token_count
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        d.select("doc_id", token_count(F.col("text")).alias("n_tokens"))
+        .withColumn(
+            "batch_id",
+            ((F.sum("n_tokens").over(w) - F.col("n_tokens")) / F.lit(2048))
+            .cast("bigint"),
+        )
+    )
