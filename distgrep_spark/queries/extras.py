@@ -700,3 +700,45 @@ def q_agg_variance_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.count(F.lit(1)) - 1)
         ).alias("qty_var")
     )
+
+
+@query(
+    "merge_upsert_snapshot",
+    oracle="""
+    WITH src AS (
+      SELECT o_custkey AS k,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS delta
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT coalesce(t.c_custkey, s.k)       AS c_custkey,
+           CASE WHEN t.c_custkey IS NULL THEN 'insert'
+                WHEN s.k IS NULL        THEN 'keep'
+                ELSE 'update' END           AS action,
+           coalesce(t.c_acctbal, 0.0) + coalesce(s.delta, 0.0) AS new_acctbal
+    FROM customer t FULL OUTER JOIN src s ON t.c_custkey = s.k
+    """,
+)
+def q_merge_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics without a table format: full-outer join of
+    snapshot vs change-set, per-row action tag (update / insert /
+    keep), new value via coalesce arithmetic. This is the CDC upsert
+    core that lakehouse MERGE compiles to — one shuffle on the key, and
+    at 100 TB the join benefits from both sides being bucketed by the
+    merge key (tests/test_bucketing.py)."""
+    t = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    s = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(25,6)")).cast("double").alias("delta"))
+    )
+    j = t.join(s, t["c_custkey"] == s["k"], "full_outer")
+    return j.select(
+        F.coalesce(t["c_custkey"], s["k"]).alias("c_custkey"),
+        F.when(t["c_custkey"].isNull(), "insert")
+        .when(s["k"].isNull(), "keep")
+        .otherwise("update")
+        .alias("action"),
+        (F.coalesce(t["c_acctbal"], F.lit(0.0)) + F.coalesce(s["delta"], F.lit(0.0))).alias(
+            "new_acctbal"
+        ),
+    )
