@@ -486,3 +486,35 @@ def q_pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint"),
         )
     )
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           list_cosine_similarity(a.e, b.e) AS cos_sim
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.e, b.e) >= 0.98
+    """,
+)
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (threshold 0.98) — semantic dedup
+    where text hashing can't see the duplication. Brute self-join here
+    (exact, oracle-checked); at 100 TB the SAME scoring runs behind the
+    LSH/IVF bucketing of sim_ann_* so only bucket-mates are compared."""
+    from distgrep_spark.operators.similarity import as_double, cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", as_double(F.col("embedding")).alias("e"))
+    a = v.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"))
+    b = v.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            cosine(F.col("ea"), F.col("eb")).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= 0.98)
+    )
