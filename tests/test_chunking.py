@@ -55,3 +55,47 @@ def test_bad_overlap_rejected(spark):
     df = spark.createDataFrame([(0, "a b")], ["doc_id", "text"])
     with pytest.raises(ValueError):
         chunk_documents(df, chunk_tokens=4, overlap=4)
+
+
+# ---------------------------------------------------------------------------
+# Property-based: chunking vs a pure-Python reference
+# ---------------------------------------------------------------------------
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(
+        max_examples=15,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        n_tokens=st.integers(0, 40),
+        chunk=st.integers(2, 12),
+        overlap=st.integers(0, 6),
+    )
+    def test_chunking_matches_python_reference(spark, n_tokens, chunk, overlap):
+        if overlap >= chunk:
+            return
+        toks = [f"w{i}" for i in range(n_tokens)]
+        text = " ".join(toks)
+        stride = chunk - overlap
+        # reference: starts at 0, stride, ... while start <= max(n-overlap-1, 0)
+        # (mirrors the operator's 1-based sequence bound)
+        limit = max(n_tokens - overlap, 1)
+        starts = list(range(0, limit, stride))
+        # split('') yields [''] -> one 1-token chunk of the empty string,
+        # matching the operator's trim+split behavior on empty text
+        ref_toks = toks if toks else [""]
+        want = [
+            (cid, " ".join(ref_toks[s : s + chunk]), len(ref_toks[s : s + chunk]))
+            for cid, s in enumerate(starts)
+        ]
+        got = chunks_of(
+            spark, text, chunk_tokens=chunk, overlap=overlap
+        )
+        assert got == want, (n_tokens, chunk, overlap)
+
+except ImportError:  # pragma: no cover
+    pass
