@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import json
 
+import pandas as pd  # module-level: pandas_udf type hints resolve in module globals
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
@@ -267,6 +268,56 @@ def ann_lsh_topk(
         query_id_col,
         id_col,
         cosine(F.col("_cv"), F.col("_qv")).alias("cos_sim"),
+    )
+    if exclude_self:
+        scored = scored.where(F.col(query_id_col) != F.col(id_col))
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cos_sim").desc(), F.col(id_col))
+    return scored.select(
+        query_id_col, id_col, "cos_sim", F.row_number().over(w).alias("rank")
+    ).where(F.col("rank") <= k)
+
+
+def cosine_pandas_udf():
+    """Arrow-batched cosine scorer: numpy row-wise over stacked arrays.
+
+    The vectorized alternative to the ``cosine`` HOF expression — same
+    math, ~10x per-pair throughput at wide dims (BLAS vs interpreted
+    expression eval), at the cost of the Python worker hop. Use for
+    candidate-verify stages where pairs x dims dominates; results can
+    differ from the HOF path in the last ulp (BLAS reduction order), so
+    it backs rows-only queries, never SQL-oracle ones."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        import numpy as np
+
+        A = np.stack(a.to_numpy())
+        B = np.stack(b.to_numpy())
+        num = (A * B).sum(axis=1)
+        den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+        return pd.Series(num / den)
+
+    return _cos
+
+
+def cosine_topk_pandas(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    exclude_self: bool = False,
+) -> DataFrame:
+    """cosine_topk with the Pandas-UDF scorer (same plan shape:
+    broadcast queries, map-side score, per-query top-k window)."""
+    cos = cosine_pandas_udf()
+    c = corpus.select(F.col(id_col), as_double(F.col(vec_col)).alias("_cv"))
+    q = queries.select(F.col(query_id_col), as_double(F.col(vec_col)).alias("_qv"))
+    scored = c.crossJoin(broadcast(q)).select(
+        query_id_col, id_col, cos(F.col("_cv"), F.col("_qv")).alias("cos_sim")
     )
     if exclude_self:
         scored = scored.where(F.col(query_id_col) != F.col(id_col))

@@ -525,3 +525,17 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("cos_sim") >= 0.45)
     )
+
+
+@query("sim_cosine_topk_pandas")  # rows-only: BLAS last-ulp vs HOF path
+def q_sim_cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k via the Arrow-batched numpy scorer — the
+    vectorized Pandas-UDF path (pytest asserts agreement with the
+    oracle-checked HOF path to 1e-9)."""
+    from distgrep_spark.operators.similarity import cosine_topk_pandas
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return cosine_topk_pandas(emb, qs, k=10, exclude_self=True)

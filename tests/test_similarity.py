@@ -116,3 +116,23 @@ def test_ivf_deterministic(spark):
     a = sorted(map(tuple, ann_ivf_topk(emb, qs, k=5).collect()))
     b = sorted(map(tuple, ann_ivf_topk(emb, qs, k=5).collect()))
     assert a == b
+
+
+def test_pandas_scorer_agrees_with_hof(spark):
+    """The vectorized Pandas-UDF scorer must produce the same top-k sets
+    and near-identical scores as the HOF expression path (last-ulp BLAS
+    differences allowed, ranking must survive them on this fixture)."""
+    from distgrep_spark.operators.similarity import cosine_topk_pandas
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    qs = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    hof = cosine_topk(emb, qs, k=10, exclude_self=True).collect()
+    pd_ = cosine_topk_pandas(emb, qs, k=10, exclude_self=True).collect()
+    assert {(r["query_id"], r["vec_id"]) for r in hof} == {
+        (r["query_id"], r["vec_id"]) for r in pd_
+    }
+    h = {(r["query_id"], r["vec_id"]): r["cos_sim"] for r in hof}
+    for r in pd_:
+        assert abs(h[(r["query_id"], r["vec_id"])] - r["cos_sim"]) < 1e-9
