@@ -742,3 +742,25 @@ def q_merge_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
             "new_acctbal"
         ),
     )
+
+
+@query(
+    "agg_rollup_grouping_id",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus,
+           GROUPING(o_orderpriority, o_orderstatus) AS gid,
+           count(*) AS n
+    FROM orders
+    GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+    """,
+)
+def q_agg_rollup_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup with grouping_id: the bitmask that distinguishes 'NULL
+    because aggregated away' from 'NULL in the data' — identical bit
+    order (first column = MSB) on both engines, verified on probe data."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderpriority", "o_orderstatus")
+        .agg(F.grouping_id().alias("gid"), F.count(F.lit(1)).alias("n"))
+        .select("o_orderpriority", "o_orderstatus", "gid", "n")
+    )
