@@ -764,3 +764,53 @@ def q_agg_rollup_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.grouping_id().alias("gid"), F.count(F.lit(1)).alias("n"))
         .select("o_orderpriority", "o_orderstatus", "gid", "n")
     )
+
+
+@query(
+    "lateral_explode_outer_urls",
+    oracle=r"""
+    WITH u AS (
+      SELECT doc_id, regexp_extract_all(text, 'https?://[^ ]+') AS urls
+      FROM documents
+    )
+    SELECT doc_id, x.url
+    FROM u, LATERAL unnest(
+      CASE WHEN len(urls) = 0 THEN [NULL] ELSE urls END) AS x(url)
+    """,
+)
+def q_lateral_explode_outer_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode_outer: rows with NO matches survive with a NULL — a plain
+    explode silently drops them, which downstream per-doc accounting
+    never forgives. (The oracle emulates outer-unnest with a [NULL]
+    substitution.)"""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.explode_outer(F.regexp_extract_all("text", F.lit(r"https?://[^ ]+"))).alias(
+            "url"
+        ),
+    )
+
+
+@query(
+    "unpivot_lineitem_metrics",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, metric, val
+    FROM (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+                 l_discount, l_tax
+          FROM lineitem WHERE l_linenumber = 1)
+    UNPIVOT (val FOR metric IN (l_quantity, l_extendedprice, l_discount, l_tax))
+    """,
+)
+def q_unpivot_lineitem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt: wide metric columns to long (metric, value) rows —
+    the inverse of pivot, and the shape metric stores and plotting
+    pipelines want. 4x row multiplication is the cost; do it AFTER
+    filtering, not before."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_linenumber") == 1)
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "metric",
+        "val",
+    )
