@@ -814,3 +814,59 @@ def q_unpivot_lineitem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "metric",
         "val",
     )
+
+
+@query(
+    "timeseries_monthly_dense",
+    oracle="""
+    WITH cal AS (
+      SELECT unnest(generate_series(TIMESTAMP '1995-01-01',
+                                    TIMESTAMP '2001-08-01',
+                                    INTERVAL 1 MONTH)) AS month
+    ),
+    rev AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS revenue,
+             count(*) AS n_orders
+      FROM orders GROUP BY 1
+    )
+    SELECT cal.month,
+           coalesce(rev.revenue, 0.0)  AS revenue,
+           coalesce(rev.n_orders, 0)   AS n_orders,
+           coalesce(rev.revenue, 0.0)
+             - lag(coalesce(rev.revenue, 0.0)) OVER (ORDER BY cal.month)
+             AS mom_delta
+    FROM cal LEFT JOIN rev USING (month)
+    """,
+)
+def q_timeseries_monthly_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-densified monthly revenue with month-over-month delta:
+    the generated calendar spine guarantees zero-order months appear
+    (a bare GROUP BY silently skips them — wrong for any trend chart),
+    and the lag window rides the dense spine. Spine generation is one
+    sequence+explode row source; at 100 TB the spine is still 80 rows."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    cal = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1995-01-01").cast("timestamp"),
+                F.lit("2001-08-01").cast("timestamp"),
+                F.expr("INTERVAL 1 MONTH"),
+            )
+        ).alias("month")
+    )
+    rev = o.groupBy(F.date_trunc("month", "o_orderdate").alias("month")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(25,6)")).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    dense = cal.join(rev, "month", "left").select(
+        "month",
+        F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+    )
+    w = Window.orderBy("month")
+    return dense.withColumn(
+        "mom_delta", F.col("revenue") - F.lag("revenue").over(w)
+    )
