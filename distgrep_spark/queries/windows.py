@@ -194,3 +194,34 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"sum(CAST(o_totalprice AS DECIMAL(25,6))) {frame} AS nearby_price_sum",
         f"count(*) {frame} AS nearby_orders",
     )
+
+
+@query(
+    "window_forward_fill",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           last_value(CASE WHEN event_type = 'click' THEN value END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS last_click_value
+    FROM events
+    """,
+)
+def window_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward fill (last observation carried forward): every event
+    annotated with the most recent click value for its user — the
+    gap-fill primitive of sensor/trading pipelines, and the window core
+    the as-of join builds on (operators/asof.py). event_id breaks ts
+    ties identically on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    click_val = F.when(F.col("event_type") == "click", F.col("value"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.last(click_val, ignorenulls=True).over(w).alias("last_click_value"),
+    )
