@@ -168,7 +168,14 @@ def minhash_lsh_pairs(
     signature-estimated Jaccard (fraction of equal minhashes), so the
     output is (doc_a, doc_b, est_jaccard) without touching raw text
     again — at 100 TB the verify step reads 64 longs per doc, not the
-    documents."""
+    documents.
+
+    RUN EXACT DEDUP FIRST at scale: every member of an exact-duplicate
+    cluster shares every band, so the candidate join emits |cluster|²
+    pairs — measured 55+ GB of shuffle spill on a 2M-doc corpus with
+    grown dup clusters, vs seconds on its exact-dedup survivors
+    (SCALE.md). This operator keeps identical-pair output (the fixture
+    oracles depend on it); the PIPELINE is responsible for the order."""
     r = num_hashes // bands
     sigs = minhash_signatures(
         df, n=n, num_hashes=num_hashes, text_col=text_col, id_col=id_col
