@@ -749,3 +749,43 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
     )
+
+
+@query(
+    "tpch_q18_large_orders",
+    oracle=f"""
+    SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+           {sql_dsum("l_quantity", "total_qty")}
+    FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey HAVING sum(l_quantity) > 300
+    )
+    GROUP BY c_custkey, c_name, o_orderkey, o_orderdate
+    """,
+)
+def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: IN-subquery over an AGGREGATED table (orders
+    whose total quantity clears a threshold) — the aggregate-then-semi
+    -join pattern. The HAVING side reduces lineitem to qualifying keys
+    BEFORE the join, so the semi join probes a small build side instead
+    of re-aggregating inside the join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(25,6)")).alias("tq"))
+        .where(F.col("tq") > 300)
+        .select("l_orderkey")
+    )
+    o = load_table(spark, sf_dir, "orders").join(
+        broadcast(big), F.col("o_orderkey") == big["l_orderkey"], "left_semi"
+    )
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate")
+        .agg(dsum("l_quantity", "total_qty"))
+    )
