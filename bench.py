@@ -59,17 +59,31 @@ def main() -> None:
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
-    print(
-        json.dumps(
-            {
-                "metric": "total_suite_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf else None,
-            }
-        )
-    )
+    errors = sorted(n for n, t in timings.items() if t < 0)
+    # The driver captures only the TAIL of stdout (~2,000 chars), so the
+    # stdout JSON line must stay compact: total + headline per-query
+    # timings + error names only. The full per-query map goes to stderr
+    # and to BENCH_FULL.json for local inspection.
+    line = {
+        "metric": "total_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": {n: timings[n] for n in HEADLINE if n in timings},
+        "n_queries": len(timings),
+        "n_errors": len(errors),
+        "sf": float(sf) if sf else None,
+    }
+    out = json.dumps(line)
+    assert len(out) < 1900, f"stdout bench line too long ({len(out)} chars)"
+    full = dict(line, queries=timings, errors=errors)
+    print(json.dumps(full), file=sys.stderr)
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, "BENCH_FULL.json"), "w") as f:
+            json.dump(full, f, indent=1, sort_keys=True)
+    except OSError as e:
+        print(f"bench: could not write BENCH_FULL.json: {e}", file=sys.stderr)
+    print(out)
 
 
 if __name__ == "__main__":

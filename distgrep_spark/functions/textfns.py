@@ -44,9 +44,16 @@ def ngrams_of_tokens(t: Column, n: int) -> Column:
     260k-shingle corpus)."""
     if n == 1:
         return t
+    # size(t) < n must yield an EMPTY array, not sequence(1, 0): Spark's
+    # sequence generates DESCENDING [1, 0] when start > stop, and the
+    # resulting element_at(t, 0)/out-of-range indexes throw under Spark 4
+    # ANSI mode for any doc shorter than n tokens.
+    starts = F.when(
+        F.size(t) >= n, F.sequence(F.lit(1), F.size(t) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
     return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(t) - (n - 1), F.lit(0))),
-        # 1-based element_at; sequence is empty when the text is too short
+        starts,
+        # 1-based element_at; `starts` is empty when the text is too short
         lambda i: F.concat_ws(" ", *[F.element_at(t, i + j) for j in range(n)]),
     )
 

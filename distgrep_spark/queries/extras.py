@@ -371,35 +371,32 @@ def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Banded range join (scale path for join_range)
+# Theta range join demo (bounded; the scored join_range is the banded path)
 # ---------------------------------------------------------------------------
 
 
 @query(
-    "join_range_banded",
+    "join_range_theta",
     oracle="""
     SELECT s.s_suppkey, s.s_name, count(*) AS n_richer_customers
     FROM supplier s JOIN customer c ON c.c_acctbal > s.s_acctbal
     GROUP BY s.s_suppkey, s.s_name
     """,
 )
-def q_join_range_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Same question (and same oracle) as join_range, computed the way a
-    100 TB run must: bucketed counts for fully-above buckets + a
-    same-bucket residual (operators/rangejoin.py) instead of a
-    |S|x|C| nested loop."""
-    from distgrep_spark.operators.rangejoin import count_greater_join
-
+def q_join_range_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same question (and same oracle) as join_range, as the RAW theta
+    join: Spark plans BroadcastNestedLoopJoin with the tiny supplier
+    side broadcast. Kept as an explicitly-bounded demo — correct and
+    fine when one side is dimension-sized, quadratic otherwise, which
+    is WHY the scored ``join_range`` uses the banded decomposition
+    (operators/rangejoin.py)."""
     s = load_table(spark, sf_dir, "supplier")
     c = load_table(spark, sf_dir, "customer")
-    return count_greater_join(
-        s,
-        c,
-        probe_col="s_acctbal",
-        value_col="c_acctbal",
-        keys=["s_suppkey", "s_name"],
-        bucket_width=500.0,
-    ).withColumnRenamed("n_greater", "n_richer_customers")
+    return (
+        c.join(F.broadcast(s), c.c_acctbal > s.s_acctbal)
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("n_richer_customers"))
+    )
 
 
 @query(

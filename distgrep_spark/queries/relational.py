@@ -320,17 +320,24 @@ def join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Non-equi (theta/range) join: Spark plans BroadcastNestedLoopJoin with
-    the 10-row supplier side broadcast. At scale a raw theta join is
-    quadratic — the scale path is binning both sides on the range key first
-    (see operators/similarity.py for the same trick on embeddings)."""
+    """Non-equi (theta/range) join, computed the way a 100 TB run must:
+    banded decomposition (operators/rangejoin.py) — bucketed counts for
+    fully-above buckets plus a same-bucket equi-join residual — instead
+    of the |S|x|C| BroadcastNestedLoopJoin a raw theta join plans. The
+    quadratic formulation survives as the explicitly-bounded demo entry
+    ``join_range_theta`` (queries/extras.py) with this same oracle."""
+    from distgrep_spark.operators.rangejoin import count_greater_join
+
     s = load_table(spark, sf_dir, "supplier")
     c = load_table(spark, sf_dir, "customer")
-    return (
-        c.join(broadcast(s), c.c_acctbal > s.s_acctbal)
-        .groupBy("s_suppkey", "s_name")
-        .agg(F.count(F.lit(1)).alias("n_richer_customers"))
-    )
+    return count_greater_join(
+        s,
+        c,
+        probe_col="s_acctbal",
+        value_col="c_acctbal",
+        keys=["s_suppkey", "s_name"],
+        bucket_width=500.0,
+    ).withColumnRenamed("n_greater", "n_richer_customers")
 
 
 # ---------------------------------------------------------------------------

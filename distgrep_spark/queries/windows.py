@@ -166,26 +166,36 @@ def window_ntile_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderkey, o_custkey, o_totalprice,
            sum(CAST(o_totalprice AS DECIMAL(25,6)))
-             OVER (PARTITION BY o_custkey ORDER BY o_totalprice
-                   RANGE BETWEEN 1000.0 PRECEDING AND 1000.0 FOLLOWING)
+             OVER (PARTITION BY o_custkey
+                   ORDER BY CAST(round(o_totalprice * 100) AS BIGINT)
+                   RANGE BETWEEN 100000 PRECEDING AND 100000 FOLLOWING)
              AS nearby_price_sum,
            count(*)
-             OVER (PARTITION BY o_custkey ORDER BY o_totalprice
-                   RANGE BETWEEN 1000.0 PRECEDING AND 1000.0 FOLLOWING)
+             OVER (PARTITION BY o_custkey
+                   ORDER BY CAST(round(o_totalprice * 100) AS BIGINT)
+                   RANGE BETWEEN 100000 PRECEDING AND 100000 FOLLOWING)
              AS nearby_orders
     FROM orders
     """,
 )
 def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE frame (value-based, vs the ROWS frames elsewhere): peers
-    within +-1000 of each order's price for the same customer. RANGE
+    within +-$1000 of each order's price for the same customer. RANGE
     frames are order-value-driven so ties share a frame — semantics ROWS
-    cannot express; decimal sum keeps the oracle order-insensitive."""
-    # PySpark's Window.rangeBetween only accepts integer offsets; float
-    # RANGE bounds need the SQL form of the frame.
+    cannot express; decimal sum keeps the oracle order-insensitive.
+
+    The frame key is exact integer CENTS (round(price*100) AS BIGINT,
+    bounds 100000), not float dollars: float RANGE boundary arithmetic
+    (price ± 1000.0) is engine-dependent at the ulp level, so the same
+    peer can fall inside the frame on one engine and outside on the
+    other — this query's round-1 driver hash mismatch. Prices are
+    2-decimal data, so the cents mapping is lossless."""
+    # Integer bounds would now fit Window.rangeBetween, but the SQL frame
+    # string keeps the Spark expression textually identical to the oracle.
     frame = (
-        "OVER (PARTITION BY o_custkey ORDER BY o_totalprice "
-        "RANGE BETWEEN 1000.0 PRECEDING AND 1000.0 FOLLOWING)"
+        "OVER (PARTITION BY o_custkey "
+        "ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) "
+        "RANGE BETWEEN 100000 PRECEDING AND 100000 FOLLOWING)"
     )
     return load_table(spark, sf_dir, "orders").selectExpr(
         "o_orderkey",

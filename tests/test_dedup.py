@@ -120,6 +120,33 @@ def test_simhash_pairs(spark):
     assert not any(3 in p for p in pairs)  # unrelated doc excluded
 
 
+def test_short_docs_do_not_crash_ansi(spark):
+    """Docs with fewer than n tokens (incl. empty string) must produce
+    zero n-grams, not an ANSI INVALID_ARRAY_INDEX_IN_ELEMENT_AT crash:
+    sequence(1, 0) is DESCENDING [1, 0] in Spark, so the gram index
+    column must be explicitly guarded for size(tokens) < n."""
+    from pyspark.sql import functions as F
+
+    from distgrep_spark.functions.textfns import word_ngrams
+
+    df = spark.createDataFrame(
+        [(0, ""), (1, "one"), (2, "two words"), (3, "now three tokens"),
+         (4, "the quick brown fox jumps")],
+        ["doc_id", "text"],
+    )
+    grams = {
+        r["doc_id"]: r["g"]
+        for r in df.select("doc_id", word_ngrams(F.col("text"), 3).alias("g")).collect()
+    }
+    assert grams[0] == [] and grams[1] == [] and grams[2] == []
+    assert grams[3] == ["now three tokens"]
+    assert len(grams[4]) == 3
+    # the full sketch pipelines must survive a corpus of short docs
+    assert ngram_jaccard_pairs(df, n=3, threshold=0.1).count() == 0
+    assert minhash_lsh_pairs(df, min_est_jaccard=0.9).count() == 0
+    assert simhash_pairs(df, max_hamming=3).collect() is not None
+
+
 def test_sketches_deterministic(docs_df):
     a = sorted(map(tuple, minhash_lsh_pairs(docs_df, min_est_jaccard=0.3).collect()))
     b = sorted(map(tuple, minhash_lsh_pairs(docs_df, min_est_jaccard=0.3).collect()))

@@ -3,8 +3,19 @@
 Runs every registered query on Spark at sf0.01 AND its DuckDB oracle on
 the same parquet, then compares row count, column names, and an
 order-insensitive multiset of normalized row values (floats via repr
-after rounding upstream; exact mismatches are re-checked with a 1e-9
-relative tolerance and reported as NEAR if only float noise differs).
+after rounding to 9 dp). When the exact multisets differ, the rows are
+re-compared cell-wise under a 1e-9 RELATIVE float tolerance; if every
+difference is float noise the query is reported as ``NEAR`` (counted as
+a pass locally, but the driver's hash gate is exact — a NEAR is a
+warning to tighten the query's float discipline, not a green light).
+
+Env:
+  SPARK_GRAFT_ORACLE_SF_DIR  fixture dir (default /root/testdata/sf0.01)
+  SPARK_GRAFT_VANILLA=1      use a bare SparkSession.builder.getOrCreate()
+                             instead of session.get_spark — mimics the
+                             driver's vanilla session, which is where
+                             config-dependent regressions (timezone,
+                             ANSI, shuffle layout) actually bite.
 
 Usage: python tools/check_oracles.py [query ...]
 """
@@ -45,13 +56,56 @@ def row_multiset(rows, colnames):
     return Counter(tuple(norm_cell(r[i]) for i in order) for r in rows)
 
 
+def _raw_cell(v):
+    if isinstance(v, Decimal):
+        return float(v)
+    if isinstance(v, datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(_raw_cell(x) for x in v)
+    return v
+
+
+def _cells_near(a, b, rel=1e-9):
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return abs(a - b) <= rel * max(1.0, abs(a), abs(b))
+    if isinstance(a, tuple) and isinstance(b, tuple):
+        return len(a) == len(b) and all(_cells_near(x, y, rel) for x, y in zip(a, b))
+    return a == b
+
+
+def only_float_noise(srows, scols, drows, dcols, rel=1e-9):
+    """True when the two result sets differ only by <=rel relative float
+    noise: sort both sides on the normalized (rounded) representation and
+    compare raw cells pairwise under the tolerance."""
+    sorder = sorted(range(len(scols)), key=lambda i: scols[i])
+    dorder = sorted(range(len(dcols)), key=lambda i: dcols[i])
+
+    def keyed(rows, order):
+        return sorted(
+            (tuple(_raw_cell(r[i]) for i in order) for r in rows),
+            key=lambda t: tuple(repr(norm_cell(c)) for c in t),
+        )
+
+    ss, dd = keyed(srows, sorder), keyed(drows, dorder)
+    return len(ss) == len(dd) and all(_cells_near(a, b, rel) for a, b in zip(ss, dd))
+
+
 def main(names=None):
     import duckdb
 
     from distgrep_spark import queries as q
-    from distgrep_spark.session import get_spark
 
-    spark = get_spark("oracle-check")
+    if os.environ.get("SPARK_GRAFT_VANILLA"):
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[8]").getOrCreate()
+    else:
+        from distgrep_spark.session import get_spark
+
+        spark = get_spark("oracle-check")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -86,15 +140,21 @@ def main(names=None):
             problems.append(f"schema: spark={sorted(scols)} duck={sorted(dcols)}")
         if len(srows) != len(drows):
             problems.append(f"rowcount: spark={len(srows)} duck={len(drows)}")
+        near = False
         if not problems:
             sm, dm = row_multiset(srows, scols), row_multiset(drows, dcols)
             if sm != dm:
-                diff_s = list((sm - dm).items())[:3]
-                diff_d = list((dm - sm).items())[:3]
-                problems.append(f"values: spark-only={diff_s} duck-only={diff_d}")
+                if only_float_noise(srows, scols, drows, dcols):
+                    near = True
+                else:
+                    diff_s = list((sm - dm).items())[:3]
+                    diff_d = list((dm - sm).items())[:3]
+                    problems.append(f"values: spark-only={diff_s} duck-only={diff_d}")
         if problems:
             print(f"FAIL  {name}: " + "; ".join(problems))
             failures += 1
+        elif near:
+            print(f"NEAR  {name}: {len(srows)} rows (float noise <=1e-9 rel; driver hash gate is exact)")
         else:
             print(f"OK    {name}: {len(srows)} rows")
     print(f"\n{len(targets) - failures}/{len(targets)} passed")
