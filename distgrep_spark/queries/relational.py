@@ -107,6 +107,36 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_approx_distinct_error",
+    oracle="""
+    SELECT event_type, count(DISTINCT user_id) AS n_users, TRUE AS err_ok
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_approx_distinct_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-oracled error gate for the HLL sketch: per group, the exact
+    distinct count (DuckDB-derivable) plus an asserted <=5% relative
+    error of approx_count_distinct against it. The HLL register state is
+    a per-value max, so the estimate is insertion-order- and
+    partition-layout-independent — a deterministic number on a fixed
+    corpus (measured exact at rsd=0.01, sf0.01). A FALSE row fails the
+    driver's hash gate."""
+    ev = load_table(spark, sf_dir, "events")
+    both = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_users"),
+        F.approx_count_distinct("user_id", 0.01).alias("_approx"),
+    )
+    return both.select(
+        "event_type",
+        "n_users",
+        (
+            F.abs(F.col("_approx") - F.col("n_users"))
+            <= F.lit(0.05) * F.col("n_users")
+        ).alias("err_ok"),
+    )
+
+
+@query(
     "agg_rollup",
     oracle=f"""
     SELECT l_returnflag, l_linestatus,
