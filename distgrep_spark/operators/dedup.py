@@ -176,6 +176,13 @@ def minhash_lsh_pairs(
     grown dup clusters, vs seconds on its exact-dedup survivors
     (SCALE.md). This operator keeps identical-pair output (the fixture
     oracles depend on it); the PIPELINE is responsible for the order."""
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"bands ({bands}) must divide num_hashes ({num_hashes}): the "
+            "trailing num_hashes % bands hashes would be silently dropped "
+            "from banding while est_jaccard still divides by the full "
+            "count, biasing estimates low"
+        )
     r = num_hashes // bands
     sigs = minhash_signatures(
         df, n=n, num_hashes=num_hashes, text_col=text_col, id_col=id_col

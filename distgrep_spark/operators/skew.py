@@ -40,7 +40,19 @@ def salted_join(
     fact table with a unique id). Fully identical duplicate rows land in
     one bucket; that skew is irreducible by salting anyway (pre-aggregate
     instead).
+
+    Only left-preserving joins are supported: with ``right`` or
+    ``full_outer``, an unmatched right row would surface once per salt
+    bucket (the right side is replicated before the join), silently
+    duplicating null-extended rows. Salt the other side instead.
     """
+    supported = {"inner", "left", "left_outer", "left_semi", "left_anti"}
+    if how not in supported:
+        raise ValueError(
+            f"salted_join supports {sorted(supported)} (left side salted, "
+            f"right side replicated {buckets}x); how={how!r} would emit "
+            "unmatched right rows once per salt bucket"
+        )
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(buckets))
     l_salted = left.withColumn("_salt", salt)
     r_replicated = right.withColumn(

@@ -129,16 +129,24 @@ def tfidf_top_terms(
     """
     from pyspark.sql import Window
 
-    n_docs = df.count()
+    # N as a broadcast 1-row aggregate crossJoined in, NOT df.count():
+    # count() is a separate driver-blocking job — a second full pass over
+    # the corpus at 100 TB. As a plan-side scalar it runs in the same job
+    # and the single-row side broadcasts for free.
+    n_docs = df.agg(F.count(F.lit(1)).cast("double").alias("_n_docs"))
     toks = df.select(id_col, F.explode(tokens(F.col(text_col))).alias("tok"))
     tf = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
     dft = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    scored = tf.join(F.broadcast(dft), "tok").select(
-        id_col,
-        "tok",
-        (F.col("tf").cast("double") * F.lit(float(n_docs)) / F.col("df")).alias(
-            "score"
-        ),
+    scored = (
+        tf.join(F.broadcast(dft), "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            id_col,
+            "tok",
+            (F.col("tf").cast("double") * F.col("_n_docs") / F.col("df")).alias(
+                "score"
+            ),
+        )
     )
     w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("tok"))
     return scored.select(

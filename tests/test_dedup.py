@@ -153,6 +153,20 @@ def test_sketches_deterministic(docs_df):
     assert a == b
 
 
+def test_minhash_rejects_indivisible_bands(docs_df):
+    with pytest.raises(ValueError, match="must divide"):
+        minhash_lsh_pairs(docs_df, num_hashes=64, bands=10)
+
+
+def test_salted_join_rejects_right_preserving(spark):
+    from distgrep_spark.operators.skew import salted_join
+
+    df = spark.range(4).withColumnRenamed("id", "k")
+    other = spark.range(4).withColumnRenamed("id", "j")
+    with pytest.raises(ValueError, match="salted_join supports"):
+        salted_join(df, other, left_on="k", right_on="j", how="full_outer")
+
+
 def test_minhash_estimate_invariants(spark):
     """Sketch invariants: identical docs estimate 1.0; estimates stay in
     [0, 1]; pair orientation is canonical (doc_a < doc_b)."""
