@@ -22,6 +22,21 @@ def test_entry_module_mirrors_registry():
     assert entry.oracle_sql().keys() == q.ORACLES.keys()
 
 
+def test_scoreboard_prefix_is_first_and_complete():
+    """The driver scores a ~50-query prefix of queries() in dict order;
+    the curated SCOREBOARD_PREFIX must actually BE that prefix, contain
+    no unknown names, and keep at most one rows-only entry (everything
+    else in the scored window must be hash-checkable)."""
+    names = list(entry.queries())
+    pref = entry.SCOREBOARD_PREFIX
+    assert len(pref) == 50
+    assert names[: len(pref)] == pref
+    rows_only_in_prefix = [n for n in pref if n not in q.ORACLES]
+    assert rows_only_in_prefix == ["kmeans_clusters"]
+    # oracle dict must lead with the same ordering (minus rows-only)
+    assert list(entry.oracle_sql())[:10] == [n for n in pref if n in q.ORACLES][:10]
+
+
 def test_rows_only_queries_are_documented_exceptions():
     """Every oracle-less query must be a sketch/iterative/UDF path — the
     kinds the driver contract exempts — listed here EXPLICITLY so adding
