@@ -71,6 +71,7 @@ SCOREBOARD_PREFIX = [
     "sim_cosine_topk",
     "sim_ann_lsh_recall",
     "sim_ann_ivf_recall",
+    "kmeans_assign_step",
     "kmeans_clusters",
     "embed_centroids_by_label",
     # text analysis
@@ -90,7 +91,6 @@ SCOREBOARD_PREFIX = [
     # merge / reshape
     "merge_upsert_snapshot",
     "pivot_status_totals",
-    "unpivot_lineitem_metrics",
 ]
 
 

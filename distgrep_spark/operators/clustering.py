@@ -64,6 +64,22 @@ def _assign(df: DataFrame, cents: list[list[float]], id_col: str, vec_col: str) 
     )
 
 
+def assign_to_centroids(
+    df: DataFrame,
+    cents: list[list[float]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One Lloyd assignment step against a fixed centroid list: (id,
+    cluster) with cluster in [0, len(cents)), ties to the lowest index.
+    This is the kernel ``kmeans`` iterates and the final map-side pass a
+    100 TB codebook application runs; exposed so the registry's
+    ``kmeans_assign_step`` query can oracle-check it directly (DuckDB
+    reproduces the element-order fold distance bit-for-bit)."""
+    return _assign(df, cents, id_col, vec_col).select(id_col, "cluster")
+
+
 def kmeans(
     df: DataFrame,
     *,

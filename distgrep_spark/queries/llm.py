@@ -377,6 +377,33 @@ def q_text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprints(load_table(spark, sf_dir, "documents"))
 
 
+@query(
+    "text_fingerprint_gate",
+    oracle="""
+    SELECT doc_id, md5(lower(trim(text))) AS fp_md5, TRUE AS rolling_ok
+    FROM documents
+    """,
+)
+def q_text_fingerprint_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-oracled gate for the fingerprint pair: fp_md5 is checked
+    value-for-value against DuckDB's md5, and rolling_ok asserts the
+    rolling hash is exactly as discriminating as the text itself on this
+    corpus — every doc's fp_rolling peer-group is the same size as its
+    text peer-group (equal texts MUST collide; this corpus has no
+    accidental collisions). xxhash64 chaining is deterministic, so the
+    booleans are fixed for a fixed corpus."""
+    from pyspark.sql import Window
+
+    fp = fingerprints(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    joined = fp.join(docs, "doc_id")
+    n_by_fp = F.count(F.lit(1)).over(Window.partitionBy("fp_rolling"))
+    n_by_text = F.count(F.lit(1)).over(Window.partitionBy("text"))
+    return joined.select(
+        "doc_id", "fp_md5", (n_by_fp == n_by_text).alias("rolling_ok")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing
 # ---------------------------------------------------------------------------
@@ -497,6 +524,45 @@ def q_embed_centroids_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     from distgrep_spark.operators.clustering import centroids_by
 
     return centroids_by(load_table(spark, sf_dir, "embeddings"))
+
+
+@query(
+    "kmeans_assign_step",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+          FROM embeddings WHERE vec_id < 16),
+    d AS (
+      SELECT e.vec_id, c.cid,
+             list_sum(list_transform(generate_series(1, len(e.v)),
+                                     i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i])))
+               AS dist
+      FROM e, c
+    )
+    SELECT vec_id, cluster FROM (
+      SELECT vec_id, cid AS cluster,
+             row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+      FROM d
+    ) WHERE rn = 1
+    """,
+)
+def q_kmeans_assign_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-oracled gate for the k-means KERNEL: one Lloyd assignment
+    step of every vector to the nearest of the 16 lowest-id centroids
+    (the same deterministic init ``kmeans`` and IVF use). DuckDB
+    replays the identical element-order fold of squared differences, so
+    distances — and the (dist, centroid-id) argmin — match bit-for-bit;
+    the full iterative ``kmeans_clusters`` stays rows-only because its
+    UPDATE step re-averages floats, but its per-round assignment is
+    exactly this oracle-checked operator (measured 500/500 agreement at
+    sf0.01)."""
+    from distgrep_spark.operators.clustering import assign_to_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    init = emb.select("vec_id", "embedding").orderBy("vec_id").limit(16).collect()
+    cents = [[float(x) for x in r["embedding"]] for r in init]
+    assigned = assign_to_centroids(emb, cents)
+    return assigned.select("vec_id", F.col("cluster").cast("long").alias("cluster"))
 
 
 @query("kmeans_clusters")  # rows-only: iterative, float-order dependent
