@@ -76,6 +76,51 @@ def test_topk_plans_take_ordered(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_q4_exists_plans_semi_join(spark):
+    """The EXISTS subquery must survive as a semi join (no duplication
+    of orders rows) with the date range pushed to the orders scan."""
+    plan = formatted_plan(q.QUERIES["tpch_q4_priority_exists"](spark, SF_ORACLE))
+    assert "LeftSemi" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_q21_plans_semi_and_anti(spark):
+    """Q21's EXISTS and NOT EXISTS must both be join forms — one
+    LeftSemi, one LeftAnti — not nested per-row subquery execution."""
+    plan = formatted_plan(q.QUERIES["tpch_q21_waiting_suppliers"](spark, SF_ORACLE))
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q19_pushes_derived_disjuncts(spark):
+    """The OR-of-conjuncts must still join on the extracted partkey
+    equi-key (hash join, not nested loop), with per-side conjuncts
+    pushed into each scan."""
+    plan = formatted_plan(
+        q.QUERIES["tpch_q19_disjunctive_predicates"](spark, SF_ORACLE)
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # each side gets a DERIVED filter from the disjunction, pushed to
+    # its parquet scan (the union of the per-branch ranges)
+    assert "GreaterThanOrEqual(l_quantity,1.0)" in plan  # lineitem scan
+    assert "EqualTo(p_brand,Brand#12)" in plan  # part scan
+
+
+def test_join_range_banded_avoids_unbounded_nested_loop(spark):
+    """The scored join_range must not nested-loop over the raw values
+    table: its only theta join targets the aggregated bucket-count
+    table (rows = #buckets), and the residual is an equi join."""
+    plan = formatted_plan(q.QUERIES["join_range"](spark, SF_ORACLE))
+    # the banded decomposition keeps a hash join for the same-bucket
+    # residual; any nested-loop present must be against the broadcast
+    # aggregated side, which appears under a HashAggregate subtree
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    if "BroadcastNestedLoopJoin" in plan:
+        assert "HashAggregate" in plan
+
+
 def test_whole_stage_codegen_covers_grep(spark):
     """The grep hot path stays inside generated JVM code (no Python
     boundary): explain(codegen=false) formatted output marks codegen'd
