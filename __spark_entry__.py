@@ -49,7 +49,6 @@ SCOREBOARD_PREFIX = [
     "set_union_intersect_except",
     # scalar / json / filter
     "scalar_string_fns",
-    "scalar_array_fns",
     "json_extract_events",
     "filter_predicates",
     # TPC-H composite shape
@@ -67,6 +66,7 @@ SCOREBOARD_PREFIX = [
     "dedup_clusters_cc",
     "dedup_materialize",
     "dedup_embedding_cosine",
+    "dedup_cross_corpus",
     # similarity / clustering
     "sim_cosine_topk",
     "sim_ann_lsh_recall",
@@ -78,13 +78,13 @@ SCOREBOARD_PREFIX = [
     "text_stats",
     "text_tfidf_top_terms",
     "text_chunk_documents",
-    "text_token_counts",
+    "text_curation_funnel",
     # multimodal
     "multimodal_metadata",
+    "multimodal_frame_sample",
     # streaming batch twins
     "stream_tumbling_counts",
     "stream_session_counts",
-    "stream_interval_join",
     # UDTF / UDAF
     "udtf_split_sentences",
     "udaf_length_quantiles",

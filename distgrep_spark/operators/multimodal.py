@@ -89,3 +89,42 @@ def payload_metadata(df_with_payload: DataFrame) -> DataFrame:
         F.col("media_meta.width").alias("width"),
         F.col("media_meta.height").alias("height"),
     )
+
+
+def attach_fake_video_meta(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Simulate video metadata: a deterministic per-doc frame count
+    (1..300, derived from the id — a stand-in for container-header
+    probing, which at scale is a cheap ranged read of the first KB of
+    each payload, never a full decode)."""
+    return df.withColumn(
+        "n_frames", (F.col(id_col) % 300 + 1).cast("bigint")
+    )
+
+
+def sample_frames(
+    df: DataFrame, *, k: int = 8, id_col: str = "doc_id", frames_col: str = "n_frames"
+) -> DataFrame:
+    """Uniform-stride frame sampling: for each video pick
+    ``m = min(k, n_frames)`` frame indices ``(i * n_frames) div m`` for
+    ``i in [0, m)`` — the standard keyframe-ish subsample a video
+    pipeline feeds to the (stubbed) decoder. Pure integer column math:
+    exact on any engine, no Python, and the explode emits at most k rows
+    per video regardless of clip length, so output size is bounded by
+    k * |videos| at 100 TB."""
+    m = F.least(F.lit(k), F.col(frames_col))
+    return (
+        df.select(id_col, frames_col)
+        .withColumn("_m", m)
+        .select(
+            id_col,
+            frames_col,
+            "_m",
+            F.explode(F.sequence(F.lit(0), F.col("_m") - 1)).alias("sample_ord"),
+        )
+        .selectExpr(
+            id_col,
+            frames_col,
+            "sample_ord",
+            f"(sample_ord * {frames_col}) div _m AS frame_idx",
+        )
+    )

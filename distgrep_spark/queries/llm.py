@@ -149,6 +149,59 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(load_table(spark, sf_dir, "documents"), max_hamming=3)
 
 
+@query(
+    "dedup_cross_corpus",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+      FROM toks, LATERAL unnest(generate_series(1, greatest(len(t) - 2, 0))) AS u(i)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+      FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b, c * 1.0 / (sa.n_grams + sb.n_grams - c) AS jaccard
+      FROM common
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+      WHERE c * 1.0 / (sa.n_grams + sb.n_grams - c) >= 0.5
+    )
+    SELECT doc_a, doc_b, da.source AS source_a, db.source AS source_b, jaccard
+    FROM pairs
+      JOIN documents da ON doc_a = da.doc_id
+      JOIN documents db ON doc_b = db.doc_id
+    WHERE da.source <> db.source
+    """,
+)
+def q_dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination: near-duplicate pairs that CROSS corpus sources —
+    the train/test-overlap check every LLM data pipeline runs before
+    training (a benchmark document leaking into the crawl shows up as a
+    cross-source near-dup). Same exact trigram-Jaccard engine as
+    ``dedup_ngram_jaccard``, with the pair set annotated by source and
+    restricted to cross-source pairs. At 100 TB the source annotation is
+    a broadcast-joinable (doc_id -> source) projection, and the
+    contamination check rides the dedup pipeline's existing shuffles —
+    no extra pass over text."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+    src = docs.select("doc_id", "source")
+    a = src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("source_a"))
+    b = src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("source_b"))
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .where(F.col("source_a") != F.col("source_b"))
+        .select("doc_a", "doc_b", "source_a", "source_b", "jaccard")
+    )
+
+
 _SIMHASH_DUP_OFFSET = 10_000_000
 
 
@@ -334,6 +387,48 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_curation_funnel",
+    oracle=r"""
+    WITH scored AS (
+      SELECT doc_id, lang, n_chars,
+             0.4 * least(1.0, len(t) / 100.0)
+           + 0.3 * (len(list_filter(t, x -> x IN ('the', 'a', 'of', 'and'))) * 1.0 / len(t))
+           + 0.3 * least(1.0, length(text) / 500.0) AS quality
+      FROM (SELECT *, string_split_regex(trim(text), '\s+') AS t FROM documents)
+    )
+    SELECT count(*) AS n_total,
+           sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_lang,
+           sum(CASE WHEN lang = 'en' AND n_chars >= 200 THEN 1 ELSE 0 END) AS n_len,
+           sum(CASE WHEN lang = 'en' AND n_chars >= 200 AND quality >= 0.5
+                    THEN 1 ELSE 0 END) AS n_quality
+    FROM scored
+    """,
+)
+def q_text_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation funnel every training-data pipeline runs: per-stage
+    survivor counts for language -> length -> quality filters, computed
+    as ONE aggregation pass with conditional sums (not one job per
+    stage — at 100 TB each stage-as-a-job re-reads the corpus). The
+    quality threshold compares the bit-identical score expression from
+    ``text_quality``, so the knife-edge >= is deterministic across
+    engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = quality_score(docs).join(
+        docs.select("doc_id", "lang", "n_chars"), "doc_id"
+    )
+    lang_ok = F.col("lang") == "en"
+    len_ok = lang_ok & (F.col("n_chars") >= 200)
+    qual_ok = len_ok & (F.col("quality") >= 0.5)
+    as_n = lambda c: F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
+    return scored.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        as_n(lang_ok).alias("n_lang"),
+        as_n(len_ok).alias("n_len"),
+        as_n(qual_ok).alias("n_quality"),
+    )
+
+
+@query(
     "text_lang_guess",
     oracle=r"""
     WITH toks AS (
@@ -432,6 +527,33 @@ def q_multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched mapInPandas feature extraction over payload bytes
     (the stubbed 'decode'; schema/batching is the real plumbing)."""
     return extract_byte_features(attach_fake_payload(load_table(spark, sf_dir, "documents")))
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    SELECT doc_id, n_frames, i AS sample_ord,
+           (i * n_frames) // m AS frame_idx
+    FROM (SELECT doc_id, (doc_id % 300) + 1 AS n_frames,
+                 least(8, (doc_id % 300) + 1) AS m
+          FROM documents),
+         LATERAL unnest(generate_series(0, m - 1)) AS u(i)
+    """,
+)
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform-stride frame sampling over fake video metadata: at most 8
+    frame indices per clip via exact integer math (operators/
+    multimodal.py:sample_frames). This is the selection step that feeds
+    the (stubbed) decoder — at 100 TB you sample indices BEFORE touching
+    payload bytes, so decode cost is k frames per clip, not the whole
+    video."""
+    from distgrep_spark.operators.multimodal import (
+        attach_fake_video_meta,
+        sample_frames,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return sample_frames(attach_fake_video_meta(docs), k=8)
 
 
 @query("sim_ann_ivf")  # rows-only: centroid choice is engine-side
