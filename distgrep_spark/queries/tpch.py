@@ -111,6 +111,79 @@ def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "tpch_q8_market_share",
+    oracle=f"""
+    WITH all_sales AS (
+      SELECT year(o_orderdate) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             n2.n_name AS supp_nation
+      FROM lineitem
+        JOIN orders    ON l_orderkey = o_orderkey
+        JOIN customer  ON o_custkey = c_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region    ON n1.n_regionkey = r_regionkey
+        JOIN part      ON l_partkey = p_partkey
+        JOIN supplier  ON l_suppkey = s_suppkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'EUROPE'
+        AND p_type = 'ECONOMY'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate <  TIMESTAMP '1998-01-01'
+    )
+    SELECT o_year,
+           {sql_dsum("CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END", "_n").replace(" AS _n", "")}
+           / {sql_dsum("volume", "_d").replace(" AS _d", "")} AS mkt_share
+    FROM all_sales
+    GROUP BY o_year
+    """,
+)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: national market share — an 8-table snowflake
+    feeding a conditional share-of-total per year. The share is the
+    ratio of two exact-decimal sums inside ONE aggregation (the same
+    single-pass discipline as Q14). Every dimension broadcasts;
+    customer-nation chains to region for the market filter while the
+    supplier-nation survives to the CASE — two roles for the same
+    nation table via two aliases."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    p = load_table(spark, sf_dir, "part")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    n1 = n.select(F.col("n_nationkey").alias("c_nkey"), F.col("n_regionkey").alias("c_rkey"))
+    n2 = n.select(F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation"))
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    sales = (
+        li.join(
+            o.where(
+                (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+            ),
+            li["l_orderkey"] == o["o_orderkey"],
+        )
+        .join(broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(broadcast(n1), c["c_nationkey"] == F.col("c_nkey"))
+        .join(broadcast(r.where(F.col("r_name") == "EUROPE")), F.col("c_rkey") == r["r_regionkey"])
+        .join(broadcast(p.where(F.col("p_type") == "ECONOMY")), li["l_partkey"] == p["p_partkey"])
+        .join(broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(broadcast(n2), s["s_nationkey"] == F.col("s_nkey"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            volume.alias("volume"),
+            "supp_nation",
+        )
+    )
+    return sales.groupBy("o_year").agg(
+        (
+            dsum(F.when(F.col("supp_nation") == "NATION_3", F.col("volume")).otherwise(F.lit(0)))
+            / dsum("volume")
+        ).alias("mkt_share")
+    )
+
+
+@query(
     "tpch_q14_promo_revenue",
     oracle=f"""
     SELECT 100.0 * {sql_dsum(
