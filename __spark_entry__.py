@@ -94,11 +94,46 @@ SCOREBOARD_PREFIX = [
 ]
 
 
+# If the driver's scoring window is ever wider than 50, these are the
+# next entries it should spend rows on (distinct shapes before the
+# redundant grep/scalar/window variants that close the list).
+POST_PREFIX = [
+    "tpch_q17_small_quantity",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q8_market_share",
+    "tpch_q4_priority_exists",
+    "tpch_q7_volume_shipping",
+    "tpch_q14_promo_revenue",
+    "tpch_q19_disjunctive_predicates",
+    "tpch_q22_idle_customers",
+    "text_fingerprint_gate",
+    "stream_interval_join",
+    "stream_dedup",
+    "sim_ann_ivf",
+    "dedup_minhash_lsh",
+    "agg_variance_exact",
+    "agg_rollup_grouping_id",
+    "unpivot_lineitem_metrics",
+    "timeseries_monthly_dense",
+    "latest_event_per_user",
+    "funnel_view_click",
+    "sample_stratified",
+    "join_null_safe",
+    "scalar_try_arithmetic",
+    "text_pii_flags",
+    "pack_token_budget",
+    "text_normalize",
+    "set_union_by_name",
+    "lateral_explode_tokens",
+]
+
+
 def _ordered(mapping: dict) -> dict:
-    missing = [n for n in SCOREBOARD_PREFIX if n not in q.QUERIES]
-    assert not missing, f"SCOREBOARD_PREFIX names unknown queries: {missing}"
-    rest = [n for n in mapping if n not in SCOREBOARD_PREFIX]
-    return {n: mapping[n] for n in SCOREBOARD_PREFIX + rest if n in mapping}
+    lead = SCOREBOARD_PREFIX + POST_PREFIX
+    missing = [n for n in lead if n not in q.QUERIES]
+    assert not missing, f"prefix lists name unknown queries: {missing}"
+    rest = [n for n in mapping if n not in lead]
+    return {n: mapping[n] for n in lead + rest if n in mapping}
 
 
 def entry(spark: SparkSession) -> DataFrame:
