@@ -107,6 +107,7 @@ POST_PREFIX = [
     "tpch_q19_disjunctive_predicates",
     "tpch_q22_idle_customers",
     "text_fingerprint_gate",
+    "multimodal_resize_dims",
     "stream_interval_join",
     "stream_dedup",
     "sim_ann_ivf",

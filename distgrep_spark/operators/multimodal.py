@@ -91,6 +91,36 @@ def payload_metadata(df_with_payload: DataFrame) -> DataFrame:
     )
 
 
+def resize_dims(
+    df_with_meta: DataFrame, *, max_side: int = 224, id_col: str = "doc_id"
+) -> DataFrame:
+    """Aspect-preserving resize planning over the metadata struct: target
+    dimensions fitting ``max_side`` on the longer edge, computed with
+    exact integer math (scaled = short * max_side div long, floored to
+    >= 1). This is the half of 'resize' that runs at metadata speed —
+    at 100 TB you plan every target shape (and can histogram/batch by
+    it) BEFORE the stubbed pixel decode touches payload bytes, exactly
+    like frame sampling plans indices before decode. Upscaling is not
+    clamped: small images scale up to max_side (the common
+    fixed-input-size model prep).
+    """
+    w, h = F.col("media_meta.width"), F.col("media_meta.height")
+    landscape = w >= h
+    new_w = F.when(landscape, F.lit(max_side)).otherwise(
+        F.greatest(F.lit(1), F.expr(f"(media_meta.width * {max_side}) div media_meta.height"))
+    )
+    new_h = F.when(landscape,
+        F.greatest(F.lit(1), F.expr(f"(media_meta.height * {max_side}) div media_meta.width"))
+    ).otherwise(F.lit(max_side))
+    return df_with_meta.select(
+        id_col,
+        w.alias("width"),
+        h.alias("height"),
+        new_w.cast("int").alias("target_w"),
+        new_h.cast("int").alias("target_h"),
+    )
+
+
 def attach_fake_video_meta(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Simulate video metadata: a deterministic per-doc frame count
     (1..300, derived from the id — a stand-in for container-header

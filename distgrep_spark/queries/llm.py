@@ -530,6 +530,33 @@ def q_multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_resize_dims",
+    oracle="""
+    SELECT doc_id, width, height,
+           CASE WHEN width >= height THEN 224
+                ELSE greatest(1, (width * 224) // height) END AS target_w,
+           CASE WHEN width >= height
+                THEN greatest(1, (height * 224) // width) ELSE 224 END AS target_h
+    FROM (SELECT doc_id,
+                 CAST(doc_id % 640 + 64 AS INT) AS width,
+                 CAST(doc_id % 480 + 48 AS INT) AS height
+          FROM documents)
+    """,
+)
+def q_multimodal_resize_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving resize planning (fit the longer edge to 224)
+    over the typed metadata struct — exact integer math, no payload
+    read; the pixel-level resize sits behind the documented decode stub
+    (operators/multimodal.py:decode_image). The oracle re-derives the
+    same fake metadata the payload attacher builds, so the arithmetic
+    is checked value-for-value."""
+    from distgrep_spark.operators.multimodal import resize_dims
+
+    docs = load_table(spark, sf_dir, "documents")
+    return resize_dims(attach_fake_payload(docs), max_side=224)
+
+
+@query(
     "multimodal_frame_sample",
     oracle="""
     SELECT doc_id, n_frames, i AS sample_ord,
