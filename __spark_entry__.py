@@ -108,6 +108,7 @@ POST_PREFIX = [
     "tpch_q22_idle_customers",
     "text_fingerprint_gate",
     "multimodal_resize_dims",
+    "multimodal_audio_segments",
     "stream_interval_join",
     "stream_dedup",
     "sim_ann_ivf",

@@ -131,6 +131,57 @@ def attach_fake_video_meta(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def attach_fake_audio_meta(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Simulate audio metadata: per-doc sample count (0.5..10.5 s at a
+    16 kHz rate, derived from the id) — like the video twin, the
+    stand-in for header probing."""
+    # id % 160 scaled by 1000 so small-id corpora still sweep the full
+    # 0.5..10.5 s duration range (and thus the multi-window path)
+    return df.withColumn(
+        "n_samples", ((F.col(id_col) % 160) * 1_000 + 8_000).cast("bigint")
+    ).withColumn("sample_rate", F.lit(16_000))
+
+
+def segment_audio(
+    df: DataFrame,
+    *,
+    window: int = 64_000,
+    hop: int = 32_000,
+    max_segments: int = 8,
+    id_col: str = "doc_id",
+    samples_col: str = "n_samples",
+) -> DataFrame:
+    """Overlapping fixed-window audio segmentation: segment ``i`` covers
+    samples ``[i*hop, min(i*hop + window, n_samples))``, for
+    ``i < min(max_segments, ceil(max(n - window, 0) / hop) + 1)`` — the
+    framing step every speech/audio featurizer runs before the (stubbed)
+    decode. Pure integer column math; ``max_segments`` bounds output to
+    k rows per clip at 100 TB exactly like frame sampling. The last
+    window is truncated at the clip edge, never padded (padding policy
+    belongs to the decoder)."""
+    n = F.col(samples_col)
+    n_seg = F.least(
+        F.lit(max_segments),
+        F.expr(f"(greatest({samples_col} - {window}, 0) + {hop} - 1) div {hop} + 1"),
+    )
+    return (
+        df.select(id_col, samples_col)
+        .withColumn("_ns", n_seg)
+        .select(
+            id_col,
+            samples_col,
+            F.explode(F.sequence(F.lit(0), F.col("_ns") - 1)).alias("seg_ord"),
+        )
+        .select(
+            id_col,
+            samples_col,
+            "seg_ord",
+            (F.col("seg_ord") * hop).alias("seg_start"),
+            F.least(F.col("seg_ord") * hop + window, n).alias("seg_end"),
+        )
+    )
+
+
 def sample_frames(
     df: DataFrame, *, k: int = 8, id_col: str = "doc_id", frames_col: str = "n_frames"
 ) -> DataFrame:

@@ -583,6 +583,36 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(attach_fake_video_meta(docs), k=8)
 
 
+@query(
+    "multimodal_audio_segments",
+    oracle="""
+    SELECT doc_id, n_samples, i AS seg_ord,
+           i * 32000 AS seg_start,
+           least(i * 32000 + 64000, n_samples) AS seg_end
+    FROM (SELECT doc_id, n_samples,
+                 least(8, (greatest(n_samples - 64000, 0) + 31999) // 32000 + 1)
+                   AS n_seg
+          FROM (SELECT doc_id, (doc_id % 160) * 1000 + 8000 AS n_samples
+                FROM documents)),
+         LATERAL unnest(generate_series(0, n_seg - 1)) AS u(i)
+    """,
+)
+def q_multimodal_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-window audio segmentation (4 s windows, 2 s hop
+    at 16 kHz) over fake audio metadata — the framing step before the
+    stubbed decoder, output bounded to 8 segments per clip
+    (operators/multimodal.py:segment_audio). Exact integer math, so the
+    oracle checks the boundary arithmetic value-for-value including the
+    truncated last window."""
+    from distgrep_spark.operators.multimodal import (
+        attach_fake_audio_meta,
+        segment_audio,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return segment_audio(attach_fake_audio_meta(docs), max_segments=8)
+
+
 @query("sim_ann_ivf")  # rows-only: centroid choice is engine-side
 def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed approximate top-k (the scale path next to
