@@ -37,19 +37,25 @@ def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
     )
 
 
-def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Composite quality score in [0,1]: length saturation + stopword
-    signal + char saturation (the standard cheap pre-filter before
-    expensive LLM-pipeline stages). Formula kept to a fixed IEEE
-    evaluation order so the DuckDB oracle is bit-identical."""
+def quality_expr(text_col: str = "text") -> "F.Column":
+    """The composite quality score in [0,1] as a COLUMN expression
+    (length saturation + stopword signal + char saturation), so callers
+    can project it alongside other columns without a self-join back to
+    the source table. Fixed IEEE evaluation order: the DuckDB oracle is
+    bit-identical."""
     c = F.col(text_col)
     nt = token_count(c)
-    score = (
+    return (
         F.lit(0.4) * F.least(F.lit(1.0), nt / F.lit(100.0))
         + F.lit(0.3) * stopword_ratio(c, STOPWORDS)
         + F.lit(0.3) * F.least(F.lit(1.0), F.length(c) / F.lit(500.0))
     )
-    return df.select(id_col, score.alias("quality"))
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Composite quality score per doc (the standard cheap pre-filter
+    before expensive LLM-pipeline stages); see ``quality_expr``."""
+    return df.select(id_col, quality_expr(text_col).alias("quality"))
 
 
 def lang_guess(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

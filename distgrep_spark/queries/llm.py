@@ -411,11 +411,13 @@ def q_text_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage — at 100 TB each stage-as-a-job re-reads the corpus). The
     quality threshold compares the bit-identical score expression from
     ``text_quality``, so the knife-edge >= is deterministic across
-    engines."""
+    engines. The score is projected IN PLACE (quality_expr), not joined
+    back by doc_id — a self-join to attach a derived column would add a
+    full shuffle of the corpus for nothing."""
+    from distgrep_spark.operators.text import quality_expr
+
     docs = load_table(spark, sf_dir, "documents")
-    scored = quality_score(docs).join(
-        docs.select("doc_id", "lang", "n_chars"), "doc_id"
-    )
+    scored = docs.select("lang", "n_chars", quality_expr().alias("quality"))
     lang_ok = F.col("lang") == "en"
     len_ok = lang_ok & (F.col("n_chars") >= 200)
     qual_ok = len_ok & (F.col("quality") >= 0.5)
