@@ -191,10 +191,17 @@ def sample_frames(
     pipeline feeds to the (stubbed) decoder. Pure integer column math:
     exact on any engine, no Python, and the explode emits at most k rows
     per video regardless of clip length, so output size is bounded by
-    k * |videos| at 100 TB."""
+    k * |videos| at 100 TB.
+
+    Frameless clips (``n_frames <= 0``) are filtered out BEFORE the
+    explode: without the guard, ``sequence(0, m-1)`` yields a descending
+    [0, -1] and ``div _m`` divides by zero — a hard error under Spark 4
+    ANSI mode. Zero samples for a zero-frame clip is also the right
+    semantics."""
     m = F.least(F.lit(k), F.col(frames_col))
     return (
         df.select(id_col, frames_col)
+        .where(F.col(frames_col) >= 1)
         .withColumn("_m", m)
         .select(
             id_col,

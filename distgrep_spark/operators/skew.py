@@ -46,12 +46,16 @@ def salted_join(
     bucket (the right side is replicated before the join), silently
     duplicating null-extended rows. Salt the other side instead.
     """
-    supported = {"inner", "left", "left_outer", "left_semi", "left_anti"}
-    if how not in supported:
+    # Normalize Spark's accepted alias spellings (leftouter == left_outer
+    # == left, semi == leftsemi == left_semi, ...) before the whitelist
+    # check, so every alias of a left-preserving join is accepted.
+    norm = how.strip().lower().replace("_", "")
+    supported = {"inner", "left", "leftouter", "semi", "leftsemi", "anti", "leftanti"}
+    if norm not in supported:
         raise ValueError(
-            f"salted_join supports {sorted(supported)} (left side salted, "
-            f"right side replicated {buckets}x); how={how!r} would emit "
-            "unmatched right rows once per salt bucket"
+            f"salted_join supports left-preserving joins {sorted(supported)} "
+            f"(left side salted, right side replicated {buckets}x); "
+            f"how={how!r} would emit unmatched right rows once per salt bucket"
         )
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(buckets))
     l_salted = left.withColumn("_salt", salt)

@@ -277,7 +277,7 @@ def q_grep_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderpriority,
            count(*) AS n_lines,
-           sum(CAST(l_quantity AS DECIMAL(25,6))) AS qty_total
+           CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS qty_total
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY o_orderpriority
     """,
@@ -288,7 +288,14 @@ def q_join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     side's hot keys spread over 16 sub-keys so no single shuffle
     partition can become the straggler. At this SF Spark may broadcast
     the replicated side anyway; the operator targets the 100 TB regime
-    where it cannot."""
+    where it cannot.
+
+    The sum follows the sql_dsum convention (exact DECIMAL accumulate,
+    DOUBLE out): a raw decimal sum's *result type* is engine-dependent —
+    Spark widens DECIMAL(25,6) sums to DECIMAL(35,6), DuckDB to
+    DECIMAL(38,6) — which flips type-sensitive value hashes even on
+    byte-identical values (round-2 driver failure)."""
+    from distgrep_spark.functions.numeric import dsum
     from distgrep_spark.operators.skew import salted_join
 
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
@@ -296,7 +303,7 @@ def q_join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = salted_join(li, o, left_on="l_orderkey", right_on="o_orderkey", buckets=16)
     return joined.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_lines"),
-        F.sum(F.col("l_quantity").cast("decimal(25,6)")).alias("qty_total"),
+        dsum("l_quantity", "qty_total"),
     )
 
 

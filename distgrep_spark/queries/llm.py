@@ -274,7 +274,9 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     qs = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return ann_lsh_topk(emb, qs, k=10, exclude_self=True)
+    # fixture parquet is one row-group -> one task; spread the CPU-bound
+    # plane-dot stage (see ann_lsh_topk docstring)
+    return ann_lsh_topk(emb, qs, k=10, exclude_self=True, corpus_partitions=32)
 
 
 def _ann_recall_frame(exact: DataFrame, approx: DataFrame, min_found: int) -> DataFrame:
@@ -320,7 +322,7 @@ def q_sim_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     exact = cosine_topk(emb, qs, k=10, exclude_self=True)
-    approx = ann_lsh_topk(emb, qs, k=10, exclude_self=True)
+    approx = ann_lsh_topk(emb, qs, k=10, exclude_self=True, corpus_partitions=32)
     return _ann_recall_frame(exact, approx, min_found=8)
 
 
@@ -397,10 +399,11 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM (SELECT *, string_split_regex(trim(text), '\s+') AS t FROM documents)
     )
     SELECT count(*) AS n_total,
-           sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_lang,
-           sum(CASE WHEN lang = 'en' AND n_chars >= 200 THEN 1 ELSE 0 END) AS n_len,
-           sum(CASE WHEN lang = 'en' AND n_chars >= 200 AND quality >= 0.5
-                    THEN 1 ELSE 0 END) AS n_quality
+           CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_lang,
+           CAST(sum(CASE WHEN lang = 'en' AND n_chars >= 200 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_len,
+           CAST(sum(CASE WHEN lang = 'en' AND n_chars >= 200 AND quality >= 0.5
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_quality
     FROM scored
     """,
 )
@@ -413,7 +416,12 @@ def q_text_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``text_quality``, so the knife-edge >= is deterministic across
     engines. The score is projected IN PLACE (quality_expr), not joined
     back by doc_id — a self-join to attach a derived column would add a
-    full shuffle of the corpus for nothing."""
+    full shuffle of the corpus for nothing.
+
+    The oracle casts each conditional sum to BIGINT: DuckDB's sum over
+    integers is HUGEINT while Spark's is BIGINT, and that result-type
+    divergence alone flips type-sensitive value hashes (round-2 driver
+    failure on byte-identical values)."""
     from distgrep_spark.operators.text import quality_expr
 
     docs = load_table(spark, sf_dir, "documents")
@@ -453,16 +461,19 @@ def q_text_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
     SELECT lang,
            count(*) AS n_docs,
-           sum(len(string_split_regex(trim(text), '\s+'))) AS ws_tokens,
-           sum(len(regexp_extract_all(text, '[a-z]+|[A-Z]+|[0-9]+|[^\sa-zA-Z0-9]')))
-             AS bpe_ish_tokens,
-           sum(length(text)) AS total_chars
+           CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+             AS ws_tokens,
+           CAST(sum(len(regexp_extract_all(text, '[a-z]+|[A-Z]+|[0-9]+|[^\sa-zA-Z0-9]')))
+                AS BIGINT) AS bpe_ish_tokens,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars
     FROM documents
     GROUP BY lang
     """,
 )
 def q_text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus token accounting per language (integer sums → exact)."""
+    """Corpus token accounting per language (integer sums → exact; the
+    oracle casts DuckDB's HUGEINT integer sums to BIGINT to match
+    Spark's — result-TYPE divergence alone flips the driver hash)."""
     return token_counts_by(load_table(spark, sf_dir, "documents"), "lang")
 
 
@@ -739,11 +750,30 @@ def q_kmeans_assign_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.01)."""
     from distgrep_spark.operators.clustering import assign_to_centroids
 
+    import json
+
     emb = load_table(spark, sf_dir, "embeddings")
-    init = emb.select("vec_id", "embedding").orderBy("vec_id").limit(16).collect()
+    # Same predicate as the oracle's `WHERE vec_id < 16` — NOT
+    # orderBy().limit(16), which is only equivalent while fixture
+    # vec_ids happen to start at 0 and be contiguous. The assignment
+    # returns a list INDEX; map it back to the centroid's vec_id so the
+    # label space matches the oracle's `cid` definitionally (ascending
+    # order makes index ties == lowest-cid ties).
+    init = (
+        emb.select("vec_id", "embedding")
+        .where(F.col("vec_id") < 16)
+        .orderBy("vec_id")
+        .collect()
+    )
     cents = [[float(x) for x in r["embedding"]] for r in init]
+    cent_ids = F.from_json(
+        F.lit(json.dumps([int(r["vec_id"]) for r in init])), "array<bigint>"
+    )
     assigned = assign_to_centroids(emb, cents)
-    return assigned.select("vec_id", F.col("cluster").cast("long").alias("cluster"))
+    return assigned.select(
+        "vec_id",
+        F.element_at(cent_ids, F.col("cluster") + 1).alias("cluster"),
+    )
 
 
 @query("kmeans_clusters")  # rows-only: iterative, float-order dependent
@@ -888,22 +918,42 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     where text hashing can't see the duplication. Brute self-join here
     (exact, oracle-checked); at 100 TB the SAME scoring runs behind the
     LSH/IVF bucketing of sim_ann_* so only bucket-mates are compared."""
-    from distgrep_spark.operators.similarity import as_double, cosine
+    from pyspark.sql.functions import broadcast
+
+    from distgrep_spark.operators.similarity import as_double, dot, norm
 
     # brute tier on a bounded, deterministic candidate set (vec_id<500):
     # all-pairs exact cosine is quadratic BY DESIGN and belongs behind
     # the sim_ann_* bucketing at scale — unbounded it costs 56s at sf0.1
     # for zero extra semantic coverage (measured)
+    #
+    # Two plan-shape rules learned by measurement (4.7 s -> ~0.5 s):
+    # - Norms are materialized as a COLUMN before the join. Writing
+    #   cosine(ea, eb) post-join inlines dot + BOTH norms into the
+    #   BroadcastNestedLoopJoin condition (the threshold filter gets
+    #   pushed there), recomputing each vector's norm once per PAIR —
+    #   O(n^2 * dim) extra work; precomputed it's O(n * dim).
+    # - The probe side is explicitly repartitioned: the candidate set
+    #   arrives as one tiny parquet split, and a 1-partition BNLJ runs
+    #   the whole O(n^2) score on ONE core. At 100 TB the same rule
+    #   holds per bucket — spread the quadratic tier over the cluster.
     emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 500)
     v = emb.select("vec_id", as_double(F.col("embedding")).alias("e"))
-    a = v.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"))
-    b = v.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"))
+    v = v.select("vec_id", "e", norm(F.col("e")).alias("nrm"))
+    a = v.select(
+        F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"), F.col("nrm").alias("na")
+    ).repartition(32)
+    b = v.select(
+        F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"), F.col("nrm").alias("nb")
+    )
     return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        a.join(broadcast(b), F.col("vec_a") < F.col("vec_b"))
         .select(
             "vec_a",
             "vec_b",
-            cosine(F.col("ea"), F.col("eb")).alias("cos_sim"),
+            (dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))).alias(
+                "cos_sim"
+            ),
         )
         .where(F.col("cos_sim") >= 0.45)
     )

@@ -175,11 +175,11 @@ def window_ntile_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_range_frame",
     oracle="""
     SELECT o_orderkey, o_custkey, o_totalprice,
-           sum(CAST(o_totalprice AS DECIMAL(25,6)))
+           CAST(sum(CAST(o_totalprice AS DECIMAL(25,6)))
              OVER (PARTITION BY o_custkey
                    ORDER BY CAST(round(o_totalprice * 100) AS BIGINT)
                    RANGE BETWEEN 100000 PRECEDING AND 100000 FOLLOWING)
-             AS nearby_price_sum,
+             AS DOUBLE) AS nearby_price_sum,
            count(*)
              OVER (PARTITION BY o_custkey
                    ORDER BY CAST(round(o_totalprice * 100) AS BIGINT)
@@ -192,7 +192,10 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE frame (value-based, vs the ROWS frames elsewhere): peers
     within +-$1000 of each order's price for the same customer. RANGE
     frames are order-value-driven so ties share a frame — semantics ROWS
-    cannot express; decimal sum keeps the oracle order-insensitive.
+    cannot express; decimal sum keeps the oracle order-insensitive, and
+    the outer CAST(... AS DOUBLE) normalizes the engine-dependent decimal
+    sum *width* (Spark DECIMAL(35,6) vs DuckDB DECIMAL(38,6) — round-2
+    driver hash mismatch). Cents are exact so the double is lossless.
 
     The frame key is exact integer CENTS (round(price*100) AS BIGINT,
     bounds 100000), not float dollars: float RANGE boundary arithmetic
@@ -211,7 +214,8 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         "o_custkey",
         "o_totalprice",
-        f"sum(CAST(o_totalprice AS DECIMAL(25,6))) {frame} AS nearby_price_sum",
+        f"CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) {frame} AS DOUBLE)"
+        " AS nearby_price_sum",
         f"count(*) {frame} AS nearby_orders",
     )
 

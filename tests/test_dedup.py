@@ -163,8 +163,13 @@ def test_salted_join_rejects_right_preserving(spark):
 
     df = spark.range(4).withColumnRenamed("id", "k")
     other = spark.range(4).withColumnRenamed("id", "j")
-    with pytest.raises(ValueError, match="salted_join supports"):
-        salted_join(df, other, left_on="k", right_on="j", how="full_outer")
+    for bad in ("full_outer", "fullouter", "outer", "right", "rightouter", "cross"):
+        with pytest.raises(ValueError, match="salted_join supports"):
+            salted_join(df, other, left_on="k", right_on="j", how=bad)
+    # Every Spark alias of a left-preserving join is accepted.
+    for ok in ("inner", "left", "leftouter", "left_outer", "semi",
+               "leftsemi", "left_semi", "anti", "leftanti", "left_anti"):
+        salted_join(df, other, left_on="k", right_on="j", how=ok)
 
 
 def test_minhash_estimate_invariants(spark):

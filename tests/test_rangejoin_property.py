@@ -61,9 +61,11 @@ def test_banded_count_greater_matches_quadratic(spark, probes, values):
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
-@given(frames=st.lists(st.integers(1, 40), min_size=1, max_size=8),
+@given(frames=st.lists(st.integers(0, 40), min_size=1, max_size=8),
        k=st.integers(1, 10))
 def test_sample_frames_invariants(spark, frames, k):
+    # Includes n_frames == 0: a frameless clip must yield ZERO samples
+    # (not an ANSI divide-by-zero / descending-sequence error).
     df = spark.createDataFrame(
         [(i, n) for i, n in enumerate(frames)], "doc_id long, n_frames long"
     )
@@ -79,6 +81,8 @@ def test_sample_frames_invariants(spark, frames, k):
         for o, idx in got:
             assert idx == (o * n) // m
             assert 0 <= idx < n
-        # nondecreasing and first sample is frame 0
+        # nondecreasing and first sample is frame 0 (when any)
         idxs = [idx for _, idx in got]
-        assert idxs == sorted(idxs) and idxs[0] == 0
+        assert idxs == sorted(idxs)
+        if n > 0:
+            assert idxs[0] == 0

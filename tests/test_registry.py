@@ -25,16 +25,47 @@ def test_entry_module_mirrors_registry():
 def test_scoreboard_prefix_is_first_and_complete():
     """The driver scores a ~50-query prefix of queries() in dict order;
     the curated SCOREBOARD_PREFIX must actually BE that prefix, contain
-    no unknown names, and keep at most one rows-only entry (everything
-    else in the scored window must be hash-checkable)."""
+    no unknown names, and carry a full DuckDB oracle on EVERY entry — a
+    rows-only query can never turn its scored row green, so it would
+    waste the slot (round 2 lost a row to kmeans_clusters this way)."""
     names = list(entry.queries())
     pref = entry.SCOREBOARD_PREFIX
     assert len(pref) == 50
     assert names[: len(pref)] == pref
     rows_only_in_prefix = [n for n in pref if n not in q.ORACLES]
-    assert rows_only_in_prefix == ["kmeans_clusters"]
+    assert rows_only_in_prefix == []
     # oracle dict must lead with the same ordering (minus rows-only)
     assert list(entry.oracle_sql())[:10] == [n for n in pref if n in q.ORACLES][:10]
+
+
+def test_oracles_use_engine_neutral_aggregate_types():
+    """Pin the result-TYPE convention the round-2 driver failures taught:
+    an oracle's aggregate output must be an engine-neutral type, because
+    the driver's value hash is type-sensitive even on byte-identical
+    values. Spark widens a DECIMAL(25,6) sum to DECIMAL(35,6) where
+    DuckDB widens to DECIMAL(38,6), and DuckDB's integer ``sum`` is
+    HUGEINT where Spark's is BIGINT — so every hazardous ``sum`` must be
+    wrapped in an explicit CAST (``sql_dsum`` / ``AS BIGINT``). This
+    regex lint is the fast textual subset; tools/check_oracles.py's
+    runtime dtype pass is the complete gate."""
+    hazards = {
+        # raw decimal sum: engine-dependent result width
+        "decimal-sum": re.compile(r"(?<!CAST\()sum\s*\(\s*CAST\s*\([^)]*AS\s+DECIMAL", re.I),
+        # bare conditional count: HUGEINT in DuckDB, BIGINT in Spark
+        "case-sum": re.compile(r"(?<!CAST\()sum\s*\(\s*CASE\b", re.I),
+        # sums of integer-valued length functions: same HUGEINT hazard
+        "intfn-sum": re.compile(r"(?<!CAST\()sum\s*\(\s*(?:len|length)\s*\(", re.I),
+    }
+    bad = [
+        (name, kind)
+        for name, sql in q.ORACLES.items()
+        for kind, rx in hazards.items()
+        if rx.search(sql)
+    ]
+    assert not bad, (
+        f"oracles with engine-dependent aggregate result types: {bad}; "
+        "wrap the sum in CAST(... AS DOUBLE) (sql_dsum) or CAST(... AS BIGINT)"
+    )
 
 
 def test_rows_only_queries_are_documented_exceptions():
