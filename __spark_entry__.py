@@ -129,6 +129,9 @@ POST_PREFIX = [
     "text_normalize",
     "set_union_by_name",
     "lateral_explode_tokens",
+    "corpus_split_assign",
+    "text_repetition_score",
+    "mix_domain_weights",
 ]
 
 

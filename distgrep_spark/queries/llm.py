@@ -971,3 +971,133 @@ def q_sim_cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return cosine_topk_pandas(emb, qs, k=10, exclude_self=True)
+
+
+# ---------------------------------------------------------------------------
+# Corpus assembly: split assignment, mixing weights, repetition scoring
+# (north-star extensions — the steps between "curated corpus" and
+# "training shards")
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "corpus_split_assign",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN substr(md5(text), 1, 2) < 'cc' THEN 'train'
+                WHEN substr(md5(text), 1, 2) < 'e6' THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def q_corpus_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-addressed train/val/test split: the first
+    md5 hex byte of the TEXT buckets each doc (~80/10/10 via the 'cc' /
+    'e6' prefix thresholds, 204/26/26 of 256). Keying on content, not
+    row position, is the 100 TB property that matters: the split
+    survives resharding, repartitioning, and incremental corpus appends,
+    and an exact duplicate always lands in the same split so train/test
+    contamination can't enter through layout changes. Map-side only —
+    no shuffle, no RNG; both engines produce identical lowercase-hex
+    md5, so the comparison thresholds are portable."""
+    h = F.substring(F.md5(F.col("text")), 1, 2)
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(h < "cc", "train").when(h < "e6", "val").otherwise("test").alias("split"),
+    )
+
+
+@query(
+    "text_repetition_score",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, len(t) - 2),
+                            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS g
+      FROM toks
+    )
+    SELECT doc_id, len(g) AS n_grams, len(list_distinct(g)) AS n_distinct,
+           len(list_distinct(g)) * 1.0 / len(g) AS rep_ratio
+    FROM grams
+    WHERE len(g) >= 1
+    """,
+)
+def q_text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality signal: distinct-trigram ratio per document
+    (boilerplate and looping generations score low; clean prose scores
+    ~1.0). Entirely map-side — the gram array never explodes into rows,
+    array_distinct runs per document inside codegen, and only three
+    scalars survive per doc, so at 100 TB this is a single scan with
+    tiny output. Tokens are materialized into a column before the gram
+    transform (HOF lambdas inline their argument per element —
+    functions/textfns.ngrams_of_tokens docstring). Docs shorter than 3
+    tokens have no trigrams and are filtered identically on both
+    engines (Spark's guarded ngrams_of_tokens returns an empty array;
+    DuckDB's generate_series(1, len-2) is empty for len < 3).
+
+    The short-doc filter is `size(_t) >= 3` on the TOKEN array, not
+    `size(_g) >= 1` on the gram array, though they're equivalent:
+    predicate pushdown substitutes a projected alias into the filter
+    condition, so filtering on _g would rebuild the whole trigram
+    construction per row just to test emptiness (measured 6.4 s at
+    sf0.1 with the _g filter)."""
+    from distgrep_spark.functions.textfns import ngrams_of_tokens, tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("_t")).where(
+        F.size("_t") >= 3
+    )
+    g = toks.select("doc_id", ngrams_of_tokens(F.col("_t"), 3).alias("_g"))
+    counted = g.select(
+        "doc_id",
+        F.size("_g").alias("n_grams"),
+        F.size(F.array_distinct("_g")).alias("n_distinct"),
+    )
+    return counted.select(
+        "doc_id",
+        "n_grams",
+        "n_distinct",
+        (F.col("n_distinct") * F.lit(1.0) / F.col("n_grams")).alias("rep_ratio"),
+    )
+
+
+@query(
+    "mix_domain_weights",
+    oracle="""
+    WITH tot AS (
+      SELECT count(*) AS total, count(DISTINCT source) AS nsrc FROM documents
+    )
+    SELECT source, count(*) AS n_docs,
+           count(*) * 1.0 / total AS share,
+           total * 1.0 / (nsrc * count(*)) AS uniform_weight
+    FROM documents, tot
+    GROUP BY source, total, nsrc
+    """,
+)
+def q_mix_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture planning: per-source document share plus the
+    sampling weight that would flatten the mixture to uniform
+    (weight > 1 upsamples a rare source, < 1 downsamples a dominant
+    one — the knob every pretraining data recipe tunes). One shuffle on
+    the low-cardinality source key; the corpus total rides in as a
+    broadcast 1-row aggregate (the tfidf "no second pass" idiom), so
+    the corpus is scanned once. All ratios are integer-over-integer
+    IEEE divisions — bit-identical across engines."""
+    from pyspark.sql.functions import broadcast
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = docs.agg(
+        F.count(F.lit(1)).alias("_total"), F.count_distinct("source").alias("_nsrc")
+    )
+    return counts.crossJoin(broadcast(tot)).select(
+        "source",
+        "n_docs",
+        (F.col("n_docs") * F.lit(1.0) / F.col("_total")).alias("share"),
+        (F.col("_total") * F.lit(1.0) / (F.col("_nsrc") * F.col("n_docs"))).alias(
+            "uniform_weight"
+        ),
+    )

@@ -54,8 +54,41 @@ TABLES: dict[str, list[str]] = {
 # a fact table (region/nation are bounded-cardinality even at 100 TB).
 BROADCAST_DIMS = {"region", "nation", "supplier", "part", "customer"}
 
+# Below this size a parquet file is certainly one scan split (default
+# maxPartitionBytes is 128 MB); spreading costs one tiny shuffle.
+_SINGLE_SPLIT_BYTES = 32 << 20
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+
+def _spread_single_split(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
+    """Repartition a sub-split-sized table to cores-wide parallelism.
+
+    Parquet cannot split below row-group granularity, so a small file is
+    ONE scan task no matter how many cores exist — every CPU-bound stage
+    before the first shuffle then serializes on one core (the whole
+    sf0.1 fixture set is single-row-group). The size guard makes this a
+    strict no-op at scale: a real 100 TB table's files exceed the split
+    size, so production plans never pay the extra exchange.
+
+    This is deliberately OPT-IN (``load_table(..., spread=True)``), not
+    the default: an A/B over 16 representative queries at sf0.1 measured
+    blanket spreading at **37.7 s -> 55.8 s (+48%)** — the extra
+    exchange + stage scheduling costs more than one-core compute saves
+    for scan-light queries, and only operators with real per-row CPU
+    (vector math, sketch hashing) win. Those opt in at the OPERATOR
+    level where the cost model is known (e.g. dedup_embedding_cosine's
+    probe side, ann_lsh_topk's corpus_partitions)."""
+    try:
+        if os.path.getsize(path) > _SINGLE_SPLIT_BYTES:
+            return df
+    except OSError:
+        return df
+    cores = spark.sparkContext.defaultParallelism
+    return df.repartition(cores) if cores > 1 else df
+
+
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, *, spread: bool = False
+) -> DataFrame:
     """Load one fixture table from ``sf_dir`` as a DataFrame.
 
     ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
@@ -64,16 +97,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     arithmetic (``div 1000`` — a double division would lose precision:
     2024 epoch-nanos ≈ 1.7e18 > 2^53). DuckDB truncates nanos→micros the
     same way, so oracle comparisons stay exact.
+
+    ``spread=True`` applies :func:`_spread_single_split` so a
+    single-row-group fixture doesn't serialize CPU-bound downstream
+    stages on one core (see that docstring for why it's opt-in).
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {sorted(TABLES)}")
+    path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        df = spark.read.parquet(path)
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    else:
+        df = spark.read.parquet(path)
+    return _spread_single_split(spark, df, path) if spread else df
 
 
 def register_views(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> None:
