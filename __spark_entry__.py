@@ -112,6 +112,7 @@ POST_PREFIX = [
     "multimodal_resize_dims",
     "multimodal_audio_segments",
     "stream_interval_join",
+    "stream_dim_enrich",
     "stream_dedup",
     "sim_ann_ivf",
     "dedup_minhash_lsh",

@@ -138,6 +138,29 @@ def q_stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_dim_enrich",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.ts, e.event_type,
+           c.c_mktsegment, c.c_nationkey
+    FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+    """,
+)
+def q_stream_dim_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-static enrichment join
+    (streaming/pipelines.py enrich_events_with_dim): events decorated
+    with broadcast customer attributes. The streaming test runs the SAME
+    function over readStream and asserts identical rows — certifying
+    that the stateless broadcast-join shape holds under micro-batch
+    execution."""
+    from distgrep_spark.streaming.pipelines import enrich_events_with_dim
+
+    return enrich_events_with_dim(
+        load_table(spark, sf_dir, "events"),
+        load_table(spark, sf_dir, "customer"),
+    )
+
+
+@query(
     "stream_interval_join",
     oracle="""
     SELECT c.event_id, c.user_id, c.ts,

@@ -131,6 +131,38 @@ def stateful_dedup(
     return d.dropDuplicates([key])
 
 
+def enrich_events_with_dim(
+    events: DataFrame,
+    dim: DataFrame,
+    *,
+    on_left: str = "user_id",
+    on_right: str = "c_custkey",
+) -> DataFrame:
+    """Stream-static enrichment join: each event decorated with its
+    customer dimension attributes.
+
+    The canonical streaming-enrichment shape: the STATIC side is
+    explicitly broadcast, so every micro-batch is a map-side hash join
+    with NO streaming state and no watermark requirement (unlike
+    stream-stream joins, a stream-static join buffers nothing). At
+    100 TB/day the dim re-broadcasts per batch, which is also how
+    slowly-changing dimension updates get picked up mid-stream. LEFT
+    join: enrichment must never drop an event just because the dim row
+    is missing."""
+    from pyspark.sql.functions import broadcast
+
+    return events.join(
+        broadcast(dim), events[on_left] == dim[on_right], "left"
+    ).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        "c_mktsegment",
+        "c_nationkey",
+    )
+
+
 def interval_join_clicks_errors(
     clicks: DataFrame,
     errors: DataFrame,

@@ -54,3 +54,22 @@ def test_partitioned_parquet_sink_prunes(spark, tmp_path):
     assert back.count() == 2
     scan = back._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(lang" in scan
+
+
+def test_orc_sink_roundtrip(spark, tmp_path):
+    """ORC completes the built-in columnar-format matrix (parquet is the
+    house format; ORC interops with Hive-era lakes). Types that have
+    bitten elsewhere — timestamp, array, double — must survive the
+    roundtrip exactly."""
+    from pyspark.sql import functions as F
+
+    out = tmp_path / "out_orc"
+    df = spark.createDataFrame(
+        [(1, "a", 1.5, ["x", "y"]), (2, "b", -0.25, [])],
+        "k long, v string, score double, tags array<string>",
+    ).withColumn("ts", F.to_timestamp(F.lit("2024-03-01 12:00:00")))
+    df.write.mode("overwrite").orc(str(out))
+    back = spark.read.orc(str(out))
+    assert back.schema == df.schema
+    key = lambda r: r["k"]  # noqa: E731
+    assert sorted(back.collect(), key=key) == sorted(df.collect(), key=key)

@@ -82,6 +82,23 @@ def test_stream_dedup_drops_duplicates(spark, event_dir, tmp_path):
     assert out.select("event_id").distinct().count() == 100
 
 
+def test_stream_dim_enrich_matches_batch(spark, event_dir):
+    """Stream-static broadcast enrichment: the streaming run of
+    enrich_events_with_dim must produce exactly the batch twin's rows
+    (which the DuckDB oracle certifies), with no watermark and no
+    streaming state — the static side is re-broadcast per micro-batch."""
+    from distgrep_spark.streaming.pipelines import enrich_events_with_dim
+
+    dim = load_table(spark, SF, "customer")
+    stream = read_event_stream(spark, event_dir)
+    run_to_memory(enrich_events_with_dim(stream, dim), "dim_enrich", "append")
+    got = rows_set(spark.sql("SELECT * FROM dim_enrich"))
+    want = rows_set(enrich_events_with_dim(spark.read.parquet(event_dir), dim))
+    assert got == want and got
+    # every event survives the LEFT join (enrichment never drops rows)
+    assert len(got) == spark.read.parquet(event_dir).count()
+
+
 def test_late_data_dropped_by_watermark(spark, tmp_path):
     """Three files processed as separate micro-batches
     (maxFilesPerTrigger=1); the third carries an event hours older than
