@@ -17,7 +17,9 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-# Headline set: the flagship grep + one representative per operator family.
+# Headline set: the flagship grep + one representative per operator
+# family, including the LLM north stars (dedup/similarity/text/stream)
+# so the driver-visible stdout map shows every family's cost point.
 HEADLINE = [
     "grep_contains",
     "agg_pricing_summary",
@@ -26,6 +28,10 @@ HEADLINE = [
     "topk_customers",
     "window_rank_orders",
     "json_extract_events",
+    "dedup_minhash_lsh",
+    "sim_cosine_topk",
+    "text_stats",
+    "stream_tumbling_counts",
 ]
 
 

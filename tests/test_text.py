@@ -68,3 +68,72 @@ def test_token_counts_by_lang(docs_df):
     assert got["en"]["ws_tokens"] == 4 + 6 + 4
     assert got["de"]["ws_tokens"] == 1
     assert got["en"]["total_chars"] == sum(len(t) for _, t, lang in DOCS if lang == "en")
+
+
+# ---------------------------------------------------------------------------
+# Corpus assembly (round 3): split determinism, repetition bounds, mixing
+# ---------------------------------------------------------------------------
+
+
+def test_corpus_split_is_deterministic_and_duplicate_consistent(spark):
+    """The md5-prefix split is a pure function of text: duplicates land
+    in the same split, and the three buckets partition the corpus."""
+    from distgrep_spark import queries as q
+
+    out = q.QUERIES["corpus_split_assign"](spark, "/root/testdata/sf0.001")
+    rows = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert set(rows.values()) <= {"train", "val", "test"}
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    by_text: dict[str, set] = {}
+    for r in docs.select("doc_id", "text").collect():
+        by_text.setdefault(r["text"], set()).add(rows[r["doc_id"]])
+    # every exact-duplicate group maps to exactly one split
+    assert all(len(s) == 1 for s in by_text.values())
+    # and a second run agrees exactly (no RNG anywhere)
+    again = {r["doc_id"]: r["split"]
+             for r in q.QUERIES["corpus_split_assign"](spark, "/root/testdata/sf0.001").collect()}
+    assert again == rows
+
+
+def test_repetition_score_bounds_and_detects_repeats(spark):
+    """rep_ratio in (0, 1]; a document that is one phrase repeated must
+    score far below distinct prose."""
+    from distgrep_spark.functions.textfns import ngrams_of_tokens, tokens
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "spam and spam and spam and spam and spam and spam"),
+            (3, "too short"),
+        ],
+        "doc_id long, text string",
+    )
+    toks = df.select("doc_id", tokens(F.col("text")).alias("_t")).where(F.size("_t") >= 3)
+    g = toks.select("doc_id", ngrams_of_tokens(F.col("_t"), 3).alias("_g"))
+    out = {
+        r["doc_id"]: (r["n_grams"], r["n_distinct"])
+        for r in g.select(
+            "doc_id",
+            F.size("_g").alias("n_grams"),
+            F.size(F.array_distinct("_g")).alias("n_distinct"),
+        ).collect()
+    }
+    assert 3 not in out  # two tokens -> no trigram row
+    n1, d1 = out[1]
+    n2, d2 = out[2]
+    assert d1 == n1  # distinct prose: every trigram unique
+    assert d2 / n2 < 0.5 < d1 / n1  # the repeated doc scores low
+
+
+def test_mix_domain_weights_flattens_mixture(spark):
+    """uniform_weight * share must equal 1/n_sources for every source —
+    i.e. applying the weights yields an exactly uniform mixture."""
+    from distgrep_spark import queries as q
+
+    rows = q.QUERIES["mix_domain_weights"](spark, "/root/testdata/sf0.001").collect()
+    n_sources = len(rows)
+    assert n_sources > 1
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-9
+    for r in rows:
+        assert abs(r["uniform_weight"] * r["share"] - 1.0 / n_sources) < 1e-9
