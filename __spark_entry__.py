@@ -109,6 +109,13 @@ POST_PREFIX = [
     "tpch_q14_promo_revenue",
     "tpch_q19_disjunctive_predicates",
     "tpch_q22_idle_customers",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q9_product_profit",
+    "tpch_q11_important_stock",
+    "tpch_q12_priority_classes",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_part_counts",
+    "tpch_q20_part_promotion",
     "multimodal_resize_dims",
     "multimodal_audio_segments",
     "stream_interval_join",

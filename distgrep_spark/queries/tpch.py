@@ -411,3 +411,353 @@ def tpch_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_nationkey")
         .agg(F.count(F.lit(1)).alias("numcust"), dsum("c_acctbal", "totacctbal"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-3 batch: Q2, Q9, Q11, Q12, Q15, Q16, Q20 — completes all 22 TPC-H
+# shapes. The fixture has no partsupp table, so the part↔supplier relation
+# is DERIVED from lineitem (distinct (l_partkey, l_suppkey) pairs, with
+# min(l_extendedprice / l_quantity) as the observed unit supply cost) —
+# the structural point of each query (correlated min subquery, global
+# scalar threshold, nested semi joins, NOT IN anti join) is preserved
+# exactly; the substitution is noted per query.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tpch_q2_min_cost_supplier",
+    oracle="""
+    WITH offers AS (
+      SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+             min(l_extendedprice / l_quantity) AS supply_cost
+      FROM lineitem GROUP BY 1, 2
+    ),
+    elig AS (
+      SELECT ps_partkey, ps_suppkey, supply_cost, s_acctbal, s_name, n_name
+      FROM offers
+        JOIN supplier ON ps_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_name, supply_cost
+    FROM part JOIN elig ON p_partkey = ps_partkey
+    WHERE p_size <= 15 AND p_type = 'LARGE'
+      AND supply_cost = (SELECT min(supply_cost) FROM elig e2
+                         WHERE e2.ps_partkey = p_partkey)
+    """,
+)
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for each qualifying part, the EUROPE supplier(s)
+    offering the minimum supply cost — a correlated scalar-min subquery,
+    decorrelated to a per-part min aggregate joined back on (partkey,
+    cost). (No partsupp in the fixture: the offer relation is the
+    distinct (l_partkey, l_suppkey) pairs with min unit price as cost.)
+    min() is order-independent, so the float equality rejoin is exact on
+    both engines. The 100 TB view: the supplier⋈nation⋈region dimension
+    chain broadcasts; the offers aggregate and the per-part min reuse
+    the same l_partkey hash partitioning, so AQE plans one exchange."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    offers = li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"), F.col("l_suppkey").alias("ps_suppkey")
+    ).agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("supply_cost"))
+    eu_supp = (
+        s.join(broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(broadcast(r.where(F.col("r_name") == "EUROPE")), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_acctbal", "s_name", "n_name")
+    )
+    elig = offers.join(broadcast(eu_supp), offers["ps_suppkey"] == eu_supp["s_suppkey"])
+    min_cost = elig.groupBy(F.col("ps_partkey").alias("_mk")).agg(
+        F.min("supply_cost").alias("_min_cost")
+    )
+    return (
+        p.where((F.col("p_size") <= 15) & (F.col("p_type") == "LARGE"))
+        .join(elig, p["p_partkey"] == elig["ps_partkey"])
+        .join(
+            min_cost,
+            (F.col("ps_partkey") == F.col("_mk"))
+            & (F.col("supply_cost") == F.col("_min_cost")),
+        )
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "supply_cost")
+    )
+
+
+@query(
+    "tpch_q9_product_profit",
+    oracle=f"""
+    SELECT n_name AS nation, year(o_orderdate) AS o_year,
+           {sql_dsum("l_extendedprice * (1 - l_discount) - 0.5 * p_retailprice * l_quantity", "sum_profit")}
+    FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN part     ON l_partkey = p_partkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY 1, 2
+    """,
+)
+def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit per supplier nation per year over a 5-table
+    snowflake with a part-name LIKE filter. (No partsupp: unit cost is
+    0.5 * p_retailprice instead of ps_supplycost — same expression
+    shape, revenue minus cost·quantity.) Per-row arithmetic stays in
+    IEEE doubles (bit-identical both engines); only the aggregate goes
+    through the exact-decimal dsum. The 100 TB view: part/supplier/
+    nation broadcast, the name filter prunes the part build side before
+    the join, and the only big shuffle is lineitem⋈orders."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.5 * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(broadcast(p.where(F.col("p_name").like("%red%"))), li["l_partkey"] == p["p_partkey"])
+        .join(broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(dsum(amount, "sum_profit"))
+    )
+
+
+@query(
+    "tpch_q11_important_stock",
+    oracle="""
+    WITH stock AS (
+      SELECT l_partkey AS ps_partkey,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS part_value
+      FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+      WHERE n_name IN ('NATION_3', 'NATION_8')
+      GROUP BY 1
+    )
+    SELECT ps_partkey, part_value
+    FROM stock
+    WHERE part_value > 0.002 * (SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE)
+                                FROM lineitem
+                                  JOIN supplier ON l_suppkey = s_suppkey
+                                  JOIN nation   ON s_nationkey = n_nationkey
+                                WHERE n_name IN ('NATION_3', 'NATION_8'))
+    """,
+)
+def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part inventory value for one nation group,
+    kept only where it exceeds a fraction of the GLOBAL total — the
+    group-by-HAVING-scalar-subquery pattern. (No partsupp: value =
+    sum(l_extendedprice) of the nations' suppliers' shipments.) Both the
+    per-part values and the global total go through exact-decimal sums,
+    so the 0.002·total threshold compare is bit-identical cross-engine
+    (closest fixture ratio is 2.3e-6 away — no knife edge). The 100 TB
+    view: the total is a broadcast 1-row crossJoin (no second scan
+    barrier on the driver), and both aggregates reuse one partial-agg
+    scan shape; nation/supplier broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    nat_supp = (
+        s.join(broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .where(F.col("n_name").isin("NATION_3", "NATION_8"))
+        .select("s_suppkey")
+    )
+    shipped = li.join(broadcast(nat_supp), li["l_suppkey"] == F.col("s_suppkey"))
+    stock = shipped.groupBy(F.col("l_partkey").alias("ps_partkey")).agg(
+        dsum("l_extendedprice", "part_value")
+    )
+    total = shipped.agg(dsum("l_extendedprice", "_total"))
+    return (
+        stock.crossJoin(broadcast(total))
+        .where(F.col("part_value") > 0.002 * F.col("_total"))
+        .select("ps_partkey", "part_value")
+    )
+
+
+@query(
+    "tpch_q12_priority_classes",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q12_priority_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: fact⋈fact join with a pair of CONDITIONAL counts
+    (urgent-vs-other order priority) per group. (Fixture has no
+    l_shipmode/l_commitdate/l_receiptdate: the group key is
+    (l_returnflag, l_linestatus) and the date window is on l_shipdate —
+    same join + pivoted conditional aggregation shape.) Conditional
+    sums are CAST BIGINT on both sides per the engine-neutral type
+    discipline (DuckDB integer sum is HUGEINT). The 100 TB view: the
+    date filter pushes to the lineitem scan; partial aggregation
+    happens map-side before the 6-group exchange."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(is_high, 0).otherwise(1)).cast("bigint").alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "tpch_q15_top_supplier",
+    oracle=f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             {sql_dsum("l_extendedprice * (1 - l_discount)", "total_revenue")}
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-07-01'
+      GROUP BY 1
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: a revenue view per supplier over a date window,
+    then the supplier(s) whose revenue EQUALS the view's max — the
+    classic aggregate-then-scalar-max-subquery. Revenue goes through
+    the exact-decimal dsum so the float equality against max() is exact
+    on both engines (max of identical values is order-independent). The
+    100 TB view: the max is a broadcast 1-row crossJoin over the
+    already-aggregated (tiny) revenue relation — the fact table is
+    scanned once; supplier broadcasts into the final join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    revenue = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-07-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "total_revenue"))
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("_max_rev"))
+    return (
+        s.join(revenue, s["s_suppkey"] == F.col("supplier_no"))
+        .crossJoin(broadcast(max_rev))
+        .where(F.col("total_revenue") == F.col("_max_rev"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@query(
+    "tpch_q16_supplier_part_counts",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT ps_suppkey) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+          FROM lineitem) ps
+      JOIN part ON p_partkey = ps_partkey
+    WHERE p_brand <> 'Brand#2'
+      AND p_type NOT LIKE 'PROMO%'
+      AND p_size IN (1, 4, 9, 14, 19, 24, 29, 34)
+      AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def tpch_q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct supplier count per (brand, type, size)
+    excluding blacklisted suppliers via NOT IN — which decorrelates to a
+    LEFT ANTI join (s_suppkey is non-null, so the NULL trap of NOT IN
+    doesn't bite). (No partsupp: the part↔supplier relation is the
+    distinct lineitem pairs; 'complaints' proxy is a negative account
+    balance.) The 100 TB view: the pair-distinct is the one big
+    shuffle; the blacklist and the filtered part dimension both
+    broadcast, and count(DISTINCT) over the already-distinct pairs
+    needs no second expand."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    pairs = li.select(
+        F.col("l_partkey").alias("ps_partkey"), F.col("l_suppkey").alias("ps_suppkey")
+    ).distinct()
+    blacklist = s.where(F.col("s_acctbal") < 0).select("s_suppkey")
+    part_dim = p.where(
+        (F.col("p_brand") != "Brand#2")
+        & (~F.col("p_type").like("PROMO%"))
+        & (F.col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34))
+    )
+    return (
+        pairs.join(broadcast(blacklist), pairs["ps_suppkey"] == F.col("s_suppkey"), "left_anti")
+        .join(broadcast(part_dim), pairs["ps_partkey"] == part_dim["p_partkey"])
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "tpch_q20_part_promotion",
+    oracle="""
+    SELECT s_name, s_acctbal
+    FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'EUROPE'
+      AND s_suppkey IN (
+        SELECT l_suppkey FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red %')
+          AND l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+        GROUP BY l_suppkey, l_partkey
+        HAVING sum(CAST(l_quantity AS BIGINT)) > 30)
+    """,
+)
+def tpch_q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: two-level nested IN — suppliers (in a region)
+    who shipped more than a threshold quantity of name-matched parts in
+    a year. Both IN levels decorrelate to LEFT SEMI joins; the inner
+    one carries a grouped HAVING. (No partsupp/availqty: the 0.5·qty
+    correlated threshold becomes a constant 30 against the same
+    per-(supplier, part) quantity aggregate — quantities are integral,
+    summed as BIGINT, so the HAVING edge is exact.) The 100 TB view:
+    the part-name filter broadcasts into a semi join that prunes
+    lineitem BEFORE the group-by; the qualifying-supplier set is tiny
+    and broadcasts into the final semi join; no row explosion at any
+    level."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    red_parts = p.where(F.col("p_name").like("red %")).select("p_partkey")
+    qualified = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(broadcast(red_parts), li["l_partkey"] == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("_q"))
+        .where(F.col("_q") > 30)
+        .select("l_suppkey")
+    )
+    return (
+        s.join(broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(broadcast(r.where(F.col("r_name") == "EUROPE")), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(broadcast(qualified), s["s_suppkey"] == F.col("l_suppkey"), "left_semi")
+        .select("s_name", "s_acctbal")
+    )
