@@ -453,10 +453,16 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     decorrelated to a per-part min aggregate joined back on (partkey,
     cost). (No partsupp in the fixture: the offer relation is the
     distinct (l_partkey, l_suppkey) pairs with min unit price as cost.)
-    min() is order-independent, so the float equality rejoin is exact on
-    both engines. The 100 TB view: the supplier⋈nation⋈region dimension
-    chain broadcasts; the offers aggregate and the per-part min reuse
-    the same l_partkey hash partitioning, so AQE plans one exchange."""
+    min() is order-independent, so the float equality against the
+    per-part minimum is exact on both engines. The 100 TB view: the
+    supplier⋈nation⋈region dimension chain broadcasts, and the
+    correlated min is a WINDOW min over ps_partkey rather than an
+    aggregate re-joined to itself — the window rides the same
+    l_partkey hash partitioning as the offers aggregate, so the whole
+    decorrelation costs two exchanges and no self sort-merge join
+    (the agg+rejoin form measured 5 exchanges + 1 SMJ)."""
+    from pyspark.sql.window import Window
+
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
     s = load_table(spark, sf_dir, "supplier")
@@ -470,18 +476,16 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(broadcast(r.where(F.col("r_name") == "EUROPE")), F.col("n_regionkey") == F.col("r_regionkey"))
         .select("s_suppkey", "s_acctbal", "s_name", "n_name")
     )
-    elig = offers.join(broadcast(eu_supp), offers["ps_suppkey"] == eu_supp["s_suppkey"])
-    min_cost = elig.groupBy(F.col("ps_partkey").alias("_mk")).agg(
-        F.min("supply_cost").alias("_min_cost")
+    elig = (
+        offers.join(broadcast(eu_supp), offers["ps_suppkey"] == eu_supp["s_suppkey"])
+        .withColumn(
+            "_min_cost", F.min("supply_cost").over(Window.partitionBy("ps_partkey"))
+        )
+        .where(F.col("supply_cost") == F.col("_min_cost"))
     )
     return (
         p.where((F.col("p_size") <= 15) & (F.col("p_type") == "LARGE"))
         .join(elig, p["p_partkey"] == elig["ps_partkey"])
-        .join(
-            min_cost,
-            (F.col("ps_partkey") == F.col("_mk"))
-            & (F.col("supply_cost") == F.col("_min_cost")),
-        )
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "supply_cost")
     )
 
