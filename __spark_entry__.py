@@ -140,6 +140,9 @@ POST_PREFIX = [
     "corpus_split_assign",
     "text_repetition_score",
     "mix_domain_weights",
+    "sessionize_events",
+    "sample_rebalance_lang",
+    "embed_quantize_int8",
 ]
 
 

@@ -874,3 +874,61 @@ def q_timeseries_monthly_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dense.withColumn(
         "mom_delta", F.col("revenue") - F.lag("revenue").over(w)
     )
+
+
+@query(
+    "sessionize_events",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL 12 HOUR THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts, value,
+             CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+      FROM marked
+    )
+    SELECT user_id, session_seq, count(*) AS n_events,
+           min(ts) AS session_start, max(ts) AS session_end,
+           CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
+    FROM sess GROUP BY user_id, session_seq
+    """,
+)
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (gaps-and-islands): a new session starts
+    after a >12 h silence; the session id is the running count of
+    session-starts per user — lag + conditional + prefix-sum + one
+    aggregate, the canonical batch twin of the streaming
+    session-window operator (stream_session_counts). The gap compare
+    stays in exact interval arithmetic (no float epochs); event_id
+    breaks timestamp ties so both engines mark identical boundaries,
+    and the closest fixture gap is 0.65 s from the 12 h edge. The
+    100 TB view: ONE shuffle on user_id serves both windows AND the
+    final group-by (all three key on the same column), and only
+    5-scalar session rows leave the exchange."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.withColumn(
+        "is_new",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.col("ts") - F.lag("ts").over(w) > F.expr("INTERVAL 12 HOURS")),
+            1,
+        ).otherwise(0),
+    )
+    sess = marked.withColumn(
+        "session_seq",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sess.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias("total_value"),
+    )

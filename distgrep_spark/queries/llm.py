@@ -1101,3 +1101,127 @@ def q_mix_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "uniform_weight"
         ),
     )
+
+
+@query(
+    "sample_rebalance_lang",
+    oracle="""
+    WITH counts AS (
+      SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
+    ),
+    target AS (SELECT min(n_docs) AS min_docs FROM counts)
+    SELECT doc_id, lang
+    FROM (
+      SELECT d.doc_id, d.lang,
+             CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)) AS INTEGER) AS _bucket,
+             CAST(t.min_docs AS DOUBLE) / c.n_docs * 65536 AS _cut
+      FROM documents d JOIN counts c ON d.lang = c.lang CROSS JOIN target t
+    ) WHERE _bucket < _cut
+    """,
+)
+def q_sample_rebalance_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture rebalancing: downsample every language to
+    the rarest language's expected size via an md5-bucket threshold —
+    the "flatten the language distribution" step of a pretraining
+    recipe, without RNG. Each doc's 16-bit bucket is a pure function of
+    doc_id, so the sample is reproducible under resharding and
+    incremental appends (the property `sample_stratified`'s per-row
+    hash shares); the per-lang cut is min_docs/n_docs · 65536, joined
+    in from a broadcast 5-row aggregate. The comparison is int-vs-
+    identical-IEEE-double on both engines and the closest fixture
+    bucket sits 78 units from its cut — no knife edge. The 100 TB
+    view: one scan, one broadcast join, no shuffle of document
+    payloads; the lang histogram is the only aggregate."""
+    from pyspark.sql.functions import broadcast
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy(F.col("lang").alias("_lang")).agg(
+        F.count(F.lit(1)).alias("_n_docs")
+    )
+    target = counts.agg(F.min("_n_docs").alias("_min_docs"))
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast(
+        "int"
+    )
+    return (
+        docs.join(broadcast(counts), docs["lang"] == F.col("_lang"))
+        .crossJoin(broadcast(target))
+        .where(
+            bucket
+            < F.col("_min_docs").cast("double") / F.col("_n_docs") * F.lit(65536)
+        )
+        .select("doc_id", "lang")
+    )
+
+
+@query(
+    "embed_quantize_int8",
+    oracle="""
+    WITH xd AS (
+      SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x
+      FROM embeddings
+    ),
+    scaled AS (
+      SELECT vec_id, x,
+             greatest(list_max(list_transform(x, v -> abs(v))), 1e-12) / 127 AS scale
+      FROM xd
+    ),
+    quant AS (
+      SELECT vec_id, x, scale,
+             list_transform(x, v -> greatest(-127, least(127, floor(v / scale + 0.5)))) AS q
+      FROM scaled
+    )
+    SELECT vec_id, scale,
+           CAST(len(list_filter(q, v -> abs(v) = 127)) AS BIGINT) AS n_sat,
+           list_max(list_transform(list_zip(q, x),
+                                   p -> abs(p[1] * scale - p[2]))) AS max_err
+    FROM quant
+    """,
+)
+def q_embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization with a per-vector scale
+    (max-abs / 127) and its reconstruction-error audit — the storage
+    path that turns a 100 TB float corpus into ~25 TB of int8 + one
+    double per vector before ANN indexing. Rounding is floor(x/s + .5)
+    (not round(): half-even vs half-up differs between engines; floor
+    of identical IEEE doubles cannot), saturation is clamped at ±127,
+    and every float is widened to double FIRST so both engines run the
+    same double-only expression tree. Per CLAUDE.md the element arrays
+    are materialized column-by-column (xd → scale → q) so no HOF
+    lambda re-inlines the scale computation per element. Entirely
+    map-side: one scan, zero shuffles, four scalars out per vector.
+    max_err ≤ scale/2 by construction wherever no element saturates."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    xd = emb.select(
+        "vec_id", F.transform(F.col("embedding"), lambda v: v.cast("double")).alias("x")
+    )
+    scaled = xd.select(
+        "vec_id",
+        "x",
+        (
+            F.greatest(
+                F.array_max(F.transform(F.col("x"), lambda v: F.abs(v))), F.lit(1e-12)
+            )
+            / 127
+        ).alias("scale"),
+    )
+    quant = scaled.select(
+        "vec_id",
+        "x",
+        "scale",
+        F.transform(
+            F.col("x"),
+            lambda v: F.greatest(
+                F.lit(-127.0), F.least(F.lit(127.0), F.floor(v / F.col("scale") + 0.5))
+            ),
+        ).alias("q"),
+    )
+    return quant.select(
+        "vec_id",
+        "scale",
+        F.size(F.filter(F.col("q"), lambda v: F.abs(v) == 127))
+        .cast("bigint")
+        .alias("n_sat"),
+        F.array_max(
+            F.zip_with(F.col("q"), F.col("x"), lambda qv, xv: F.abs(qv * F.col("scale") - xv))
+        ).alias("max_err"),
+    )

@@ -137,3 +137,63 @@ def test_mix_domain_weights_flattens_mixture(spark):
     assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-9
     for r in rows:
         assert abs(r["uniform_weight"] * r["share"] - 1.0 / n_sources) < 1e-9
+
+
+def test_sessionize_partitions_events_and_respects_gap(spark):
+    """Sessions partition the event set; inside a session every
+    consecutive gap is <= 12h, and session boundaries are > 12h."""
+    from distgrep_spark import queries as q
+
+    sf = "/root/testdata/sf0.001"
+    sessions = q.QUERIES["sessionize_events"](spark, sf).collect()
+    n_events = spark.read.parquet(f"{sf}/events.parquet").count()
+    assert sum(r["n_events"] for r in sessions) == n_events
+    by_user: dict[int, list] = {}
+    for r in sessions:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for rows in by_user.values():
+        rows.sort(key=lambda r: r["session_seq"])
+        assert [r["session_seq"] for r in rows] == list(range(1, len(rows) + 1))
+        for a, b in zip(rows, rows[1:]):
+            assert a["session_end"] < b["session_start"]
+            gap = (b["session_start"] - a["session_end"]).total_seconds()
+            assert gap > 12 * 3600
+
+
+def test_quantize_error_bounded_by_half_step(spark):
+    """Where nothing saturates, |dequant - x| <= scale/2 (+ float eps)."""
+    from distgrep_spark import queries as q
+
+    rows = q.QUERIES["embed_quantize_int8"](spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        if r["n_sat"] == 0:
+            assert r["max_err"] <= r["scale"] / 2 + 1e-12
+        assert r["scale"] > 0
+
+
+def test_rebalance_keeps_subset_and_flattens(spark):
+    """Kept set is a per-lang subset, deterministic, and every lang
+    lands within binomial noise of the rarest lang's count."""
+    from distgrep_spark import queries as q
+
+    sf = "/root/testdata/sf0.01"
+    kept = q.QUERIES["sample_rebalance_lang"](spark, sf).collect()
+    again = q.QUERIES["sample_rebalance_lang"](spark, sf).collect()
+    assert sorted(r["doc_id"] for r in kept) == sorted(r["doc_id"] for r in again)
+    orig = {
+        r["lang"]: r["cnt"]
+        for r in spark.read.parquet(f"{sf}/documents.parquet")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    target = min(orig.values())
+    got: dict[str, int] = {}
+    for r in kept:
+        got[r["lang"]] = got.get(r["lang"], 0) + 1
+    for lang, n in got.items():
+        assert n <= orig[lang]
+        # expected `target` keeps; allow 5-sigma binomial slack
+        sigma = (target * (1 - target / orig[lang])) ** 0.5
+        assert abs(n - target) <= 5 * sigma + 1
