@@ -132,3 +132,45 @@ def test_whole_stage_codegen_covers_grep(spark):
         )
     )
     assert "*" in simple  # WholeStageCodegen stages are starred
+
+
+def test_q2_window_decorrelation_has_no_self_smj(spark):
+    """Q2's correlated scalar-min must resolve as a window over the
+    offers aggregation's partitioning — not an aggregate re-joined to
+    itself (which measured 5 exchanges + a self sort-merge join)."""
+    plan = formatted_plan(q.QUERIES["tpch_q2_min_cost_supplier"](spark, SF_ORACLE))
+    assert "Window" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q20_nested_in_stays_semi_joins(spark):
+    """Both IN levels of Q20 must be semi joins (no row duplication),
+    with the part-name filter pushed to the part scan."""
+    plan = formatted_plan(q.QUERIES["tpch_q20_part_promotion"](spark, SF_ORACLE))
+    assert "LeftSemi" in plan
+    assert "StringStartsWith(p_name,red )" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q9_dimensions_broadcast(spark):
+    """Q9's part/supplier/nation sides must broadcast; the only
+    shuffle-worthy join is lineitem x orders."""
+    plan = formatted_plan(q.QUERIES["tpch_q9_product_profit"](spark, SF_ORACLE))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "Contains(p_name,red)" in plan  # LIKE %red% pushed to part scan
+
+
+def test_sessionize_single_exchange(spark):
+    """Both windows and the final group-by key on user_id — the plan
+    must contain exactly one hash-partitioning exchange."""
+    df = q.QUERIES["sessionize_events"](spark, SF_ORACLE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_quantize_is_map_side_only(spark):
+    """int8 quantization must not shuffle: one scan, zero exchanges."""
+    df = q.QUERIES["embed_quantize_int8"](spark, SF_ORACLE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
