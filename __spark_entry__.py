@@ -143,6 +143,14 @@ POST_PREFIX = [
     "sessionize_events",
     "sample_rebalance_lang",
     "embed_quantize_int8",
+    # round-3 profiling/layout batch (distinct shapes, full oracles)
+    "profile_column_stats",
+    "agg_histogram_equiwidth",
+    "window_topk_per_group",
+    "join_bloom_prefilter",
+    "text_dup_span_fraction",
+    "layout_zorder_locality",
+    "agg_corr_covar",
 ]
 
 

@@ -1,0 +1,491 @@
+"""Data-profiling, layout, and corpus-quality queries (round-3 batch).
+
+The 100-TB rationale per query:
+
+- ``profile_column_stats``: ANALYZE-style single-pass multi-column
+  profile — ONE scan producing all per-column null/distinct/min/max
+  stats (map-side partial aggs, a scalar result). At 100 TB you cannot
+  afford a scan per column; this is the one-pass shape.
+- ``agg_histogram_equiwidth``: equi-width histogram as a groupBy on a
+  computed bin key — fully map-side combinable, no sort, 20-row result.
+- ``window_topk_per_group``: per-group top-k via row_number — the
+  bounded alternative to a global sort; each group's heap lives inside
+  one shuffle partition.
+- ``join_bloom_prefilter``: semi-join reduction via a broadcast bit-set
+  built from the small build side. At scale this is the hand-rolled
+  version of runtime bloom-filter pushdown (Spark's
+  ``spark.sql.optimizer.runtime.bloomFilter.enabled``): the probe scan
+  drops non-matching rows BEFORE the shuffle, so the join moves only
+  candidate rows.
+- ``text_dup_span_fraction``: RefinedWeb/Gopher-style cross-document
+  repetition signal. The shingle inverted index shuffles (gram, doc)
+  pairs once; at 100 TB you'd shuffle 8-byte xxhash64 gram keys instead
+  of gram strings (exactly like ``dedup_hash`` vs ``dedup_exact``) —
+  same plan shape, narrower rows.
+- ``layout_zorder_locality``: Morton (Z-order) interleave of two join
+  dims as a clustering key. Writing 100-TB parquet sorted by this key
+  gives min/max row-group pruning on BOTH dims at once; the query
+  proves the locality property (every 64-cell Z-tile spans exactly one
+  8x8 block of the (x, y) grid) with count-distinct gates the oracle
+  re-derives arithmetically.
+- ``agg_corr_covar``: Pearson correlation / covariance assembled from
+  exact DECIMAL component sums (n, sx, sy, sxx, syy, sxy) — one pass,
+  order-independent, cross-engine bit-stable (the same exact decimal
+  totals cast to the same doubles; see functions/numeric.py).
+
+No reference counterpart (the reference's only query is grep,
+worker.go:24-43); these extend the north-star pipeline surface
+(BASELINE.json) with the profiling/layout ops a training-data pipeline
+runs before and after every dedup pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from distgrep_spark.functions.textfns import WS, ngrams_of_tokens
+from distgrep_spark.queries.registry import query
+from distgrep_spark.sources.catalog import load_table
+
+# ---------------------------------------------------------------------------
+# Single-pass column profile (ANALYZE-style)
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = ["o_orderstatus", "o_orderpriority", "o_custkey", "o_orderdate"]
+
+
+@query(
+    "profile_column_stats",
+    oracle="""
+    SELECT 'o_orderstatus' AS column_name, count(*) AS n_rows,
+           count(*) - count(o_orderstatus) AS n_nulls,
+           count(DISTINCT o_orderstatus) AS n_distinct,
+           CAST(min(o_orderstatus) AS VARCHAR) AS min_val,
+           CAST(max(o_orderstatus) AS VARCHAR) AS max_val
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+           count(DISTINCT o_orderpriority),
+           CAST(min(o_orderpriority) AS VARCHAR),
+           CAST(max(o_orderpriority) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', count(*), count(*) - count(o_custkey),
+           count(DISTINCT o_custkey),
+           CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderdate', count(*), count(*) - count(o_orderdate),
+           count(DISTINCT o_orderdate),
+           strftime(min(o_orderdate), '%Y-%m-%d'),
+           strftime(max(o_orderdate), '%Y-%m-%d')
+    FROM orders
+    """,
+)
+def q_profile_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-scan table profile: per-column row/null/distinct counts and
+    min/max, unpivoted to one row per column via ``stack``.
+
+    The oracle states the same facts as four single-column scans
+    (UNION ALL) — DuckDB is fine with that at sf0.01; the POINT of the
+    Spark side is that it is ONE pass: a single aggregate computes every
+    column's stats as independent agg expressions (all map-side
+    combinable), and ``stack`` reshapes the 1-row result driver-side.
+    Min/max are normalized to strings (dates via an explicit format) so
+    one schema fits every column. The four UNION branches in the oracle
+    vs one Spark scan is deliberate — same values, 4x the reads; the
+    Spark shape is the one that survives 100 TB."""
+    o = load_table(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in _PROFILE_COLS:
+        aggs.append(F.count(c).alias(f"nn_{c}"))
+        aggs.append(F.countDistinct(c).alias(f"nd_{c}"))
+        if c == "o_orderdate":
+            aggs.append(F.date_format(F.min(c), "yyyy-MM-dd").alias(f"mn_{c}"))
+            aggs.append(F.date_format(F.max(c), "yyyy-MM-dd").alias(f"mx_{c}"))
+        else:
+            aggs.append(F.min(c).cast("string").alias(f"mn_{c}"))
+            aggs.append(F.max(c).cast("string").alias(f"mx_{c}"))
+    prof = o.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', n_rows - nn_{c}, nd_{c}, mn_{c}, mx_{c}" for c in _PROFILE_COLS
+    )
+    return prof.selectExpr(
+        "n_rows",
+        f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
+        "(column_name, n_nulls, n_distinct, min_val, max_val)",
+    ).select("column_name", "n_rows", "n_nulls", "n_distinct", "min_val", "max_val")
+
+
+# ---------------------------------------------------------------------------
+# Equi-width histogram
+# ---------------------------------------------------------------------------
+
+_BIN_W = 25000.0
+_BIN_MAX = 19
+
+
+@query(
+    "agg_histogram_equiwidth",
+    oracle=f"""
+    SELECT CAST(least(floor(o_totalprice / {_BIN_W}), {_BIN_MAX}.0) AS BIGINT) AS bin_id,
+           CAST(CAST(least(floor(o_totalprice / {_BIN_W}), {_BIN_MAX}.0) AS BIGINT)
+                * {_BIN_W} AS DOUBLE) AS bin_lo,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS price_sum
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def q_agg_histogram_equiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of order totals (20 bins, top bin open).
+
+    Bin key is computed per-row (map-side), so the whole histogram is a
+    partial-agg + 20-row exchange — the canonical distributive shape.
+    Bin edges are exact multiples of the width; floor of the same IEEE
+    division is engine-identical, and the price sum uses the exact
+    decimal accumulation convention (functions/numeric.py)."""
+    o = load_table(spark, sf_dir, "orders")
+    bin_id = F.least(
+        F.floor(F.col("o_totalprice") / F.lit(_BIN_W)), F.lit(_BIN_MAX)
+    ).cast("bigint")
+    return (
+        o.groupBy(bin_id.alias("bin_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(25,6)"))
+            .cast("double")
+            .alias("price_sum"),
+        )
+        .select(
+            "bin_id",
+            (F.col("bin_id") * F.lit(_BIN_W)).alias("bin_lo"),
+            "n_orders",
+            "price_sum",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Top-k per group
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "window_topk_per_group",
+    oracle="""
+    SELECT c_mktsegment, o_orderkey, o_totalprice, rn
+    FROM (
+      SELECT c_mktsegment, o_orderkey, o_totalprice,
+             CAST(row_number() OVER (
+               PARTITION BY c_mktsegment
+               ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    )
+    WHERE rn <= 3
+    """,
+)
+def q_window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per market segment: broadcast the dim, rank inside
+    each segment partition, keep rn <= 3.
+
+    The scale point vs ``topk_customers`` (global TakeOrderedAndProject):
+    per-GROUP top-k can't be a global limit; the window form shuffles
+    once on the group key and each partition keeps a bounded buffer.
+    Ties broken by o_orderkey so the ranking is total and
+    engine-identical. rn cast to BIGINT (DuckDB row_number is BIGINT,
+    Spark's is INT — the round-2 type lesson applied up front)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_mktsegment",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).cast("bigint").alias("rn"),
+        )
+        .where(F.col("rn") <= 3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-style broadcast prefilter (semi-join reduction)
+# ---------------------------------------------------------------------------
+
+_BLOOM_BITS = 8192
+
+
+@query(
+    "join_bloom_prefilter",
+    oracle="""
+    SELECT c_custkey, TRUE AS in_bloom
+    FROM customer
+    WHERE c_custkey IN
+          (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+    """,
+)
+def q_join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast bit-set prefilter certified by its no-false-negative
+    theorem (the same companion-gate pattern as ``dedup_minhash_recall``).
+
+    Build side: distinct hash buckets ``xxhash64(key) mod 8192`` of the
+    urgent orders' custkeys, collected into ONE array row and broadcast.
+    Probe side: customers whose bucket hits the set are candidates —
+    a map-side filter, no shuffle. The emitted rows are the EXACT
+    semi-join matches (what the oracle computes) left-joined to the
+    candidate set: a bloom filter admits false positives but never false
+    negatives, so every row must carry ``in_bloom = TRUE``; a FALSE
+    would flip the driver hash. Deterministic: xxhash64 with a fixed
+    integer seed is partition-layout-independent.
+
+    At 100 TB the same shape is Spark's runtime bloom pushdown
+    (``spark.sql.optimizer.runtime.bloomFilter.enabled``, on in
+    session.py): the probe-side scan drops rows pre-shuffle. The pytest
+    twin additionally measures the false-positive pressure the gate
+    tolerates (candidates between exact matches and table size)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    urgent = o.where(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    bits = urgent.agg(
+        F.collect_set(
+            F.pmod(F.xxhash64("o_custkey"), F.lit(_BLOOM_BITS))
+        ).alias("bits")
+    )
+    cand = (
+        c.crossJoin(F.broadcast(bits))
+        .where(
+            F.array_contains(
+                "bits", F.pmod(F.xxhash64("c_custkey"), F.lit(_BLOOM_BITS))
+            )
+        )
+        .select("c_custkey", F.lit(True).alias("in_bloom"))
+    )
+    exact = c.join(urgent, c.c_custkey == urgent.o_custkey, "left_semi").select(
+        "c_custkey"
+    )
+    return exact.join(cand, "c_custkey", "left").select(
+        "c_custkey", F.coalesce("in_bloom", F.lit(False)).alias("in_bloom")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-document duplicated-span fraction
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_dup_span_fraction",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id,
+             t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4] AS gram
+      FROM toks, LATERAL unnest(generate_series(1, greatest(len(t) - 4, 0))) AS u(i)
+    ),
+    df AS (SELECT gram, count(DISTINCT doc_id) AS ndocs FROM grams GROUP BY gram)
+    SELECT g.doc_id,
+           count(*) AS n_grams,
+           count(*) FILTER (WHERE d.ndocs >= 2) AS n_dup_grams,
+           count(*) FILTER (WHERE d.ndocs >= 2) * 1.0 / count(*) AS dup_frac
+    FROM grams g JOIN df d USING (gram)
+    GROUP BY g.doc_id
+    """,
+)
+def q_text_dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document fraction of 5-gram shingles shared with ANY other
+    document — the cross-corpus repetition quality signal (high fraction
+    = boilerplate / near-dup material worth down-weighting before
+    training).
+
+    Plan: tokenize once (materialized token array, see
+    ngrams_of_tokens' inlining gotcha), explode distinct (doc, gram)
+    pairs, ONE shuffle on gram to count document frequency, ONE shuffle
+    back on doc_id for the per-doc ratio. Same tokenizer and gram
+    construction as dedup_ngram_jaccard, so the inverted index is
+    shareable between the two passes in a real pipeline. The ratio of
+    two exact BIGINTs divides identically in both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), WS).alias("t")
+    )
+    grams = (
+        toks.select("doc_id", F.explode(ngrams_of_tokens(F.col("t"), 5)).alias("gram"))
+        .distinct()
+    )
+    dfreq = grams.groupBy("gram").agg(F.countDistinct("doc_id").alias("ndocs"))
+    return (
+        grams.join(dfreq, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count(F.when(F.col("ndocs") >= 2, 1)).alias("n_dup_grams"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_dup_grams",
+            (F.col("n_dup_grams") * F.lit(1.0) / F.col("n_grams")).alias("dup_frac"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) clustering key + locality proof
+# ---------------------------------------------------------------------------
+
+
+def _interleave_expr(x: str, y: str, shl: str, shr: str) -> str:
+    """Bit-interleave expression for two 8-bit values, engine-spelled.
+
+    ``shl``/``shr`` are format templates (Spark: shiftleft/shiftright
+    functions; DuckDB: << / >> operators). The 16 single-bit terms have
+    disjoint target bits, so they combine with | — no addition, no ANSI
+    overflow surface."""
+    terms = []
+    for i in range(8):
+        xbit = f"({shr.format(v=x, n=i)} & 1)"
+        ybit = f"({shr.format(v=y, n=i)} & 1)"
+        terms.append(shl.format(v=xbit, n=2 * i))
+        terms.append(shl.format(v=ybit, n=2 * i + 1))
+    return "(" + " | ".join(terms) + ")"
+
+
+_SPARK_Z = _interleave_expr(
+    "(l_partkey & 255)", "(l_suppkey & 255)", "shiftleft({v}, {n})", "shiftright({v}, {n})"
+)
+_DUCK_Z = _interleave_expr(
+    "(l_partkey & 255)", "(l_suppkey & 255)", "({v} << {n})", "({v} >> {n})"
+)
+
+
+@query(
+    "layout_zorder_locality",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT {_DUCK_Z} AS zkey,
+             (l_partkey & 255) AS zx,
+             (l_suppkey & 255) AS zy
+      FROM lineitem
+    )
+    SELECT (zkey >> 6) AS ztile,
+           count(*) AS n_rows,
+           count(DISTINCT zkey) AS n_cells,
+           (min(zx) >> 3) AS x_block,
+           (min(zy) >> 3) AS y_block,
+           count(DISTINCT (zx >> 3)) AS n_xblocks,
+           count(DISTINCT (zy >> 3)) AS n_yblocks
+    FROM keyed
+    GROUP BY 1
+    """,
+)
+def q_layout_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) key over the (partkey, suppkey) join dims, with
+    the locality theorem emitted as data: every 64-cell Z-tile
+    (``zkey >> 6``) covers exactly ONE 8x8 block of the 2-D grid, so
+    ``n_xblocks = n_yblocks = 1`` on every row — any interleave bug
+    flips those counts and the driver hash.
+
+    Why it matters at 100 TB: writing the fact table sorted by ``zkey``
+    clusters BOTH dims simultaneously, so parquet row-group min/max
+    stats prune selective predicates on either key (a single-column sort
+    only prunes one). The key is pure bitwise column arithmetic —
+    whole-stage-codegen'd, no UDF; the oracle re-derives the identical
+    bits with DuckDB's operator spellings."""
+    li = load_table(spark, sf_dir, "lineitem")
+    keyed = li.selectExpr(
+        f"{_SPARK_Z} AS zkey",
+        "(l_partkey & 255) AS zx",
+        "(l_suppkey & 255) AS zy",
+    )
+    return keyed.selectExpr(
+        "shiftright(zkey, 6) AS ztile", "zkey", "zx", "zy"
+    ).groupBy("ztile").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("zkey").alias("n_cells"),
+        F.expr("shiftright(min(zx), 3)").alias("x_block"),
+        F.expr("shiftright(min(zy), 3)").alias("y_block"),
+        F.countDistinct(F.expr("shiftright(zx, 3)")).alias("n_xblocks"),
+        F.countDistinct(F.expr("shiftright(zy, 3)")).alias("n_yblocks"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Correlation / covariance from exact component sums
+# ---------------------------------------------------------------------------
+
+_CORR_COMPONENTS = """
+      count(*) AS n,
+      CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sx,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS sy,
+      CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sxx,
+      CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS syy,
+      CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS sxy
+"""
+
+_CORR_FINAL = """
+      round((sxy - sx * sy / n) / n, 4) AS covar_pop,
+      round((n * sxy - sx * sy)
+            / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 4) AS corr_qp
+"""
+
+
+@query(
+    "agg_corr_covar",
+    oracle=f"""
+    WITH comp AS (
+      SELECT l_returnflag,
+      {_CORR_COMPONENTS}
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n AS n_rows,
+    {_CORR_FINAL}
+    FROM comp
+    """,
+)
+def q_agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag Pearson correlation and population covariance of
+    (quantity, extendedprice), assembled from exact decimal component
+    sums in one pass.
+
+    Spark's builtin ``corr``/``covar_pop`` stream doubles in partition
+    order, so their low bits are layout-dependent — unusable under the
+    driver's value hash (and drifty at 100 TB). Instead the five
+    component sums accumulate exactly (quantities are integers, prices
+    2-dp, products <= 4-dp — all within DECIMAL(25,6)), the identical
+    exact totals cast to identical doubles on both engines, and the
+    final expression tree evaluates bit-identically; round(4) matches
+    the repo's transcendental convention. pytest cross-checks the
+    builtin ``corr`` agrees to 1e-9 at sf0.001. The SHAPE is the same
+    single-pass partial-agg as any sum — n, sx..sxy combine
+    map-side; only 6 doubles per group cross the wire."""
+    li = load_table(spark, sf_dir, "lineitem")
+    comp = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE)").alias("sx"),
+        F.expr(
+            "CAST(sum(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE)"
+        ).alias("sy"),
+        F.expr(
+            "CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(25,6))) AS DOUBLE)"
+        ).alias("sxx"),
+        F.expr(
+            "CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(25,6))) AS DOUBLE)"
+        ).alias("syy"),
+        F.expr(
+            "CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(25,6))) AS DOUBLE)"
+        ).alias("sxy"),
+    )
+    return comp.selectExpr(
+        "l_returnflag",
+        "n AS n_rows",
+        "round((sxy - sx * sy / n) / n, 4) AS covar_pop",
+        "round((n * sxy - sx * sy)"
+        " / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 4) AS corr_qp",
+    )

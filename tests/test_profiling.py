@@ -1,0 +1,113 @@
+"""Property tests for the round-3 profiling/layout query batch (the
+DuckDB value parity itself is covered by tools/check_oracles.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+import distgrep_spark.queries as q
+from distgrep_spark.sources.catalog import load_table
+
+
+def test_profile_matches_single_column_facts(spark, sf_dir):
+    rows = {r["column_name"]: r for r in q.QUERIES["profile_column_stats"](spark, sf_dir).collect()}
+    o = load_table(spark, sf_dir, "orders")
+    n = o.count()
+    assert set(rows) == {"o_orderstatus", "o_orderpriority", "o_custkey", "o_orderdate"}
+    for r in rows.values():
+        assert r["n_rows"] == n
+        assert r["n_nulls"] == 0
+    assert rows["o_custkey"]["n_distinct"] == o.select("o_custkey").distinct().count()
+
+
+def test_histogram_partitions_the_table(spark, sf_dir):
+    hist = q.QUERIES["agg_histogram_equiwidth"](spark, sf_dir).collect()
+    o = load_table(spark, sf_dir, "orders")
+    assert sum(r["n_orders"] for r in hist) == o.count()
+    for r in hist:
+        assert 0 <= r["bin_id"] <= 19
+        assert r["bin_lo"] == r["bin_id"] * 25000.0
+    total = sum(r["price_sum"] for r in hist)
+    exact = o.agg(F.sum(F.col("o_totalprice").cast("decimal(25,6)"))).collect()[0][0]
+    assert abs(total - float(exact)) < 1e-6 * max(1.0, float(exact))
+
+
+def test_topk_per_group_is_bounded_and_ranked(spark, sf_dir):
+    rows = q.QUERIES["window_topk_per_group"](spark, sf_dir).collect()
+    by_seg: dict[str, list] = {}
+    for r in rows:
+        by_seg.setdefault(r["c_mktsegment"], []).append(r)
+    for seg_rows in by_seg.values():
+        assert 1 <= len(seg_rows) <= 3
+        seg_rows.sort(key=lambda r: r["rn"])
+        assert [r["rn"] for r in seg_rows] == list(range(1, len(seg_rows) + 1))
+        prices = [r["o_totalprice"] for r in seg_rows]
+        assert prices == sorted(prices, reverse=True)
+
+
+def test_bloom_prefilter_no_false_negatives_and_bounded_fp(spark, sf_dir):
+    rows = q.QUERIES["join_bloom_prefilter"](spark, sf_dir).collect()
+    assert rows and all(r["in_bloom"] for r in rows)
+    # candidate pressure: bloom candidates sit between the exact matches
+    # and the whole table (strictly fewer than the table unless saturated)
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    urgent = o.where(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    bits = urgent.agg(
+        F.collect_set(F.pmod(F.xxhash64("o_custkey"), F.lit(8192))).alias("bits")
+    )
+    n_cand = (
+        c.crossJoin(F.broadcast(bits))
+        .where(F.array_contains("bits", F.pmod(F.xxhash64("c_custkey"), F.lit(8192))))
+        .count()
+    )
+    assert len(rows) <= n_cand <= c.count()
+
+
+def test_dup_span_fraction_is_1_for_planted_exact_dups(spark, sf_dir):
+    res = q.QUERIES["text_dup_span_fraction"](spark, sf_dir)
+    rows = {r["doc_id"]: r for r in res.collect()}
+    for r in rows.values():
+        assert 0.0 <= r["dup_frac"] <= 1.0
+        assert 0 <= r["n_dup_grams"] <= r["n_grams"]
+    docs = load_table(spark, sf_dir, "documents")
+    dup_ids = [
+        r["doc_id"]
+        for r in docs.groupBy("text")
+        .agg(F.count(F.lit(1)).alias("n"), F.collect_list("doc_id").alias("ids"))
+        .where(F.col("n") >= 2)
+        .select(F.explode("ids").alias("doc_id"))
+        .collect()
+    ]
+    assert dup_ids, "fixture should contain planted exact duplicates"
+    for d in dup_ids:
+        if d in rows:  # docs shorter than 5 tokens have no grams
+            assert rows[d]["dup_frac"] == 1.0
+
+
+def test_zorder_tiles_cover_exactly_one_block(spark, sf_dir):
+    rows = q.QUERIES["layout_zorder_locality"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_xblocks"] == 1 and r["n_yblocks"] == 1
+        assert 1 <= r["n_cells"] <= 64
+        # the tile id itself re-interleaves the block coordinates
+        assert 0 <= r["ztile"] < 1024
+
+
+def test_corr_components_agree_with_builtin(spark, sf_dir):
+    res = {r["l_returnflag"]: r for r in q.QUERIES["agg_corr_covar"](spark, sf_dir).collect()}
+    li = load_table(spark, sf_dir, "lineitem")
+    ref = {
+        r["l_returnflag"]: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.corr("l_quantity", "l_extendedprice").alias("c"),
+            F.covar_pop("l_quantity", "l_extendedprice").alias("v"),
+        )
+        .collect()
+    }
+    assert set(res) == set(ref)
+    for flag, r in res.items():
+        assert abs(r["corr_qp"] - ref[flag]["c"]) < 1e-3
+        assert abs(r["covar_pop"] - ref[flag]["v"]) < 1e-3 * max(1.0, abs(ref[flag]["v"]))
