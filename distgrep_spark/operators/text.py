@@ -202,3 +202,42 @@ def chunk_documents(
             F.size(F.slice("_toks", F.col("_start"), chunk_tokens)).alias("n_tokens"),
         )
     )
+
+
+def dup_span_fraction(
+    df: DataFrame, *, n: int = 5, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document fraction of n-gram shingles shared with ANY other
+    document — the RefinedWeb/Gopher-style cross-document repetition
+    signal (high fraction = boilerplate / near-dup material worth
+    down-weighting before training). Documents shorter than n tokens
+    emit no row.
+
+    Plan: tokenize once (materialized token array — see
+    ngrams_of_tokens' inlining gotcha), explode distinct (doc, gram)
+    pairs, ONE shuffle on gram for document frequency, ONE shuffle back
+    on the doc id for the per-doc ratio. Same tokenizer and gram
+    construction as the Jaccard dedup pass, so at 100 TB the inverted
+    index is shareable between the two (and the gram key would be its
+    8-byte xxhash64, exactly like dedup_hash vs dedup_exact)."""
+    from distgrep_spark.functions.textfns import ngrams_of_tokens, tokens
+
+    toks = df.select(id_col, tokens(F.col(text_col)).alias("_t"))
+    grams = toks.select(
+        id_col, F.explode(ngrams_of_tokens(F.col("_t"), n)).alias("gram")
+    ).distinct()
+    dfreq = grams.groupBy("gram").agg(F.countDistinct(id_col).alias("ndocs"))
+    return (
+        grams.join(dfreq, "gram")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count(F.when(F.col("ndocs") >= 2, 1)).alias("n_dup_grams"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            "n_dup_grams",
+            (F.col("n_dup_grams") * F.lit(1.0) / F.col("n_grams")).alias("dup_frac"),
+        )
+    )

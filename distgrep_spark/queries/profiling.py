@@ -44,7 +44,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from distgrep_spark.functions.textfns import WS, ngrams_of_tokens
+from distgrep_spark.operators.text import dup_span_fraction
 from distgrep_spark.queries.registry import query
 from distgrep_spark.sources.catalog import load_table
 
@@ -311,29 +311,7 @@ def q_text_dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction as dedup_ngram_jaccard, so the inverted index is
     shareable between the two passes in a real pipeline. The ratio of
     two exact BIGINTs divides identically in both engines."""
-    docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.split(F.trim(F.col("text")), WS).alias("t")
-    )
-    grams = (
-        toks.select("doc_id", F.explode(ngrams_of_tokens(F.col("t"), 5)).alias("gram"))
-        .distinct()
-    )
-    dfreq = grams.groupBy("gram").agg(F.countDistinct("doc_id").alias("ndocs"))
-    return (
-        grams.join(dfreq, "gram")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.count(F.when(F.col("ndocs") >= 2, 1)).alias("n_dup_grams"),
-        )
-        .select(
-            "doc_id",
-            "n_grams",
-            "n_dup_grams",
-            (F.col("n_dup_grams") * F.lit(1.0) / F.col("n_grams")).alias("dup_frac"),
-        )
-    )
+    return dup_span_fraction(load_table(spark, sf_dir, "documents"), n=5)
 
 
 # ---------------------------------------------------------------------------

@@ -6,6 +6,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 import distgrep_spark.queries as q
+from distgrep_spark.operators.text import dup_span_fraction
 from distgrep_spark.sources.catalog import load_table
 
 
@@ -64,25 +65,38 @@ def test_bloom_prefilter_no_false_negatives_and_bounded_fp(spark, sf_dir):
     assert len(rows) <= n_cand <= c.count()
 
 
-def test_dup_span_fraction_is_1_for_planted_exact_dups(spark, sf_dir):
+def test_dup_span_fraction_bounds_on_fixture(spark, sf_dir):
     res = q.QUERIES["text_dup_span_fraction"](spark, sf_dir)
     rows = {r["doc_id"]: r for r in res.collect()}
+    assert rows
     for r in rows.values():
         assert 0.0 <= r["dup_frac"] <= 1.0
         assert 0 <= r["n_dup_grams"] <= r["n_grams"]
-    docs = load_table(spark, sf_dir, "documents")
-    dup_ids = [
-        r["doc_id"]
-        for r in docs.groupBy("text")
-        .agg(F.count(F.lit(1)).alias("n"), F.collect_list("doc_id").alias("ids"))
-        .where(F.col("n") >= 2)
-        .select(F.explode("ids").alias("doc_id"))
-        .collect()
-    ]
-    assert dup_ids, "fixture should contain planted exact duplicates"
-    for d in dup_ids:
-        if d in rows:  # docs shorter than 5 tokens have no grams
-            assert rows[d]["dup_frac"] == 1.0
+
+
+def test_dup_span_fraction_planted_corpus(spark):
+    # exact-dup pair (1, 2): every gram shared -> dup_frac == 1.0;
+    # doc 3 shares only its first 5-gram with doc 4's prefix; doc 5 is
+    # unique and shares nothing; doc 6 is too short for any 5-gram.
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),
+            (3, "alpha beta gamma delta epsilon unique tail words here"),
+            (4, "alpha beta gamma delta epsilon different continuation text"),
+            (5, "totally unrelated content with no shared shingles at all"),
+            (6, "too short"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in dup_span_fraction(docs, n=5).collect()}
+    assert set(rows) == {1, 2, 3, 4, 5}  # doc 6 has no 5-grams
+    assert rows[1]["dup_frac"] == 1.0 and rows[2]["dup_frac"] == 1.0
+    # docs 3/4 share exactly one gram: 'alpha beta gamma delta epsilon'
+    assert rows[3]["n_dup_grams"] == 1 and rows[4]["n_dup_grams"] == 1
+    assert rows[3]["dup_frac"] == 1 / rows[3]["n_grams"]
+    assert rows[5]["n_dup_grams"] == 0 and rows[5]["dup_frac"] == 0.0
 
 
 def test_zorder_tiles_cover_exactly_one_block(spark, sf_dir):
