@@ -241,3 +241,44 @@ def dup_span_fraction(
             (F.col("n_dup_grams") * F.lit(1.0) / F.col("n_grams")).alias("dup_frac"),
         )
     )
+
+
+def remove_dup_sentences(
+    df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Drop every sentence ('. '-separated, the udtf_split_sentences
+    convention) that appears in MORE than one document, then reassemble
+    the survivors in original order — C4/RefinedWeb's exact line-dedup
+    pass. Documents made entirely of boilerplate come back with
+    ``clean_text = ''`` rather than vanishing (silently dropping them
+    would corrupt downstream joins).
+
+    Plan: posexplode the sentence array, ONE shuffle on the sentence for
+    global document frequency, join back, ONE shuffle on the doc id
+    where collect_list + array_sort on (pos, sentence) structs rebuilds
+    the text deterministically (pos is unique per doc, so the struct
+    sort is total). At 100 TB the frequency key would be the sentence's
+    xxhash64 — shuffle 8-byte keys, not prose — with an identical plan
+    shape."""
+    s = df.select(
+        id_col, F.posexplode(F.split(text_col, r"\. ")).alias("pos", "sentence")
+    ).where(F.col("sentence") != "")
+    freq = s.groupBy("sentence").agg(F.countDistinct(id_col).alias("ndocs"))
+    kept = s.join(freq, "sentence").where(F.col("ndocs") == 1)
+    ka = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, sentence))),"
+                " p -> p.sentence)"
+            ),
+            ". ",
+        ).alias("clean_text"),
+    )
+    tot = s.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sents"))
+    return tot.join(ka, id_col, "left").select(
+        id_col,
+        "n_sents",
+        F.coalesce("n_kept", F.lit(0).cast("bigint")).alias("n_kept"),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+    )

@@ -1,0 +1,312 @@
+"""Corpus-quality and warehouse-hygiene queries (round-3 batch 2).
+
+The 100-TB rationale per query:
+
+- ``text_gopher_rules``: Gopher/RefinedWeb-style per-document quality
+  rule panel — every rule is a pure column expression over one
+  tokenize, so the whole panel is map-side (no shuffle at all): at
+  100 TB quality filtering is a projection fused into the scan.
+- ``text_remove_dup_sentences``: cross-document duplicated-sentence
+  removal (the "exact line dedup" step C4/RefinedWeb run before
+  training). Sentence convention matches ``udtf_split_sentences``
+  ('. ' separator). One shuffle on the sentence key for global
+  frequency, one back on the doc id to reassemble — at 100 TB the
+  sentence key would be its xxhash64 (shuffle 8-byte keys, not prose),
+  identical plan shape.
+- ``events_user_retention``: classic cohort retention triangle. Both
+  the cohort assignment (min over user) and the (cohort, offset)
+  rollup key first on user_id, so ONE user_id shuffle feeds the
+  cohort map; the second shuffle moves only (cohort, offset, user)
+  triples — scalars, not events.
+- ``agg_approx_percentile_gate``: certification gate for Spark's
+  ``approx_percentile`` sketch (same pattern as
+  ``agg_approx_distinct_error``'s HLL gate): the emitted row carries
+  the EXACT percentile plus a boolean that flips if the sketch strays
+  past 5%, so the sketch's accuracy is driver-checkable even though
+  the sketch itself is not SQL-reproducible. At 100 TB the sketch is
+  mergeable state (KLL/GK summaries) — the only way to get quantiles
+  without a global sort.
+- ``layout_compaction_bins``: the small-files compaction planner —
+  assign rows to output shards by prefix-sum of byte size within each
+  source partition. The plan is one window (partitioned, so it scales
+  by source) + one group-by; at 100 TB this is how you turn a
+  million 200 KB files into 512 MB parquet shards without a global
+  sort, and the per-shard byte totals are the write-size audit.
+
+No reference counterpart (the reference's only query is grep,
+worker.go:24-43); these extend the north-star curation surface
+(BASELINE.json).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from distgrep_spark.operators.text import remove_dup_sentences
+from distgrep_spark.queries.registry import query
+from distgrep_spark.sources.catalog import load_table
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality rule panel
+# ---------------------------------------------------------------------------
+
+# Probe stopwords shared with text_stats / the DuckDB oracles (fixture
+# vocabulary is lowercase ASCII; production swaps per-language lists).
+_STOPWORDS_SQL = "('the', 'a', 'of', 'and')"
+
+
+@query(
+    "text_gopher_rules",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+    )
+    SELECT doc_id,
+           len(t) AS n_tokens,
+           len(t) BETWEEN 20 AND 1000 AS r_len,
+           list_sum(list_transform(t, x -> length(x))) * 1.0 / len(t)
+             BETWEEN 3.5 AND 5.0 AS r_wordlen,
+           len(list_distinct(list_filter(t, x -> x IN {_STOPWORDS_SQL}))) >= 2
+             AS r_stop,
+           len(list_distinct(t)) * 1.0 / len(t) >= 0.4 AS r_unique,
+           (len(t) BETWEEN 20 AND 1000)
+             AND (list_sum(list_transform(t, x -> length(x))) * 1.0 / len(t)
+                  BETWEEN 3.5 AND 5.0)
+             AND (len(list_distinct(list_filter(t, x -> x IN {_STOPWORDS_SQL}))) >= 2)
+             AND (len(list_distinct(t)) * 1.0 / len(t) >= 0.4) AS keep
+    FROM toks
+    """,
+)
+def q_text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality rule panel: document length band, mean word
+    length band, stopword evidence, and distinct-token ratio, plus the
+    conjunction. Thresholds are calibrated to the fixture (10-99 tokens,
+    mean word length 3.7-5.3) so every rule actually discriminates.
+
+    All rules are exact rational arithmetic over one materialized token
+    array (see ngrams_of_tokens' HOF-inlining gotcha — the array is a
+    real column, each rule reuses it), so the panel is a pure projection:
+    map-side, shuffle-free, and bitwise identical across engines."""
+    from distgrep_spark.functions.textfns import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tokens(F.col("text")).alias("t"))
+    n = F.size("t")
+    wordlen = F.expr(
+        "aggregate(t, 0L, (acc, x) -> acc + length(x)) * 1.0 / size(t)"
+    )
+    stop_hits = F.size(
+        F.array_distinct(F.expr(f"filter(t, x -> x IN {_STOPWORDS_SQL})"))
+    )
+    uniq = F.size(F.array_distinct("t")) * F.lit(1.0) / n
+    r_len = (n >= 20) & (n <= 1000)
+    r_wordlen = (wordlen >= 3.5) & (wordlen <= 5.0)
+    r_stop = stop_hits >= 2
+    r_unique = uniq >= 0.4
+    return t.select(
+        "doc_id",
+        n.cast("bigint").alias("n_tokens"),
+        r_len.alias("r_len"),
+        r_wordlen.alias("r_wordlen"),
+        r_stop.alias("r_stop"),
+        r_unique.alias("r_unique"),
+        (r_len & r_wordlen & r_stop & r_unique).alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-document duplicated-sentence removal (exact line dedup)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_remove_dup_sentences",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, i AS pos, parts[i] AS sentence
+      FROM (SELECT doc_id, string_split(text, '. ') AS parts FROM documents),
+           LATERAL unnest(generate_series(1, len(parts))) AS u(i)
+      WHERE parts[i] <> ''
+    ),
+    freq AS (SELECT sentence, count(DISTINCT doc_id) AS ndocs FROM s GROUP BY sentence),
+    kept AS (
+      SELECT s.doc_id, s.pos, s.sentence
+      FROM s JOIN freq USING (sentence) WHERE freq.ndocs = 1
+    ),
+    ka AS (
+      SELECT doc_id, count(*) AS n_kept,
+             string_agg(sentence, '. ' ORDER BY pos) AS clean_text
+      FROM kept GROUP BY doc_id
+    ),
+    tot AS (SELECT doc_id, count(*) AS n_sents FROM s GROUP BY doc_id)
+    SELECT tot.doc_id, tot.n_sents,
+           coalesce(ka.n_kept, CAST(0 AS BIGINT)) AS n_kept,
+           coalesce(ka.clean_text, '') AS clean_text
+    FROM tot LEFT JOIN ka USING (doc_id)
+    """,
+)
+def q_text_remove_dup_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drop every sentence that appears in MORE than one document, then
+    reassemble the survivors in original order — C4/RefinedWeb's exact
+    line-dedup pass with '. ' as the sentence separator (the same
+    convention as udtf_split_sentences).
+
+    Plan: posexplode the sentence array, ONE shuffle on the sentence for
+    global document frequency, join back, ONE shuffle on doc_id where
+    collect_list + array_sort on (pos, sentence) structs rebuilds the
+    text deterministically (pos is unique per doc, so the struct sort is
+    total). The left join keeps fully-boilerplate documents as empty
+    strings — silently dropping them would corrupt downstream joins."""
+    return remove_dup_sentences(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention triangle
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_user_retention",
+    oracle="""
+    WITH firstday AS (
+      SELECT user_id, min(date_trunc('day', ts)) AS cohort_day FROM events GROUP BY user_id
+    )
+    SELECT CAST(f.cohort_day AS TIMESTAMP) AS cohort_day,
+           CAST(date_diff('day', f.cohort_day, date_trunc('day', e.ts)) AS BIGINT)
+             AS day_offset,
+           count(DISTINCT e.user_id) AS n_users
+    FROM events e JOIN firstday f USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def q_events_user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users bucketed by first-seen day, then
+    distinct actives per (cohort, day offset). The canonical product
+    -analytics rollup.
+
+    Both sides truncate to day boundaries first (Spark in epoch-second
+    integer arithmetic, DuckDB via date_diff on whole days), so the
+    offset is exact integer days on each engine. The 100 TB view: the
+    cohort map and the event scan both
+    key on user_id — ONE shuffle builds cohorts AND joins them (the
+    second exchange moves only (cohort, offset, user) triples), and the
+    cohort side is a per-user scalar, orders of magnitude smaller than
+    the event log."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    firstday = ev.groupBy("user_id").agg(F.min(day).alias("cohort_day"))
+    return (
+        ev.join(firstday, "user_id")
+        .select(
+            "cohort_day",
+            (
+                (F.unix_timestamp(day) - F.unix_timestamp("cohort_day"))
+                .cast("bigint")
+                / F.lit(86400)
+            )
+            .cast("bigint")
+            .alias("day_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# approx_percentile certification gate
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_approx_percentile_gate",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           quantile_cont(o_totalprice, 0.5) AS exact_p50,
+           TRUE AS approx_ok
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_agg_approx_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certification gate for the approx_percentile sketch (the quantile
+    twin of agg_approx_distinct_error's HLL gate): emit the EXACT median
+    per priority class plus a boolean that flips to FALSE if the sketch
+    estimate strays more than 5% from it. quantile_cont == Spark
+    percentile (verified, CLAUDE.md); the sketch value itself never
+    reaches the output, so partition-layout noise in the summary merge
+    cannot touch the hash — only a >5% accuracy loss can.
+
+    At 100 TB the exact side (full sort per group) is the thing you
+    CANNOT run — which is exactly why the sketch needs a certified
+    error bound at test scale before you trust it at production scale."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.expr("percentile(o_totalprice, 0.5)").alias("exact_p50"),
+        (
+            F.abs(
+                F.expr("approx_percentile(o_totalprice, 0.5, 10000)")
+                - F.expr("percentile(o_totalprice, 0.5)")
+            )
+            <= 0.05 * F.expr("percentile(o_totalprice, 0.5)")
+        ).alias("approx_ok"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Small-files compaction planner
+# ---------------------------------------------------------------------------
+
+_SHARD_BYTES = 2048  # fixture-scale target; production would use 256-512 MB
+
+
+@query(
+    "layout_compaction_bins",
+    oracle=f"""
+    WITH w AS (
+      SELECT source, doc_id, n_chars,
+             sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) - n_chars AS start_off
+      FROM documents
+    )
+    SELECT source,
+           CAST(start_off // {_SHARD_BYTES} AS BIGINT) AS shard_id,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS shard_bytes
+    FROM w GROUP BY source, shard_id
+    """,
+)
+def q_layout_compaction_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction planner: pack each source's documents into byte-budget
+    shards by prefix-sum of size in stable doc_id order (shard = start
+    offset div budget — first-fit in one pass, no iteration). Emits the
+    per-shard doc count and byte total — the write-size audit a lake
+    compaction job produces before rewriting files.
+
+    The window is PARTITIONED by source, so at 100 TB the prefix sum
+    never globally sorts: each source packs independently (and a 512 MB
+    real budget makes shard counts small enough to audit). Integer
+    arithmetic end to end — no float, no engine divergence."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        docs.select(
+            "source",
+            "n_chars",
+            (F.sum("n_chars").over(w) - F.col("n_chars")).alias("start_off"),
+        )
+        .select(
+            "source",
+            F.expr(f"start_off div {_SHARD_BYTES}").cast("bigint").alias("shard_id"),
+            "n_chars",
+        )
+        .groupBy("source", "shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("shard_bytes"),
+        )
+    )

@@ -1,0 +1,82 @@
+"""Property tests for the quality/hygiene query batch (DuckDB value
+parity is covered by tools/check_oracles.py)."""
+
+from __future__ import annotations
+
+import distgrep_spark.queries as q
+from distgrep_spark.operators.text import remove_dup_sentences
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_gopher_rules_keep_is_conjunction_and_discriminates(spark):
+    rows = q.QUERIES["text_gopher_rules"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["keep"] == (r["r_len"] and r["r_wordlen"] and r["r_stop"] and r["r_unique"])
+    # thresholds must actually discriminate on the fixture: both outcomes occur
+    kept = sum(1 for r in rows if r["keep"])
+    assert 0 < kept < len(rows)
+    for rule in ("r_len", "r_wordlen", "r_stop", "r_unique"):
+        vals = {r[rule] for r in rows}
+        assert vals == {True, False}, f"{rule} never discriminates"
+
+
+def test_remove_dup_sentences_planted_corpus(spark):
+    boiler = "subscribe to our newsletter"
+    docs = spark.createDataFrame(
+        [
+            (1, f"unique opening line. {boiler}. unique closing line"),
+            (2, f"{boiler}. another distinct sentence here"),
+            (3, "entirely original document with one sentence"),
+            (4, boiler),  # nothing but boilerplate -> empty clean_text
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in remove_dup_sentences(docs).collect()}
+    assert out[1]["clean_text"] == "unique opening line. unique closing line"
+    assert out[2]["clean_text"] == "another distinct sentence here"
+    assert out[3]["clean_text"] == "entirely original document with one sentence"
+    assert out[4]["clean_text"] == "" and out[4]["n_kept"] == 0
+    # note: doc 4's lone sentence is `boiler` without the '. ' split —
+    # identical text to the shared sentence, so it is removed too
+
+
+def test_remove_dup_sentences_fixture_counts(spark):
+    rows = q.QUERIES["text_remove_dup_sentences"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_kept"] <= r["n_sents"]
+        assert (r["n_kept"] == 0) == (r["clean_text"] == "")
+
+
+def test_retention_day0_counts_every_user(spark):
+    rows = q.QUERIES["events_user_retention"](spark, SF).collect()
+    day0 = sum(r["n_users"] for r in rows if r["day_offset"] == 0)
+    from distgrep_spark.sources.catalog import load_table
+
+    n_users = load_table(spark, SF, "events").select("user_id").distinct().count()
+    # every user appears in their own cohort at offset 0
+    assert day0 == n_users
+    assert all(r["day_offset"] >= 0 for r in rows)
+
+
+def test_approx_percentile_gate_holds(spark):
+    rows = q.QUERIES["agg_approx_percentile_gate"](spark, SF).collect()
+    assert rows and all(r["approx_ok"] for r in rows)
+    assert all(r["exact_p50"] > 0 for r in rows)
+
+
+def test_compaction_bins_cover_table_and_respect_budget(spark):
+    from distgrep_spark.queries.quality import _SHARD_BYTES
+    from distgrep_spark.sources.catalog import load_table
+
+    rows = q.QUERIES["layout_compaction_bins"](spark, SF).collect()
+    docs = load_table(spark, SF, "documents")
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+    max_doc = docs.agg({"n_chars": "max"}).collect()[0][0]
+    for r in rows:
+        # a shard can exceed the budget by at most one document (the one
+        # that straddles the boundary starts inside the budget)
+        assert r["shard_bytes"] < _SHARD_BYTES + max_doc
+        assert r["shard_id"] >= 0
