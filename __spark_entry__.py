@@ -67,7 +67,7 @@ SCOREBOARD_PREFIX = [
     "dedup_minhash_recall",
     "dedup_simhash_exactdup",
     "dedup_clusters_cc",
-    "dedup_materialize",
+    "corpus_curation_pipeline",
     "dedup_embedding_cosine",
     "dedup_cross_corpus",
     # similarity / clustering
@@ -151,6 +151,15 @@ POST_PREFIX = [
     "text_dup_span_fraction",
     "layout_zorder_locality",
     "agg_corr_covar",
+    # round-3 quality/hygiene batch (distinct shapes, full oracles);
+    # dedup_materialize demoted here when corpus_curation_pipeline (which
+    # contains a materializing dedup stage) took its scored slot
+    "dedup_materialize",
+    "text_gopher_rules",
+    "text_remove_dup_sentences",
+    "events_user_retention",
+    "agg_approx_percentile_gate",
+    "layout_compaction_bins",
 ]
 
 

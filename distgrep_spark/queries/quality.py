@@ -55,6 +55,32 @@ from distgrep_spark.sources.catalog import load_table
 # vocabulary is lowercase ASCII; production swaps per-language lists).
 _STOPWORDS_SQL = "('the', 'a', 'of', 'and')"
 
+# The rule panel, spelled once per dialect over a token-array column `t`.
+# Thresholds are calibrated to the fixture (10-99 tokens, mean word
+# length 3.7-5.3) so every rule actually discriminates; every rule is
+# exact rational arithmetic, so the booleans are bitwise identical
+# across engines.
+_DUCK_RULES = {
+    "r_len": "len(t) BETWEEN 20 AND 1000",
+    "r_wordlen": (
+        "list_sum(list_transform(t, x -> length(x))) * 1.0 / len(t)"
+        " BETWEEN 3.5 AND 5.0"
+    ),
+    "r_stop": f"len(list_distinct(list_filter(t, x -> x IN {_STOPWORDS_SQL}))) >= 2",
+    "r_unique": "len(list_distinct(t)) * 1.0 / len(t) >= 0.4",
+}
+_SPARK_RULES = {
+    "r_len": "size(t) BETWEEN 20 AND 1000",
+    "r_wordlen": (
+        "aggregate(t, 0L, (acc, x) -> acc + length(x)) * 1.0 / size(t)"
+        " BETWEEN 3.5 AND 5.0"
+    ),
+    "r_stop": f"size(array_distinct(filter(t, x -> x IN {_STOPWORDS_SQL}))) >= 2",
+    "r_unique": "size(array_distinct(t)) * 1.0 / size(t) >= 0.4",
+}
+_DUCK_KEEP = " AND ".join(f"({e})" for e in _DUCK_RULES.values())
+_SPARK_KEEP = " AND ".join(f"({e})" for e in _SPARK_RULES.values())
+
 
 @query(
     "text_gopher_rules",
@@ -64,54 +90,32 @@ _STOPWORDS_SQL = "('the', 'a', 'of', 'and')"
     )
     SELECT doc_id,
            len(t) AS n_tokens,
-           len(t) BETWEEN 20 AND 1000 AS r_len,
-           list_sum(list_transform(t, x -> length(x))) * 1.0 / len(t)
-             BETWEEN 3.5 AND 5.0 AS r_wordlen,
-           len(list_distinct(list_filter(t, x -> x IN {_STOPWORDS_SQL}))) >= 2
-             AS r_stop,
-           len(list_distinct(t)) * 1.0 / len(t) >= 0.4 AS r_unique,
-           (len(t) BETWEEN 20 AND 1000)
-             AND (list_sum(list_transform(t, x -> length(x))) * 1.0 / len(t)
-                  BETWEEN 3.5 AND 5.0)
-             AND (len(list_distinct(list_filter(t, x -> x IN {_STOPWORDS_SQL}))) >= 2)
-             AND (len(list_distinct(t)) * 1.0 / len(t) >= 0.4) AS keep
+           {_DUCK_RULES['r_len']} AS r_len,
+           {_DUCK_RULES['r_wordlen']} AS r_wordlen,
+           {_DUCK_RULES['r_stop']} AS r_stop,
+           {_DUCK_RULES['r_unique']} AS r_unique,
+           {_DUCK_KEEP} AS keep
     FROM toks
     """,
 )
 def q_text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style quality rule panel: document length band, mean word
     length band, stopword evidence, and distinct-token ratio, plus the
-    conjunction. Thresholds are calibrated to the fixture (10-99 tokens,
-    mean word length 3.7-5.3) so every rule actually discriminates.
+    conjunction (the same fragments corpus_curation_pipeline filters by).
 
-    All rules are exact rational arithmetic over one materialized token
-    array (see ngrams_of_tokens' HOF-inlining gotcha — the array is a
-    real column, each rule reuses it), so the panel is a pure projection:
-    map-side, shuffle-free, and bitwise identical across engines."""
+    All rules are computed over ONE materialized token array (see
+    ngrams_of_tokens' HOF-inlining gotcha — the array is a real column,
+    each rule reuses it), so the panel is a pure projection: map-side,
+    shuffle-free."""
     from distgrep_spark.functions.textfns import tokens
 
     docs = load_table(spark, sf_dir, "documents")
     t = docs.select("doc_id", tokens(F.col("text")).alias("t"))
-    n = F.size("t")
-    wordlen = F.expr(
-        "aggregate(t, 0L, (acc, x) -> acc + length(x)) * 1.0 / size(t)"
-    )
-    stop_hits = F.size(
-        F.array_distinct(F.expr(f"filter(t, x -> x IN {_STOPWORDS_SQL})"))
-    )
-    uniq = F.size(F.array_distinct("t")) * F.lit(1.0) / n
-    r_len = (n >= 20) & (n <= 1000)
-    r_wordlen = (wordlen >= 3.5) & (wordlen <= 5.0)
-    r_stop = stop_hits >= 2
-    r_unique = uniq >= 0.4
-    return t.select(
+    return t.selectExpr(
         "doc_id",
-        n.cast("bigint").alias("n_tokens"),
-        r_len.alias("r_len"),
-        r_wordlen.alias("r_wordlen"),
-        r_stop.alias("r_stop"),
-        r_unique.alias("r_unique"),
-        (r_len & r_wordlen & r_stop & r_unique).alias("keep"),
+        "CAST(size(t) AS BIGINT) AS n_tokens",
+        *[f"{expr} AS {name}" for name, expr in _SPARK_RULES.items()],
+        f"{_SPARK_KEEP} AS keep",
     )
 
 
@@ -309,4 +313,100 @@ def q_layout_compaction_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_chars").cast("bigint").alias("shard_bytes"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Flagship composition: the end-to-end curation pipeline
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "corpus_curation_pipeline",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, lang, text, string_split_regex(trim(text), '\s+') AS t
+      FROM documents
+    ),
+    kept AS (
+      SELECT doc_id, lang, text FROM toks WHERE {_DUCK_KEEP}
+    ),
+    s AS (
+      SELECT doc_id, i AS pos, parts[i] AS sentence
+      FROM (SELECT doc_id, string_split(text, '. ') AS parts FROM kept),
+           LATERAL unnest(generate_series(1, len(parts))) AS u(i)
+      WHERE parts[i] <> ''
+    ),
+    freq AS (SELECT sentence, count(DISTINCT doc_id) AS ndocs FROM s GROUP BY sentence),
+    clean AS (
+      SELECT doc_id, string_agg(sentence, '. ' ORDER BY pos) AS clean_text
+      FROM s JOIN freq USING (sentence) WHERE freq.ndocs = 1
+      GROUP BY doc_id
+    ),
+    ded AS (
+      SELECT md5(clean_text) AS digest,
+             min(k.doc_id) AS doc_id,
+             arg_min(k.lang, k.doc_id) AS lang,
+             arg_min(clean_text, k.doc_id) AS clean_text,
+             count(*) AS n_copies
+      FROM kept k JOIN clean USING (doc_id)
+      GROUP BY md5(clean_text)
+    )
+    SELECT digest, doc_id, lang, n_copies,
+           CAST(length(clean_text) AS BIGINT) AS n_clean_chars,
+           CASE WHEN substr(md5(clean_text), 1, 2) < 'cc' THEN 'train'
+                WHEN substr(md5(clean_text), 1, 2) < 'e6' THEN 'val'
+                ELSE 'test' END AS split
+    FROM ded
+    """,
+)
+def q_corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end curation pipeline as ONE composed DataFrame plan —
+    the flagship demonstration that the quality operators chain:
+
+      1. Gopher rule filter (map-side, the text_gopher_rules conjunction)
+      2. cross-document duplicated-sentence removal over the SURVIVORS
+         (operators/text.remove_dup_sentences; frequency is computed on
+         the post-filter corpus, the order a real pipeline runs in)
+      3. exact dedup of the cleaned text, keyed on its md5 digest so the
+         dedup shuffle carries 16-byte keys, with the min-doc_id
+         survivor (dedup_hash's convention)
+      4. content-addressed train/val/test assignment on the CLEANED
+         text (corpus_split_assign's thresholds) — survivors land in
+         stable splits no matter how the corpus is resharded.
+
+    The 100 TB view: stage 1 prunes before any shuffle; stages 2-3 are
+    the only exchanges and both carry hashes/scalars (sentence keys,
+    digests), never full prose; stage 4 is a projection. Documents
+    reduced to pure boilerplate (empty clean_text) dedup into one
+    group whose digest is md5('') — they stay visible for audit rather
+    than silently vanishing."""
+    from distgrep_spark.functions.textfns import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = (
+        docs.withColumn("t", tokens(F.col("text")))
+        .where(F.expr(_SPARK_KEEP))
+        .select("doc_id", "lang", "text")
+    )
+    clean = remove_dup_sentences(kept).select("doc_id", "clean_text")
+    h = F.md5("clean_text")
+    ded = (
+        kept.join(clean, "doc_id")
+        .groupBy(h.alias("digest"))
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.expr("min_by(lang, doc_id)").alias("lang"),
+            F.expr("min_by(clean_text, doc_id)").alias("clean_text"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+    sp = F.substring(F.md5("clean_text"), 1, 2)
+    return ded.select(
+        "digest",
+        "doc_id",
+        "lang",
+        "n_copies",
+        F.length("clean_text").cast("bigint").alias("n_clean_chars"),
+        F.when(sp < "cc", "train").when(sp < "e6", "val").otherwise("test").alias("split"),
     )
