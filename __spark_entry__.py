@@ -160,6 +160,8 @@ POST_PREFIX = [
     "events_user_retention",
     "agg_approx_percentile_gate",
     "layout_compaction_bins",
+    "market_basket_lift",
+    "events_value_outliers",
 ]
 
 

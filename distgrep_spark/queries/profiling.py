@@ -467,3 +467,133 @@ def q_agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
         "round((n * sxy - sx * sy)"
         " / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 4) AS corr_qp",
     )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket pair affinity (co-purchase lift)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "market_basket_lift",
+    oracle="""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM items),
+    pc AS (SELECT l_partkey, count(*) AS n_part FROM items GROUP BY l_partkey),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_pair
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    )
+    SELECT p.part_a, p.part_b, p.n_pair,
+           p.n_pair * 1.0 * n.n_orders / (ca.n_part * cb.n_part) AS lift
+    FROM pairs p
+    CROSS JOIN n
+    JOIN pc ca ON ca.l_partkey = p.part_a
+    JOIN pc cb ON cb.l_partkey = p.part_b
+    WHERE p.n_pair >= 2
+    """,
+)
+def q_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity: for every part pair co-occurring in >= 2
+    orders, the lift n_pair * N / (n_a * n_b) — the classic co-purchase
+    signal, and the relational cousin of dedup_ngram_jaccard's
+    inverted-index pair generation.
+
+    Plan shape: project to DISTINCT (order, part) FIRST (the fixture
+    repeats parts within an order), then self-join co-partitioned on
+    l_orderkey — ONE shuffle, pairs generated inside each partition with
+    the a < b triangle guard. Pair blowup is bounded by the per-order
+    item count k (~7 here): k(k-1)/2 rows per order, never quadratic in
+    the table. Per-part counts are dimension-sized -> broadcast back
+    onto the pair aggregate; the order count is a broadcast 1-row
+    scalar. The n_pair >= 2 support floor prunes the long tail before
+    the lift math (at 100 TB it's the difference between a report and a
+    firehose). Lift is an exact integer ratio times 1.0 — bit-identical
+    across engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = items.select(F.countDistinct("l_orderkey").alias("n_orders"))
+    pc = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_part"))
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .where(F.col("n_pair") >= 2)
+    )
+    ca = pc.select(F.col("l_partkey").alias("part_a"), F.col("n_part").alias("_na"))
+    cb = pc.select(F.col("l_partkey").alias("part_b"), F.col("n_part").alias("_nb"))
+    return (
+        pairs.crossJoin(F.broadcast(n_orders))
+        .join(F.broadcast(ca), "part_a")
+        .join(F.broadcast(cb), "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            "n_pair",
+            (
+                F.col("n_pair") * F.lit(1.0) * F.col("n_orders")
+                / (F.col("_na") * F.col("_nb"))
+            ).alias("lift"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Z-score outlier detection
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_value_outliers",
+    oracle="""
+    WITH s AS (
+      SELECT event_type, count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sv,
+             CAST(sum(CAST(value * value AS DECIMAL(25,6))) AS DOUBLE) AS svv
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           round((e.value - s.sv / s.n)
+                 / sqrt(s.svv / s.n - (s.sv / s.n) * (s.sv / s.n)), 4) AS z
+    FROM events e JOIN s USING (event_type)
+    WHERE abs((e.value - s.sv / s.n)
+              / sqrt(s.svv / s.n - (s.sv / s.n) * (s.sv / s.n))) > 3
+    """,
+)
+def q_events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-score outlier flagging: two-pass exact stats (the
+    agg_corr_covar decimal-component discipline — mean and population
+    variance assembled from exact DECIMAL sums cast to double, so both
+    engines see bit-identical stats and the |z| > 3 cut cannot straddle
+    an engine difference even at the knife edge), then a broadcast join
+    of the 5-row stats table back onto the scan.
+
+    The 100 TB view: pass 1 is a map-side partial agg to 5 rows; pass 2
+    re-scans with the stats broadcast — no shuffle of event rows at
+    all. The alternative single-pass window(event_type) would shuffle
+    the full log to compute the same 5 numbers."""
+    ev = load_table(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(25,6)")
+    s = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec).cast("double").alias("sv"),
+        F.sum((F.col("value") * F.col("value")).cast("decimal(25,6)")).cast("double").alias("svv"),
+    )
+    mean = F.col("sv") / F.col("n")
+    std = F.sqrt(F.col("svv") / F.col("n") - mean * mean)
+    z = (F.col("value") - mean) / std
+    return (
+        ev.join(F.broadcast(s), "event_type")
+        .where(F.abs(z) > 3)
+        .select("event_id", "event_type", "value", F.round(z, 4).alias("z"))
+    )

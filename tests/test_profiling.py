@@ -125,3 +125,63 @@ def test_corr_components_agree_with_builtin(spark, sf_dir):
     for flag, r in res.items():
         assert abs(r["corr_qp"] - ref[flag]["c"]) < 1e-3
         assert abs(r["covar_pop"] - ref[flag]["v"]) < 1e-3 * max(1.0, abs(ref[flag]["v"]))
+
+
+def test_market_basket_lift_agrees_with_direct_counts(spark, sf_dir):
+    rows = q.QUERIES["market_basket_lift"](spark, sf_dir).collect()
+    assert rows
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .collect()
+    )
+    from collections import defaultdict
+
+    by_order = defaultdict(set)
+    for r in items:
+        by_order[r["l_orderkey"]].add(r["l_partkey"])
+    part_n = defaultdict(int)
+    pair_n = defaultdict(int)
+    for parts in by_order.values():
+        ps = sorted(parts)
+        for p in ps:
+            part_n[p] += 1
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                pair_n[(ps[i], ps[j])] += 1
+    n_orders = len(by_order)
+    expected = {k: v for k, v in pair_n.items() if v >= 2}
+    assert len(rows) == len(expected)
+    for r in rows[:50]:
+        k = (r["part_a"], r["part_b"])
+        assert pair_n[k] == r["n_pair"]
+        lift = r["n_pair"] * n_orders / (part_n[k[0]] * part_n[k[1]])
+        assert abs(r["lift"] - lift) < 1e-12
+        assert r["part_a"] < r["part_b"]
+
+
+def test_outliers_match_builtin_stats(spark, sf_dir):
+    rows = q.QUERIES["events_value_outliers"](spark, sf_dir).collect()
+    assert rows
+    ev = load_table(spark, sf_dir, "events")
+    stats = {
+        r["event_type"]: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.avg("value").alias("m"), F.stddev_pop("value").alias("s")
+        )
+        .collect()
+    }
+    flagged = {r["event_id"] for r in rows}
+    for r in rows:
+        st = stats[r["event_type"]]
+        z = (r["value"] - st["m"]) / st["s"]
+        assert abs(z) > 2.999  # decimal-truncated stats vs float stats
+        assert abs(round(z, 4) - r["z"]) < 2e-3
+    # completeness: every |z| > 3.001 event under builtin stats is flagged
+    for er in ev.collect():
+        st = stats[er["event_type"]]
+        z = (er["value"] - st["m"]) / st["s"]
+        if abs(z) > 3.001:
+            assert er["event_id"] in flagged
