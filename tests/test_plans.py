@@ -174,3 +174,36 @@ def test_quantize_is_map_side_only(spark):
     df = q.QUERIES["embed_quantize_int8"](spark, SF_ORACLE)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_gopher_rules_is_shuffle_free(spark):
+    """The whole quality panel must be a projection: zero exchanges."""
+    df = q.QUERIES["text_gopher_rules"](spark, SF_ORACLE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_compaction_bins_single_exchange(spark):
+    """The source partitioning serves BOTH the prefix-sum window and the
+    (source, shard) group-by — exactly one hash exchange."""
+    df = q.QUERIES["layout_compaction_bins"](spark, SF_ORACLE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_outliers_broadcast_stats_not_events(spark):
+    """Event rows must not shuffle: the only hash exchange is the 5-row
+    stats aggregate, which comes back via broadcast."""
+    df = q.QUERIES["events_value_outliers"](spark, SF_ORACLE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BroadcastHashJoin" in plan
+
+
+def test_curation_pipeline_no_unbounded_joins(spark):
+    """The composed pipeline may only join on keys (sentence, doc_id,
+    digest) — no nested-loop joins, no cartesian products."""
+    df = q.QUERIES["corpus_curation_pipeline"](spark, SF_ORACLE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
