@@ -162,6 +162,9 @@ POST_PREFIX = [
     "layout_compaction_bins",
     "market_basket_lift",
     "events_value_outliers",
+    "events_rolling_7d_actives",
+    "scd2_customer_status",
+    "agg_mode_per_group",
 ]
 
 

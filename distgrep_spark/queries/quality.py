@@ -410,3 +410,163 @@ def q_corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("clean_text").cast("bigint").alias("n_clean_chars"),
         F.when(sp < "cc", "train").when(sp < "e6", "val").otherwise("test").alias("split"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling 7-day distinct actives
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_rolling_7d_actives",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d, user_id
+      FROM events
+    ),
+    days AS (SELECT DISTINCT d FROM du)
+    SELECT days.d AS day,
+           count(DISTINCT du.user_id) AS n_active_7d
+    FROM days JOIN du
+      ON du.d >= days.d - INTERVAL 6 DAY AND du.d <= days.d
+    GROUP BY days.d
+    """,
+)
+def q_events_rolling_7d_actives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per day. Exact rolling
+    distinct cannot ride a RANGE window (distinct is not an invertible
+    frame aggregate), so the scalable form is the banded self-join:
+    dedup to (day, user) FIRST (one shuffle that collapses the event
+    log ~|events|/|day-user| fold), then join the tiny day spine onto
+    the dedup with a 7-day band and count distinct per spine day.
+
+    The spine is bounded (one row per day — 36.5k rows for a CENTURY),
+    so it broadcasts; the band join emits at most 7 rows per (day,
+    user); and the final count-distinct shuffles (day, user) pairs, not
+    events. The same shape computes any trailing-k-distinct metric at
+    100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(
+        F.date_trunc("day", F.col("ts")).alias("d"), "user_id"
+    ).distinct()
+    days = du.select(F.col("d").alias("day")).distinct()
+    return (
+        F.broadcast(days)
+        .join(
+            du,
+            (F.col("d") >= F.col("day") - F.expr("INTERVAL 6 DAYS"))
+            & (F.col("d") <= F.col("day")),
+        )
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("n_active_7d"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 history build (change capture + validity intervals)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "scd2_customer_status",
+    oracle="""
+    WITH seq AS (
+      SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+             lag(o_orderstatus) OVER w AS prev_status
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ),
+    changes AS (
+      SELECT o_custkey, o_orderstatus, o_orderdate AS valid_from, o_orderkey
+      FROM seq
+      WHERE prev_status IS NULL OR prev_status <> o_orderstatus
+    )
+    SELECT o_custkey, o_orderstatus, valid_from,
+           lead(valid_from) OVER (PARTITION BY o_custkey
+                                  ORDER BY valid_from, o_orderkey) AS valid_to,
+           lead(valid_from) OVER (PARTITION BY o_custkey
+                                  ORDER BY valid_from, o_orderkey) IS NULL
+             AS is_current
+    FROM changes
+    """,
+)
+def q_scd2_customer_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension build from an event stream:
+    collapse consecutive equal statuses per customer (change capture via
+    lag), then assign [valid_from, valid_to) intervals via lead — open
+    interval (NULL valid_to) marks the current row. o_orderkey breaks
+    same-day ties identically on both engines.
+
+    One shuffle total: both windows and the change filter ride the SAME
+    o_custkey partitioning, so at 100 TB this is a single exchange of
+    (custkey, status, date, key) tuples followed by map-side window
+    math — the canonical way to snapshot a mutable dimension out of an
+    append-only log."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    changes = (
+        o.withColumn("prev_status", F.lag("o_orderstatus").over(w))
+        .where(
+            F.col("prev_status").isNull()
+            | (F.col("prev_status") != F.col("o_orderstatus"))
+        )
+        .select(
+            "o_custkey",
+            "o_orderstatus",
+            F.col("o_orderdate").alias("valid_from"),
+            "o_orderkey",
+        )
+    )
+    w2 = Window.partitionBy("o_custkey").orderBy("valid_from", "o_orderkey")
+    vt = F.lead("valid_from").over(w2)
+    return changes.select(
+        "o_custkey",
+        "o_orderstatus",
+        "valid_from",
+        vt.alias("valid_to"),
+        vt.isNull().alias("is_current"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mode (argmax) per group
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_mode_per_group",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority AS mode_priority, n_orders
+    FROM (
+      SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+             row_number() OVER (PARTITION BY o_orderstatus
+                                ORDER BY count(*) DESC, o_orderpriority) AS rn
+      FROM orders GROUP BY o_orderstatus, o_orderpriority
+    ) t WHERE rn = 1
+    """,
+)
+def q_agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most-frequent priority per order status — the argmax-per-group
+    shape (mode is not algebraic, so it's a count rollup + a rank over
+    the GROUP results, never over the raw rows). Ties break on the
+    priority string so both engines pick the same winner.
+
+    The window input is the aggregated (status, priority) table — tens
+    of rows — so the rank is free no matter the fact size; the only
+    data-sized cost is the distributive count rollup."""
+    o = load_table(spark, sf_dir, "orders")
+    counts = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("n_orders").desc(), "o_orderpriority"
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_priority"),
+            "n_orders",
+        )
+    )

@@ -97,3 +97,64 @@ def test_curation_pipeline_composes_stages(spark):
     # this SF only if thresholds allow -- just sanity-check train dominates
     splits = [r["split"] for r in rows]
     assert splits.count("train") > splits.count("test")
+
+
+def test_rolling_actives_day0_equals_daily_actives(spark):
+    from distgrep_spark.sources.catalog import load_table
+    from pyspark.sql import functions as F
+
+    rows = {r["day"]: r["n_active_7d"] for r in q.QUERIES["events_rolling_7d_actives"](spark, SF).collect()}
+    ev = load_table(spark, SF, "events")
+    daily = {
+        r["d"]: r["n"]
+        for r in ev.groupBy(F.date_trunc("day", "ts").alias("d"))
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(rows) == set(daily)
+    for d, n7 in rows.items():
+        assert n7 >= daily[d]  # trailing window includes today
+    # monotone ramp-up over the first 7 days of the fixture
+    days = sorted(rows)
+    for a, b in zip(days, days[1:7]):
+        assert rows[b] >= rows[a] or daily[b] == 0
+
+
+def test_scd2_intervals_tile_per_customer(spark):
+    rows = q.QUERIES["scd2_customer_status"](spark, SF).collect()
+    from collections import defaultdict
+
+    by_cust = defaultdict(list)
+    for r in rows:
+        by_cust[r["o_custkey"]].append(r)
+    for cust, rs in by_cust.items():
+        rs.sort(key=lambda r: (r["valid_from"], ))
+        # exactly one open (current) interval, and it is the last
+        assert sum(1 for r in rs if r["is_current"]) == 1
+        assert rs[-1]["is_current"] and rs[-1]["valid_to"] is None
+        for a, b in zip(rs, rs[1:]):
+            assert a["valid_to"] == b["valid_from"]  # intervals tile
+            assert a["o_orderstatus"] != b["o_orderstatus"] or a["valid_from"] != b["valid_from"]
+
+
+def test_mode_per_group_is_true_argmax(spark):
+    from distgrep_spark.sources.catalog import load_table
+    from pyspark.sql import functions as F
+
+    rows = {r["o_orderstatus"]: r for r in q.QUERIES["agg_mode_per_group"](spark, SF).collect()}
+    counts = (
+        load_table(spark, SF, "orders")
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    from collections import defaultdict
+
+    best = defaultdict(lambda: (0, ""))
+    for r in counts:
+        key = (-r["n"], r["o_orderpriority"])
+        if best[r["o_orderstatus"]] == (0, "") or key < best[r["o_orderstatus"]]:
+            best[r["o_orderstatus"]] = key
+    for status, (negn, prio) in best.items():
+        assert rows[status]["mode_priority"] == prio
+        assert rows[status]["n_orders"] == -negn
