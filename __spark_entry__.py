@@ -165,6 +165,8 @@ POST_PREFIX = [
     "events_rolling_7d_actives",
     "scd2_customer_status",
     "agg_mode_per_group",
+    "agg_freq_items_gate",
+    "funnel_conversion_latency",
 ]
 
 

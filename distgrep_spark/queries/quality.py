@@ -570,3 +570,132 @@ def q_agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_orders",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# freqItems certification gate
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_freq_items_gate",
+    oracle="""
+    WITH c AS (
+      SELECT o_orderpriority, count(*) AS n_orders FROM orders GROUP BY 1
+    ),
+    tot AS (SELECT count(*) AS n FROM orders)
+    SELECT c.o_orderpriority, c.n_orders,
+           c.n_orders * 1.0 / tot.n AS share,
+           TRUE AS in_sketch
+    FROM c, tot
+    WHERE c.n_orders * 1.0 / tot.n >= 0.15
+    """,
+)
+def q_agg_freq_items_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certification gate for Spark's ``freqItems`` heavy-hitter sketch
+    (Karp-Shenker-Papadimitriou): the algorithm GUARANTEES its result is
+    a superset of every item with frequency share above the support
+    threshold, so for each exactly-frequent item (share >= 0.15 against
+    support 0.1) the emitted ``in_sketch`` boolean is TRUE by theorem —
+    layout noise can add false positives to the sketch but can never
+    flip this row. Same pattern as the HLL / approx-percentile gates:
+    exact side SQL-oracled, sketch certified by a boolean that only
+    degradation can flip.
+
+    At 100 TB freqItems is one map-side pass with k counters per
+    partition + a mergeable summary — the only way to get heavy hitters
+    without a full count rollup; the exact rollup here is the test-scale
+    certificate."""
+    o = load_table(spark, sf_dir, "orders")
+    sketch = (
+        o.stat.freqItems(["o_orderpriority"], support=0.1)
+        .select(F.col("o_orderpriority_freqItems").alias("_items"))
+    )
+    c = o.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_orders"))
+    tot = o.agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .select(
+            "o_orderpriority",
+            "n_orders",
+            (F.col("n_orders") * F.lit(1.0) / F.col("_n")).alias("share"),
+        )
+        .where(F.col("share") >= 0.15)
+        .crossJoin(F.broadcast(sketch))
+        .select(
+            "o_orderpriority",
+            "n_orders",
+            "share",
+            F.array_contains("_items", F.col("o_orderpriority")).alias("in_sketch"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Funnel conversion latency
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "funnel_conversion_latency",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS first_view
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    conv AS (
+      SELECT v.user_id,
+             CAST(epoch(min(e.ts)) - epoch(v.first_view) AS BIGINT) AS latency_s
+      FROM v JOIN events e
+        ON e.user_id = v.user_id AND e.event_type = 'click' AND e.ts > v.first_view
+      GROUP BY v.user_id, v.first_view
+    )
+    SELECT count(*) AS n_converters,
+           CAST(min(latency_s) AS BIGINT) AS min_s,
+           quantile_cont(latency_s, 0.5) AS p50_s,
+           quantile_cont(latency_s, 0.75) AS p75_s
+    FROM conv
+    """,
+)
+def q_funnel_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution for the view->click funnel: per user,
+    seconds from first view to the first click AFTER it, then the
+    latency quantiles (0.5/0.75 — dyadic fractions, so the interpolation
+    weight is exact in binary; 0.9 is NOT and its last-ulp divergence
+    between the two engines' interpolation formulas fails the hash). The paired-event-latency shape every product
+    pipeline runs after the funnel counts (funnel_view_click).
+
+    Latencies are exact integer epoch-second differences; quantile_cont
+    == Spark percentile (verified, CLAUDE.md) and interpolation over
+    integers is the same rational arithmetic on both engines. Plan: two
+    min-aggregates and the conversion join all key on user_id — ONE
+    exchange serves the whole pipeline until the final 1-row quantile
+    reduce."""
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    conv = (
+        v.join(
+            clicks,
+            (F.col("user_id") == F.col("c_user")) & (F.col("c_ts") > F.col("first_view")),
+        )
+        .groupBy("user_id", "first_view")
+        .agg(F.min("c_ts").alias("first_click"))
+        .select(
+            (
+                F.unix_timestamp("first_click") - F.unix_timestamp("first_view")
+            ).cast("bigint").alias("latency_s")
+        )
+    )
+    return conv.agg(
+        F.count(F.lit(1)).alias("n_converters"),
+        F.min("latency_s").alias("min_s"),
+        F.expr("percentile(latency_s, 0.5)").alias("p50_s"),
+        F.expr("percentile(latency_s, 0.75)").alias("p75_s"),
+    )

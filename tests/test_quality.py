@@ -158,3 +158,16 @@ def test_mode_per_group_is_true_argmax(spark):
     for status, (negn, prio) in best.items():
         assert rows[status]["mode_priority"] == prio
         assert rows[status]["n_orders"] == -negn
+
+
+def test_freq_items_gate_superset_property(spark):
+    rows = q.QUERIES["agg_freq_items_gate"](spark, SF).collect()
+    assert rows and all(r["in_sketch"] for r in rows)
+    assert all(r["share"] >= 0.15 for r in rows)
+
+
+def test_funnel_latency_consistent_with_funnel_counts(spark):
+    lat = q.QUERIES["funnel_conversion_latency"](spark, SF).collect()[0]
+    fun = q.QUERIES["funnel_view_click"](spark, SF).collect()[0]
+    assert lat["n_converters"] == fun["n_converted"]
+    assert 0 < lat["min_s"] <= lat["p50_s"] <= lat["p75_s"]
