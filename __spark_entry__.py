@@ -167,6 +167,8 @@ POST_PREFIX = [
     "agg_mode_per_group",
     "agg_freq_items_gate",
     "funnel_conversion_latency",
+    "scalar_regex_fns",
+    "agg_string_agg_ordered",
 ]
 
 

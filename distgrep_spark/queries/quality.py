@@ -699,3 +699,67 @@ def q_funnel_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(latency_s, 0.5)").alias("p50_s"),
         F.expr("percentile(latency_s, 0.75)").alias("p75_s"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Regex scalar battery + ordered string aggregation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "scalar_regex_fns",
+    oracle=r"""
+    SELECT p_partkey,
+           regexp_extract_all(p_name, '([a-z]+)', 1) AS words,
+           len(regexp_extract_all(p_name, '([a-z]+)', 1)) AS n_words,
+           regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+           regexp_matches(p_type, '^PROMO') AS is_promo,
+           regexp_extract(p_type, '([A-Z]+)$', 1) AS type_last
+    FROM part
+    """,
+)
+def q_scalar_regex_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex scalar battery: extract-all, match-count, global replace,
+    anchor test, group extract — all JVM built-ins inside whole-stage
+    codegen. Patterns stay in the Java∩RE2 common dialect (character
+    classes, anchors, groups — no lookaround, no engine-specific
+    escapes) so both engines' regex libraries agree byte-for-byte
+    (the repo's grep_regex discipline)."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.expr(r"regexp_extract_all(p_name, '([a-z]+)', 1)").alias("words"),
+        F.expr(r"size(regexp_extract_all(p_name, '([a-z]+)', 1))").cast("bigint").alias("n_words"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
+        F.col("p_type").rlike("^PROMO").alias("is_promo"),
+        F.regexp_extract("p_type", "([A-Z]+)$", 1).alias("type_last"),
+    )
+
+
+@query(
+    "agg_string_agg_ordered",
+    oracle="""
+    SELECT o_orderstatus,
+           string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority)
+             AS priorities,
+           count(DISTINCT o_orderpriority) AS n_priorities
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def q_agg_string_agg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ordered string aggregation (LISTAGG): collect the
+    DISTINCT priorities per status, sort, then join — the reporting op
+    that is only hash-stable if the collect is deduped AND sorted before
+    concatenation (a bare collect_list would be partition-order
+    dependent; the sort is what makes the result a pure function of the
+    group's SET). At 100 TB the collected set must be bounded per group
+    — true here (5 priorities); for unbounded groups you'd cap with
+    slice() after the sort."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.array_join(F.array_sort(F.collect_set("o_orderpriority")), ",").alias(
+            "priorities"
+        ),
+        F.countDistinct("o_orderpriority").alias("n_priorities"),
+    )

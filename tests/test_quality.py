@@ -171,3 +171,21 @@ def test_funnel_latency_consistent_with_funnel_counts(spark):
     fun = q.QUERIES["funnel_view_click"](spark, SF).collect()[0]
     assert lat["n_converters"] == fun["n_converted"]
     assert 0 < lat["min_s"] <= lat["p50_s"] <= lat["p75_s"]
+
+
+def test_regex_fns_word_split_consistency(spark):
+    rows = q.QUERIES["scalar_regex_fns"](spark, SF).collect()
+    assert rows
+    for r in rows[:30]:
+        assert r["n_words"] == len(r["words"])
+        assert all(w.isalpha() and w.islower() for w in r["words"])
+        assert "a" not in r["devoweled"] and "e" not in r["devoweled"]
+
+
+def test_string_agg_is_sorted_and_deduped(spark):
+    rows = q.QUERIES["agg_string_agg_ordered"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        parts = r["priorities"].split(",")
+        assert parts == sorted(parts)
+        assert len(parts) == len(set(parts)) == r["n_priorities"]
