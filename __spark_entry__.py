@@ -169,6 +169,7 @@ POST_PREFIX = [
     "funnel_conversion_latency",
     "scalar_regex_fns",
     "agg_string_agg_ordered",
+    "dq_constraint_checks",
 ]
 
 

@@ -189,3 +189,18 @@ def test_string_agg_is_sorted_and_deduped(spark):
         parts = r["priorities"].split(",")
         assert parts == sorted(parts)
         assert len(parts) == len(set(parts)) == r["n_priorities"]
+
+
+def test_dq_suite_passes_on_fixture_and_sizes_violations(spark):
+    rows = {r["check_name"]: r for r in q.QUERIES["dq_constraint_checks"](spark, SF).collect()}
+    assert set(rows) == {
+        "orders_pk_unique",
+        "orders_fk_customer",
+        "orders_status_domain",
+        "orders_price_positive",
+        "lineitem_qty_range",
+    }
+    for r in rows.values():
+        assert r["passed"] == (r["n_violations"] == 0)
+    # the generator emits a clean snapshot: the contract should hold
+    assert all(r["passed"] for r in rows.values())
