@@ -170,6 +170,8 @@ POST_PREFIX = [
     "scalar_regex_fns",
     "agg_string_agg_ordered",
     "dq_constraint_checks",
+    "udf_pandas_scalar",
+    "profile_key_skew",
 ]
 
 

@@ -864,3 +864,112 @@ def q_dq_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(report("orders_price_positive", row_viol, "pos"))
         .unionAll(report("lineitem_qty_range", qty_viol, "v"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Scalar Pandas UDF (Arrow-vectorized column function)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "udf_pandas_scalar",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
+             AS n_tokens_pd,
+           CAST(round_even(length(trim(text)) * 1.0
+                           / (length(text) - length(replace(text, ' ', '')) + 1), 4)
+                AS DOUBLE) AS chars_per_token
+    FROM documents
+    """,
+)
+def q_udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar Pandas UDF (Arrow-vectorized @pandas_udf): the third UDF
+    flavor next to the UDTF (functions/udtfs.py) and grouped
+    applyInPandas (udaf_length_quantiles) — a per-row column function
+    evaluated on Arrow batches with numpy string ops, hash-checked
+    against a pure-SQL twin so the Arrow round trip itself is certified
+    value-exact (numpy/pandas round half-EVEN, so the twin uses DuckDB's
+    round_even — plain round() ties away from zero and 157/32-style
+    exact .xxx25 ratios fail the hash).
+
+    The fixture text is single-space separated (no leading/trailing or
+    repeated spaces), so space-count + 1 IS the token count on both
+    paths. Kept out of the hot path by policy: CLAUDE.md/SURVEY document
+    that built-ins beat Python ~10-100x — this entry exists to certify
+    the escape hatch, not to recommend it."""
+    from pyspark.sql.functions import pandas_udf
+
+    # NB: no type hints — `from __future__ import annotations` turns them
+    # into strings the UDF resolver can't evaluate with a local import;
+    # the explicit returnType carries the schema instead.
+    @pandas_udf("bigint")
+    def tok_count(s):
+        return (s.str.count(" ") + 1).astype("int64")
+
+    @pandas_udf("double")
+    def chars_per_tok(s):
+        toks = s.str.count(" ") + 1
+        return (s.str.strip().str.len() * 1.0 / toks).round(4)
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        tok_count("text").alias("n_tokens_pd"),
+        chars_per_tok("text").alias("chars_per_token"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join-key skew profiler
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "profile_key_skew",
+    oracle="""
+    WITH kc AS (SELECT l_orderkey AS k, count(*) AS n FROM lineitem GROUP BY 1),
+    s AS (
+      SELECT count(*) AS n_keys,
+             CAST(sum(n) AS BIGINT) AS n_rows,
+             max(n) AS max_n,
+             quantile_cont(n, 0.5) AS p50_n
+      FROM kc
+    )
+    SELECT n_keys, n_rows, max_n, p50_n,
+           max_n * 1.0 * n_keys / n_rows AS skew_ratio,
+           max_n * 1.0 * n_keys / n_rows > 4.0 AS needs_salting
+    FROM s
+    """,
+)
+def q_profile_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnosis — the profiling step that DECIDES whether
+    operators/skew.salted_join is worth its replication cost: per-key
+    row counts, the max/mean ratio (max_n * n_keys / n_rows — 1.0 for a
+    perfectly uniform key, >> 1 for a hub key), and the go/no-go
+    boolean at the 4x threshold.
+
+    At 100 TB this one cheap rollup (key counts are map-side partial
+    aggs; the stats reduce to ONE row) runs before any big join ships:
+    a hub key found here means one reducer would receive max_n rows —
+    the straggler that decides the job's wall clock — and the fix
+    (salting, AQE skew split) is chosen from this report, not after the
+    job dies. The fixture's lineitem orderkey is mildly skewed (orders
+    have 1-7 lines), so the ratio is >1 but under the salting bar."""
+    li = load_table(spark, sf_dir, "lineitem")
+    kc = li.groupBy(F.col("l_orderkey").alias("k")).agg(F.count(F.lit(1)).alias("n"))
+    s = kc.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n").cast("bigint").alias("n_rows"),
+        F.max("n").alias("max_n"),
+        F.expr("percentile(n, 0.5)").alias("p50_n"),
+    )
+    ratio = F.col("max_n") * F.lit(1.0) * F.col("n_keys") / F.col("n_rows")
+    return s.select(
+        "n_keys",
+        "n_rows",
+        "max_n",
+        "p50_n",
+        ratio.alias("skew_ratio"),
+        (ratio > 4.0).alias("needs_salting"),
+    )

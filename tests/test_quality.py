@@ -204,3 +204,29 @@ def test_dq_suite_passes_on_fixture_and_sizes_violations(spark):
         assert r["passed"] == (r["n_violations"] == 0)
     # the generator emits a clean snapshot: the contract should hold
     assert all(r["passed"] for r in rows.values())
+
+
+def test_pandas_scalar_udf_matches_jvm_token_count(spark):
+    from distgrep_spark.functions.textfns import token_count
+    from pyspark.sql import functions as F
+    from distgrep_spark.sources.catalog import load_table
+
+    rows = {r["doc_id"]: r for r in q.QUERIES["udf_pandas_scalar"](spark, SF).collect()}
+    jvm = {
+        r["doc_id"]: r["n"]
+        for r in load_table(spark, SF, "documents")
+        .select("doc_id", token_count(F.col("text")).alias("n"))
+        .collect()
+    }
+    assert set(rows) == set(jvm)
+    for d, r in rows.items():
+        assert r["n_tokens_pd"] == jvm[d]
+        assert r["chars_per_token"] > 0
+
+
+def test_key_skew_report_bounds(spark):
+    r = q.QUERIES["profile_key_skew"](spark, SF).collect()[0]
+    assert r["n_keys"] <= r["n_rows"]
+    assert r["max_n"] >= r["p50_n"] >= 1
+    assert r["skew_ratio"] >= 1.0
+    assert r["needs_salting"] == (r["skew_ratio"] > 4.0)
