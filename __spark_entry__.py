@@ -172,6 +172,7 @@ POST_PREFIX = [
     "dq_constraint_checks",
     "udf_pandas_scalar",
     "profile_key_skew",
+    "snapshot_diff_classify",
 ]
 
 

@@ -973,3 +973,80 @@ def q_profile_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         ratio.alias("skew_ratio"),
         (ratio > 4.0).alias("needs_salting"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff (full-outer reconcile + change classification)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "snapshot_diff_classify",
+    oracle="""
+    WITH prev AS (
+      SELECT o_custkey, count(*) AS n_orders,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total
+      FROM orders WHERE o_orderdate < TIMESTAMP '2001-01-01'
+      GROUP BY o_custkey
+    ),
+    curr AS (
+      SELECT o_custkey, count(*) AS n_orders,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total
+      FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+      GROUP BY o_custkey
+    ),
+    d AS (
+      SELECT coalesce(p.o_custkey, c.o_custkey) AS o_custkey,
+             CASE WHEN p.o_custkey IS NULL THEN 'added'
+                  WHEN c.o_custkey IS NULL THEN 'removed'
+                  WHEN p.n_orders <> c.n_orders OR p.total <> c.total THEN 'changed'
+                  ELSE 'unchanged' END AS change_kind
+      FROM prev p FULL OUTER JOIN curr c USING (o_custkey)
+    )
+    SELECT change_kind, count(*) AS n_customers
+    FROM d GROUP BY change_kind
+    """,
+)
+def q_snapshot_diff_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation: aggregate the same table under two
+    as-of cuts (overlapping windows: orders before 2001 vs orders from
+    2000 on — overlapping rather than nested, so added AND removed both
+    occur: 3 / 135 on this fixture; 'unchanged' needs a customer whose
+    whole 6-year order span fits inside the 1-year overlap, which this
+    fixture never produces — the pytest exercises that branch on a
+    planted frame), full-outer join on the key,
+    and classify every key as added / removed / changed / unchanged —
+    the audit report behind every incremental-load pipeline (and the
+    read-side complement of merge_upsert_snapshot).
+
+    The compared totals use the exact decimal-sum convention, so
+    'changed' is a decision on bit-identical doubles, never a float
+    epsilon call. The 100 TB view: both snapshot aggregates and the
+    full-outer join key on o_custkey — ONE partitioning serves all
+    three, the join sees only per-key scalar rows (a fold of the fact
+    table), and the classification is a projection on top."""
+    o = load_table(spark, sf_dir, "orders")
+    dec = F.col("o_totalprice").cast("decimal(25,6)")
+
+    def snap(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_custkey").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(dec).cast("double").alias("total"),
+        )
+
+    prev = snap(o.where(F.col("o_orderdate") < F.lit("2001-01-01").cast("timestamp")))
+    curr = snap(o.where(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")))
+    p = prev.alias("p")
+    c = curr.alias("c")
+    d = p.join(c, F.col("p.o_custkey") == F.col("c.o_custkey"), "full_outer").select(
+        F.when(F.col("p.o_custkey").isNull(), "added")
+        .when(F.col("c.o_custkey").isNull(), "removed")
+        .when(
+            (F.col("p.n_orders") != F.col("c.n_orders"))
+            | (F.col("p.total") != F.col("c.total")),
+            "changed",
+        )
+        .otherwise("unchanged")
+        .alias("change_kind")
+    )
+    return d.groupBy("change_kind").agg(F.count(F.lit(1)).alias("n_customers"))

@@ -230,3 +230,41 @@ def test_key_skew_report_bounds(spark):
     assert r["max_n"] >= r["p50_n"] >= 1
     assert r["skew_ratio"] >= 1.0
     assert r["needs_salting"] == (r["skew_ratio"] > 4.0)
+
+
+def test_snapshot_diff_classifies_fixture_and_planted_classes(spark):
+    rows = {r["change_kind"]: r["n_customers"] for r in q.QUERIES["snapshot_diff_classify"](spark, SF).collect()}
+    # sf0.001 has no customer whose FIRST order is >= 2001 ('added' shows
+    # up at sf0.01+); removed/changed are always present
+    assert set(rows) >= {"removed", "changed"}
+    from distgrep_spark.sources.catalog import load_table
+
+    n_cust = (
+        load_table(spark, SF, "orders").select("o_custkey").distinct().count()
+    )
+    assert sum(rows.values()) == n_cust
+    # planted frame exercising all four branches (incl. 'unchanged')
+    from pyspark.sql import functions as F
+
+    prev = spark.createDataFrame(
+        [(1, 2, 10.0), (2, 1, 5.0), (3, 3, 7.5)],
+        "k long, n_orders long, total double",
+    )
+    curr = spark.createDataFrame(
+        [(1, 2, 10.0), (2, 2, 6.0), (4, 1, 1.0)],
+        "k long, n_orders long, total double",
+    )
+    d = prev.alias("p").join(curr.alias("c"), F.col("p.k") == F.col("c.k"), "full_outer").select(
+        F.coalesce("p.k", "c.k").alias("k"),
+        F.when(F.col("p.k").isNull(), "added")
+        .when(F.col("c.k").isNull(), "removed")
+        .when(
+            (F.col("p.n_orders") != F.col("c.n_orders"))
+            | (F.col("p.total") != F.col("c.total")),
+            "changed",
+        )
+        .otherwise("unchanged")
+        .alias("change_kind"),
+    )
+    got = {r["k"]: r["change_kind"] for r in d.collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
