@@ -2,9 +2,12 @@
 fingerprints (north-star extensions; BASELINE.json).
 
 Everything is built-in column expressions — the whole module is UDF-free,
-so at 100 TB these run inside whole-stage codegen on the scan output with
-no Python round-trip and no shuffle (they're all per-row until the caller
-aggregates).
+so at 100 TB these run inside whole-stage codegen with no Python round
+trip. The per-document functions (stats, quality, fingerprints, chunking)
+are shuffle-free projections; the two corpus-level operators at the end
+(dup_span_fraction, remove_dup_sentences) shuffle exactly the keys their
+docstrings state — gram/sentence frequencies and the doc id — never
+document payloads.
 """
 
 from __future__ import annotations
