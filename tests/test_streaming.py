@@ -353,3 +353,45 @@ def test_sessionize_with_timeout(spark, tmp_path):
     assert (8, 0, 0, 1) in got, got
     # the open sessions at t=1800 must NOT have been emitted
     assert not any(s[1] == 1800 for s in got), got
+
+
+def test_foreach_batch_into_manifest_sink(spark, tmp_path):
+    """Streaming -> custom sink integration: foreachBatch delivers each
+    micro-batch to the manifest-committed jsonl writer
+    (sources/jsonl_sink.py), giving the stream a per-batch atomic commit
+    — the miniature of streaming into an Iceberg/Delta table. Each
+    batch gets its own manifest directory; a batch that never commits
+    leaves no manifest, so downstream readers see only whole batches."""
+    from distgrep_spark.sources.jsonl_sink import JsonlManifestSink
+
+    spark.dataSource.register(JsonlManifestSink)
+    src = load_table(spark, SF, "events").select("event_id", "event_type")
+    d, out = tmp_path / "in", tmp_path / "mf_out"
+    src.repartition(3).write.mode("overwrite").parquet(str(d))
+
+    def handle(batch_df, batch_id):
+        (
+            batch_df.write.format("jsonl_manifest")
+            .option("path", str(out / f"batch={batch_id}"))
+            .mode("append")
+            .save()
+        )
+
+    stream = (
+        spark.readStream.schema("event_id long, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    q = stream.writeStream.foreachBatch(handle).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    import json as _json
+    import os as _os
+
+    total = 0
+    batch_dirs = [p for p in _os.listdir(out) if p.startswith("batch=")]
+    assert len(batch_dirs) >= 2
+    for b in batch_dirs:
+        with open(out / b / "_MANIFEST.json") as f:
+            total += _json.load(f)["n_rows"]
+    assert total == src.count()
