@@ -173,6 +173,7 @@ POST_PREFIX = [
     "udf_pandas_scalar",
     "profile_key_skew",
     "snapshot_diff_classify",
+    "stats_chi2_independence",
 ]
 
 

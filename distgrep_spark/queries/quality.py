@@ -1050,3 +1050,80 @@ def q_snapshot_diff_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("change_kind")
     )
     return d.groupBy("change_kind").agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+# ---------------------------------------------------------------------------
+# Chi-square independence test (contingency-table statistics)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stats_chi2_independence",
+    oracle="""
+    WITH obs AS (
+      SELECT o_orderstatus AS s, o_orderpriority AS p, count(*) AS o
+      FROM orders GROUP BY 1, 2
+    ),
+    rs AS (SELECT s, CAST(sum(o) AS BIGINT) AS row_n FROM obs GROUP BY s),
+    cs AS (SELECT p, CAST(sum(o) AS BIGINT) AS col_n FROM obs GROUP BY p),
+    tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM obs),
+    cells AS (
+      SELECT obs.s, obs.p, obs.o,
+             rs.row_n * 1.0 * cs.col_n / tot.n AS e
+      FROM obs JOIN rs USING (s) JOIN cs USING (p) CROSS JOIN tot
+    )
+    SELECT count(*) AS n_cells,
+           CAST(round((SELECT count(DISTINCT s) FROM obs) - 1, 0) AS BIGINT)
+             * CAST(round((SELECT count(DISTINCT p) FROM obs) - 1, 0) AS BIGINT)
+             AS dof,
+           round(sum((o - e) * (o - e) / e), 4) AS chi2
+    FROM cells
+    """,
+)
+def q_stats_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square independence statistic for the order-status x
+    priority contingency table: observed cell counts vs the
+    independence expectation (row_n * col_n / N), one number + degrees
+    of freedom out.
+
+    All inputs are exact BIGINT counts, so every expected value is the
+    same rational-arithmetic double on both engines, and the statistic
+    is rounded at 4 dp per the repo's transcendental-rounding rule. The
+    100 TB shape: ONE distributive count rollup over the fact table
+    (the only data-sized cost); margins and the statistic reduce over
+    the |S| x |P| cell table — dozens of rows — with the totals joined
+    back as broadcasts. This is the dependence screen a feature
+    -engineering pipeline runs over every categorical column pair."""
+    o = load_table(spark, sf_dir, "orders")
+    obs = o.groupBy(
+        F.col("o_orderstatus").alias("s"), F.col("o_orderpriority").alias("p")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    rs = obs.groupBy("s").agg(F.sum("o").cast("bigint").alias("row_n"))
+    cs = obs.groupBy("p").agg(F.sum("o").cast("bigint").alias("col_n"))
+    tot = obs.agg(F.sum("o").cast("bigint").alias("n"))
+    cells = (
+        obs.join(F.broadcast(rs), "s")
+        .join(F.broadcast(cs), "p")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "s",
+            "p",
+            "o",
+            (F.col("row_n") * F.lit(1.0) * F.col("col_n") / F.col("n")).alias("e"),
+        )
+    )
+    dims = obs.agg(
+        (F.countDistinct("s") - 1).cast("bigint").alias("ds"),
+        (F.countDistinct("p") - 1).cast("bigint").alias("dp"),
+    )
+    return (
+        cells.agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.round(
+                F.sum((F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e")),
+                4,
+            ).alias("chi2"),
+        )
+        .crossJoin(F.broadcast(dims))
+        .select("n_cells", (F.col("ds") * F.col("dp")).alias("dof"), "chi2")
+    )

@@ -268,3 +268,23 @@ def test_snapshot_diff_classifies_fixture_and_planted_classes(spark):
     )
     got = {r["k"]: r["change_kind"] for r in d.collect()}
     assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+
+def test_chi2_matches_scipy_free_reference(spark):
+    r = q.QUERIES["stats_chi2_independence"](spark, SF).collect()[0]
+    # direct reference computation driver-side
+    from collections import Counter
+    from distgrep_spark.sources.catalog import load_table
+
+    rows = load_table(spark, SF, "orders").select("o_orderstatus", "o_orderpriority").collect()
+    obs = Counter((x["o_orderstatus"], x["o_orderpriority"]) for x in rows)
+    n = sum(obs.values())
+    rN = Counter()
+    cN = Counter()
+    for (s, p), o in obs.items():
+        rN[s] += o
+        cN[p] += o
+    chi2 = sum((o - rN[s] * cN[p] / n) ** 2 / (rN[s] * cN[p] / n) for (s, p), o in obs.items())
+    assert abs(r["chi2"] - round(chi2, 4)) < 1e-3
+    assert r["dof"] == (len(rN) - 1) * (len(cN) - 1)
+    assert r["n_cells"] == len(obs)
