@@ -174,6 +174,8 @@ POST_PREFIX = [
     "profile_key_skew",
     "snapshot_diff_classify",
     "stats_chi2_independence",
+    "dedup_bloom_decontaminate",
+    "text_lang_confusion",
 ]
 
 

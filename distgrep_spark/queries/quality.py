@@ -1127,3 +1127,119 @@ def q_stats_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(dims))
         .select("n_cells", (F.col("ds") * F.col("dp")).alias("dof"), "chi2")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-set decontamination + language-ID confusion matrix
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_bloom_decontaminate",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id, source,
+             t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+      FROM toks, LATERAL unnest(generate_series(1, greatest(len(t) - 2, 0))) AS u(i)
+    ),
+    test_grams AS (SELECT DISTINCT gram FROM grams WHERE source = 'src0'),
+    exact AS (
+      SELECT g.doc_id,
+             count(*) FILTER (WHERE tg.gram IS NOT NULL) AS n_hits
+      FROM grams g LEFT JOIN test_grams tg USING (gram)
+      WHERE g.source <> 'src0'
+      GROUP BY g.doc_id
+    )
+    SELECT doc_id, CAST(n_hits AS BIGINT) AS n_exact_hits,
+           n_hits > 0 AS contaminated,
+           TRUE AS bloom_flagged
+    FROM exact WHERE n_hits > 0
+    """,
+)
+def q_dedup_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-set decontamination: build a broadcast bit-set from the
+    held-out split's shingles (source 'src0' stands in for the eval
+    set), then flag every training document whose shingles hit it. The
+    emitted ``bloom_flagged`` is TRUE by the Bloom no-false-negative
+    THEOREM for every exactly-contaminated doc — layout can add false
+    positives (caught and discarded by the exact n_hits filter), never
+    remove a true hit, so this row is a driver-checkable certificate of
+    the sketch (same gate pattern as agg_freq_items_gate).
+
+    The 100 TB story vs dedup_cross_corpus (the exact join): the bloom
+    bit-set is ~10 bits/element broadcast ONCE to every executor, and the
+    training scan drops clean documents map-side — no shuffle of the
+    training corpus at all. The exact side here exists to certify at
+    test scale; production runs the bloom pass first and only the
+    flagged minority reaches the exact verifier."""
+    from distgrep_spark.functions.textfns import ngrams_of_tokens, tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", "source", tokens(F.col("text")).alias("t"))
+    grams = toks.select(
+        "doc_id", "source", F.explode(ngrams_of_tokens(F.col("t"), 3)).alias("gram")
+    ).distinct()
+    test_bits = (
+        grams.where(F.col("source") == "src0")
+        .agg(
+            F.collect_set(F.pmod(F.xxhash64("gram"), F.lit(1 << 16))).alias("b1"),
+            F.collect_set(F.pmod(F.xxhash64(F.lit(7), F.col("gram")), F.lit(1 << 16))).alias("b2"),
+        )
+    )
+    train = grams.where(F.col("source") != "src0")
+    flagged = (
+        train.crossJoin(F.broadcast(test_bits))
+        .withColumn(
+            "_bloom_hit",
+            F.array_contains("b1", F.pmod(F.xxhash64("gram"), F.lit(1 << 16)))
+            & F.array_contains("b2", F.pmod(F.xxhash64(F.lit(7), F.col("gram")), F.lit(1 << 16))),
+        )
+        .where(F.col("_bloom_hit"))  # map-side prune: clean grams never shuffle
+    )
+    test_grams = grams.where(F.col("source") == "src0").select("gram").distinct()
+    return (
+        flagged.join(test_grams, "gram", "left_semi")  # exact verify of bloom candidates
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_exact_hits"))
+        .select(
+            "doc_id",
+            "n_exact_hits",
+            (F.col("n_exact_hits") > 0).alias("contaminated"),
+            F.lit(True).alias("bloom_flagged"),
+        )
+    )
+
+
+@query(
+    "text_lang_confusion",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS t
+      FROM documents
+    ),
+    g AS (
+      SELECT lang,
+             CASE WHEN len(list_filter(t, x -> x IN ('the', 'a', 'of', 'and')))
+                       * 1.0 / len(t) > 0.05
+                  THEN 'en_like' ELSE 'other' END AS lang_guess
+      FROM toks
+    )
+    SELECT lang, lang_guess, count(*) AS n_docs
+    FROM g GROUP BY lang, lang_guess
+    """,
+)
+def q_text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the language-ID heuristic against the labeled
+    lang column — the model-eval rollup every classifier in the pipeline
+    gets. Composes the text_lang_guess operator with its ground truth;
+    one distributive count per (actual, predicted) cell, so the whole
+    evaluation is a map-side rollup to |langs| x 2 rows."""
+    from distgrep_spark.operators.text import lang_guess
+
+    docs = load_table(spark, sf_dir, "documents")
+    g = lang_guess(docs).join(docs.select("doc_id", "lang"), "doc_id")
+    return g.groupBy("lang", "lang_guess").agg(F.count(F.lit(1)).alias("n_docs"))

@@ -288,3 +288,35 @@ def test_chi2_matches_scipy_free_reference(spark):
     assert abs(r["chi2"] - round(chi2, 4)) < 1e-3
     assert r["dof"] == (len(rN) - 1) * (len(cN) - 1)
     assert r["n_cells"] == len(obs)
+
+
+def test_bloom_decontaminate_no_false_negatives(spark):
+    from distgrep_spark.functions.textfns import ngrams_of_tokens, tokens
+    from distgrep_spark.sources.catalog import load_table
+    from pyspark.sql import functions as F
+
+    rows = {r["doc_id"]: r for r in q.QUERIES["dedup_bloom_decontaminate"](spark, SF).collect()}
+    assert rows
+    for r in rows.values():
+        assert r["bloom_flagged"] and r["contaminated"] and r["n_exact_hits"] > 0
+    # completeness: every training doc sharing a trigram with src0 is present
+    docs = load_table(spark, SF, "documents")
+    grams = docs.select(
+        "doc_id", "source", F.explode(ngrams_of_tokens(tokens(F.col("text")), 3)).alias("g")
+    ).distinct()
+    test = {r["g"] for r in grams.where(F.col("source") == "src0").collect()}
+    expected = {
+        r["doc_id"]
+        for r in grams.where(F.col("source") != "src0").collect()
+        if r["g"] in test
+    }
+    assert set(rows) == expected
+
+
+def test_lang_confusion_totals_match_corpus(spark):
+    from distgrep_spark.sources.catalog import load_table
+
+    rows = q.QUERIES["text_lang_confusion"](spark, SF).collect()
+    total = sum(r["n_docs"] for r in rows)
+    assert total == load_table(spark, SF, "documents").count()
+    assert {r["lang_guess"] for r in rows} <= {"en_like", "other"}
