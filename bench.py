@@ -32,6 +32,7 @@ HEADLINE = [
     "sim_cosine_topk",
     "text_stats",
     "stream_tumbling_counts",
+    "corpus_curation_pipeline",
 ]
 
 
