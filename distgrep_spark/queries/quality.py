@@ -435,28 +435,33 @@ def q_corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_events_rolling_7d_actives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-7-day distinct active users per day. Exact rolling
     distinct cannot ride a RANGE window (distinct is not an invertible
-    frame aggregate), so the scalable form is the banded self-join:
+    frame aggregate), so the scalable form is MEMBERSHIP EXPLOSION:
     dedup to (day, user) FIRST (one shuffle that collapses the event
-    log ~|events|/|day-user| fold), then join the tiny day spine onto
-    the dedup with a 7-day band and count distinct per spine day.
+    log), then each (day, user) row map-side-explodes into the <= 7
+    future spine days it contributes to, and one count-distinct rollup
+    per contributed day finishes the job.
 
-    The spine is bounded (one row per day — 36.5k rows for a CENTURY),
-    so it broadcasts; the band join emits at most 7 rows per (day,
-    user); and the final count-distinct shuffles (day, user) pairs, not
-    events. The same shape computes any trailing-k-distinct metric at
-    100 TB."""
+    This beats the band-join formulation outright: a broadcast
+    theta-join tests every (day, user) row against EVERY spine day
+    (|days| comparisons per row — 36.5k for a century of data), while
+    the explode emits a flat 7 rows per record no matter how much
+    history exists, all inside codegen with no join at all. The final
+    broadcast semi-join trims contributed days that fall after the
+    observed range (a day with no events of its own never reports).
+    The same shape computes any trailing-k-distinct metric at 100 TB."""
     ev = load_table(spark, sf_dir, "events")
     du = ev.select(
         F.date_trunc("day", F.col("ts")).alias("d"), "user_id"
     ).distinct()
+    contrib = du.select(
+        F.explode(
+            F.expr("sequence(d, d + INTERVAL 6 DAYS, INTERVAL 1 DAY)")
+        ).alias("day"),
+        "user_id",
+    )
     days = du.select(F.col("d").alias("day")).distinct()
     return (
-        F.broadcast(days)
-        .join(
-            du,
-            (F.col("d") >= F.col("day") - F.expr("INTERVAL 6 DAYS"))
-            & (F.col("d") <= F.col("day")),
-        )
+        contrib.join(F.broadcast(days), "day", "left_semi")
         .groupBy("day")
         .agg(F.countDistinct("user_id").alias("n_active_7d"))
     )
