@@ -75,7 +75,7 @@ SCOREBOARD_PREFIX = [
     "sim_ann_lsh_recall",
     "sim_ann_ivf_recall",
     "kmeans_assign_step",
-    "embed_centroids_by_label",
+    "embedding_index_pipeline",
     # text analysis
     "text_fingerprint_gate",
     "text_stats",
@@ -176,6 +176,9 @@ POST_PREFIX = [
     "stats_chi2_independence",
     "dedup_bloom_decontaminate",
     "text_lang_confusion",
+    # demoted when embedding_index_pipeline (quantize + IVF assign + list
+    # rollup, exact order-free aggregates) took the similarity-family slot
+    "embed_centroids_by_label",
 ]
 
 

@@ -1248,3 +1248,124 @@ def q_text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     g = lang_guess(docs).join(docs.select("doc_id", "lang"), "doc_id")
     return g.groupBy("lang", "lang_guess").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+# ---------------------------------------------------------------------------
+# Flagship composition 2: the ANN index-build pipeline
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "embedding_index_pipeline",
+    oracle="""
+    WITH xd AS (
+      SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings
+    ),
+    scaled AS (
+      SELECT vec_id, x,
+             greatest(list_max(list_transform(x, v -> abs(v))), 1e-12) / 127 AS scale
+      FROM xd
+    ),
+    rec AS (
+      SELECT vec_id, scale,
+             list_transform(x, v ->
+               greatest(-127, least(127, floor(v / scale + 0.5))) * scale) AS r,
+             list_max(list_transform(list_zip(
+               list_transform(x, v -> greatest(-127, least(127, floor(v / scale + 0.5))) * scale),
+               x), p -> abs(p[1] - p[2]))) AS max_err
+      FROM scaled
+    ),
+    c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+          FROM embeddings WHERE vec_id < 16),
+    d AS (
+      SELECT rec.vec_id, rec.max_err, c.cid,
+             list_sum(list_transform(generate_series(1, len(rec.r)),
+                                     i -> (rec.r[i] - c.cv[i]) * (rec.r[i] - c.cv[i])))
+               AS dist
+      FROM rec, c
+    ),
+    a AS (
+      SELECT vec_id, max_err, cid AS list_id,
+             row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+      FROM d
+    )
+    SELECT list_id, count(*) AS n_vectors,
+           round(max(max_err), 6) AS worst_quant_err
+    FROM a WHERE rn = 1
+    GROUP BY list_id
+    """,
+)
+def q_embedding_index_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN index-BUILD job as one composed plan — the embeddings-side
+    flagship next to corpus_curation_pipeline's text side:
+
+      1. widen float32 -> double (both engines run one double-only tree)
+      2. symmetric int8 quantization per vector (embed_quantize_int8's
+         exact floor(x/s + .5) convention)
+      3. RECONSTRUCT (q * scale) — index assignment must see what the
+         index will actually store, not the original floats
+      4. IVF list assignment of the reconstructed vector to the nearest
+         of the 16 deterministic centroids (kmeans_assign_step's
+         element-order fold + (dist, cid) argmin)
+      5. per-list rollup: vector count + worst reconstruction error —
+         the index build report.
+
+    Order-free aggregates only (count / max — no float mean), so the
+    rollup is layout-independent. The 100 TB view: steps 1-4 are pure
+    map-side column math against a broadcast 16xdim codebook; the ONLY
+    shuffle is the final 16-row rollup, which is how an index build on
+    a 1000-executor cluster must look — the fleet streams the corpus
+    once, and only per-list summaries meet."""
+    from distgrep_spark.operators.clustering import assign_to_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    xd = emb.select(
+        "vec_id", F.transform(F.col("embedding"), lambda v: v.cast("double")).alias("x")
+    )
+    scaled = xd.select(
+        "vec_id",
+        "x",
+        (
+            F.greatest(
+                F.array_max(F.transform(F.col("x"), lambda v: F.abs(v))), F.lit(1e-12)
+            )
+            / 127
+        ).alias("scale"),
+    )
+    rec = scaled.select(
+        "vec_id",
+        F.transform(
+            F.col("x"),
+            lambda v: F.greatest(
+                F.lit(-127.0), F.least(F.lit(127.0), F.floor(v / F.col("scale") + 0.5))
+            )
+            * F.col("scale"),
+        ).alias("r"),
+        F.array_max(
+            F.zip_with(
+                F.transform(
+                    F.col("x"),
+                    lambda v: F.greatest(
+                        F.lit(-127.0),
+                        F.least(F.lit(127.0), F.floor(v / F.col("scale") + 0.5)),
+                    )
+                    * F.col("scale"),
+                ),
+                F.col("x"),
+                lambda a, b: F.abs(a - b),
+            )
+        ).alias("max_err"),
+    )
+    cents = [
+        [float(v) for v in r["embedding"]]
+        for r in emb.where(F.col("vec_id") < 16).orderBy("vec_id").collect()
+    ]
+    assigned = assign_to_centroids(rec, cents, vec_col="r")
+    return (
+        assigned.join(rec.select("vec_id", "max_err"), "vec_id")
+        .groupBy(F.col("cluster").cast("bigint").alias("list_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(F.max("max_err"), 6).alias("worst_quant_err"),
+        )
+    )

@@ -320,3 +320,15 @@ def test_lang_confusion_totals_match_corpus(spark):
     total = sum(r["n_docs"] for r in rows)
     assert total == load_table(spark, SF, "documents").count()
     assert {r["lang_guess"] for r in rows} <= {"en_like", "other"}
+
+
+def test_embedding_index_pipeline_covers_corpus(spark):
+    from distgrep_spark.sources.catalog import load_table
+
+    rows = q.QUERIES["embedding_index_pipeline"](spark, SF).collect()
+    n_vecs = load_table(spark, SF, "embeddings").count()
+    assert sum(r["n_vectors"] for r in rows) == n_vecs
+    assert len(rows) <= 16 and all(0 <= r["list_id"] < 16 for r in rows)
+    # quantization error bound: max_err <= scale/2 <= max_abs/254 + eps;
+    # embeddings are unit-ish floats so the worst error stays tiny
+    assert all(0 <= r["worst_quant_err"] < 0.05 for r in rows)
