@@ -179,6 +179,7 @@ POST_PREFIX = [
     # demoted when embedding_index_pipeline (quantize + IVF assign + list
     # rollup, exact order-free aggregates) took the similarity-family slot
     "embed_centroids_by_label",
+    "join_asof_forward_events",
 ]
 
 

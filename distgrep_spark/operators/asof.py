@@ -34,19 +34,28 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     payload: list[str],
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of left join.
+    """As-of left join, backward (default) or forward.
 
-    Returns every ``left`` row with ``right_ts`` + ``payload`` columns
-    from the latest ``right`` row at or before the left row's
-    ``left_ts`` (nulls when no right row precedes it — left-join
-    semantics). Ties on the timestamp take the right row (inclusive
-    ``<=``), matching DuckDB's ``ASOF JOIN ... ON l.ts >= r.ts``.
+    ``backward``: every ``left`` row gets ``right_ts`` + ``payload``
+    from the LATEST right row at or before its ``left_ts`` (DuckDB
+    ``ASOF JOIN ... ON l.ts >= r.ts``). ``forward``: from the EARLIEST
+    right row at or after it (``ON l.ts <= r.ts`` — the "next reading"
+    join). Nulls when no right row qualifies — left-join semantics.
+    Ties on the timestamp take the right row (inclusive) in both
+    directions.
 
     ``right`` must be unique per (key, right_ts) — pre-aggregate it
     otherwise, or which duplicate wins is engine-dependent on BOTH sides
     of any oracle comparison.
+
+    Both directions are the same one-exchange union + window-fill scan;
+    forward just flips the frame (current→following, first instead of
+    last) and the equal-ts tag order so inclusivity is preserved.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     for c in [right_ts, *payload]:
         if c in left.columns:
             raise ValueError(f"column {c!r} exists on both sides; alias it first")
@@ -59,15 +68,26 @@ def asof_join(
         *payload,
     )
     u = l_tag.unionByName(r_tag, allowMissingColumns=True)
-    # right (_is_left=0) sorts before left at equal _t -> inclusive match
-    w = (
-        Window.partitionBy(*on)
-        .orderBy("_t", "_is_left")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    if direction == "backward":
+        # right (_is_left=0) sorts before left at equal _t -> inclusive
+        w = (
+            Window.partitionBy(*on)
+            .orderBy("_t", "_is_left")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        fill = lambda c: F.last(c, ignorenulls=True).over(w)  # noqa: E731
+    else:
+        # left sorts before right at equal _t -> the equal-ts right row
+        # is inside the (currentRow, following) frame -> inclusive
+        w = (
+            Window.partitionBy(*on)
+            .orderBy("_t", F.col("_is_left").desc())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        fill = lambda c: F.first(c, ignorenulls=True).over(w)  # noqa: E731
     filled = u.select(
         *left.columns,
         "_is_left",
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in [right_ts, *payload]],
+        *[fill(c).alias(c) for c in [right_ts, *payload]],
     )
     return filled.where(F.col("_is_left") == 1).drop("_is_left")

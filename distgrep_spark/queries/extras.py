@@ -245,6 +245,48 @@ def q_join_asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "join_asof_forward_events",
+    oracle="""
+    WITH errors AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+    ),
+    clicks AS (
+      SELECT user_id, ts AS click_ts, max(value) AS click_value
+      FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+    )
+    SELECT e.event_id, e.user_id, e.ts, c.click_ts, c.click_value
+    FROM errors e
+    ASOF LEFT JOIN clicks c ON e.user_id = c.user_id AND e.ts <= c.click_ts
+    """,
+)
+def q_join_asof_forward_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of: each error joined to the user's next click at or
+    after it — the "did the user recover" probe, and the mirror
+    direction of join_asof_events (operators/asof.py direction=
+    'forward': same one-exchange union + window-fill scan with the
+    frame flipped to current->following). Clicks pre-aggregated per
+    (user, ts) so the pick is deterministic on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", F.col("ts").alias("click_ts"))
+        .agg(F.max("value").alias("click_value"))
+    )
+    return asof_join(
+        errors,
+        clicks,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="click_ts",
+        payload=["click_value"],
+        direction="forward",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Highlight (reference presentation op)
 # ---------------------------------------------------------------------------
