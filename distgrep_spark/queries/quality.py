@@ -1,37 +1,25 @@
-"""Corpus-quality and warehouse-hygiene queries (round-3 batch 2).
+"""Corpus-quality, analytics, and warehouse-hygiene queries (round 3).
 
-The 100-TB rationale per query:
+Families in this module (per-query 100-TB rationale lives on each
+docstring):
 
-- ``text_gopher_rules``: Gopher/RefinedWeb-style per-document quality
-  rule panel — every rule is a pure column expression over one
-  tokenize, so the whole panel is map-side (no shuffle at all): at
-  100 TB quality filtering is a projection fused into the scan.
-- ``text_remove_dup_sentences``: cross-document duplicated-sentence
-  removal (the "exact line dedup" step C4/RefinedWeb run before
-  training). Sentence convention matches ``udtf_split_sentences``
-  ('. ' separator). One shuffle on the sentence key for global
-  frequency, one back on the doc id to reassemble — at 100 TB the
-  sentence key would be its xxhash64 (shuffle 8-byte keys, not prose),
-  identical plan shape.
-- ``events_user_retention``: classic cohort retention triangle. Both
-  the cohort assignment (min over user) and the (cohort, offset)
-  rollup key first on user_id, so ONE user_id shuffle feeds the
-  cohort map; the second shuffle moves only (cohort, offset, user)
-  triples — scalars, not events.
-- ``agg_approx_percentile_gate``: certification gate for Spark's
-  ``approx_percentile`` sketch (same pattern as
-  ``agg_approx_distinct_error``'s HLL gate): the emitted row carries
-  the EXACT percentile plus a boolean that flips if the sketch strays
-  past 5%, so the sketch's accuracy is driver-checkable even though
-  the sketch itself is not SQL-reproducible. At 100 TB the sketch is
-  mergeable state (KLL/GK summaries) — the only way to get quantiles
-  without a global sort.
-- ``layout_compaction_bins``: the small-files compaction planner —
-  assign rows to output shards by prefix-sum of byte size within each
-  source partition. The plan is one window (partitioned, so it scales
-  by source) + one group-by; at 100 TB this is how you turn a
-  million 200 KB files into 512 MB parquet shards without a global
-  sort, and the per-shard byte totals are the write-size audit.
+- **Quality / curation**: text_gopher_rules (map-side rule panel),
+  text_remove_dup_sentences (cross-doc line dedup), and the two
+  composition FLAGSHIPS — corpus_curation_pipeline (filter → sentence
+  dedup → digest dedup → content-addressed split) and
+  embedding_index_pipeline (widen → int8 quantize → reconstruct → IVF
+  assign → build report).
+- **Sketch certification gates**: agg_approx_percentile_gate,
+  agg_freq_items_gate, dedup_bloom_decontaminate — each emits a boolean
+  a layout change cannot flip but real degradation must (the
+  agg_approx_distinct_error pattern).
+- **Product analytics**: events_user_retention, events_rolling_7d_actives
+  (membership explosion, not band join), funnel_conversion_latency,
+  agg_mode_per_group, stats_chi2_independence, text_lang_confusion.
+- **Warehouse hygiene**: layout_compaction_bins, scd2_customer_status,
+  snapshot_diff_classify, dq_constraint_checks, profile_key_skew.
+- **Engine surface**: scalar_regex_fns, agg_string_agg_ordered,
+  udf_pandas_scalar (Arrow scalar UDF certified against a SQL twin).
 
 No reference counterpart (the reference's only query is grep,
 worker.go:24-43); these extend the north-star curation surface
