@@ -180,6 +180,7 @@ POST_PREFIX = [
     # rollup, exact order-free aggregates) took the similarity-family slot
     "embed_centroids_by_label",
     "join_asof_forward_events",
+    "text_unigram_surprisal",
 ]
 
 

@@ -1357,3 +1357,68 @@ def q_embedding_index_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("max_err"), 6).alias("worst_quant_err"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram LM surprisal (language-model quality signal)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_unigram_surprisal",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+    ),
+    words AS (
+      SELECT doc_id, t[i] AS w
+      FROM toks, LATERAL unnest(generate_series(1, len(t))) AS u(i)
+    ),
+    vocab AS (SELECT w, count(*) AS wc FROM words GROUP BY w),
+    tot AS (SELECT CAST(sum(wc) AS BIGINT) AS n FROM vocab)
+    SELECT doc_id,
+           count(*) AS n_tokens,
+           round(sum(-ln(wc * 1.0 / tot.n)) / count(*), 4) AS avg_surprisal
+    FROM words JOIN vocab USING (w) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+)
+def q_text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document average surprisal under the corpus's own unigram
+    distribution — the simplest LM-based quality signal (low = stuffed
+    with corpus-common words, high = rare-token noise; the KenLM-style
+    perplexity filter's shape with a trivially-reproducible model).
+
+    Determinism: every probability is an exact rational wc/N of BIGINT
+    counts — the same double on both engines — and -ln of identical
+    doubles can differ only in the last ulp between libm builds, so the
+    per-doc MEAN is rounded at 4 dp (CLAUDE.md's transcendental rule;
+    per-token ulp noise ~1e-16 cannot reach 5e-5). The division by
+    count(*) happens BEFORE rounding so the rounded value is the mean,
+    not a mean of roundings.
+
+    The 100 TB view: vocab counts are one distributive rollup (map-side
+    partial aggs); at fixture scale the vocab broadcasts back onto the
+    exploded token stream, and at web scale (1e8+ types) the same plan
+    degrades gracefully to a hash join keyed on the word — either way
+    the doc-side rollup shuffles (doc_id, float) pairs, never text."""
+    from distgrep_spark.functions.textfns import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("w")
+    )
+    vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("wc"))
+    tot = vocab.agg(F.sum("wc").cast("bigint").alias("n"))
+    return (
+        words.join(F.broadcast(vocab), "w")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.sum(-F.log(F.col("wc") * F.lit(1.0) / F.col("n"))) / F.count(F.lit(1)),
+                4,
+            ).alias("avg_surprisal"),
+        )
+    )

@@ -332,3 +332,22 @@ def test_embedding_index_pipeline_covers_corpus(spark):
     # quantization error bound: max_err <= scale/2 <= max_abs/254 + eps;
     # embeddings are unit-ish floats so the worst error stays tiny
     assert all(0 <= r["worst_quant_err"] < 0.05 for r in rows)
+
+
+def test_unigram_surprisal_matches_reference(spark):
+    import math
+    from collections import Counter
+    from distgrep_spark.sources.catalog import load_table
+
+    rows = {r["doc_id"]: r for r in q.QUERIES["text_unigram_surprisal"](spark, SF).collect()}
+    docs = load_table(spark, SF, "documents").select("doc_id", "text").collect()
+    toks = {r["doc_id"]: r["text"].strip().split() for r in docs}
+    vocab = Counter(w for t in toks.values() for w in t)
+    n = sum(vocab.values())
+    for d, t in toks.items():
+        ref = sum(-math.log(vocab[w] / n) for w in t) / len(t)
+        assert rows[d]["n_tokens"] == len(t)
+        assert abs(rows[d]["avg_surprisal"] - round(ref, 4)) < 2e-4
+    # discriminative: surprisal varies across the corpus
+    vals = [r["avg_surprisal"] for r in rows.values()]
+    assert max(vals) - min(vals) > 0.05
