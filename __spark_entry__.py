@@ -181,6 +181,8 @@ POST_PREFIX = [
     "embed_centroids_by_label",
     "join_asof_forward_events",
     "text_unigram_surprisal",
+    "text_source_overlap_matrix",
+    "events_pareto_concentration",
 ]
 
 

@@ -1422,3 +1422,143 @@ def q_text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_surprisal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Source-level contamination matrix + event-concentration curve
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_source_overlap_matrix",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT source,
+             t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4] AS gram
+      FROM toks, LATERAL unnest(generate_series(1, greatest(len(t) - 4, 0))) AS u(i)
+    ),
+    sizes AS (SELECT source, count(*) AS n_grams FROM grams GROUP BY source)
+    SELECT a.source AS source_a, b.source AS source_b,
+           count(*) AS shared_grams,
+           count(*) * 1.0 / least(sa.n_grams, sb.n_grams) AS containment
+    FROM grams a
+    JOIN grams b ON a.gram = b.gram AND a.source < b.source
+    JOIN sizes sa ON sa.source = a.source
+    JOIN sizes sb ON sb.source = b.source
+    GROUP BY a.source, b.source, sa.n_grams, sb.n_grams
+    """,
+)
+def q_text_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-pair leakage report: for every pair of sources, how many
+    distinct 5-gram shingles they share and the containment ratio
+    (shared / smaller side) — the corpus-level rollup of
+    dedup_cross_corpus, and the report that decides WHICH source pairs
+    need document-level decontamination at all.
+
+    Plan: dedup shingles to (source, gram) first (the source count is
+    tiny, so this collapses the corpus to near-vocabulary size), ONE
+    self-join on the gram key co-partitioned by the shuffle, pair
+    rollup, broadcast sizes. At 100 TB the gram key is its xxhash64 and
+    the (source, gram) dedup is the only corpus-sized stage; the matrix
+    itself is |sources|^2/2 rows. Containment is an exact integer ratio
+    — bit-identical across engines."""
+    from distgrep_spark.functions.textfns import ngrams_of_tokens, tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = (
+        docs.select(
+            "source", F.explode(ngrams_of_tokens(tokens(F.col("text")), 5)).alias("gram")
+        )
+        .distinct()
+    )
+    sizes = grams.groupBy("source").agg(F.count(F.lit(1)).alias("n_grams"))
+    a = grams.alias("a")
+    b = grams.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared_grams"))
+    )
+    sa = sizes.select(F.col("source").alias("source_a"), F.col("n_grams").alias("_na"))
+    sb = sizes.select(F.col("source").alias("source_b"), F.col("n_grams").alias("_nb"))
+    return (
+        pairs.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "shared_grams",
+            (
+                F.col("shared_grams") * F.lit(1.0) / F.least(F.col("_na"), F.col("_nb"))
+            ).alias("containment"),
+        )
+    )
+
+
+@query(
+    "events_pareto_concentration",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+    ),
+    ranked AS (
+      SELECT user_id, n,
+             row_number() OVER (ORDER BY n DESC, user_id) AS rk,
+             CAST(sum(n) OVER (ORDER BY n DESC, user_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n,
+             (SELECT count(*) FROM per_user) AS n_users,
+             (SELECT CAST(sum(n) AS BIGINT) FROM per_user) AS total_n
+      FROM per_user
+    )
+    SELECT CAST(rk * 10 // n_users AS BIGINT) AS decile,
+           max(cum_n * 1.0 / total_n) AS cum_share,
+           count(*) AS n_users_in_decile
+    FROM ranked
+    GROUP BY 1
+    """,
+)
+def q_events_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity-concentration (Pareto) curve: rank users by event count,
+    then per activity decile the cumulative share of all events the top
+    ranks account for — the 'do 20% of users generate 80% of load'
+    report, which is ALSO the data-side skew diagnosis (a steep curve
+    here predicts hub keys in every per-user shuffle; see
+    profile_key_skew for the per-key view).
+
+    The global window runs over the PER-USER rollup (|users| rows, not
+    events), which is the scalable order: rollup first, rank the small
+    relation. (n DESC, user_id) makes the rank total; cumulative share
+    is a ratio of exact BIGINTs; max() per decile is order-free."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.col("n").desc(), "user_id")
+    totals = per_user.agg(
+        F.count(F.lit(1)).alias("n_users"), F.sum("n").cast("bigint").alias("total_n")
+    )
+    ranked = (
+        per_user.withColumn("rk", F.row_number().over(w))
+        .withColumn(
+            "cum_n",
+            F.sum("n").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("bigint"),
+        )
+        .crossJoin(F.broadcast(totals))
+    )
+    return (
+        ranked.groupBy(
+            F.expr("CAST(rk * 10 div n_users AS BIGINT)").alias("decile")
+        )
+        .agg(
+            F.max(F.col("cum_n") * F.lit(1.0) / F.col("total_n")).alias("cum_share"),
+            F.count(F.lit(1)).alias("n_users_in_decile"),
+        )
+    )

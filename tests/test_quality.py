@@ -351,3 +351,28 @@ def test_unigram_surprisal_matches_reference(spark):
     # discriminative: surprisal varies across the corpus
     vals = [r["avg_surprisal"] for r in rows.values()]
     assert max(vals) - min(vals) > 0.05
+
+
+def test_source_overlap_matrix_bounds(spark):
+    rows = q.QUERIES["text_source_overlap_matrix"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["source_a"] < r["source_b"]
+        assert 0 < r["containment"] <= 1.0
+        assert r["shared_grams"] >= 1
+
+
+def test_pareto_concentration_monotone_and_complete(spark):
+    from distgrep_spark.sources.catalog import load_table
+
+    rows = sorted(
+        q.QUERIES["events_pareto_concentration"](spark, SF).collect(),
+        key=lambda r: r["decile"],
+    )
+    ev = load_table(spark, SF, "events")
+    assert sum(r["n_users_in_decile"] for r in rows) == ev.select("user_id").distinct().count()
+    shares = [r["cum_share"] for r in rows]
+    assert shares == sorted(shares)  # cumulative share is monotone
+    assert abs(shares[-1] - 1.0) < 1e-12  # ends at 100% of events
+    # concentration: the top decile holds more than a uniform share
+    assert shares[0] > rows[0]["n_users_in_decile"] / sum(r["n_users_in_decile"] for r in rows)
