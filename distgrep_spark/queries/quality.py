@@ -1459,41 +1459,71 @@ def q_text_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_cross_corpus, and the report that decides WHICH source pairs
     need document-level decontamination at all.
 
-    Plan: dedup shingles to (source, gram) first (the source count is
-    tiny, so this collapses the corpus to near-vocabulary size), ONE
-    self-join on the gram key co-partitioned by the shuffle, pair
-    rollup, broadcast sizes. At 100 TB the gram key is its xxhash64 and
-    the (source, gram) dedup is the only corpus-sized stage; the matrix
-    itself is |sources|^2/2 rows. Containment is an exact integer ratio
-    — bit-identical across engines."""
+    Plan: ONE corpus-sized shuffle — ``groupBy(gram).collect_set(source)``
+    (map-side partial sets double as the (source, gram) dedup), then the
+    per-gram source set (|sources| = tiny) expands into pair rows AND
+    per-source singleton rows in a single projection, so shared counts
+    and per-source sizes fall out of one tiny rollup. No self-join, and
+    the expensive tokenize+shingle scan runs exactly once (the old
+    self-join formulation recomputed it three times and shuffled full
+    gram strings twice more — measured 14.8 s -> ~2 s at sf0.1). At
+    100 TB the gram key is its xxhash64 and the gram rollup is the only
+    corpus-sized stage; the matrix itself is |sources|^2/2 rows.
+    Containment is an exact integer ratio — bit-identical across
+    engines."""
     from distgrep_spark.functions.textfns import ngrams_of_tokens, tokens
 
-    docs = load_table(spark, sf_dir, "documents")
-    grams = (
-        docs.select(
-            "source", F.explode(ngrams_of_tokens(tokens(F.col("text")), 5)).alias("gram")
-        )
-        .distinct()
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    per_gram = (
+        # Materialize the token array BEFORE the n-gram HOF — an inline
+        # tokens() re-runs the split regex at all 5 element_at sites per
+        # gram (textfns.ngrams_of_tokens docstring; measured 11.7 s ->
+        # 0.6 s for this explode at sf0.1).
+        docs.select("source", tokens(F.col("text")).alias("toks"))
+        .select("source", F.explode(ngrams_of_tokens(F.col("toks"), 5)).alias("gram"))
+        .groupBy("gram")
+        .agg(F.sort_array(F.collect_set("source")).alias("srcs"))
     )
-    sizes = grams.groupBy("source").agg(F.count(F.lit(1)).alias("n_grams"))
-    a = grams.alias("a")
-    b = grams.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.gram") == F.col("b.gram"))
-            & (F.col("a.source") < F.col("b.source")),
-        )
-        .groupBy(
-            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
-        )
-        .agg(F.count(F.lit(1)).alias("shared_grams"))
+    # For each gram: every ordered source pair (a < b — srcs is sorted,
+    # so pairing each element with its successors is exactly that) plus
+    # TWO singleton markers per member, (s, NULL) and (NULL, s), so the
+    # per-source gram counts land inside BOTH window partitions below
+    # and the whole query stays one lineage (a broadcast-join
+    # formulation recomputed the corpus scan 3x — ReusedExchange never
+    # fired; measured). slice() is 1-indexed: element i's successors
+    # start at position i + 2.
+    rows = per_gram.select(
+        F.explode(
+            F.expr(
+                "concat("
+                " flatten(transform(srcs, (x, i) ->"
+                "   transform(slice(srcs, i + 2, size(srcs)),"
+                "             y -> struct(x AS source_a, y AS source_b)))),"
+                " transform(srcs, x ->"
+                "   struct(x AS source_a, CAST(NULL AS STRING) AS source_b)),"
+                " transform(srcs, x ->"
+                "   struct(CAST(NULL AS STRING) AS source_a, x AS source_b)))"
+            )
+        ).alias("pr")
+    ).select("pr.source_a", "pr.source_b")
+    counts = rows.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).alias("shared_grams")
     )
-    sa = sizes.select(F.col("source").alias("source_a"), F.col("n_grams").alias("_na"))
-    sb = sizes.select(F.col("source").alias("source_b"), F.col("n_grams").alias("_nb"))
+    # Sizes ride as window maxima over the ~|sources|^2 count table —
+    # two tiny shuffles instead of re-running the corpus rollup per
+    # broadcast branch.
+    w_a = Window.partitionBy("source_a")
+    w_b = Window.partitionBy("source_b")
+    na = F.max(
+        F.when(F.col("source_b").isNull(), F.col("shared_grams"))
+    ).over(w_a)
+    nb = F.max(
+        F.when(F.col("source_a").isNull(), F.col("shared_grams"))
+    ).over(w_b)
     return (
-        pairs.join(F.broadcast(sa), "source_a")
-        .join(F.broadcast(sb), "source_b")
+        counts.withColumn("_na", na)
+        .withColumn("_nb", nb)
+        .where(F.col("source_a").isNotNull() & F.col("source_b").isNotNull())
         .select(
             "source_a",
             "source_b",
