@@ -501,47 +501,82 @@ def q_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     signal, and the relational cousin of dedup_ngram_jaccard's
     inverted-index pair generation.
 
-    Plan shape: project to DISTINCT (order, part) FIRST (the fixture
-    repeats parts within an order), then self-join co-partitioned on
-    l_orderkey — ONE shuffle, pairs generated inside each partition with
-    the a < b triangle guard. Pair blowup is bounded by the per-order
-    item count k (~7 here): k(k-1)/2 rows per order, never quadratic in
-    the table. Per-part counts are dimension-sized -> broadcast back
-    onto the pair aggregate; the order count is a broadcast 1-row
-    scalar. The n_pair >= 2 support floor prunes the long tail before
-    the lift math (at 100 TB it's the difference between a report and a
-    firehose). Lift is an exact integer ratio times 1.0 — bit-identical
-    across engines."""
+    Plan shape: ONE shuffle builds the per-order basket
+    (``groupBy(l_orderkey).collect_set(l_partkey)`` — the partial sets
+    double as the (order, part) dedup), then each basket expands into
+    its a < b pairs (the set is sorted, so pairing each element with
+    its successors is exactly the triangle) PLUS two singleton
+    orientations per part and one per-order marker, so per-part counts
+    and the order total ride the same explode and the whole query is a
+    single lineage with ONE fact scan (the self-join formulation
+    recomputed the distinct projection four times — ReusedExchange
+    never fired). Pair blowup is bounded by the per-order item count k
+    (~7 here): k(k-1)/2 rows per order, never quadratic in the table.
+    The n_pair >= 2 support floor prunes the long tail BEFORE the
+    margin windows (at 100 TB it's the difference between a report and
+    a firehose). Lift is an exact integer ratio times 1.0 —
+    bit-identical across engines."""
     li = load_table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    n_orders = items.select(F.countDistinct("l_orderkey").alias("n_orders"))
-    pc = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_part"))
-    a = items.alias("a")
-    b = items.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
-        )
-        .agg(F.count(F.lit(1)).alias("n_pair"))
-        .where(F.col("n_pair") >= 2)
+    baskets = (
+        li.select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
     )
-    ca = pc.select(F.col("l_partkey").alias("part_a"), F.col("n_part").alias("_na"))
-    cb = pc.select(F.col("l_partkey").alias("part_b"), F.col("n_part").alias("_nb"))
+    rows = baskets.select(
+        F.explode(
+            F.expr(
+                "concat("
+                " flatten(transform(ps, (x, i) ->"
+                "   transform(slice(ps, i + 2, size(ps)),"
+                "             y -> struct(x AS part_a, y AS part_b)))),"
+                " transform(ps, x ->"
+                "   struct(x AS part_a, CAST(NULL AS BIGINT) AS part_b)),"
+                " transform(ps, x ->"
+                "   struct(CAST(NULL AS BIGINT) AS part_a, x AS part_b)),"
+                " array(struct(CAST(NULL AS BIGINT) AS part_a,"
+                "              CAST(NULL AS BIGINT) AS part_b)))"
+            )
+        ).alias("pr")
+    ).select("pr.part_a", "pr.part_b")
+    counts = (
+        rows.groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        # Keep margin/marker rows; floor only the real pairs. The floor
+        # runs BEFORE the windows so they reduce the pruned table.
+        .where(
+            F.col("part_a").isNull()
+            | F.col("part_b").isNull()
+            | (F.col("n_pair") >= 2)
+        )
+    )
+    na = F.max(F.when(F.col("part_b").isNull(), F.col("n_pair"))).over(
+        Window.partitionBy("part_a")
+    )
+    nb = F.max(F.when(F.col("part_a").isNull(), F.col("n_pair"))).over(
+        Window.partitionBy("part_b")
+    )
+    # The order-total marker is resolved LAST, after singleton margin
+    # rows are dropped, so the single-partition window only ever sees
+    # the floored pair report plus one marker row — report-sized by the
+    # support floor's own argument, never catalog- or fact-sized.
+    n_orders = F.max(
+        F.when(F.col("part_a").isNull() & F.col("part_b").isNull(), F.col("n_pair"))
+    ).over(Window.partitionBy(F.lit(1)))
     return (
-        pairs.crossJoin(F.broadcast(n_orders))
-        .join(F.broadcast(ca), "part_a")
-        .join(F.broadcast(cb), "part_b")
+        counts.withColumn("_na", na)
+        .withColumn("_nb", nb)
+        .where(
+            (F.col("part_a").isNull() & F.col("part_b").isNull())
+            | (F.col("part_a").isNotNull() & F.col("part_b").isNotNull())
+        )
+        .withColumn("_no", n_orders)
+        .where(F.col("part_a").isNotNull() & F.col("part_b").isNotNull())
         .select(
             "part_a",
             "part_b",
             "n_pair",
             (
-                F.col("n_pair") * F.lit(1.0) * F.col("n_orders")
+                F.col("n_pair") * F.lit(1.0) * F.col("_no")
                 / (F.col("_na") * F.col("_nb"))
             ).alias("lift"),
         )

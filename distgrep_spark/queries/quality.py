@@ -807,13 +807,17 @@ def q_dq_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     checks, emitted as one (check_name, n_violations, passed) row each —
     the validation report a pipeline runs before promoting a snapshot.
 
-    Plan economy is the point at 100 TB: the three orders row-level
-    checks (domain, positivity, and the FK anti-join probe side) ride
-    ONE scan of orders as conditional sums; PK uniqueness is one
-    group-by on the key (the unavoidable shuffle); the FK check is a
-    broadcast anti join against the customer key set. Each check's
-    violation count — not just the boolean — survives to the report, so
-    a failure is immediately sized.
+    Plan economy is the point at 100 TB: ALL FOUR orders checks ride
+    ONE scan and ONE shuffle — the row-level flags (domain, positivity)
+    and the FK probe (broadcast left join against the customer key set,
+    null right side = violation) are counted inside the same
+    group-by-key aggregate that PK uniqueness needs anyway, then a
+    1-row global rollup folds the per-key partials. (The earlier
+    per-check-branch formulation re-scanned orders three times —
+    ReusedExchange never fired.) The 5-row report itself is inline()'d
+    from the two 1-row aggregates. Each check's violation count — not
+    just the boolean — survives to the report, so a failure is
+    immediately sized.
 
     Reference: the closest thing the reference has is its empty-input
     guard (server.go:154) — this generalizes 'is the input sane' into a
@@ -822,40 +826,61 @@ def q_dq_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     li = load_table(spark, sf_dir, "lineitem")
 
-    pk_viol = (
-        o.groupBy("o_orderkey")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .where(F.col("n") > 1)
-        .agg(F.count(F.lit(1)).alias("v"))
+    per_key = (
+        o.join(
+            F.broadcast(c.select("c_custkey")),
+            o["o_custkey"] == c["c_custkey"],
+            "left",
+        )
+        .groupBy("o_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(F.col("c_custkey").isNull(), 1)).alias("fk"),
+            F.count(
+                F.when(~F.col("o_orderstatus").isin("F", "O", "P"), 1)
+            ).alias("dom"),
+            F.count(
+                F.when(
+                    F.col("o_totalprice").isNull() | (F.col("o_totalprice") <= 0), 1
+                )
+            ).alias("pos"),
+        )
     )
-    fk_viol = (
-        o.join(F.broadcast(c.select("c_custkey")),
-               o["o_custkey"] == c["c_custkey"], "left_anti")
-        .agg(F.count(F.lit(1)).alias("v"))
-    )
-    row_viol = o.agg(
-        F.count(F.when(~F.col("o_orderstatus").isin("F", "O", "P"), 1)).alias("dom"),
-        F.count(
-            F.when(F.col("o_totalprice").isNull() | (F.col("o_totalprice") <= 0), 1)
-        ).alias("pos"),
+    o_viol = per_key.agg(
+        F.count(F.when(F.col("n") > 1, 1)).alias("pk_v"),
+        F.sum("fk").cast("bigint").alias("fk_v"),
+        F.sum("dom").cast("bigint").alias("dom_v"),
+        F.sum("pos").cast("bigint").alias("pos_v"),
     )
     qty_viol = li.agg(
-        F.count(F.when((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50), 1)).alias("v")
+        F.count(
+            F.when((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50), 1)
+        ).alias("qty_v")
     )
-
-    def report(name: str, df: DataFrame, col: str) -> DataFrame:
-        return df.select(
-            F.lit(name).alias("check_name"),
-            F.col(col).cast("bigint").alias("n_violations"),
-            (F.col(col) == 0).alias("passed"),
-        )
-
     return (
-        report("orders_pk_unique", pk_viol, "v")
-        .unionAll(report("orders_fk_customer", fk_viol, "v"))
-        .unionAll(report("orders_status_domain", row_viol, "dom"))
-        .unionAll(report("orders_price_positive", row_viol, "pos"))
-        .unionAll(report("lineitem_qty_range", qty_viol, "v"))
+        o_viol.crossJoin(F.broadcast(qty_viol))
+        .select(
+            F.inline(
+                F.expr(
+                    "array("
+                    " struct('orders_pk_unique' AS check_name,"
+                    "        CAST(pk_v AS BIGINT) AS n_violations),"
+                    " struct('orders_fk_customer' AS check_name,"
+                    "        CAST(fk_v AS BIGINT) AS n_violations),"
+                    " struct('orders_status_domain' AS check_name,"
+                    "        CAST(dom_v AS BIGINT) AS n_violations),"
+                    " struct('orders_price_positive' AS check_name,"
+                    "        CAST(pos_v AS BIGINT) AS n_violations),"
+                    " struct('lineitem_qty_range' AS check_name,"
+                    "        CAST(qty_v AS BIGINT) AS n_violations))"
+                )
+            )
+        )
+        .select(
+            "check_name",
+            "n_violations",
+            (F.col("n_violations") == 0).alias("passed"),
+        )
     )
 
 
@@ -1083,43 +1108,41 @@ def q_stats_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     same rational-arithmetic double on both engines, and the statistic
     is rounded at 4 dp per the repo's transcendental-rounding rule. The
     100 TB shape: ONE distributive count rollup over the fact table
-    (the only data-sized cost); margins and the statistic reduce over
-    the |S| x |P| cell table — dozens of rows — with the totals joined
-    back as broadcasts. This is the dependence screen a feature
-    -engineering pipeline runs over every categorical column pair."""
+    (the only data-sized cost — and it runs exactly once: margins are
+    window sums OVER the |S| x |P| cell table and dof falls out of the
+    final aggregate, so the plan is a single lineage with one fact
+    scan; the earlier broadcast-join formulation re-ran the rollup for
+    every margin branch — 5 scans, ReusedExchange never fired). This is
+    the dependence screen a feature-engineering pipeline runs over
+    every categorical column pair."""
     o = load_table(spark, sf_dir, "orders")
     obs = o.groupBy(
         F.col("o_orderstatus").alias("s"), F.col("o_orderpriority").alias("p")
     ).agg(F.count(F.lit(1)).alias("o"))
-    rs = obs.groupBy("s").agg(F.sum("o").cast("bigint").alias("row_n"))
-    cs = obs.groupBy("p").agg(F.sum("o").cast("bigint").alias("col_n"))
-    tot = obs.agg(F.sum("o").cast("bigint").alias("n"))
-    cells = (
-        obs.join(F.broadcast(rs), "s")
-        .join(F.broadcast(cs), "p")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "s",
-            "p",
-            "o",
-            (F.col("row_n") * F.lit(1.0) * F.col("col_n") / F.col("n")).alias("e"),
-        )
+    # Margins as window sums over the dozens-of-rows cell table: three
+    # trivially small exchanges instead of three recomputed rollups.
+    cells = obs.select(
+        "s",
+        "p",
+        "o",
+        (
+            F.sum("o").over(Window.partitionBy("s")).cast("bigint")
+            * F.lit(1.0)
+            * F.sum("o").over(Window.partitionBy("p")).cast("bigint")
+            / F.sum("o").over(Window.partitionBy()).cast("bigint")
+        ).alias("e"),
     )
-    dims = obs.agg(
-        (F.countDistinct("s") - 1).cast("bigint").alias("ds"),
-        (F.countDistinct("p") - 1).cast("bigint").alias("dp"),
-    )
-    return (
-        cells.agg(
-            F.count(F.lit(1)).alias("n_cells"),
-            F.round(
-                F.sum((F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e")),
-                4,
-            ).alias("chi2"),
-        )
-        .crossJoin(F.broadcast(dims))
-        .select("n_cells", (F.col("ds") * F.col("dp")).alias("dof"), "chi2")
-    )
+    return cells.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        (
+            (F.countDistinct("s") - 1).cast("bigint")
+            * (F.countDistinct("p") - 1).cast("bigint")
+        ).alias("dof"),
+        F.round(
+            F.sum((F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e")),
+            4,
+        ).alias("chi2"),
+    ).select("n_cells", "dof", "chi2")
 
 
 # ---------------------------------------------------------------------------

@@ -37,6 +37,12 @@ def audit(plan: str) -> dict:
         "bhj": plan.count("BroadcastHashJoin"),
         "bnlj": plan.count("BroadcastNestedLoopJoin"),
         "cartesian": "CartesianProduct" in plan,
+        # Re-scan pathology detector: a plan scanning one fixture table
+        # many more times than its logic needs usually means branches of
+        # a shared subplan are being recomputed (ReusedExchange did not
+        # fire) — the round-3 source-overlap-matrix bug class.
+        "scans": plan.count("Scan parquet"),
+        "reused": plan.count("ReusedExchange"),
     }
 
 
