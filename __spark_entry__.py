@@ -183,6 +183,12 @@ POST_PREFIX = [
     "text_unigram_surprisal",
     "text_source_overlap_matrix",
     "events_pareto_concentration",
+    # round-3 batch 3: graph kernel, info-theory quality, DQ screen,
+    # contrastive pair mining (distinct shapes, full oracles)
+    "graph_pagerank_step",
+    "text_token_entropy",
+    "stats_benford_first_digit",
+    "sim_negative_sampling",
 ]
 
 

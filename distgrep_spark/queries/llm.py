@@ -1225,3 +1225,67 @@ def q_embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.zip_with(F.col("q"), F.col("x"), lambda qv, xv: F.abs(qv * F.col("scale") - xv))
         ).alias("max_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic negative sampling (contrastive-training pair mining)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sim_negative_sampling",
+    oracle="""
+    WITH q AS (SELECT vec_id AS anchor_id, label AS a_label
+               FROM embeddings WHERE vec_id < 5),
+    ranked AS (
+      SELECT q.anchor_id, c.vec_id,
+             row_number() OVER (
+               PARTITION BY q.anchor_id
+               ORDER BY md5(CAST(q.anchor_id AS VARCHAR) || ':'
+                            || CAST(c.vec_id AS VARCHAR)), c.vec_id
+             ) AS neg_rank
+      FROM embeddings c JOIN q
+        ON c.label <> q.a_label AND c.vec_id <> q.anchor_id
+    )
+    SELECT anchor_id, vec_id, neg_rank FROM ranked WHERE neg_rank <= 8
+    """,
+)
+def q_sim_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: for
+    each anchor, 8 pseudo-random negatives drawn from vectors with a
+    DIFFERENT label, ranked by md5(anchor:candidate) — a content-
+    addressed draw, so the sample is independent of partition layout,
+    resharding, and engine (the corpus_split_assign discipline applied
+    to pair mining; vec_id breaks the astronomically-unlikely digest
+    tie).
+
+    Plan: the anchor set broadcasts onto one corpus scan (label
+    inequality makes it a broadcast nested-loop join against a
+    bounded 5-row side — the documented bounded-BNLJ pattern), the
+    hash ranks inside per-anchor windows. At 100 TB you'd prune
+    map-side first — keep only candidates whose digest starts below a
+    threshold calibrated to leave ~10x the k you need per anchor, THEN
+    rank; the draw stays content-addressed, the window input drops
+    from corpus-sized to O(k) per anchor. Here the corpus side is
+    fixture-sized and the exact form doubles as the oracle."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("anchor_id"), F.col("label").alias("a_label")
+    )
+    cands = emb.select("vec_id", "label").join(
+        F.broadcast(anchors),
+        (F.col("label") != F.col("a_label")) & (F.col("vec_id") != F.col("anchor_id")),
+    )
+    digest = F.md5(
+        F.concat_ws(
+            ":", F.col("anchor_id").cast("string"), F.col("vec_id").cast("string")
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(digest, F.col("vec_id"))
+    return (
+        cands.withColumn("neg_rank", F.row_number().over(w))
+        .where(F.col("neg_rank") <= 8)
+        .select("anchor_id", "vec_id", "neg_rank")
+    )

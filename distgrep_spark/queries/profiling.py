@@ -32,6 +32,12 @@ The 100-TB rationale per query:
   exact DECIMAL component sums (n, sx, sy, sxx, syy, sxy) — one pass,
   order-independent, cross-engine bit-stable (the same exact decimal
   totals cast to the same doubles; see functions/numeric.py).
+- ``graph_pagerank_step``: one PageRank power iteration over the
+  co-purchase graph — the iterative-graph kernel beyond connected
+  components, single-lineage (degrees as a window over the edge list).
+- ``market_basket_lift`` / ``graph_pagerank_step`` share the basket
+  pattern: per-order ``collect_set`` then bounded in-set pair explode —
+  one fact shuffle, never a self-join that re-scans.
 
 No reference counterpart (the reference's only query is grep,
 worker.go:24-43); these extend the north-star pipeline surface
@@ -631,4 +637,92 @@ def q_events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.join(F.broadcast(s), "event_type")
         .where(F.abs(z) > 3)
         .select("event_id", "event_type", "value", F.round(z, 4).alias("z"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# PageRank power-iteration kernel over the co-purchase graph
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "graph_pagerank_step",
+    oracle="""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS (
+      SELECT a.l_partkey AS src, b.l_partkey AS dst
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    wd AS (
+      SELECT src, dst,
+             CAST(count(*) OVER (PARTITION BY src) AS BIGINT) AS deg_src
+      FROM edges
+    ),
+    pn AS (
+      SELECT dst AS part, CAST(count(*) AS BIGINT) AS degree,
+             round(sum(1.0 / deg_src), 4) AS contrib
+      FROM wd GROUP BY dst
+    )
+    SELECT part, degree, contrib,
+           (0.15 + 0.85 * contrib) / CAST(count(*) OVER () AS BIGINT) AS pagerank
+    FROM pn
+    """,
+)
+def q_graph_pagerank_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One PageRank power iteration (d = 0.85, uniform init) over the
+    part co-purchase graph — the iterative-graph kernel beyond
+    dedup_clusters_cc's connected components: with pr0(u) = 1/N,
+    pr1(v) = (1/N) * (0.15 + 0.85 * sum_{u->v} 1/outdeg(u)), so the
+    oracle checks the exact relational body of the loop (the fixpoint
+    just repeats this step; operators/graph.py's checkpoint discipline
+    applies unchanged).
+
+    Plan: the edge list reuses market_basket_lift's basket pattern —
+    ONE lineitem shuffle builds per-order part sets, all ordered pairs
+    explode in-set (bounded k(k-1) per order), a support-2 floor prunes
+    noise edges. Out-degrees ride a window over the edge list keyed by
+    src (the same exchange the dst rollup needs anyway repartitions
+    it), so the whole query is a single lineage with one fact scan.
+    The final node-count window runs over the node table; at true
+    catalog scale (1e8 parts) that global window becomes a broadcast
+    1-row count — documented trade, same result. Determinism: degrees
+    are exact BIGINTs; only the 1/deg fold is order-sensitive in the
+    last ulp and contrib rounds at 4 dp; pagerank then derives from
+    identical doubles on both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = (
+        li.select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+    )
+    edges = (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, x ->"
+                    " transform(filter(ps, y -> y != x),"
+                    "           y -> struct(x AS src, y AS dst))))"
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .where(F.col("w") >= 2)
+    )
+    wd = edges.withColumn(
+        "deg_src", F.count(F.lit(1)).over(Window.partitionBy("src")).cast("bigint")
+    )
+    pn = wd.groupBy(F.col("dst").alias("part")).agg(
+        F.count(F.lit(1)).alias("degree"),
+        F.round(F.sum(F.lit(1.0) / F.col("deg_src")), 4).alias("contrib"),
+    )
+    n_nodes = F.count(F.lit(1)).over(Window.partitionBy()).cast("bigint")
+    return pn.select(
+        "part",
+        "degree",
+        "contrib",
+        ((F.lit(0.15) + F.lit(0.85) * F.col("contrib")) / n_nodes).alias("pagerank"),
     )

@@ -15,7 +15,9 @@ docstring):
   agg_approx_distinct_error pattern).
 - **Product analytics**: events_user_retention, events_rolling_7d_actives
   (membership explosion, not band join), funnel_conversion_latency,
-  agg_mode_per_group, stats_chi2_independence, text_lang_confusion.
+  agg_mode_per_group, stats_chi2_independence, stats_benford_first_digit
+  (first-digit DQ screen), text_lang_confusion, text_token_entropy
+  (per-doc unigram Shannon entropy).
 - **Warehouse hygiene**: layout_compaction_bins, scd2_customer_status,
   snapshot_diff_classify, dq_constraint_checks, profile_key_skew.
 - **Engine surface**: scalar_regex_fns, agg_string_agg_ordered,
@@ -1614,4 +1616,124 @@ def q_events_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame
             F.max(F.col("cum_n") * F.lit(1.0) / F.col("total_n")).alias("cum_share"),
             F.count(F.lit(1)).alias("n_users_in_decile"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token-entropy quality signal + Benford first-digit screen
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_token_entropy",
+    oracle=r"""
+    WITH words AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
+      FROM documents
+    ),
+    wc AS (SELECT doc_id, w, count(*) AS c FROM words GROUP BY doc_id, w)
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           round(ln(CAST(sum(c) AS BIGINT)) - sum(c * ln(c)) / CAST(sum(c) AS BIGINT),
+                 4) AS token_entropy
+    FROM wc GROUP BY doc_id
+    """,
+)
+def q_text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each document's unigram distribution — the
+    information-density quality signal (near-zero = one token repeated,
+    i.e. boilerplate/spam; high = diverse vocabulary). Complements
+    text_repetition_score (distinct-trigram ratio) with a
+    frequency-weighted measure the Gopher/C4 filter stacks use.
+
+    Computed as ln(n) - sum(c*ln c)/n so the per-(doc, token) rollup
+    only carries one BIGINT count: two distributive aggregations with
+    map-side partials, no data wider than (doc_id, token) ever
+    shuffles. Determinism: counts are exact BIGINTs on both engines;
+    only the c*ln(c) fold is transcendental and the result rounds at
+    4 dp per CLAUDE.md's rule (per-term ulp noise ~1e-15 x #terms
+    cannot reach 5e-5). At 100 TB the token would be its xxhash64 (the
+    entropy only needs counts, not spellings) — same plan, 8-byte keys.
+    """
+    from distgrep_spark.functions.textfns import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    wc = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        wc.groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.sum(F.col("c") * F.log("c")).alias("_clc"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_distinct",
+            F.round(
+                F.log("n_tokens") - F.col("_clc") / F.col("n_tokens"), 4
+            ).alias("token_entropy"),
+        )
+    )
+
+
+@query(
+    "stats_benford_first_digit",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                  AS BIGINT) AS digit
+      FROM orders WHERE o_totalprice >= 1
+    ),
+    per AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY digit)
+    SELECT digit, n,
+           n * 1.0 / CAST(sum(n) OVER () AS BIGINT) AS observed_share,
+           round(log10(1 + 1.0 / digit), 4) AS benford_share,
+           round(abs(n * 1.0 / CAST(sum(n) OVER () AS BIGINT)
+                     - log10(1 + 1.0 / digit)), 4) AS abs_dev
+    FROM per
+    """,
+)
+def q_stats_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit screen over order totals — the classic
+    fabricated-data / unit-mixup detector a DQ suite runs on monetary
+    columns (a synthetic uniform-ish fixture deviates strongly; organic
+    multi-scale amounts hug log10(1+1/d); either way the report is the
+    deliverable).
+
+    The first digit comes from floor() THEN a string head of the exact
+    BIGINT — never a float division chain (CLAUDE.md: double->BIGINT
+    casts round in DuckDB but truncate in Spark; floor first makes the
+    cast exact on both). One map-side digit projection, one 9-row
+    rollup; shares are exact BIGINT ratios (identical doubles), only
+    the log10 reference is transcendental and rounds at 4 dp. The
+    window total runs over the 9-row digit table — nothing global ever
+    single-partitions real data."""
+    o = load_table(spark, sf_dir, "orders")
+    per = (
+        o.where(F.col("o_totalprice") >= 1)
+        .select(
+            F.substring(F.floor("o_totalprice").cast("string"), 1, 1)
+            .cast("bigint")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = F.sum("n").over(Window.partitionBy()).cast("bigint")
+    benford = F.round(F.log10(F.lit(1) + F.lit(1.0) / F.col("digit")), 4)
+    share = F.col("n") * F.lit(1.0) / tot
+    return per.select(
+        "digit",
+        "n",
+        share.alias("observed_share"),
+        benford.alias("benford_share"),
+        F.round(
+            F.abs(share - F.log10(F.lit(1) + F.lit(1.0) / F.col("digit"))), 4
+        ).alias("abs_dev"),
     )

@@ -185,3 +185,43 @@ def test_outliers_match_builtin_stats(spark, sf_dir):
         z = (er["value"] - st["m"]) / st["s"]
         if abs(z) > 3.001:
             assert er["event_id"] in flagged
+
+
+def test_pagerank_step_mass_conservation_and_naive_reference(spark, sf_dir):
+    """One power-iteration step from uniform init conserves probability
+    mass on the symmetric co-purchase graph (every dst is also a src
+    with the same degree), and matches a driver-side naive recompute."""
+    from collections import Counter, defaultdict
+
+    rows = q.QUERIES["graph_pagerank_step"](spark, sf_dir).collect()
+    assert rows
+    # contrib is rounded at 4dp per node, so mass is 1 within n*5e-5
+    assert abs(sum(r["pagerank"] for r in rows) - 1.0) < len(rows) * 5e-5 + 1e-9
+
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .collect()
+    )
+    per_order = defaultdict(set)
+    for r in items:
+        per_order[r["l_orderkey"]].add(r["l_partkey"])
+    pair_n = Counter()
+    for ps in per_order.values():
+        for x in ps:
+            for y in ps:
+                if x != y:
+                    pair_n[(x, y)] += 1
+    edges = [p for p, n in pair_n.items() if n >= 2]
+    outdeg = Counter(src for src, _ in edges)
+    contrib = defaultdict(float)
+    for src, dst in edges:
+        contrib[dst] += 1.0 / outdeg[src]
+    got = {r["part"]: r for r in rows}
+    assert set(got) == set(contrib)
+    n_nodes = len(contrib)
+    for part, r in got.items():
+        assert r["degree"] == sum(1 for _, d in edges if d == part)
+        assert abs(r["contrib"] - round(contrib[part], 4)) < 1e-3
+        assert abs(r["pagerank"] - (0.15 + 0.85 * r["contrib"]) / n_nodes) < 1e-12

@@ -376,3 +376,35 @@ def test_pareto_concentration_monotone_and_complete(spark):
     assert abs(shares[-1] - 1.0) < 1e-12  # ends at 100% of events
     # concentration: the top decile holds more than a uniform share
     assert shares[0] > rows[0]["n_users_in_decile"] / sum(r["n_users_in_decile"] for r in rows)
+
+
+def test_token_entropy_matches_counter_reference(spark):
+    import math
+    from collections import Counter
+    from distgrep_spark.sources.catalog import load_table
+
+    got = {r["doc_id"]: r for r in q.QUERIES["text_token_entropy"](spark, SF).collect()}
+    docs = load_table(spark, SF, "documents").select("doc_id", "text").collect()
+    assert len(got) == len(docs)
+    for d in docs[:50]:
+        toks = d["text"].strip().split()
+        c = Counter(toks)
+        n = sum(c.values())
+        ent = math.log(n) - sum(v * math.log(v) for v in c.values()) / n
+        r = got[d["doc_id"]]
+        assert r["n_tokens"] == n
+        assert r["n_distinct"] == len(c)
+        assert abs(r["token_entropy"] - round(ent, 4)) < 1e-3
+        # entropy of an n-token doc is bounded by ln(n_distinct)
+        assert -1e-9 <= r["token_entropy"] <= math.log(len(c)) + 1e-9
+
+
+def test_benford_screen_shares_and_reference_curve(spark):
+    import math
+
+    rows = q.QUERIES["stats_benford_first_digit"](spark, SF).collect()
+    assert {r["digit"] for r in rows} <= set(range(1, 10))
+    assert abs(sum(r["observed_share"] for r in rows) - 1.0) < 1e-9
+    for r in rows:
+        assert r["benford_share"] == round(math.log10(1 + 1 / r["digit"]), 4)
+        assert abs(r["abs_dev"] - round(abs(r["observed_share"] - math.log10(1 + 1 / r["digit"])), 4)) < 1e-3

@@ -136,3 +136,38 @@ def test_pandas_scorer_agrees_with_hof(spark):
     h = {(r["query_id"], r["vec_id"]): r["cos_sim"] for r in hof}
     for r in pd_:
         assert abs(h[(r["query_id"], r["vec_id"])] - r["cos_sim"]) < 1e-9
+
+
+def test_negative_sampling_is_content_addressed_and_label_disjoint(spark):
+    """The md5-ranked draw matches a driver-side recompute exactly and
+    never samples the anchor's own label (or the anchor itself)."""
+    import hashlib
+
+    import distgrep_spark.queries as q
+    from distgrep_spark.sources.catalog import load_table
+
+    sf = "/root/testdata/sf0.001"
+    rows = q.QUERIES["sim_negative_sampling"](spark, sf).collect()
+    emb = {
+        r["vec_id"]: r["label"]
+        for r in load_table(spark, sf, "embeddings").select("vec_id", "label").collect()
+    }
+    by_anchor = {}
+    for r in rows:
+        by_anchor.setdefault(r["anchor_id"], []).append(r)
+    assert set(by_anchor) == {v for v in emb if v < 5}
+    for anchor, got in by_anchor.items():
+        a_label = emb[anchor]
+        cands = [
+            v for v, lab in emb.items() if lab != a_label and v != anchor
+        ]
+        expect = sorted(
+            cands,
+            key=lambda v: (hashlib.md5(f"{anchor}:{v}".encode()).hexdigest(), v),
+        )[:8]
+        got_sorted = [r["vec_id"] for r in sorted(got, key=lambda r: r["neg_rank"])]
+        assert got_sorted == expect
+        assert all(emb[v] != a_label for v in got_sorted)
+        assert [r["neg_rank"] for r in sorted(got, key=lambda r: r["neg_rank"])] == list(
+            range(1, len(got) + 1)
+        )
