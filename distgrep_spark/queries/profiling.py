@@ -687,7 +687,13 @@ def q_graph_pagerank_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     it), so the whole query is a single lineage with one fact scan.
     The final node-count window runs over the node table; at true
     catalog scale (1e8 parts) that global window becomes a broadcast
-    1-row count — documented trade, same result. Determinism: degrees
+    1-row count over a persisted node table — documented trade, same
+    result. Measured (sf0.01): the naive broadcast-count crossJoin
+    re-runs the WHOLE basket/edge pipeline (2 lineitem scans,
+    ReusedExchange 0 under AQE), so at test scale the single-lineage
+    window — which only exchanges the 50x-smaller node table — is the
+    cheaper plan; only persist+count beats it once the node table
+    outgrows one partition. Determinism: degrees
     are exact BIGINTs; only the 1/deg fold is order-sensitive in the
     last ulp and contrib rounds at 4 dp; pagerank then derives from
     identical doubles on both engines."""
