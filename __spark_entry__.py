@@ -189,6 +189,11 @@ POST_PREFIX = [
     "text_token_entropy",
     "stats_benford_first_digit",
     "sim_negative_sampling",
+    # round-3 batch 4: curation caps, interval-union coverage, weighted
+    # sampling (distinct shapes, full oracles)
+    "corpus_source_cap",
+    "events_active_coverage",
+    "sample_weighted_priority",
 ]
 
 

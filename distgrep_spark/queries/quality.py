@@ -1737,3 +1737,131 @@ def q_stats_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(share - F.log10(F.lit(1) + F.lit(1.0) / F.col("digit"))), 4
         ).alias("abs_dev"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-source document cap (domain-cap curation)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "corpus_source_cap",
+    oracle="""
+    SELECT doc_id, source, cap_rank FROM (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY md5(text), doc_id) AS cap_rank
+      FROM documents
+    ) WHERE cap_rank <= 10
+    """,
+)
+def q_corpus_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap (K=10): the RefinedWeb/C4 "domain cap"
+    that stops one hot domain from dominating a pretraining mixture.
+    Survivors are the K lowest by ``(md5(text), doc_id)`` within each
+    source — content-addressed, so the SAME documents survive under
+    resharding, incremental appends of already-capped sources, and
+    engine changes (the ``corpus_split_assign`` reproducibility
+    property, applied to ranking instead of bucketing).
+
+    The 100 TB view: one shuffle keyed by source; hot-source skew is
+    bounded because only K survivors matter — at scale the rank window
+    runs after a per-partition top-K pre-prune (each map task keeps its
+    K smallest digests per source before the exchange, Spark's
+    TakeOrdered trick applied per key), so the skewed shuffle carries
+    K * partitions rows per hot source, not the domain's full doc
+    count. Digest ordering also costs nothing extra: md5 is already
+    computed for the exact-dedup pass in every curation pipeline
+    (corpus_curation_pipeline reuses it as the dedup key)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.md5("text"), "doc_id")
+    return (
+        docs.select("doc_id", "source", F.row_number().over(w).alias("cap_rank"))
+        .where(F.col("cap_rank") <= 10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Interval-union activity coverage (overlap merge)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_active_coverage",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, event_id, epoch_us(ts) AS s,
+             epoch_us(ts) + (60 + event_id % 540) * 1000000 AS e
+      FROM events
+    ),
+    marked AS (
+      SELECT user_id, s, e,
+             max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+      FROM iv
+    )
+    SELECT user_id,
+           CAST(sum(CASE WHEN pe IS NULL OR s > pe THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_islands,
+           CAST(sum(CASE WHEN pe IS NULL THEN e - s
+                         ELSE greatest(0, e - greatest(s, pe)) END) AS BIGINT)
+             AS covered_us
+    FROM marked GROUP BY user_id
+    """,
+)
+def q_events_active_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-UNION coverage per user: each event opens a variable
+    activity window ``[ts, ts + 60..600 s)`` (duration a pure function
+    of event_id, so both engines derive identical intervals) and the
+    query merges overlapping windows and reports, per user, the number
+    of disjoint activity islands and the total covered microseconds.
+    This is the overlap-consolidation operator behind ad-attribution
+    windows, on-call coverage, and machine-utilization rollups — and it
+    differs from ``sessionize_events``'s gaps-and-islands in exactly the
+    way that matters: intervals have EXTENT, so a long window can
+    swallow later shorter ones, and correctness needs the running
+    ``max(end)`` (novel-coverage clip), not a simple lag-gap test.
+
+    Single-pass formulation: one window sorted by (start, event_id)
+    within user computes the running max end over preceding rows; each
+    interval contributes ``max(0, e - max(s, prev_max_end))`` novel
+    microseconds and opens an island iff it starts past the running
+    end. One hash exchange on user_id (the window's), then a per-user
+    rollup that rides the same partitioning; all arithmetic is exact
+    BIGINT microseconds (``unix_micros``/``epoch_us`` — never the
+    fractional-seconds epoch, whose double-vs-truncation semantics
+    differ across engines). At 100 TB this is the per-entity timeline
+    shape: no self-join, no explode of the covered range (the rolling-
+    7d membership explosion would be quadratic here), state = one
+    BIGINT per row."""
+    ev = load_table(spark, sf_dir, "events")
+    # timestampdiff over two NTZ operands is pure wall-clock arithmetic —
+    # no session-timezone dependence (ts is TIMESTAMP_NTZ; unix_micros
+    # would require a tz-interpreting cast a vanilla session could skew).
+    us = F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)")
+    iv = ev.select(
+        "user_id",
+        "event_id",
+        us.alias("s"),
+        (us + (F.lit(60) + F.pmod(F.col("event_id"), F.lit(540))) * F.lit(1000000)).alias(
+            "e"
+        ),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pe = F.max("e").over(w)
+    novel = F.when(pe.isNull(), F.col("e") - F.col("s")).otherwise(
+        F.greatest(F.lit(0).cast("bigint"), F.col("e") - F.greatest(F.col("s"), pe))
+    )
+    island = F.when(pe.isNull() | (F.col("s") > pe), 1).otherwise(0)
+    return (
+        iv.select("user_id", novel.alias("novel"), island.alias("isl"))
+        .groupBy("user_id")
+        .agg(
+            F.sum("isl").cast("bigint").alias("n_islands"),
+            F.sum("novel").cast("bigint").alias("covered_us"),
+        )
+    )

@@ -408,3 +408,58 @@ def test_benford_screen_shares_and_reference_curve(spark):
     for r in rows:
         assert r["benford_share"] == round(math.log10(1 + 1 / r["digit"]), 4)
         assert abs(r["abs_dev"] - round(abs(r["observed_share"] - math.log10(1 + 1 / r["digit"])), 4)) < 1e-3
+
+
+def test_source_cap_caps_and_is_content_addressed(spark):
+    rows = q.QUERIES["corpus_source_cap"](spark, SF).collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r["source"], []).append(r["cap_rank"])
+    # every fixture source has >= 10 docs, so every cap binds exactly
+    assert all(sorted(v) == list(range(1, 11)) for v in per.values())
+    # survivors are a pure function of content: rerun picks the same docs
+    again = {(r["doc_id"], r["cap_rank"]) for r in q.QUERIES["corpus_source_cap"](spark, SF).collect()}
+    assert {(r["doc_id"], r["cap_rank"]) for r in rows} == again
+
+
+def test_active_coverage_matches_naive_interval_union(spark):
+    from distgrep_spark.sources.catalog import load_table
+
+    rows = {r["user_id"]: r for r in q.QUERIES["events_active_coverage"](spark, SF).collect()}
+    ev = load_table(spark, SF, "events").select("user_id", "event_id", "ts").collect()
+    by_user = {}
+    for r in ev:
+        epoch_us = int(r["ts"].timestamp() * 1e6) if r["ts"].tzinfo else (
+            int((r["ts"] - __import__("datetime").datetime(1970, 1, 1)).total_seconds() * 1e6)
+        )
+        s = round(epoch_us)
+        e = s + (60 + r["event_id"] % 540) * 1_000_000
+        by_user.setdefault(r["user_id"], []).append((s, e))
+    for uid, ivs in by_user.items():
+        ivs.sort()
+        covered, islands, cur_end = 0, 0, None
+        for s, e in ivs:
+            if cur_end is None or s > cur_end:
+                islands += 1
+                covered += e - s
+                cur_end = e
+            elif e > cur_end:
+                covered += e - cur_end
+                cur_end = e
+        assert rows[uid]["n_islands"] == islands, uid
+        assert rows[uid]["covered_us"] == covered, uid
+
+
+def test_weighted_priority_sample_favors_heavy_docs(spark):
+    from distgrep_spark.sources.catalog import load_table
+
+    rows = q.QUERIES["sample_weighted_priority"](spark, SF).collect()
+    assert len(rows) == 5 * 20  # 5 per source, 20 sources
+    docs = load_table(spark, SF, "documents").select("n_chars").collect()
+    corpus_mean = sum(r["n_chars"] for r in docs) / len(docs)
+    sample_mean = sum(r["n_chars"] for r in rows) / len(rows)
+    # ES sampling weights by n_chars => the sample skews heavier than the corpus
+    assert sample_mean > corpus_mean
+    # reproducible: same draw on rerun
+    again = {r["doc_id"] for r in q.QUERIES["sample_weighted_priority"](spark, SF).collect()}
+    assert {r["doc_id"] for r in rows} == again
