@@ -194,6 +194,9 @@ POST_PREFIX = [
     "corpus_source_cap",
     "events_active_coverage",
     "sample_weighted_priority",
+    "agg_countmin_gate",
+    "events_mad_outliers",
+    "graph_triangle_count",
 ]
 
 

@@ -732,3 +732,111 @@ def q_graph_pagerank_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         "contrib",
         ((F.lit(0.15) + F.lit(0.85) * F.col("contrib")) / n_nodes).alias("pagerank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Triangle count / global clustering coefficient
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "graph_triangle_count",
+    oracle="""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS d
+      FROM (SELECT u AS node FROM edges UNION ALL SELECT v FROM edges)
+      GROUP BY node
+    ),
+    tri AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_triangles
+      FROM edges e1
+      JOIN edges e2 ON e2.u = e1.v
+      JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM edges) AS n_edges,
+           (SELECT CAST(sum(d * (d - 1) / 2) AS BIGINT) FROM deg) AS n_wedges,
+           n_triangles,
+           3.0 * n_triangles / (SELECT sum(d * (d - 1) / 2) FROM deg)
+             AS global_clustering
+    FROM tri
+    """,
+)
+def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count + global clustering coefficient over the part
+    co-purchase graph — the third graph kernel (after connected
+    components and the PageRank step) and the classic MapReduce graph
+    benchmark. Canonical u < v edges make each triangle (a<b<c) match
+    the two-hop join exactly once: (a,b) x (b,c) closed by (a,c).
+
+    Plan: the edge list (the same one-shuffle basket build as
+    market_basket_lift / graph_pagerank_step) is ``localCheckpoint``ed
+    ONCE and reused four times (e1, e2, e3, degrees) — the
+    operators/graph.py discipline: without it Spark re-runs the whole
+    basket pipeline per self-join branch (measured on the PageRank
+    variant: ReusedExchange does not fire across branches under AQE).
+    At 100 TB you additionally orient the walk from the lower-degree
+    endpoint (degree-ordered orientation bounds per-node work by
+    arboricity) — the canonical u < v ordering here is the fixture-
+    scale stand-in. Wedge count Σ d(d-1)/2 is exact BIGINT (integer
+    division is exact: d(d-1) is even); the clustering coefficient is
+    one BIGINT-ratio IEEE division, identical on both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = (
+        li.select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+    )
+    edges = (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, x ->"
+                    " transform(filter(ps, y -> y > x),"
+                    "           y -> struct(x AS u, y AS v))))"
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .where(F.col("w") >= 2)
+        .select("u", "v")
+        .localCheckpoint()
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    wedges = deg.agg(
+        F.sum((F.col("d") * (F.col("d") - 1)) / 2).cast("bigint").alias("n_wedges")
+    )
+    e1 = edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = edges.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    e3 = edges.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tri = (
+        e1.join(e2, "b")
+        .join(e3, ["a", "c"])
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )
+    n_edges = edges.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    return (
+        tri.crossJoin(F.broadcast(n_edges))
+        .crossJoin(F.broadcast(wedges))
+        .select(
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            (F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges")).alias(
+                "global_clustering"
+            ),
+        )
+    )

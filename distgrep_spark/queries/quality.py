@@ -1865,3 +1865,158 @@ def q_events_active_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("novel").cast("bigint").alias("covered_us"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch heavy-hitter gate
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_countmin_gate",
+    oracle="""
+    WITH cells AS (
+      SELECT j,
+             CAST(('0x' || substr(md5(j::VARCHAR || ':' || l_partkey::VARCHAR), 1, 8))
+                  AS BIGINT) % 256 AS cell,
+             CAST(count(*) AS BIGINT) AS n
+      FROM lineitem, UNNEST([0, 1, 2, 3]) AS t(j)
+      GROUP BY 1, 2
+    ),
+    exact AS (
+      SELECT l_partkey AS part, CAST(count(*) AS BIGINT) AS exact_n
+      FROM lineitem GROUP BY 1
+      ORDER BY exact_n DESC, part LIMIT 20
+    )
+    SELECT e.part, e.exact_n, min(c.n) AS est_n,
+           min(c.n) - e.exact_n AS overcount,
+           min(c.n) >= e.exact_n AS no_undercount
+    FROM exact e, UNNEST([0, 1, 2, 3]) AS t(j)
+    JOIN cells c
+      ON c.j = t.j
+     AND c.cell = CAST(('0x' || substr(md5(t.j::VARCHAR || ':' || e.part::VARCHAR), 1, 8))
+                       AS BIGINT) % 256
+    GROUP BY e.part, e.exact_n
+    """,
+)
+def q_agg_countmin_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (d=4 rows x w=256 cells, md5-derived hash rows)
+    over lineitem part keys, certified against the exact top-20 counts:
+    per heavy hitter the query emits the exact count, the CMS estimate
+    (min over the 4 hashed cells), the overcount, and the theorem
+    boolean ``no_undercount`` (CMS can only overestimate — a cell sums
+    every key that hashes into it). Unlike the repo's other sketches
+    (xxhash64-based, rows-only + companion gates) the hash rows here are
+    md5-derived, so the ENTIRE sketch has a bit-exact DuckDB twin — the
+    driver value-hashes the sketch itself, not just a gate.
+
+    The 100 TB view: sketch build is one map-side-combinable rollup to
+    d*w = 1024 cells (the d-fold explode multiplies map output, not
+    shuffle width — cells, not rows, cross the wire), mergeable across
+    partitions/days by cell-wise addition — the point of CMS in a
+    streaming/incremental pipeline. The probe side broadcasts the
+    1024-cell sketch to the 20-row heavy-hitter table. Two fact scans
+    (exact + sketch) are the price of certification, same as the recall
+    gates. Width 256 => eps = e/256 ~ 1.1% of mass per row pair;
+    overcounts measured single digits at every fixture SF."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cell_of = (
+        "pmod(CAST(conv(substr(md5(concat(CAST({j} AS STRING), ':', "
+        "CAST({k} AS STRING))), 1, 8), 16, 10) AS BIGINT), 256)"
+    )
+    cells = (
+        li.select("l_partkey")
+        .selectExpr("l_partkey", "explode(array(0, 1, 2, 3)) AS j")
+        .selectExpr("j", cell_of.format(j="j", k="l_partkey") + " AS cell")
+        .groupBy("j", "cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    exact = (
+        li.groupBy(F.col("l_partkey").alias("part"))
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.desc("exact_n"), "part")
+        .limit(20)
+    )
+    probes = exact.selectExpr(
+        "part", "exact_n", "explode(array(0, 1, 2, 3)) AS j"
+    ).selectExpr("part", "exact_n", "j", cell_of.format(j="j", k="part") + " AS cell")
+    return (
+        probes.join(F.broadcast(cells), ["j", "cell"])
+        .groupBy("part", "exact_n")
+        .agg(F.min("n").alias("est_n"))
+        .select(
+            "part",
+            "exact_n",
+            "est_n",
+            (F.col("est_n") - F.col("exact_n")).alias("overcount"),
+            (F.col("est_n") >= F.col("exact_n")).alias("no_undercount"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Robust (median/MAD) outlier screen
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_mad_outliers",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY 1
+    ),
+    mad AS (
+      SELECT e.event_type, m.med,
+             quantile_cont(abs(e.value - m.med), 0.5) AS mad
+      FROM events e JOIN med m USING (event_type)
+      GROUP BY 1, 2
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           round((e.value - m.med) / (1.4826 * m.mad), 4) AS robust_z
+    FROM events e JOIN mad m USING (event_type)
+    WHERE abs(e.value - m.med) > 3 * 1.4826 * m.mad
+    """,
+)
+def q_events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier screen: median/MAD instead of mean/stddev, the
+    screen that survives when the outliers themselves poison the
+    moments (``events_value_outliers``'s z-score inflates its own
+    stddev; the heavy tail here flags 559 rows robustly vs 74 by
+    z-score at sf0.01). Flags |value - median| > 3 * 1.4826 * MAD
+    (1.4826 = consistency constant vs a normal sigma).
+
+    Determinism: both medians sit at the dyadic 0.5 fraction, where
+    Spark ``percentile`` and DuckDB ``quantile_cont`` interpolate
+    identically (CLAUDE.md-verified); deviations, products with the
+    literal constant, and the cut comparison are then the same exact
+    IEEE doubles on both engines — operands bit-identical, so the >
+    cannot straddle engines even at a knife edge. robust_z rounds at 4
+    dp only for display.
+
+    The 100 TB view: exact medians are a selection problem — pass 1
+    shuffles narrow (type, value) pairs to a 5-row median table, pass 2
+    re-joins it broadcast and shuffles (type, |dev|) once more, pass 3
+    re-scans with the 5-row MAD table broadcast. Low-cardinality group
+    skew is real (5 types): at scale swap the exact medians for
+    approx_percentile (certified within 5% by
+    agg_approx_percentile_gate) and the plan loses both data shuffles —
+    this query is the exact reference implementation."""
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(F.percentile("value", 0.5).alias("med"))
+    mad = (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", "med")
+        .agg(F.percentile(F.abs(F.col("value") - F.col("med")), 0.5).alias("mad"))
+    )
+    dev = F.col("value") - F.col("med")
+    return (
+        ev.join(F.broadcast(mad), "event_type")
+        .where(F.abs(dev) > F.lit(3) * F.lit(1.4826) * F.col("mad"))
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round(dev / (F.lit(1.4826) * F.col("mad")), 4).alias("robust_z"),
+        )
+    )

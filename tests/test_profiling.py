@@ -225,3 +225,29 @@ def test_pagerank_step_mass_conservation_and_naive_reference(spark, sf_dir):
         assert r["degree"] == sum(1 for _, d in edges if d == part)
         assert abs(r["contrib"] - round(contrib[part], 4)) < 1e-3
         assert abs(r["pagerank"] - (0.15 + 0.85 * r["contrib"]) / n_nodes) < 1e-12
+
+
+def test_triangle_count_matches_brute_force(spark, sf_dir):
+    import duckdb
+
+    row = q.QUERIES["graph_triangle_count"](spark, sf_dir).collect()[0]
+    edges = duckdb.sql(f"""
+      WITH items AS (SELECT DISTINCT l_orderkey, l_partkey
+                     FROM '{sf_dir}/lineitem.parquet'),
+      e AS (SELECT a.l_partkey u, b.l_partkey v FROM items a JOIN items b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2 HAVING count(*) >= 2)
+      SELECT u, v FROM e
+    """).fetchall()
+    eset = set(map(tuple, edges))
+    adj = {}
+    for u, v in eset:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    # for each canonical (u<v) edge, common neighbors w with w > v close
+    # exactly the triangles anchored at that edge — each counted once
+    tri = sum(1 for u, v in eset for w in (adj[u] & adj[v]) if w > v)
+    wedges = sum(d * (d - 1) // 2 for d in (len(s) for s in adj.values()))
+    assert row["n_edges"] == len(eset)
+    assert row["n_triangles"] == tri
+    assert row["n_wedges"] == wedges

@@ -463,3 +463,38 @@ def test_weighted_priority_sample_favors_heavy_docs(spark):
     # reproducible: same draw on rerun
     again = {r["doc_id"] for r in q.QUERIES["sample_weighted_priority"](spark, SF).collect()}
     assert {r["doc_id"] for r in rows} == again
+
+
+def test_countmin_never_undercounts_and_is_tight(spark):
+    rows = q.QUERIES["agg_countmin_gate"](spark, SF).collect()
+    assert len(rows) == 20
+    assert all(r["no_undercount"] for r in rows)  # CMS theorem
+    assert all(r["overcount"] >= 0 for r in rows)
+    # eps = e/w of total mass; with N=6000 lineitem rows at sf0.001 the
+    # classical bound is ~64; measured overcounts are far tighter
+    n_total = 6000
+    assert all(r["overcount"] <= 0.011 * n_total for r in rows)
+
+
+def test_mad_outliers_match_numpy_reference(spark):
+    import numpy as np
+
+    from distgrep_spark.sources.catalog import load_table
+
+    got = {r["event_id"]: r["robust_z"] for r in q.QUERIES["events_mad_outliers"](spark, SF).collect()}
+    ev = load_table(spark, SF, "events").select("event_id", "event_type", "value").collect()
+    by_type = {}
+    for r in ev:
+        by_type.setdefault(r["event_type"], []).append(r["value"])
+    med = {t: float(np.median(v)) for t, v in by_type.items()}
+    mad = {
+        t: float(np.median([abs(x - med[t]) for x in v])) for t, v in by_type.items()
+    }
+    want = {
+        r["event_id"]: (r["value"] - med[r["event_type"]]) / (1.4826 * mad[r["event_type"]])
+        for r in ev
+        if abs(r["value"] - med[r["event_type"]]) > 3 * 1.4826 * mad[r["event_type"]]
+    }
+    assert set(got) == set(want)
+    for eid, z in want.items():
+        assert abs(got[eid] - z) < 1e-3, eid
