@@ -197,6 +197,8 @@ POST_PREFIX = [
     "agg_countmin_gate",
     "events_mad_outliers",
     "graph_triangle_count",
+    "text_max_token_run",
+    "text_bpe_merge_step",
 ]
 
 

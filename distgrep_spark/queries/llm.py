@@ -1348,3 +1348,55 @@ def q_sim_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("neg_rank") <= 8)
         .select("anchor_id", "vec_id", "neg_rank")
     )
+
+
+@query(
+    "text_bpe_merge_step",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+    ),
+    pairs AS (
+      SELECT t[i] || ' ' || t[i+1] AS pair
+      FROM toks, LATERAL unnest(generate_series(1, greatest(len(t) - 1, 0))) AS u(i)
+    )
+    SELECT pair, n, merge_rank FROM (
+      SELECT pair, CAST(count(*) AS BIGINT) AS n,
+             row_number() OVER (ORDER BY count(*) DESC, pair) AS merge_rank
+      FROM pairs GROUP BY pair
+    ) WHERE merge_rank <= 20
+    """,
+)
+def q_text_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One merge step of corpus-level pair-merge tokenizer training
+    (the BPE loop's inner kernel, at word granularity): count every
+    ADJACENT symbol pair across the corpus (multiset — occurrences,
+    not the per-doc-distinct shingles dedup uses) and emit the top-20
+    merge candidates; rank 1 is the pair BPE would fuse next, the loop
+    just re-tokenizes and repeats (the graph_pagerank_step pattern: the
+    oracle certifies the relational body of one iteration).
+
+    Plan shape: pair explode is map-side (materialized token array →
+    ngrams_of_tokens(t, 2), the HOF-inlining-safe helper), one
+    map-side-combinable count rollup on the pair vocabulary, then
+    top-20 via orderBy+limit — Spark's TakeOrderedAndProject, never a
+    global window over the data-sized vocab table; the final
+    merge_rank row_number runs over the 20 survivors only.
+    Deterministic tie-break (count DESC, pair ASC) on both engines. At
+    100 TB the vocab rollup is the only exchange, and its key space is
+    the pair vocabulary, not the corpus."""
+    from distgrep_spark.functions.textfns import ngrams_of_tokens, tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = (
+        docs.select(tokens(F.col("text")).alias("t"))
+        .select(F.explode(ngrams_of_tokens(F.col("t"), 2)).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(20)
+    )
+    return pairs.withColumn(
+        "merge_rank",
+        F.row_number().over(Window.partitionBy().orderBy(F.desc("n"), "pair")),
+    ).select("pair", "n", "merge_rank")

@@ -498,3 +498,45 @@ def test_mad_outliers_match_numpy_reference(spark):
     assert set(got) == set(want)
     for eid, z in want.items():
         assert abs(got[eid] - z) < 1e-3, eid
+
+
+def test_max_token_run_matches_python_reference(spark):
+    import re as _re
+
+    from distgrep_spark.sources.catalog import load_table
+
+    got = {r["doc_id"]: r for r in q.QUERIES["text_max_token_run"](spark, SF).collect()}
+    docs = load_table(spark, SF, "documents").select("doc_id", "text").collect()
+    for d in docs:
+        toks = _re.split(r"\s+", d["text"].strip())
+        runs, cur = [], 1
+        for a, b in zip(toks, toks[1:]):
+            if a == b:
+                cur += 1
+            else:
+                runs.append(cur)
+                cur = 1
+        runs.append(cur)
+        r = got[d["doc_id"]]
+        assert r["n_tokens"] == len(toks)
+        assert r["n_runs"] == len(runs)
+        assert r["max_run"] == max(runs)
+    # the screen must discriminate on the fixture
+    assert any(r["max_run"] > 1 for r in got.values())
+
+
+def test_bpe_merge_step_matches_counter_reference(spark):
+    import re as _re
+    from collections import Counter
+
+    from distgrep_spark.sources.catalog import load_table
+
+    rows = q.QUERIES["text_bpe_merge_step"](spark, SF).collect()
+    assert [r["merge_rank"] for r in rows] == list(range(1, 21))
+    docs = load_table(spark, SF, "documents").select("text").collect()
+    c = Counter()
+    for d in docs:
+        toks = _re.split(r"\s+", d["text"].strip())
+        c.update(f"{a} {b}" for a, b in zip(toks, toks[1:]))
+    want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert [(r["pair"], r["n"]) for r in rows] == want
