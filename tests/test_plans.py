@@ -207,3 +207,32 @@ def test_curation_pipeline_no_unbounded_joins(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_dynamic_partition_pruning_fires_on_partitioned_fact(spark, tmp_path):
+    """Dynamic partition pruning: when the fact table is hive-partitioned
+    on the join key and the dim side carries a selective filter, the
+    fact scan must receive a runtime `dynamicpruning` partition filter
+    (the broadcast result reused as a scan predicate) — at 100 TB this
+    is the difference between scanning one date partition and all of
+    them. Static pruning (literal filters) is covered in test_sinks."""
+    from pyspark.sql import functions as F
+
+    out = tmp_path / "fact_part"
+    fact = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.pmod("id", 10)).alias("pk")
+    )
+    fact.write.mode("overwrite").partitionBy("pk").parquet(str(out))
+    dim = spark.createDataFrame([(3, "three"), (7, "seven")], ["pk", "name"])
+    useStats = spark.conf.get("spark.sql.optimizer.dynamicPartitionPruning.useStats")
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
+    try:
+        joined = (
+            spark.read.parquet(str(out))
+            .join(F.broadcast(dim).where(F.col("name") == "three"), "pk")
+        )
+        assert joined.count() == 100
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "dynamicpruning" in plan.lower(), plan[:2000]
+    finally:
+        spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", useStats)
