@@ -199,6 +199,8 @@ POST_PREFIX = [
     "graph_triangle_count",
     "text_max_token_run",
     "text_bpe_merge_step",
+    "events_path_counts",
+    "embed_pca_power_step",
 ]
 
 

@@ -1400,3 +1400,89 @@ def q_text_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         "merge_rank",
         F.row_number().over(Window.partitionBy().orderBy(F.desc("n"), "pair")),
     ).select("pair", "n", "merge_rank")
+
+
+@query(
+    "embed_pca_power_step",
+    oracle="""
+    WITH xd AS (
+      SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x
+      FROM embeddings
+    ),
+    scaled AS (
+      SELECT vec_id, x,
+             greatest(list_max(list_transform(x, v -> abs(v))), 1e-12) / 127 AS scale
+      FROM xd
+    ),
+    quant AS (
+      SELECT vec_id,
+             list_transform(x, v -> CAST(greatest(-127, least(127, floor(v / scale + 0.5)))
+                                         AS BIGINT)) AS q
+      FROM scaled
+    ),
+    gram AS (
+      SELECT i.i AS i, j.j AS j, CAST(sum(q[i.i + 1] * q[j.j + 1]) AS BIGINT) AS g
+      FROM quant,
+           LATERAL unnest(generate_series(0, 15)) AS i(i),
+           LATERAL unnest(generate_series(0, 15)) AS j(j)
+      GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT CAST(i AS BIGINT) AS dim, CAST(sum(g) AS BIGINT) AS s_num
+      FROM gram GROUP BY i
+    )
+    SELECT dim, s_num,
+           s_num / sqrt(CAST(sum(s_num * s_num) OVER () AS BIGINT)) AS v1
+    FROM s
+    """,
+)
+def q_embed_pca_power_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One PCA power-iteration step over the int8-QUANTIZED embedding
+    matrix (leading 16-dim block): G = QᵀQ, w = G·v0 with uniform v0,
+    v1 = w/‖w‖ — the distributed-linear-algebra kernel behind
+    dimensionality reduction and whitening, expressed the way a 100 TB
+    pipeline actually runs it: quantize first (embed_quantize_int8's
+    exact formula), then accumulate the Gram in EXACT BIGINT integer
+    arithmetic, the int8-GEMM shape. No float sum ever crosses an
+    exchange, so there is nothing to order: G_ij and the row sums
+    S_i = Σ_j G_ij are layout-independent integers, and the only IEEE
+    ops are one integer→double sqrt (correctly rounded by spec on both
+    engines) and one division. Σ S_i² ≤ 16·(500·127²·16)² ≈ 1.6e17
+    stays inside BIGINT.
+
+    Plan: the 256-pair explode is map-side (HOF over the materialized
+    quantized array — 256 rows per vector), the Gram rollup map-side-
+    combines to 256 cells (cells cross the wire, not pairs), and the
+    power step runs over the 16-row S table (the global windows touch
+    16 rows, never data). The fixpoint loop repeats with v0 = v1
+    (graph_pagerank_step discipline: the oracle certifies one
+    iteration's relational body). Quantization scale/rounding reuses
+    embed_quantize_int8's hash-gate-proven floor(x/s + 0.5) formula."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    # Materialize the per-vector scale BEFORE the quantizing transform:
+    # HOF lambdas inline their argument expression per element, so an
+    # inline scale would recompute array_max 64x per row (CLAUDE.md).
+    scaled = emb.selectExpr(
+        "vec_id",
+        "embedding",
+        "greatest(array_max(transform(embedding, u -> abs(CAST(u AS DOUBLE)))), 1e-12)"
+        " / 127 AS scale",
+    )
+    quant = scaled.selectExpr(
+        "vec_id",
+        "transform(embedding, v -> CAST(greatest(-127.0, least(127.0,"
+        " floor(CAST(v AS DOUBLE) / scale + 0.5))) AS BIGINT)) AS q",
+    )
+    pairs = quant.selectExpr(
+        "explode(flatten(transform(sequence(0, 15), i ->"
+        " transform(sequence(0, 15), j ->"
+        " struct(i AS i, j AS j, element_at(q, i + 1) * element_at(q, j + 1) AS p))))) AS e"
+    ).select("e.i", "e.j", "e.p")
+    gram = pairs.groupBy("i", "j").agg(F.sum("p").alias("g"))
+    s = gram.groupBy(F.col("i").cast("bigint").alias("dim")).agg(
+        F.sum("g").cast("bigint").alias("s_num")
+    )
+    norm = F.sqrt(
+        F.sum(F.col("s_num") * F.col("s_num")).over(Window.partitionBy()).cast("bigint")
+    )
+    return s.select("dim", "s_num", (F.col("s_num") / norm).alias("v1"))

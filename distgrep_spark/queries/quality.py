@@ -2097,3 +2097,89 @@ def q_text_max_token_run(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_runs"),
         F.max("run_len").cast("bigint").alias("max_run"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Session path analysis (top navigation sequences)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_path_counts",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL 12 HOUR THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts, event_id, event_type,
+             CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+      FROM marked
+    ),
+    paths AS (
+      SELECT user_id, session_seq,
+             string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+      FROM sess GROUP BY 1, 2
+    )
+    SELECT path, n, path_rank FROM (
+      SELECT path, CAST(count(*) AS BIGINT) AS n,
+             row_number() OVER (ORDER BY count(*) DESC, path) AS path_rank
+      FROM paths GROUP BY path
+    ) WHERE path_rank <= 20
+    """,
+)
+def q_events_path_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path analysis: the top-20 session navigation sequences (ordered
+    event types joined '>') — the product-analytics rollup behind
+    "what do users actually do" sankeys, built on the same 12 h
+    gaps-and-islands sessionization as ``sessionize_events``. Spark has
+    no ordered string_agg, so the path assembles as
+    collect_list(struct(ts, event_id, event_type)) → array_sort →
+    transform → concat_ws: the struct sort key makes the aggregation a
+    pure function of the session's event SET (the
+    agg_string_agg_ordered discipline), so both engines — and any
+    partition layout — derive identical paths.
+
+    One user_id exchange serves both sessionization windows and the
+    per-session rollup; the path rollup then keys on the path string,
+    and top-20 is TakeOrdered (rank window only over the 20
+    survivors). The 100 TB caveat is collect_list's per-session memory
+    — bounded here by session length (max tens of events), the same
+    bound the streaming twin's state store relies on."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.withColumn(
+        "is_new",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.col("ts") - F.lag("ts").over(w) > F.expr("INTERVAL 12 HOURS")),
+            1,
+        ).otherwise(0),
+    )
+    sess = marked.withColumn(
+        "session_seq",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    paths = sess.groupBy("user_id", "session_seq").agg(
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+                lambda x: x["event_type"],
+            ),
+        ).alias("path")
+    )
+    top = (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "path")
+        .limit(20)
+    )
+    return top.withColumn(
+        "path_rank",
+        F.row_number().over(Window.partitionBy().orderBy(F.desc("n"), "path")),
+    ).select("path", "n", "path_rank")

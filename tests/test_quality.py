@@ -540,3 +540,42 @@ def test_bpe_merge_step_matches_counter_reference(spark):
         c.update(f"{a} {b}" for a, b in zip(toks, toks[1:]))
     want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
     assert [(r["pair"], r["n"]) for r in rows] == want
+
+
+def test_path_counts_sessions_sum_and_order(spark):
+    rows = q.QUERIES["events_path_counts"](spark, SF).collect()
+    assert [r["path_rank"] for r in rows] == list(range(1, len(rows) + 1))
+    ns = [r["n"] for r in rows]
+    assert ns == sorted(ns, reverse=True)
+    # total sessions across ALL paths equals sessionize_events' count
+    n_sessions = q.QUERIES["sessionize_events"](spark, SF).count()
+    paths = q.QUERIES["events_path_counts"](spark, SF)
+    # top-20 can't exceed the total session count
+    assert sum(ns) <= n_sessions
+    for r in rows:
+        assert r["path"] and all(
+            step in {"view", "click", "purchase", "signup", "error"}
+            for step in r["path"].split(">")
+        )
+
+
+def test_pca_power_step_matches_numpy(spark):
+    import numpy as np
+
+    from distgrep_spark.sources.catalog import load_table
+
+    rows = sorted(
+        q.QUERIES["embed_pca_power_step"](spark, SF).collect(), key=lambda r: r["dim"]
+    )
+    emb = load_table(spark, SF, "embeddings").select("embedding").collect()
+    X = np.array([r["embedding"] for r in emb], dtype=np.float64)
+    scale = np.maximum(np.abs(X).max(axis=1), 1e-12) / 127
+    Q = np.clip(np.floor(X / scale[:, None] + 0.5), -127, 127).astype(np.int64)[:, :16]
+    G = Q.T @ Q
+    S = G.sum(axis=1)
+    v1 = S / np.sqrt(float((S * S).sum()))
+    assert [r["s_num"] for r in rows] == S.tolist()
+    for r, want in zip(rows, v1):
+        assert abs(r["v1"] - want) < 1e-12
+    # unit-norm output
+    assert abs(sum(r["v1"] ** 2 for r in rows) - 1.0) < 1e-12
