@@ -201,6 +201,8 @@ POST_PREFIX = [
     "text_bpe_merge_step",
     "events_path_counts",
     "embed_pca_power_step",
+    "agg_hll_union_gate",
+    "events_peak_concurrency",
 ]
 
 

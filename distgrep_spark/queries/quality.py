@@ -2186,3 +2186,135 @@ def q_events_path_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "path_rank",
         F.row_number().over(Window.partitionBy().orderBy(F.desc("n"), "path")),
     ).select("path", "n", "path_rank")
+
+
+# ---------------------------------------------------------------------------
+# Mergeable-HLL union gate + sweep-line peak concurrency
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_hll_union_gate",
+    oracle="""
+    SELECT source, CAST(count(DISTINCT text) AS BIGINT) AS exact_n, TRUE AS est_ok
+    FROM documents GROUP BY source
+    UNION ALL
+    SELECT 'ALL' AS source, CAST(count(DISTINCT text) AS BIGINT) AS exact_n,
+           TRUE AS est_ok
+    FROM documents
+    """,
+)
+def q_agg_hll_union_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch distinct counting: per-source Datasketches HLL
+    sketches (``hll_sketch_agg``) UNIONED into a corpus-wide estimate
+    (``hll_union_agg``) — the re-aggregatable form approx_count_distinct
+    cannot give you (its HLL++ state is not exposed). This is the
+    sketch-MERGE pattern a 100 TB pipeline lives on: per-day/per-source
+    sketches persist as bytes, any rollup (source, day, corpus) is a
+    register-wise max over the stored sketches — no rescan of the data,
+    ever. The union row here certifies exactly that path: its estimate
+    is derived ONLY from the per-source sketches.
+
+    Driver-green discipline (the agg_approx_distinct_error pattern):
+    sketch estimates have no DuckDB twin, so the emitted columns are
+    the EXACT distinct counts plus ``est_ok`` booleans asserting the
+    estimate lands within 5% of exact (lgK=12 => RSE ~1.6%, and at
+    fixture cardinalities the sketch is still exact-sparse); a layout
+    change cannot flip them (HLL registers are order-free maxima —
+    verified: identical estimates under repartition(13)), but a
+    degraded sketch must. Exact sides cost one text-keyed rollup per
+    grain — the certification price, as in every gate."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.count_distinct("text").alias("exact_n"),
+        F.hll_sketch_agg("text").alias("sk"),
+    )
+    per_rows = per.select(
+        "source",
+        "exact_n",
+        (
+            F.abs(F.hll_sketch_estimate("sk") - F.col("exact_n"))
+            <= F.lit(0.05) * F.col("exact_n")
+        ).alias("est_ok"),
+    )
+    union_est = per.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_union")
+    )
+    union_exact = docs.agg(F.count_distinct("text").alias("exact_n"))
+    union_row = (
+        union_exact.crossJoin(F.broadcast(union_est))
+        .select(
+            F.lit("ALL").alias("source"),
+            "exact_n",
+            (
+                F.abs(F.col("est_union") - F.col("exact_n"))
+                <= F.lit(0.05) * F.col("exact_n")
+            ).alias("est_ok"),
+        )
+    )
+    return per_rows.unionByName(union_row)
+
+
+@query(
+    "events_peak_concurrency",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, event_id, epoch_us(ts) AS s,
+             epoch_us(ts) + (60 + event_id % 540) * 1000000 AS e
+      FROM events
+    ),
+    deltas AS (
+      SELECT user_id, s AS t, 1 AS delta FROM iv
+      UNION ALL
+      SELECT user_id, e AS t, -1 AS delta FROM iv
+    ),
+    running AS (
+      SELECT user_id,
+             sum(delta) OVER (PARTITION BY user_id ORDER BY t, delta
+                              ROWS UNBOUNDED PRECEDING) AS conc
+      FROM deltas
+    )
+    SELECT user_id, CAST(max(conc) AS BIGINT) AS peak_concurrency,
+           CAST(count(*) / 2 AS BIGINT) AS n_intervals
+    FROM running GROUP BY user_id
+    """,
+)
+def q_events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency per user over the same variable-extent activity
+    windows as ``events_active_coverage`` — the sweep-line kernel
+    behind capacity planning and max-concurrent-streams billing: +1 at
+    each interval start, -1 at each (half-open) end, running sum,
+    take the max. Ordering by (t, delta) processes closes before opens
+    at the same instant (delta -1 < +1), the half-open convention; tied
+    identical rows permute only INTERMEDIATE prefix values, never the
+    multiset of prefix sums, so per-user max is layout- and
+    engine-independent without a full tie-break.
+
+    One exchange: the two-row explode is map-side (union of two
+    projections of the same scan), the window and final rollup share
+    the user_id partitioning. Exact BIGINT microseconds via the same
+    timezone-free timestampdiff as events_active_coverage. At 100 TB
+    this is the per-entity timeline shape again — state per row is one
+    running integer."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)")
+    iv = ev.select(
+        "user_id",
+        us.alias("s"),
+        (us + (F.lit(60) + F.pmod(F.col("event_id"), F.lit(540))) * F.lit(1000000)).alias(
+            "e"
+        ),
+    )
+    deltas = iv.select(
+        "user_id", F.col("s").alias("t"), F.lit(1).alias("delta")
+    ).unionByName(iv.select("user_id", F.col("e").alias("t"), F.lit(-1).alias("delta")))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = deltas.select("user_id", F.sum("delta").over(w).alias("conc"))
+    return running.groupBy("user_id").agg(
+        F.max("conc").cast("bigint").alias("peak_concurrency"),
+        (F.count(F.lit(1)) / 2).cast("bigint").alias("n_intervals"),
+    )

@@ -579,3 +579,37 @@ def test_pca_power_step_matches_numpy(spark):
         assert abs(r["v1"] - want) < 1e-12
     # unit-norm output
     assert abs(sum(r["v1"] ** 2 for r in rows) - 1.0) < 1e-12
+
+
+def test_hll_union_gate_exact_and_merge(spark):
+    rows = q.QUERIES["agg_hll_union_gate"](spark, SF).collect()
+    assert all(r["est_ok"] for r in rows)
+    by = {r["source"]: r["exact_n"] for r in rows}
+    assert "ALL" in by and len(by) == 21
+    # union distinct <= sum of per-source distincts (overlap across sources)
+    assert by["ALL"] <= sum(v for k, v in by.items() if k != "ALL")
+
+
+def test_peak_concurrency_matches_sweep_reference(spark):
+    from distgrep_spark.sources.catalog import load_table
+
+    got = {r["user_id"]: r for r in q.QUERIES["events_peak_concurrency"](spark, SF).collect()}
+    ev = load_table(spark, SF, "events").select("user_id", "event_id", "ts").collect()
+    import datetime as dt
+
+    by_user = {}
+    for r in ev:
+        s = int((r["ts"] - dt.datetime(1970, 1, 1)).total_seconds() * 1e6)
+        e = s + (60 + r["event_id"] % 540) * 1_000_000
+        by_user.setdefault(r["user_id"], []).append((s, e))
+    for uid, ivs in by_user.items():
+        deltas = sorted(
+            [(s, 1) for s, _ in ivs] + [(e, -1) for _, e in ivs],
+            key=lambda x: (x[0], x[1]),
+        )
+        run, peak = 0, 0
+        for _, d in deltas:
+            run += d
+            peak = max(peak, run)
+        assert got[uid]["peak_concurrency"] == peak, uid
+        assert got[uid]["n_intervals"] == len(ivs)
