@@ -30,9 +30,10 @@ import distgrep_spark.queries as q
 # so they live outside the window (round 3 demoted kmeans_clusters —
 # its family is certified by the SQL-oracled kmeans_assign_step).
 SCOREBOARD_PREFIX = [
-    # reference grep core
+    # reference grep core (grep_regex demoted round 3 for prefix room:
+    # contains covers reference op #4, highlight covers op #10; regex is
+    # our extension and stays oracle-checked post-prefix)
     "grep_contains",
-    "grep_regex",
     "grep_highlight",
     # aggregation
     "agg_pricing_summary",
@@ -76,6 +77,7 @@ SCOREBOARD_PREFIX = [
     "sim_ann_ivf_recall",
     "kmeans_assign_step",
     "embedding_index_pipeline",
+    "embed_pca_power_step",
     # text analysis
     "text_fingerprint_gate",
     "text_stats",
@@ -101,6 +103,7 @@ SCOREBOARD_PREFIX = [
 # next entries it should spend rows on (distinct shapes before the
 # redundant grep/scalar/window variants that close the list).
 POST_PREFIX = [
+    "grep_regex",
     "tpch_q17_small_quantity",
     "tpch_q21_waiting_suppliers",
     "tpch_q8_market_share",
@@ -200,7 +203,6 @@ POST_PREFIX = [
     "text_max_token_run",
     "text_bpe_merge_step",
     "events_path_counts",
-    "embed_pca_power_step",
     "agg_hll_union_gate",
     "events_peak_concurrency",
 ]
