@@ -1834,6 +1834,8 @@ def q_events_active_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape: no self-join, no explode of the covered range (the rolling-
     7d membership explosion would be quadratic here), state = one
     BIGINT per row."""
+    from distgrep_spark.operators.intervals import interval_union
+
     ev = load_table(spark, sf_dir, "events")
     # timestampdiff over two NTZ operands is pure wall-clock arithmetic —
     # no session-timezone dependence (ts is TIMESTAMP_NTZ; unix_micros
@@ -1847,24 +1849,7 @@ def q_events_active_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "e"
         ),
     )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("s", "event_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    pe = F.max("e").over(w)
-    novel = F.when(pe.isNull(), F.col("e") - F.col("s")).otherwise(
-        F.greatest(F.lit(0).cast("bigint"), F.col("e") - F.greatest(F.col("s"), pe))
-    )
-    island = F.when(pe.isNull() | (F.col("s") > pe), 1).otherwise(0)
-    return (
-        iv.select("user_id", novel.alias("novel"), island.alias("isl"))
-        .groupBy("user_id")
-        .agg(
-            F.sum("isl").cast("bigint").alias("n_islands"),
-            F.sum("novel").cast("bigint").alias("covered_us"),
-        )
-    )
+    return interval_union(iv).withColumnRenamed("covered", "covered_us")
 
 
 # ---------------------------------------------------------------------------
@@ -2296,6 +2281,8 @@ def q_events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     timezone-free timestampdiff as events_active_coverage. At 100 TB
     this is the per-entity timeline shape again — state per row is one
     running integer."""
+    from distgrep_spark.operators.intervals import peak_concurrency
+
     ev = load_table(spark, sf_dir, "events")
     us = F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)")
     iv = ev.select(
@@ -2305,16 +2292,4 @@ def q_events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             "e"
         ),
     )
-    deltas = iv.select(
-        "user_id", F.col("s").alias("t"), F.lit(1).alias("delta")
-    ).unionByName(iv.select("user_id", F.col("e").alias("t"), F.lit(-1).alias("delta")))
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("t", "delta")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    running = deltas.select("user_id", F.sum("delta").over(w).alias("conc"))
-    return running.groupBy("user_id").agg(
-        F.max("conc").cast("bigint").alias("peak_concurrency"),
-        (F.count(F.lit(1)) / 2).cast("bigint").alias("n_intervals"),
-    )
+    return peak_concurrency(iv)
