@@ -205,6 +205,8 @@ POST_PREFIX = [
     "events_path_counts",
     "agg_hll_union_gate",
     "events_peak_concurrency",
+    "join_asof_nearest_events",
+    "window_cumulative_distinct",
 ]
 
 

@@ -36,26 +36,34 @@ def asof_join(
     payload: list[str],
     direction: str = "backward",
 ) -> DataFrame:
-    """As-of left join, backward (default) or forward.
+    """As-of left join: backward (default), forward, or nearest.
 
     ``backward``: every ``left`` row gets ``right_ts`` + ``payload``
     from the LATEST right row at or before its ``left_ts`` (DuckDB
     ``ASOF JOIN ... ON l.ts >= r.ts``). ``forward``: from the EARLIEST
     right row at or after it (``ON l.ts <= r.ts`` — the "next reading"
-    join). Nulls when no right row qualifies — left-join semantics.
-    Ties on the timestamp take the right row (inclusive) in both
-    directions.
+    join). ``nearest``: whichever of the two is closer in time, ties to
+    the backward side — the sensor-alignment join. Nulls when no right
+    row qualifies — left-join semantics. Ties on the timestamp take the
+    right row (inclusive) in all directions (for ``nearest`` the equal-
+    ts row arrives through the backward fill at distance zero, which
+    wins every tie, so the forward fill may skip it harmlessly).
 
     ``right`` must be unique per (key, right_ts) — pre-aggregate it
     otherwise, or which duplicate wins is engine-dependent on BOTH sides
     of any oracle comparison.
 
-    Both directions are the same one-exchange union + window-fill scan;
-    forward just flips the frame (current→following, first instead of
-    last) and the equal-ts tag order so inclusivity is preserved.
+    All three are the same ONE-exchange union + window-fill scan;
+    forward flips the frame (current→following, first instead of last)
+    and the equal-ts tag order so inclusivity is preserved, and nearest
+    runs BOTH fills over the one sorted scan and picks per row — still
+    a single exchange, where the naive two-asof-joins-then-join plan
+    costs three.
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction!r}"
+        )
     for c in [right_ts, *payload]:
         if c in left.columns:
             raise ValueError(f"column {c!r} exists on both sides; alias it first")
@@ -68,6 +76,33 @@ def asof_join(
         *payload,
     )
     u = l_tag.unionByName(r_tag, allowMissingColumns=True)
+    if direction == "nearest":
+        order = [F.col("_t"), F.col("_is_left")]
+        wb = (
+            Window.partitionBy(*on)
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        wf = (
+            Window.partitionBy(*on)
+            .orderBy(*order)
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        prev = {c: F.last(c, ignorenulls=True).over(wb) for c in [right_ts, *payload]}
+        nxt = {c: F.first(c, ignorenulls=True).over(wf) for c in [right_ts, *payload]}
+        choose_prev = nxt[right_ts].isNull() | (
+            prev[right_ts].isNotNull()
+            & ((F.col("_t") - prev[right_ts]) <= (nxt[right_ts] - F.col("_t")))
+        )
+        filled = u.select(
+            *left.columns,
+            "_is_left",
+            *[
+                F.when(choose_prev, prev[c]).otherwise(nxt[c]).alias(c)
+                for c in [right_ts, *payload]
+            ],
+        )
+        return filled.where(F.col("_is_left") == 1).drop("_is_left")
     if direction == "backward":
         # right (_is_left=0) sorts before left at equal _t -> inclusive
         w = (

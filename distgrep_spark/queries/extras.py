@@ -9,7 +9,7 @@ value-hash discipline applies cleanly.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from distgrep_spark.operators.asof import asof_join
@@ -284,6 +284,124 @@ def q_join_asof_forward_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_ts="click_ts",
         payload=["click_value"],
         direction="forward",
+    )
+
+
+@query(
+    "join_asof_nearest_events",
+    oracle="""
+    WITH errors AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+    ),
+    clicks AS (
+      SELECT user_id, ts AS click_ts, max(value) AS click_value
+      FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+    ),
+    b AS (
+      SELECT e.event_id, e.user_id, e.ts, c.click_ts AS b_ts, c.click_value AS b_val
+      FROM errors e
+      ASOF LEFT JOIN clicks c ON e.user_id = c.user_id AND e.ts >= c.click_ts
+    ),
+    f AS (
+      SELECT e.event_id, c.click_ts AS f_ts, c.click_value AS f_val
+      FROM errors e
+      ASOF LEFT JOIN clicks c ON e.user_id = c.user_id AND e.ts <= c.click_ts
+    )
+    SELECT b.event_id, b.user_id, b.ts,
+           CASE WHEN f.f_ts IS NULL
+                  OR (b.b_ts IS NOT NULL AND b.ts - b.b_ts <= f.f_ts - b.ts)
+                THEN b.b_ts ELSE f.f_ts END AS click_ts,
+           CASE WHEN f.f_ts IS NULL
+                  OR (b.b_ts IS NOT NULL AND b.ts - b.b_ts <= f.f_ts - b.ts)
+                THEN b.b_val ELSE f.f_val END AS click_value
+    FROM b JOIN f USING (event_id)
+    """,
+)
+def q_join_asof_nearest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of: each error joined to the click closest in time in
+    EITHER direction, ties to the earlier click — the sensor-alignment
+    join (match each reading to the nearest reference sample). DuckDB
+    has no nearest mode, so the oracle composes backward + forward ASOF
+    joins and picks per row; the operator (operators/asof.py
+    direction='nearest') gets both fills from ONE sorted scan — one
+    exchange where the oracle's composition costs three. Interval
+    comparisons stay in exact timestamp arithmetic on both engines; the
+    equal-ts click arrives through the backward fill at distance zero
+    and wins every tie on both sides."""
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", F.col("ts").alias("click_ts"))
+        .agg(F.max("value").alias("click_value"))
+    )
+    return asof_join(
+        errors,
+        clicks,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="click_ts",
+        payload=["click_value"],
+        direction="nearest",
+    )
+
+
+@query(
+    "window_cumulative_distinct",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts, event_type,
+             CASE WHEN lag(event_type) OVER (PARTITION BY user_id
+                                             ORDER BY event_type, ts, event_id)
+                       IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS first_seen
+      FROM events
+    )
+    SELECT user_id, event_id,
+           CAST(sum(first_seen) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS cum_types
+    FROM flagged
+    """,
+)
+def q_window_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running COUNT(DISTINCT) over an event stream — per user, how many
+    distinct event types have been seen up to and including each event.
+    SQL has no windowed count-distinct; the standard decomposition is
+    first-occurrence flag + prefix sum, and the flag itself avoids a
+    second (user, type)-keyed exchange: sorted by (type, ts, id) within
+    user, an occurrence is first iff the type changes vs lag — so BOTH
+    windows key on user_id alone and Catalyst plans ONE exchange with
+    two sorts, not two exchanges. (Flag correctness: within a user the
+    sort groups each type contiguously in first-occurrence order;
+    prefix-summing the flags in TIME order then counts exactly the
+    types whose first occurrence is <= the row.)
+
+    The 100 TB view: this is the per-entity "new vs returning" shape
+    (cumulative distinct SKUs per customer, distinct error codes per
+    host) — state per row is one comparison; the alternative
+    collect_set-over-window materializes the set per ROW and dies on
+    wide histories."""
+    ev = load_table(spark, sf_dir, "events")
+    w_type = Window.partitionBy("user_id").orderBy("event_type", "ts", "event_id")
+    first_seen = F.when(
+        ~F.lag("event_type").over(w_type).eqNullSafe(F.col("event_type")), 1
+    ).otherwise(0)
+    w_time = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        first_seen.alias("first_seen"),
+        "ts",
+    ).select(
+        "user_id",
+        "event_id",
+        F.sum("first_seen").over(w_time).cast("bigint").alias("cum_types"),
     )
 
 

@@ -99,3 +99,45 @@ def test_asof_forward_matches_quadratic_reference(spark, left, right):
         else:
             assert got[i] == (None, None), (i, k, s)
     assert set(got) == set(range(len(left)))
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(left=_LEFT, right=_RIGHT)
+def test_asof_nearest_matches_quadratic_reference(spark, left, right):
+    right_u = {(k, s) for k, s in right}
+    l_rows = [
+        (i, k, BASE + timedelta(seconds=s)) for i, (k, s) in enumerate(left)
+    ]
+    r_rows = [
+        (k, BASE + timedelta(seconds=s), float(s)) for k, s in sorted(right_u)
+    ]
+    ldf = spark.createDataFrame(l_rows, "id long, key long, t timestamp")
+    rdf = (
+        spark.createDataFrame(r_rows, "key long, rt timestamp, val double")
+        if r_rows
+        else spark.createDataFrame([], "key long, rt timestamp, val double")
+    )
+    got = {
+        r["id"]: (r["rt"], r["val"])
+        for r in asof_join(
+            ldf,
+            rdf,
+            on=["key"],
+            left_ts="t",
+            right_ts="rt",
+            payload=["val"],
+            direction="nearest",
+        ).collect()
+    }
+    for i, (k, s) in enumerate(left):
+        cands = [rs for rk, rs in right_u if rk == k]
+        if cands:
+            # nearest by |distance|, ties to the earlier (backward) side
+            best = min(cands, key=lambda rs: (abs(rs - s), rs))
+            assert got[i] == (BASE + timedelta(seconds=best), float(best)), (i, k, s)
+        else:
+            assert got[i] == (None, None), (i, k, s)
