@@ -395,3 +395,55 @@ def test_foreach_batch_into_manifest_sink(spark, tmp_path):
         with open(out / b / "_MANIFEST.json") as f:
             total += _json.load(f)["n_rows"]
     assert total == src.count()
+
+
+def test_foreach_batch_countmin_merge_matches_batch(spark, tmp_path):
+    """Sketch mergeability under incremental ingest: build a count-min
+    sketch (d=4 x w=64, the agg_countmin_gate hash rows) PER MICRO-BATCH
+    in foreachBatch and merge cells by addition into an accumulator —
+    the merged sketch must equal the sketch built over the whole data in
+    one batch pass. This is the property that lets a 100 TB pipeline
+    keep per-day sketch tables and answer heavy-hitter queries without
+    rescans; additivity is exactly why agg_countmin_gate may build from
+    the key rollup."""
+    from collections import defaultdict
+
+    cell_of = (
+        "pmod(CAST(conv(substr(md5(concat(CAST(j AS STRING), ':', "
+        "CAST(user_id AS STRING))), 1, 8), 16, 10) AS BIGINT), 64)"
+    )
+
+    def cms_cells(df):
+        return (
+            df.selectExpr("user_id", "explode(array(0, 1, 2, 3)) AS j")
+            .selectExpr("j", cell_of + " AS cell")
+            .groupBy("j", "cell")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    d = tmp_path / "in"
+    load_table(spark, SF, "events").repartition(4).write.mode("overwrite").parquet(str(d))
+    merged: dict[tuple[int, int], int] = defaultdict(int)
+    n_batches = []
+
+    def handle(batch_df, batch_id):
+        n_batches.append(batch_id)
+        for r in cms_cells(batch_df).collect():
+            merged[(r["j"], r["cell"])] += r["n"]
+
+    stream = read_event_stream(
+        spark, str(d), max_files_per_trigger=1  # force >1 micro-batch
+    ).select("user_id")
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert len(n_batches) >= 2, "merge not exercised: only one micro-batch"
+    want = {
+        (r["j"], r["cell"]): r["n"]
+        for r in cms_cells(spark.read.parquet(str(d))).collect()
+    }
+    assert dict(merged) == want
