@@ -207,6 +207,7 @@ POST_PREFIX = [
     "events_peak_concurrency",
     "join_asof_nearest_events",
     "window_cumulative_distinct",
+    "events_markov_transition",
 ]
 
 

@@ -2293,3 +2293,58 @@ def q_events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return peak_concurrency(iv)
+
+
+# ---------------------------------------------------------------------------
+# First-order Markov transition matrix over event sequences
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_markov_transition",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS cur_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    ),
+    pairs AS (
+      SELECT cur_type, next_type, CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT cur_type, next_type, n,
+           n * 1.0 / CAST(sum(n) OVER (PARTITION BY cur_type) AS BIGINT) AS p
+    FROM pairs
+    """,
+)
+def q_events_markov_transition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next event type | current), the sequence-model rollup
+    behind next-action prediction baselines and anomaly scoring (a
+    transition that never appears in the matrix is the anomaly) —
+    bigram-level where events_path_counts is whole-session-level.
+
+    One user_id exchange (the lead window), then a map-side-combinable
+    pair rollup to the |types|^2 = 25-row matrix; the row-normalizing
+    margin is a window over THAT 25-row table (the chi2 discipline:
+    margins over cells, never a second fact scan — nothing global ever
+    single-partitions real data). Counts are exact BIGINTs and each
+    probability is one BIGINT-ratio IEEE division — identical doubles
+    on both engines, rows summing to 1 per cur_type by construction."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("cur_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+    pairs = (
+        seq.where(F.col("next_type").isNotNull())
+        .groupBy("cur_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = F.sum("n").over(Window.partitionBy("cur_type")).cast("bigint")
+    return pairs.select(
+        "cur_type", "next_type", "n", (F.col("n") * F.lit(1.0) / tot).alias("p")
+    )

@@ -613,3 +613,26 @@ def test_peak_concurrency_matches_sweep_reference(spark):
             peak = max(peak, run)
         assert got[uid]["peak_concurrency"] == peak, uid
         assert got[uid]["n_intervals"] == len(ivs)
+
+
+def test_markov_transition_rows_normalize_and_match_counts(spark):
+    from collections import Counter, defaultdict
+
+    from distgrep_spark.sources.catalog import load_table
+
+    rows = q.QUERIES["events_markov_transition"](spark, SF).collect()
+    by_cur = defaultdict(float)
+    for r in rows:
+        by_cur[r["cur_type"]] += r["p"]
+    assert all(abs(s - 1.0) < 1e-12 for s in by_cur.values())
+    ev = load_table(spark, SF, "events").select("user_id", "event_id", "ts", "event_type").collect()
+    seqs = defaultdict(list)
+    for r in ev:
+        seqs[r["user_id"]].append((r["ts"], r["event_id"], r["event_type"]))
+    want = Counter()
+    for s in seqs.values():
+        s.sort()
+        for (_, _, a), (_, _, b) in zip(s, s[1:]):
+            want[(a, b)] += 1
+    got = {(r["cur_type"], r["next_type"]): r["n"] for r in rows}
+    assert got == dict(want)
