@@ -33,6 +33,8 @@ HEADLINE = [
     "text_stats",
     "stream_tumbling_counts",
     "corpus_curation_pipeline",
+    "agg_countmin_gate",
+    "embed_pca_power_step",
 ]
 
 

@@ -447,3 +447,45 @@ def test_foreach_batch_countmin_merge_matches_batch(spark, tmp_path):
         for r in cms_cells(spark.read.parquet(str(d))).collect()
     }
     assert dict(merged) == want
+
+
+def test_persisted_hll_sketches_union_across_batches(spark, tmp_path):
+    """Sketch-bytes persistence: write per-micro-batch HLL sketches (one
+    binary row per batch) to parquet from foreachBatch, then union the
+    STORED sketches later — the estimate must match a single-pass
+    sketch over all data. This is the per-day sketch-table pattern:
+    distinct-count rollups over arbitrary date ranges without ever
+    rescanning the facts."""
+    d, out = tmp_path / "in", tmp_path / "sketches"
+    load_table(spark, SF, "events").repartition(4).write.mode("overwrite").parquet(str(d))
+
+    def handle(batch_df, batch_id):
+        (
+            batch_df.agg(F.hll_sketch_agg("user_id").alias("sk"))
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(str(out))
+        )
+
+    stream = read_event_stream(spark, str(d), max_files_per_trigger=1).select("user_id")
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    stored = spark.read.parquet(str(out))
+    assert stored.count() >= 2, "union not exercised: only one sketch stored"
+    merged_est = stored.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    ).collect()[0]["est"]
+    single_est = (
+        spark.read.parquet(str(d))
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est"))
+        .collect()[0]["est"]
+    )
+    exact = spark.read.parquet(str(d)).select("user_id").distinct().count()
+    assert merged_est == single_est
+    assert abs(merged_est - exact) <= 0.05 * exact
