@@ -236,3 +236,46 @@ def test_dynamic_partition_pruning_fires_on_partitioned_fact(spark, tmp_path):
         assert "dynamicpruning" in plan.lower(), plan[:2000]
     finally:
         spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", useStats)
+
+
+def test_aqe_splits_skewed_join_partitions_at_runtime(spark):
+    """AQE skew-join: a sort-merge join whose left side piles ~90% of
+    rows onto one key must come out of adaptive execution with the hot
+    partition SPLIT (`skew=true` on the join, AQEShuffleRead on both
+    sides) — the runtime half of the skew story whose planned half is
+    operators/skew.py's explicit salting (profile_key_skew decides which
+    to reach for). Thresholds are shrunk so test-sized data crosses
+    them; the final plan is only observable after an action on the
+    joined frame itself."""
+    from pyspark.sql import functions as F
+
+    keys = (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+    )
+    saved = {k: spark.conf.get(k) for k in keys}
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB"
+    )
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    try:
+        left = spark.range(0, 60_000).select(
+            F.when(F.col("id") % 10 < 9, 0).otherwise(F.col("id") % 50).alias("k"),
+            F.concat(F.lit("x" * 32), F.col("id").cast("string")).alias("pad"),
+        )
+        right = spark.range(0, 50).select(
+            F.col("id").alias("k"), F.lit("dim").alias("name")
+        )
+        j = left.join(right, "k")
+        assert len(j.collect()) == 60_000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:1500]
+        assert plan.count("AQEShuffleRead") >= 1
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
