@@ -54,3 +54,25 @@ def test_metadata_columns_for_lineage(spark, tmp_path):
     )
     rows = {r["x"]: r["file_path"] for r in df.collect()}
     assert "/a/" in rows[1] and "/a/" in rows[2] and "/b/" in rows[3]
+
+
+def test_read_json_quarantines_corrupt_records(spark, tmp_path):
+    """PERMISSIVE + columnNameOfCorruptRecord: bad JSON lines land whole
+    in a quarantine column instead of killing the job — the 100 TB
+    ingest contract (a crawl always contains garbage; fail-fast on one
+    bad line of a billion is not an option, silently dropping it is an
+    audit hole). Good rows parse, bad rows keep their raw text for a
+    dead-letter sink."""
+    p = tmp_path / "in.json"
+    p.write_text('{"k": 1, "v": "ok"}\n{not json at all\n{"k": 3, "v": "also ok"}\n')
+    df = (
+        spark.read.schema("k long, v string, _bad string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .json(str(p))
+    )
+    rows = df.collect()
+    good = {r["k"]: r["v"] for r in rows if r["_bad"] is None}
+    bad = [r["_bad"] for r in rows if r["_bad"] is not None]
+    assert good == {1: "ok", 3: "also ok"}
+    assert bad == ["{not json at all"]
