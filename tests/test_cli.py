@@ -53,3 +53,64 @@ def test_end_to_end_output_format(tmp_path):
     assert lines[0] == "Freq.\tLine"
     assert lines[1] == "---"
     assert lines[2:] == ["2\tb*a*", "1\tx*a*"]
+
+
+def test_cli_sql_mode_outputs_tsv(tmp_path):
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "distgrep_spark.cli",
+            "--sql",
+            "SELECT o_orderstatus, count(*) AS n FROM orders GROUP BY 1 ORDER BY 1",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=180,
+    )
+    assert out.returncode == 0, out.stderr[-800:]
+    lines = out.stdout.strip().splitlines()
+    assert lines[0] == "o_orderstatus\tn"
+    assert len(lines) == 4  # header + F/O/P
+    assert all("\t" in ln for ln in lines[1:])
+
+
+def test_cli_sql_explain_prints_plan(tmp_path):
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "distgrep_spark.cli",
+            "--sql",
+            "SELECT count(*) AS n FROM lineitem WHERE l_quantity > 40",
+            "--explain",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=180,
+    )
+    assert out.returncode == 0, out.stderr[-800:]
+    assert "Physical Plan" in out.stdout
+    assert "Scan parquet" in out.stdout
+    # pushdown visible from the CLI too
+    assert "PushedFilters" in out.stdout
+
+
+def test_cli_requires_grep_args_or_sql():
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [sys.executable, "-m", "distgrep_spark.cli"],
+        capture_output=True,
+        text=True,
+        timeout=60,
+    )
+    assert out.returncode == 2
+    assert "either --sql or both -f and -substr" in out.stderr
