@@ -208,6 +208,7 @@ POST_PREFIX = [
     "join_asof_nearest_events",
     "window_cumulative_distinct",
     "events_markov_transition",
+    "join_scd2_point_in_time",
 ]
 
 

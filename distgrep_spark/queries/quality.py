@@ -2348,3 +2348,87 @@ def q_events_markov_transition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "cur_type", "next_type", "n", (F.col("n") * F.lit(1.0) / tot).alias("p")
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 point-in-time lookup (temporal dimension join)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_scd2_point_in_time",
+    oracle="""
+    WITH seq AS (
+      SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+             lag(o_orderstatus) OVER w AS prev_status
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ),
+    changes AS (
+      SELECT o_custkey, o_orderstatus, o_orderdate AS valid_from, o_orderkey
+      FROM seq
+      WHERE prev_status IS NULL OR prev_status <> o_orderstatus
+    ),
+    dim AS (
+      SELECT o_custkey, o_orderstatus AS status_asof, valid_from,
+             lead(valid_from) OVER (PARTITION BY o_custkey
+                                    ORDER BY valid_from, o_orderkey) AS valid_to
+      FROM changes
+    ),
+    fact AS (
+      SELECT l.l_returnflag, l.l_shipdate, o.o_custkey
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT coalesce(d.status_asof, 'N/A') AS status_asof, f.l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM fact f
+    LEFT JOIN dim d
+      ON f.o_custkey = d.o_custkey
+     AND f.l_shipdate >= d.valid_from
+     AND (d.valid_to IS NULL OR f.l_shipdate < d.valid_to)
+    GROUP BY 1, 2
+    """,
+)
+def q_join_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension lookup — the query the SCD2 build exists
+    FOR: each shipped item joined to the customer-status version valid
+    AT ITS SHIP DATE (ship dates trail order dates, so the as-of status
+    genuinely differs from the order's own status when the customer
+    changed state in between). Composes q_scd2_customer_status's
+    dimension inline and rolls up items by (as-of status, returnflag).
+
+    Plan shape: the temporal predicate rides ON TOP of the custkey
+    equi-join — Catalyst plans a hash/sort-merge join on the key with
+    the range condition as a join filter, never a nested-loop: each
+    fact row meets only its customer's handful of versions, the
+    standard warehouse trick that makes temporal lookups scale like
+    plain equi-joins. SCD2 intervals partition time per customer, so a
+    covered fact meets exactly one version; facts that PREDATE the
+    customer's first recorded status (the fixture's synthetic ship
+    dates are independent of order dates — 29k of 60k ship "before"
+    their order) take the LEFT-join path into the 'N/A' unknown member,
+    the standard early-arriving-fact treatment — row count preserved
+    either way (measured: sum(n_items) == |lineitem| at sf0.01). All
+    outputs exact BIGINT counts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    dim = q_scd2_customer_status(spark, sf_dir).select(
+        "o_custkey",
+        F.col("o_orderstatus").alias("status_asof"),
+        "valid_from",
+        "valid_to",
+    )
+    fact = li.select("l_orderkey", "l_returnflag", "l_shipdate").join(
+        o.select("o_orderkey", "o_custkey"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    joined = fact.join(
+        dim,
+        (fact["o_custkey"] == dim["o_custkey"])
+        & (F.col("l_shipdate") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("l_shipdate") < F.col("valid_to"))),
+        "left",
+    )
+    return joined.groupBy(
+        F.coalesce("status_asof", F.lit("N/A")).alias("status_asof"), "l_returnflag"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_items"))

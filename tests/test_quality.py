@@ -636,3 +636,33 @@ def test_markov_transition_rows_normalize_and_match_counts(spark):
             want[(a, b)] += 1
     got = {(r["cur_type"], r["next_type"]): r["n"] for r in rows}
     assert got == dict(want)
+
+
+def test_scd2_point_in_time_preserves_rows_and_matches_replay(spark):
+    from collections import Counter, defaultdict
+
+    from distgrep_spark.sources.catalog import load_table
+
+    rows = q.QUERIES["join_scd2_point_in_time"](spark, SF).collect()
+    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_returnflag", "l_shipdate").collect()
+    assert sum(r["n_items"] for r in rows) == len(li)  # left join preserves facts
+    # python replay of the temporal lookup
+    o = load_table(spark, SF, "orders").select("o_orderkey", "o_custkey", "o_orderdate", "o_orderstatus").collect()
+    by_cust = defaultdict(list)
+    for r in sorted(o, key=lambda r: (r["o_orderdate"], r["o_orderkey"])):
+        h = by_cust[r["o_custkey"]]
+        if not h or h[-1][1] != r["o_orderstatus"]:
+            h.append((r["o_orderdate"], r["o_orderstatus"]))
+    okey = {r["o_orderkey"]: r["o_custkey"] for r in o}
+    want = Counter()
+    for r in li:
+        hist = by_cust[okey[r["l_orderkey"]]]
+        status = "N/A"
+        for frm, st in hist:
+            if r["l_shipdate"] >= frm:
+                status = st
+            else:
+                break
+        want[(status, r["l_returnflag"])] += 1
+    got = {(r["status_asof"], r["l_returnflag"]): r["n_items"] for r in rows}
+    assert got == dict(want)
