@@ -209,6 +209,7 @@ POST_PREFIX = [
     "window_cumulative_distinct",
     "events_markov_transition",
     "join_scd2_point_in_time",
+    "json_variant_extract",
 ]
 
 

@@ -856,3 +856,40 @@ def tpch_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFram
         .agg(F.count("o_orderkey").alias("c_count"))
     )
     return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "json_variant_extract",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           CAST(NULL AS BIGINT) AS missing,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) % 7 AS k_mod
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
+    """,
+)
+def json_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT path for semi-structured data: ``parse_json``
+    converts the JSON text to the binary VARIANT encoding ONCE, then
+    ``variant_get`` extracts typed fields from the binary form and
+    ``try_variant_get`` returns NULL (not an error) for missing paths —
+    ANSI-safe schema drift handling. At 100 TB this is the
+    parse-once/extract-many contract: get_json_object re-parses the
+    TEXT per path expression, while a VARIANT column parsed at ingest
+    (or stored as VARIANT in parquet) amortizes parsing across every
+    downstream extraction; shredded storage then pushes typed paths
+    into the scan. The oracle speaks DuckDB's JSON dialect — same typed
+    values, so the driver hash certifies the VARIANT decode
+    end-to-end."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.withColumn("v", F.parse_json("props"))
+    return (
+        v.select(
+            "event_id",
+            F.expr("variant_get(v, '$.k', 'bigint')").alias("k"),
+            F.expr("try_variant_get(v, '$.does_not_exist', 'bigint')").alias("missing"),
+            (F.expr("variant_get(v, '$.k', 'bigint')") % 7).alias("k_mod"),
+        )
+        .where(F.col("k").isNotNull())
+    )

@@ -489,3 +489,92 @@ def test_persisted_hll_sketches_union_across_batches(spark, tmp_path):
     exact = spark.read.parquet(str(d)).select("user_id").distinct().count()
     assert merged_est == single_est
     assert abs(merged_est - exact) <= 0.05 * exact
+
+
+def test_transform_with_state_running_totals(spark, tmp_path):
+    """transformWithStateInPandas — Spark 4's successor to
+    applyInPandasWithState (typed per-key state handles, timers, and the
+    mandatory RocksDB state store). Running totals carried across 3
+    micro-batches must equal the batch groupBy, mirroring
+    test_stateful_running_totals on the modern API. The PySpark side of
+    this API needs the protobuf wheel (state-server wire format), which
+    this container lacks — importorskip keeps the coverage honest where
+    the dependency exists."""
+    pytest.importorskip(
+        "google.protobuf.descriptor",
+        reason="transformWithState's Python state server requires protobuf",
+    )
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    state_schema = StructType(
+        [StructField("n", LongType()), StructField("s", DoubleType())]
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle) -> None:
+            self._state = handle.getValueState("tot", state_schema)
+
+        def handleInputRows(self, key, rows, timer_values):
+            n, s = self._state.get() if self._state.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                s += float(pdf["value"].fillna(0.0).sum())
+            self._state.update((n, s))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [s]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    src = load_table(spark, SF, "events")
+    d = tmp_path / "in"
+    src.repartition(3).write.mode("overwrite").parquet(str(d))
+    saved = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = read_event_stream(spark, str(d), max_files_per_trigger=1)
+        out = (
+            stream.select("user_id", "value")
+            .groupBy("user_id")
+            .transformWithStateInPandas(
+                statefulProcessor=RunningTotals(),
+                outputStructType="user_id bigint, n_events bigint, total_value double",
+                outputMode="Update",
+                timeMode="None",
+            )
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName("tws_totals")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        final = {}
+        for r in spark.sql("SELECT * FROM tws_totals").collect():
+            final[r["user_id"]] = (r["n_events"], r["total_value"])
+        batch = {
+            r["user_id"]: (r["n_events"], r["total_value"])
+            for r in src.groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.coalesce("value", F.lit(0.0))).alias("total_value"),
+            )
+            .collect()
+        }
+        assert set(final) == set(batch)
+        for u, (n, s) in batch.items():
+            assert final[u][0] == n and abs(final[u][1] - s) < 1e-6
+    finally:
+        if saved is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", saved)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
