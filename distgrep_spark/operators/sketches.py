@@ -1,0 +1,81 @@
+"""Count-min sketch as DataFrame operators — build, merge, probe.
+
+The sketch is a (d x w) grid of BIGINT counters; row j hashes a key to
+one cell via md5 (md5, not xxhash64, deliberately: every engine and the
+DuckDB oracles compute the identical digest, so the sketch itself is
+value-hash-checkable — see agg_countmin_gate). Estimates only ever
+OVER-count (each cell sums every key that collides into it), which is
+the theorem the probe's consumers rely on; the expected overcount per
+hash row is bounded by e/w of total mass, and the min over d rows beats
+it with probability 1 - e^-d.
+
+Scale contract (the reason this lives here and not inline): CMS is
+ADDITIVE — cells merge by summation across partitions, micro-batches,
+days, or corpora. ``countmin_build`` therefore accepts EITHER raw rows
+(weight 1 each) or a pre-aggregated (key, weight) rollup; building from
+the rollup hashes the key VOCABULARY instead of the fact table
+(measured 3.8 s -> 0.8 s at sf0.1, CLAUDE.md) and the resulting sketch
+is bit-identical. Streaming ingest merges per-batch sketches the same
+way (tests/test_streaming.py::test_foreach_batch_countmin_merge...).
+
+No reference counterpart (the reference's only operator surface is
+grep, worker.go:24-43); extends the sketch family (MinHash, SimHash,
+Bloom, HLL) of the north-star pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _cell_expr(j: str, key: str, w: int) -> str:
+    return (
+        f"pmod(CAST(conv(substr(md5(concat(CAST({j} AS STRING), ':', "
+        f"CAST({key} AS STRING))), 1, 8), 16, 10) AS BIGINT), {w})"
+    )
+
+
+def countmin_build(
+    df: DataFrame,
+    *,
+    key: str,
+    weight: str | None = None,
+    d: int = 4,
+    w: int = 256,
+) -> DataFrame:
+    """Build the (d x w) sketch: one row per touched cell with columns
+    ``(j, cell, n)``. ``weight=None`` counts each input row once;
+    passing a weight column treats ``df`` as a pre-aggregated rollup
+    (the cheap path — hash the vocabulary, not the facts). Sketches
+    over the same (d, w) merge by summing ``n`` on (j, cell)."""
+    rows = ", ".join(str(i) for i in range(d))
+    wcol = "CAST(1 AS BIGINT)" if weight is None else weight
+    return (
+        df.selectExpr(key, f"{wcol} AS _w", f"explode(array({rows})) AS j")
+        .selectExpr("j", _cell_expr("j", key, w) + " AS cell", "_w")
+        .groupBy("j", "cell")
+        .agg(F.sum("_w").alias("n"))
+    )
+
+
+def countmin_probe(
+    cms: DataFrame,
+    keys: DataFrame,
+    *,
+    key: str,
+    d: int = 4,
+    w: int = 256,
+) -> DataFrame:
+    """Estimate counts for every row of ``keys``: min over the d hashed
+    cells, 0 when a cell was never touched. The sketch (<= d*w rows) is
+    broadcast; probing is map-side per key row."""
+    rows = ", ".join(str(i) for i in range(d))
+    probes = keys.selectExpr("*", f"explode(array({rows})) AS j").selectExpr(
+        "*", _cell_expr("j", key, w) + " AS cell"
+    )
+    return (
+        probes.join(F.broadcast(cms), ["j", "cell"], "left")
+        .groupBy(*keys.columns)
+        .agg(F.min(F.coalesce("n", F.lit(0))).cast("bigint").alias("est_n"))
+    )

@@ -1908,37 +1908,22 @@ def q_agg_countmin_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     branches under AQE) are the price of certification, same as the
     recall gates. Width 256 => eps = e/256 ~ 1.1% of mass per row
     pair; overcounts measured single digits at every fixture SF."""
+    from distgrep_spark.operators.sketches import countmin_build, countmin_probe
+
     li = load_table(spark, sf_dir, "lineitem")
-    cell_of = (
-        "pmod(CAST(conv(substr(md5(concat(CAST({j} AS STRING), ':', "
-        "CAST({k} AS STRING))), 1, 8), 16, 10) AS BIGINT), 256)"
-    )
     counts = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
-    cells = (
-        counts.selectExpr("l_partkey", "cnt", "explode(array(0, 1, 2, 3)) AS j")
-        .selectExpr("j", cell_of.format(j="j", k="l_partkey") + " AS cell", "cnt")
-        .groupBy("j", "cell")
-        .agg(F.sum("cnt").alias("n"))
-    )
+    cells = countmin_build(counts, key="l_partkey", weight="cnt")
     exact = (
         counts.select(F.col("l_partkey").alias("part"), F.col("cnt").alias("exact_n"))
         .orderBy(F.desc("exact_n"), "part")
         .limit(20)
     )
-    probes = exact.selectExpr(
-        "part", "exact_n", "explode(array(0, 1, 2, 3)) AS j"
-    ).selectExpr("part", "exact_n", "j", cell_of.format(j="j", k="part") + " AS cell")
-    return (
-        probes.join(F.broadcast(cells), ["j", "cell"])
-        .groupBy("part", "exact_n")
-        .agg(F.min("n").alias("est_n"))
-        .select(
-            "part",
-            "exact_n",
-            "est_n",
-            (F.col("est_n") - F.col("exact_n")).alias("overcount"),
-            (F.col("est_n") >= F.col("exact_n")).alias("no_undercount"),
-        )
+    return countmin_probe(cells, exact, key="part").select(
+        "part",
+        "exact_n",
+        "est_n",
+        (F.col("est_n") - F.col("exact_n")).alias("overcount"),
+        (F.col("est_n") >= F.col("exact_n")).alias("no_undercount"),
     )
 
 
