@@ -73,3 +73,22 @@ def test_orc_sink_roundtrip(spark, tmp_path):
     assert back.schema == df.schema
     key = lambda r: r["k"]  # noqa: E731
     assert sorted(back.collect(), key=key) == sorted(df.collect(), key=key)
+
+
+def test_managed_table_save_insert_roundtrip(spark, tmp_path):
+    """saveAsTable / spark.table / insertInto: the catalog surface a
+    warehouse user expects on top of raw paths — create a managed
+    table, append via insertInto, read back through the catalog, drop.
+    (Position-based insertInto vs by-name saveAsTable append is a
+    classic silent-corruption trap; the assert pins the round trip.)"""
+    name = "t_managed_roundtrip"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    df.write.saveAsTable(name)
+    try:
+        spark.createDataFrame([(3, "c")], "k long, v string").write.insertInto(name)
+        back = spark.table(name)
+        assert {tuple(r) for r in back.collect()} == {(1, "a"), (2, "b"), (3, "c")}
+        assert name in [t.name for t in spark.catalog.listTables()]
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
