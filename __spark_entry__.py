@@ -210,6 +210,13 @@ POST_PREFIX = [
     "events_markov_transition",
     "join_scd2_point_in_time",
     "json_variant_extract",
+    # round-3 batch 5: bitmap-exact distinct, fuzzy linkage, product
+    # quantization, RFM segmentation, shingle containment (full oracles)
+    "agg_bitmap_distinct",
+    "join_fuzzy_blocked",
+    "embed_pq_assign",
+    "orders_rfm_segments",
+    "text_shingle_containment",
 ]
 
 

@@ -1,0 +1,417 @@
+"""Round-3 batch 5: bitmap-exact distinct, fuzzy record linkage, product
+quantization, RFM segmentation, and shingle containment.
+
+The 100-TB rationale per query:
+
+- ``agg_bitmap_distinct``: exact COUNT(DISTINCT) via a two-level bitmap
+  rollup — ``(group, key DIV 32) -> bit_or(1 << key % 32)`` then
+  ``sum(bit_count(word))``. Unlike a raw count-distinct (which shuffles
+  every key occurrence), the word rollup is map-side combinable and the
+  second stage shuffles ONE 8-byte word per populated 32-key block —
+  the roaring-bitmap trick expressed in pure Catalyst aggregates, and
+  the words themselves are a mergeable exact-distinct sketch (bit_or is
+  associative/commutative/idempotent, so partial bitmaps union across
+  partitions, days, or incremental loads without recount).
+- ``join_fuzzy_blocked``: record linkage as blocked candidate
+  generation + bounded verify. The block key (3-char prefix) turns the
+  quadratic fuzzy match into an equi-join Catalyst hash-partitions;
+  ``levenshtein`` runs only inside blocks. At 100 TB the block-size
+  distribution is the whole game: cap hub blocks exactly like
+  ``ngram_jaccard_pairs``'s ``max_df`` (a block with 10^6 members is
+  10^12 candidate pairs), and pick block keys that survive the expected
+  corruption model (here: a single substitution outside the prefix).
+- ``embed_pq_assign``: product-quantization codebook assignment — the
+  compression layer between ``embed_quantize_int8`` (scalar int8) and
+  the IVF/LSH indexes: 64 dims become M=4 one-byte codes (16x on top of
+  int8). All arithmetic is INTEGER (vectors are globally quantized to
+  int8 grid first), so subspace L2 distances are exact BIGINTs and the
+  argmin is bit-stable across engines and partition layouts — float
+  argmin near-ties are the classic nondeterminism trap in distributed
+  PQ builds. Centroids broadcast (M x k rows); assignment is map-side.
+- ``orders_rfm_segments``: recency/frequency/monetary quintile
+  segmentation. Tested with exact global ntile (deterministic
+  tie-break by key); the docstring's 100-TB form replaces the global
+  sort with approx-quantile boundary broadcast — same output schema,
+  no total order.
+- ``text_shingle_containment``: asymmetric containment
+  |S(a) ∩ S(b)| / |S(a)| over the shingle inverted index — catches the
+  sub/superset near-dups (quote inflation, boilerplate wrapping) that
+  symmetric Jaccard structurally misses: a 100-word doc embedded
+  verbatim in a 10k-word doc has Jaccard ~0.01 but containment 1.0.
+  Same single-shuffle inverted-index plan as ``dedup_ngram_jaccard``;
+  the threshold is applied as an integer cross-multiplication so no
+  float comparison sits on the candidate-pair knife edge.
+
+No reference counterpart (the reference's only query is grep,
+worker.go:24-43); these extend the training-data-pipeline surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from distgrep_spark.functions.numeric import dsum
+from distgrep_spark.operators.dedup import shingles
+from distgrep_spark.queries.registry import query
+from distgrep_spark.sources.catalog import load_table
+
+# ---------------------------------------------------------------------------
+# Bitmap-exact distinct (mergeable exact count-distinct)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_bitmap_distinct",
+    oracle="""
+    WITH o AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+             o_custkey AS ck
+      FROM orders
+    ),
+    words AS (
+      SELECT month, ck // 32 AS word,
+             bit_or(1::BIGINT << CAST(ck % 32 AS INT)) AS w
+      FROM o GROUP BY month, ck // 32
+    ),
+    bm AS (
+      SELECT month, CAST(sum(bit_count(w)) AS BIGINT) AS n_distinct_bitmap
+      FROM words GROUP BY month
+    ),
+    ex AS (
+      SELECT month, count(DISTINCT ck) AS n_distinct_exact
+      FROM o GROUP BY month
+    )
+    SELECT month, n_distinct_bitmap, n_distinct_exact,
+           n_distinct_bitmap = n_distinct_exact AS bitmap_matches_exact
+    FROM bm JOIN ex USING (month)
+    """,
+)
+def q_agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct customers per order month via a 32-key/word bitmap
+    rollup, gated against the direct COUNT(DISTINCT). The bitmap path is
+    the one that scales: stage 1 (``bit_or`` per (month, word)) is
+    map-side combinable and idempotent under duplicate keys, stage 2
+    shuffles one BIGINT per populated word — at 10^9 customers that is
+    ~32x fewer shuffled bytes than the raw distinct, and the word table
+    is a reusable, mergeable exact-distinct index (union = ``bit_or``).
+    Integer division via DIV on both engines (CAST(double) rounds in
+    DuckDB but truncates in Spark — CLAUDE.md)."""
+    o = load_table(spark, sf_dir, "orders").selectExpr(
+        "date_trunc('month', o_orderdate) AS month",
+        "o_custkey AS ck",
+    )
+    words = o.selectExpr(
+        "month",
+        "ck DIV 32 AS word",
+        "shiftleft(CAST(1 AS BIGINT), CAST(ck % 32 AS INT)) AS mask",
+    ).groupBy("month", "word").agg(F.expr("bit_or(mask)").alias("w"))
+    bm = words.groupBy("month").agg(
+        F.expr("CAST(sum(bit_count(w)) AS BIGINT)").alias("n_distinct_bitmap")
+    )
+    ex = o.groupBy("month").agg(
+        F.countDistinct("ck").alias("n_distinct_exact")
+    )
+    return bm.join(ex, "month").select(
+        "month",
+        "n_distinct_bitmap",
+        "n_distinct_exact",
+        (F.col("n_distinct_bitmap") == F.col("n_distinct_exact")).alias(
+            "bitmap_matches_exact"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy record linkage: blocked candidates + levenshtein verify
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_fuzzy_blocked",
+    oracle="""
+    WITH p AS (SELECT p_partkey, p_name FROM part),
+    dirty AS (
+      SELECT p_partkey AS probe_key,
+             substring(p_name, 1, 3) || 'X' || substring(p_name, 5)
+               AS probe_name
+      FROM p WHERE p_partkey % 7 = 0
+    )
+    SELECT d.probe_key, p.p_partkey AS matched_key,
+           CAST(levenshtein(d.probe_name, p.p_name) AS BIGINT) AS lev_dist
+    FROM dirty d
+      JOIN p ON substring(d.probe_name, 1, 3) = substring(p.p_name, 1, 3)
+    WHERE levenshtein(d.probe_name, p.p_name) <= 2
+    """,
+)
+def q_join_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy record linkage: a deterministic corruption (substitute the
+    4th character) of every 7th part name is re-linked to the clean
+    catalog by blocking on the 3-char prefix and verifying with
+    ``levenshtein <= 2``. Both engines implement unit-cost Wagner–
+    Fischer, so distances are identical integers.
+
+    The 100-TB shape: candidate generation is an EQUI-join on the block
+    key (hash shuffle, co-located blocks), and the O(len^2) edit-distance
+    DP runs only on within-block pairs — never all-pairs. Production
+    hardening is block-size capping (drop or sub-block hubs past
+    ``max_df``, as in ngram_jaccard_pairs) and multi-pass blocking on
+    independent keys (prefix, suffix, phonetic) unioned, so recall does
+    not hinge on one key surviving the corruption."""
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    dirty = p.where(F.col("p_partkey") % 7 == 0).selectExpr(
+        "p_partkey AS probe_key",
+        "concat(substring(p_name, 1, 3), 'X', substring(p_name, 5)) AS probe_name",
+    )
+    cand = dirty.withColumn("blk", F.expr("substring(probe_name, 1, 3)")).join(
+        p.withColumn("blk", F.expr("substring(p_name, 1, 3)")), "blk"
+    )
+    return (
+        cand.selectExpr(
+            "probe_key",
+            "p_partkey AS matched_key",
+            "CAST(levenshtein(probe_name, p_name) AS BIGINT) AS lev_dist",
+        )
+        .where(F.col("lev_dist") <= 2)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization: integer codebook assignment
+# ---------------------------------------------------------------------------
+
+_PQ_M = 4  # subspaces
+_PQ_D = 16  # dims per subspace
+_PQ_K = 8  # centroids per subspace (vec_id < 8, same predicate both engines)
+
+
+@query(
+    "embed_pq_assign",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               v -> CAST(greatest(-127.0, least(127.0,
+                           floor(CAST(v AS DOUBLE) * 200 + 0.5))) AS BIGINT))
+               AS qv
+      FROM embeddings
+    ),
+    subs AS (
+      SELECT vec_id, m, qv[{_PQ_D}*m+1 : {_PQ_D}*m+{_PQ_D}] AS sub
+      FROM q, (SELECT unnest(range({_PQ_M})) AS m)
+    ),
+    cents AS (
+      SELECT vec_id AS cid, m, sub AS cvec FROM subs WHERE vec_id < {_PQ_K}
+    ),
+    scored AS (
+      SELECT s.vec_id, s.m, c.cid,
+             CAST(list_sum(list_transform(list_zip(s.sub, c.cvec),
+                    p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS dist
+      FROM subs s JOIN cents c ON s.m = c.m
+    ),
+    best AS (
+      SELECT vec_id, m, min(dist * {_PQ_K} + cid) AS enc
+      FROM scored GROUP BY vec_id, m
+    )
+    SELECT vec_id,
+           CAST(max(CASE WHEN m = 0 THEN enc % {_PQ_K} END) AS BIGINT) AS code_0,
+           CAST(max(CASE WHEN m = 1 THEN enc % {_PQ_K} END) AS BIGINT) AS code_1,
+           CAST(max(CASE WHEN m = 2 THEN enc % {_PQ_K} END) AS BIGINT) AS code_2,
+           CAST(max(CASE WHEN m = 3 THEN enc % {_PQ_K} END) AS BIGINT) AS code_3,
+           CAST(sum(enc // {_PQ_K}) AS BIGINT) AS total_dist
+    FROM best GROUP BY vec_id
+    """,
+)
+def q_embed_pq_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization assignment: 64-dim vectors on a GLOBAL int8
+    grid (fixed scale 1/200 — a per-vector scale would put subvectors of
+    different vectors in incomparable spaces), split into M=4 subspaces
+    of 16 dims; each subvector takes the id of its nearest of k=8
+    codebook entries (subvectors of ``vec_id < 8``, the same
+    predicate on both engines per the kmeans_assign_step convention).
+
+    Every distance is an exact BIGINT (max 16*254^2 ≈ 1.03e6, no ANSI
+    overflow), and the argmin is the integer ``min(dist*k + cid)`` — so
+    assignment is bit-stable under any partition layout or engine, where
+    a float argmin would be one ulp from flipping codes on near-ties.
+    Plan shape: one scan; the M-way subvector explode is narrow (16
+    BIGINTs per row); the codebook (M*k = 32 rows) broadcasts; argmin is
+    a map-side-combinable min. Output: 4 one-byte codes/vector — with
+    k=256 in production this is 16x compression ON TOP of int8, and
+    ANN scans precompute a (M x k) query-to-centroid table then score
+    candidates by 4 table lookups, never touching raw floats."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.selectExpr(
+        "vec_id",
+        "transform(embedding, v -> CAST(greatest(-127.0D, least(127.0D, "
+        "floor(CAST(v AS DOUBLE) * 200 + 0.5))) AS BIGINT)) AS qv",
+    )
+    struct_items = ", ".join(
+        f"struct({m} AS m, slice(qv, {_PQ_D * m + 1}, {_PQ_D}) AS sub)"
+        for m in range(_PQ_M)
+    )
+    subs = q.selectExpr(
+        "vec_id", f"explode(array({struct_items})) AS s"
+    ).selectExpr("vec_id", "s.m AS m", "s.sub AS sub")
+    cents = subs.where(F.col("vec_id") < _PQ_K).selectExpr(
+        "vec_id AS cid", "m", "sub AS cvec"
+    )
+    scored = subs.join(F.broadcast(cents), "m").selectExpr(
+        "vec_id",
+        "m",
+        "cid",
+        "aggregate(zip_with(sub, cvec, (a, b) -> (a - b) * (a - b)), "
+        "CAST(0 AS BIGINT), (acc, x) -> acc + x) AS dist",
+    )
+    best = scored.groupBy("vec_id", "m").agg(
+        F.expr(f"min(dist * {_PQ_K} + cid)").alias("enc")
+    )
+    return best.groupBy("vec_id").agg(
+        *[
+            F.expr(
+                f"CAST(max(CASE WHEN m = {m} THEN enc % {_PQ_K} END) AS BIGINT)"
+            ).alias(f"code_{m}")
+            for m in range(_PQ_M)
+        ],
+        F.expr(f"CAST(sum(enc DIV {_PQ_K}) AS BIGINT)").alias("total_dist"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# RFM customer segmentation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_rfm_segments",
+    oracle="""
+    WITH rfm AS (
+      SELECT o_custkey,
+             CAST(date_diff('day', CAST(max(o_orderdate) AS DATE),
+                            DATE '1998-12-01') AS BIGINT) AS recency_days,
+             count(*) AS frequency,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
+               AS monetary
+      FROM orders GROUP BY o_custkey
+    ),
+    tiled AS (
+      SELECT o_custkey, monetary,
+             ntile(5) OVER (ORDER BY recency_days, o_custkey) AS r,
+             ntile(5) OVER (ORDER BY frequency, o_custkey) AS f,
+             ntile(5) OVER (ORDER BY monetary, o_custkey) AS m
+      FROM rfm
+    )
+    SELECT 'R' || r || 'F' || f || 'M' || m AS segment,
+           count(*) AS n_customers,
+           CAST(sum(CAST(monetary AS DECIMAL(25,6))) AS DOUBLE)
+             AS sum_monetary
+    FROM tiled GROUP BY 1
+    """,
+)
+def q_orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-customer recency (days to a fixed anchor —
+    a literal, not max-over-the-data, so the branches stay independent),
+    frequency, and exact-decimal monetary, each cut into quintiles by
+    ``ntile(5)`` with the customer key as the deterministic tie-break
+    (both engines distribute remainder rows to the leading tiles per the
+    SQL standard). Segment totals re-aggregate the 2-dp monetary through
+    DECIMAL so the double is order-independent.
+
+    The 100-TB form drops the three global sorts: compute approximate
+    quintile boundaries (approx_percentile over one pass), broadcast the
+    15 cut points, and assign tiles map-side — same output schema, no
+    total order. The exact ntile here doubles as that version's
+    correctness oracle at test scale."""
+    o = load_table(spark, sf_dir, "orders")
+    rfm = o.groupBy("o_custkey").agg(
+        F.expr(
+            "CAST(datediff(DATE '1998-12-01', CAST(max(o_orderdate) AS DATE))"
+            " AS BIGINT)"
+        ).alias("recency_days"),
+        F.count(F.lit(1)).alias("frequency"),
+        dsum("o_totalprice", "monetary"),
+    )
+    tiled = rfm.select(
+        "o_custkey",
+        "monetary",
+        F.ntile(5)
+        .over(Window.orderBy("recency_days", "o_custkey"))
+        .alias("r"),
+        F.ntile(5).over(Window.orderBy("frequency", "o_custkey")).alias("f"),
+        F.ntile(5).over(Window.orderBy("monetary", "o_custkey")).alias("m"),
+    )
+    return tiled.groupBy(
+        F.concat(
+            F.lit("R"), F.col("r"), F.lit("F"), F.col("f"), F.lit("M"), F.col("m")
+        ).alias("segment")
+    ).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        dsum("monetary", "sum_monetary"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Asymmetric shingle containment (sub/superset near-dup)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_shingle_containment",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+      FROM toks, LATERAL unnest(generate_series(1, greatest(len(t) - 2, 0)))
+        AS u(i)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_common,
+           n_common * 1.0 / sa.n_grams AS containment
+    FROM common JOIN sizes sa ON doc_a = sa.doc_id
+    WHERE 5 * n_common >= 4 * sa.n_grams
+    """,
+)
+def q_text_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed shingle containment |S(a) ∩ S(b)| / |S(a)| ≥ 0.8 — the
+    sub/superset near-dup detector symmetric Jaccard misses (a short doc
+    quoted wholesale inside a long one scores Jaccard ≈ |a|/|b| but
+    containment 1.0). Same one-shuffle inverted-index plan as
+    ``ngram_jaccard_pairs`` (distgrep_spark/operators/dedup.py:81), kept
+    directional (a ≠ b, not a < b) since containment is asymmetric. The
+    0.8 threshold is the integer test ``5*n_common >= 4*n_a`` — no float
+    on the keep/drop edge — and the emitted ratio is a single exact
+    division of small ints, bit-identical on both engines. At 100 TB the
+    gram strings become xxhash64 keys (shuffle 8-byte digests, as
+    dedup_hash does vs dedup_exact) and hub shingles get the ``max_df``
+    cap; the plan shape is unchanged."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = shingles(docs, n=3)
+    sizes = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    a = g.select(F.col("doc_id").alias("doc_a"), "gram")
+    b = g.select(F.col("doc_id").alias("doc_b"), "gram")
+    common = (
+        a.join(b, "gram")
+        .where(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        common.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_grams").alias("na")),
+            "doc_a",
+        )
+        .where(5 * F.col("n_common") >= 4 * F.col("na"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            (F.col("n_common") * F.lit(1.0) / F.col("na")).alias("containment"),
+        )
+    )
