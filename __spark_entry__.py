@@ -217,6 +217,12 @@ POST_PREFIX = [
     "embed_pq_assign",
     "orders_rfm_segments",
     "text_shingle_containment",
+    # round-3 batch 6: deterministic reservoir sampling, bounded EWMA,
+    # broadcast-quartile RFM, link prediction (full oracles)
+    "sample_reservoir_per_key",
+    "events_ewma_smooth",
+    "orders_rfm_quartiles",
+    "graph_link_prediction",
 ]
 
 

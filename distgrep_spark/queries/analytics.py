@@ -415,3 +415,310 @@ def q_text_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_common") * F.lit(1.0) / F.col("na")).alias("containment"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic per-key reservoir sample (rank-by-hash)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sample_reservoir_per_key",
+    oracle="""
+    SELECT priority, o_orderkey, CAST(rn AS BIGINT) AS rn FROM (
+      SELECT o_orderpriority AS priority, o_orderkey,
+             row_number() OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def q_sample_reservoir_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform k=3-per-key sample via rank-by-hash: every row draws the
+    deterministic pseudo-random key ``md5(order key)`` and each group
+    keeps its k smallest — exactly a per-key reservoir sample, but
+    stateless and re-runnable (same rows on every run, engine, and
+    partition layout, which seeded ``rand()`` cannot promise across
+    engines). md5 is the portable hash here (DuckDB lacks xxhash64;
+    both engines agree byte-for-byte on md5 hex of the decimal string).
+
+    The 100-TB shape: one hash shuffle on the group key, per-partition
+    top-k heap — no global sort. With millions of rows per key, replace
+    ``row_number`` with a two-phase top-k (per-partition k-heap via
+    window over map-side partitions, then re-rank the k*P survivors) or
+    pre-filter on a hash-prefix band so only ~k*log expected candidates
+    reach the shuffle; the rank-by-hash semantics (and this oracle) stay
+    identical."""
+    o = load_table(spark, sf_dir, "orders").selectExpr(
+        "o_orderpriority AS priority",
+        "o_orderkey",
+        "md5(CAST(o_orderkey AS STRING)) AS rk",
+    )
+    w = Window.partitionBy("priority").orderBy("rk", "o_orderkey")
+    return (
+        o.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rn") <= 3)
+        .select("priority", "o_orderkey", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bounded-window EWMA (dyadic weights, cross-engine exact)
+# ---------------------------------------------------------------------------
+
+_EWMA_LAGS = 8  # weights 2^-k, k = 0..7
+
+
+def _ewma_terms() -> tuple[str, str]:
+    """(numerator, denominator) SQL over lag columns l0..l7 — an explicit
+    left-associated chain so both engines evaluate the identical IEEE
+    expression tree. Weights are powers of two (exponent shifts, exact
+    for any double); missing leading history drops out of BOTH sums."""
+    num = "l0 * 128.0"
+    den = "128.0"
+    for k in range(1, _EWMA_LAGS):
+        wgt = 128 >> k
+        num += f" + coalesce(l{k}, 0.0) * {wgt}.0"
+        den += f" + (CASE WHEN l{k} IS NULL THEN 0.0 ELSE {wgt}.0 END)"
+    return num, den
+
+
+_EWMA_NUM, _EWMA_DEN = _ewma_terms()
+
+
+@query(
+    "events_ewma_smooth",
+    oracle=f"""
+    WITH lagged AS (
+      SELECT user_id, event_id, value AS l0,
+             {", ".join(
+                 f"lag(value, {k}) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS l{k}"
+                 for k in range(1, _EWMA_LAGS))}
+      FROM events
+    )
+    SELECT user_id, event_id,
+           ({_EWMA_NUM}) / ({_EWMA_DEN}) AS ewma
+    FROM lagged
+    """,
+)
+def q_events_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average over each user's last 8
+    events (half-life = 1 step). EWMA's textbook form is a recursive
+    scan — hostile to both distribution and cross-engine determinism —
+    so this is the bounded-window reformulation: 8 ``lag`` columns off
+    ONE window pass, folded by an explicit left-associated chain of
+    power-of-two weights. Multiplying a double by 2^-k is exact (pure
+    exponent shift) and the identical operand-by-operand expression
+    tree evaluates bit-identically on both engines — no list_sum /
+    HOF-fold whose summation order an engine may choose freely.
+
+    At 100 TB: per-entity state never leaves one partition (single hash
+    exchange on user_id); the 8-step truncation bounds both memory and
+    the error (weight tail < 0.8% of total) — the same truncation
+    Structured Streaming's stateful EWMA would apply via TTL."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = ev.select(
+        "user_id",
+        "event_id",
+        F.col("value").alias("l0"),
+        *[F.lag("value", k).over(w).alias(f"l{k}") for k in range(1, _EWMA_LAGS)],
+    )
+    return lagged.selectExpr(
+        "user_id", "event_id", f"({_EWMA_NUM}) / ({_EWMA_DEN}) AS ewma"
+    )
+
+
+# ---------------------------------------------------------------------------
+# RFM via broadcast quartile boundaries (the no-global-sort form)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_rfm_quartiles",
+    oracle="""
+    WITH rfm AS (
+      SELECT o_custkey,
+             CAST(date_diff('day', CAST(max(o_orderdate) AS DATE),
+                            DATE '1998-12-01') AS BIGINT) AS recency_days,
+             count(*) AS frequency,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
+               AS monetary
+      FROM orders GROUP BY o_custkey
+    ),
+    bounds AS (
+      SELECT quantile_cont(recency_days, [0.25, 0.5, 0.75]) AS rq,
+             quantile_cont(frequency,    [0.25, 0.5, 0.75]) AS fq,
+             quantile_cont(monetary,     [0.25, 0.5, 0.75]) AS mq
+      FROM rfm
+    ),
+    tiled AS (
+      SELECT o_custkey, monetary,
+             1 + CAST(recency_days > rq[1] AS INT)
+               + CAST(recency_days > rq[2] AS INT)
+               + CAST(recency_days > rq[3] AS INT) AS r,
+             1 + CAST(frequency > fq[1] AS INT)
+               + CAST(frequency > fq[2] AS INT)
+               + CAST(frequency > fq[3] AS INT) AS f,
+             1 + CAST(monetary > mq[1] AS INT)
+               + CAST(monetary > mq[2] AS INT)
+               + CAST(monetary > mq[3] AS INT) AS m
+      FROM rfm CROSS JOIN bounds
+    )
+    SELECT 'R' || r || 'F' || f || 'M' || m AS segment,
+           count(*) AS n_customers,
+           CAST(sum(CAST(monetary AS DECIMAL(25,6))) AS DOUBLE)
+             AS sum_monetary
+    FROM tiled GROUP BY 1
+    """,
+)
+def q_orders_rfm_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale form of RFM segmentation ``orders_rfm_segments``'s
+    docstring promises: NO global sort. Quartile cut points (exact
+    ``percentile`` at the dyadic fractions 0.25/0.5/0.75 — the fractions
+    where Spark and DuckDB interpolate bit-identically, CLAUDE.md) are
+    computed once, broadcast as a single row, and every customer is
+    assigned its tile map-side by three comparisons per dimension.
+
+    At 100 TB the exact percentile becomes ``approx_percentile`` (one
+    mergeable sketch pass) and nothing else changes — the assignment
+    stage is already the broadcast-join shape. Segment totals
+    re-aggregate 2-dp money through DECIMAL for order-independence."""
+    o = load_table(spark, sf_dir, "orders")
+    rfm = o.groupBy("o_custkey").agg(
+        F.expr(
+            "CAST(datediff(DATE '1998-12-01', CAST(max(o_orderdate) AS DATE))"
+            " AS BIGINT)"
+        ).alias("recency_days"),
+        F.count(F.lit(1)).alias("frequency"),
+        dsum("o_totalprice", "monetary"),
+    )
+    bounds = rfm.agg(
+        F.expr("percentile(recency_days, array(0.25D, 0.5D, 0.75D))").alias("rq"),
+        F.expr("percentile(frequency, array(0.25D, 0.5D, 0.75D))").alias("fq"),
+        F.expr("percentile(monetary, array(0.25D, 0.5D, 0.75D))").alias("mq"),
+    )
+    tiled = rfm.crossJoin(F.broadcast(bounds)).selectExpr(
+        "o_custkey",
+        "monetary",
+        "1 + CAST(recency_days > rq[0] AS INT) + CAST(recency_days > rq[1] AS INT)"
+        " + CAST(recency_days > rq[2] AS INT) AS r",
+        "1 + CAST(frequency > fq[0] AS INT) + CAST(frequency > fq[1] AS INT)"
+        " + CAST(frequency > fq[2] AS INT) AS f",
+        "1 + CAST(monetary > mq[0] AS INT) + CAST(monetary > mq[1] AS INT)"
+        " + CAST(monetary > mq[2] AS INT) AS m",
+    )
+    return tiled.groupBy(
+        F.concat(
+            F.lit("R"), F.col("r"), F.lit("F"), F.col("f"), F.lit("M"), F.col("m")
+        ).alias("segment")
+    ).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        dsum("monetary", "sum_monetary"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Link prediction over the co-purchase graph (common neighbors)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "graph_link_prediction",
+    oracle="""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    adj AS (SELECT u AS s, v AS d FROM edges UNION ALL SELECT v, u FROM edges),
+    deg AS (SELECT s AS node, CAST(count(*) AS BIGINT) AS dg
+            FROM adj GROUP BY s),
+    two_hop AS (
+      SELECT x.s AS part_a, y.d AS part_b, count(*) AS common_neighbors
+      FROM adj x JOIN adj y ON x.d = y.s AND x.s < y.d
+      GROUP BY 1, 2
+    )
+    SELECT t.part_a, t.part_b, t.common_neighbors,
+           da.dg * db.dg AS pref_attach
+    FROM two_hop t
+      JOIN deg da ON t.part_a = da.node
+      JOIN deg db ON t.part_b = db.node
+    WHERE t.common_neighbors >= 2
+      AND NOT EXISTS (SELECT 1 FROM edges e
+                      WHERE e.u = t.part_a AND e.v = t.part_b)
+    """,
+)
+def q_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction on the part co-purchase graph: for node pairs at
+    distance exactly 2 (share a neighbor, no direct edge), score by
+    common-neighbor count and preferential attachment deg(a)*deg(b) —
+    both exact integers, so the ranking is bit-stable where the
+    Adamic–Adar ``1/log(deg)`` variant would hang on transcendental
+    last-ulp ties (the CLAUDE.md ranking-key rule). Canonical a < b
+    pairs count each shared neighbor exactly once from the
+    both-direction adjacency list.
+
+    Plan: the same weight-floored (w >= 2) edge list as
+    graph_triangle_count, localCheckpoint'ed once and reused by all
+    three branches (adjacency x2, degree, anti-join); the two-hop join
+    cost is Σ deg² over shared nodes — at 100 TB, hub nodes get the
+    degree cap / orientation treatment exactly as in the triangle
+    kernel, and the anti-join of candidates against existing edges is a
+    shuffle on the canonical pair key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = (
+        li.select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+    )
+    edges = (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, x ->"
+                    " transform(filter(ps, y -> y > x),"
+                    "           y -> struct(x AS u, y AS v))))"
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .where(F.col("w") >= 2)
+        .select("u", "v")
+        .localCheckpoint()
+    )
+    adj = edges.select(F.col("u").alias("s"), F.col("v").alias("d")).unionAll(
+        edges.select(F.col("v").alias("s"), F.col("u").alias("d"))
+    )
+    deg = adj.groupBy(F.col("s").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("dg")
+    )
+    x = adj.select(F.col("s").alias("part_a"), F.col("d").alias("via"))
+    y = adj.select(F.col("s").alias("via"), F.col("d").alias("part_b"))
+    two_hop = (
+        x.join(y, "via")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("common_neighbors"))
+        .where(F.col("common_neighbors") >= 2)
+    )
+    cand = two_hop.join(
+        edges,
+        (two_hop["part_a"] == edges["u"]) & (two_hop["part_b"] == edges["v"]),
+        "left_anti",
+    )
+    return (
+        cand.join(deg.select(F.col("node").alias("part_a"), F.col("dg").alias("da")), "part_a")
+        .join(deg.select(F.col("node").alias("part_b"), F.col("dg").alias("db")), "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            "common_neighbors",
+            (F.col("da") * F.col("db")).alias("pref_attach"),
+        )
+    )

@@ -95,3 +95,83 @@ def test_shingle_containment_bounds_and_asymmetry(spark, sf_dir):
     # their shingles with each other (near-dup in the Jaccard sense too).
     pairs = {(r["doc_a"], r["doc_b"]) for r in rows}
     assert all(a != b for a, b in pairs)
+
+
+def test_reservoir_sample_is_exact_k_and_stable(spark, sf_dir):
+    rows1 = q.QUERIES["sample_reservoir_per_key"](spark, sf_dir).collect()
+    rows2 = q.QUERIES["sample_reservoir_per_key"](spark, sf_dir).collect()
+    by_key: dict[str, set] = {}
+    for r in rows1:
+        assert 1 <= r["rn"] <= 3
+        by_key.setdefault(r["priority"], set()).add(r["o_orderkey"])
+    assert all(len(v) == 3 for v in by_key.values())
+    # Rank-by-hash is stateless: re-running draws the identical sample.
+    assert {(r["priority"], r["o_orderkey"], r["rn"]) for r in rows1} == {
+        (r["priority"], r["o_orderkey"], r["rn"]) for r in rows2
+    }
+
+
+def test_ewma_first_event_is_identity_and_bounded(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    first = {
+        (r["user_id"], r["event_id"]): r["value"]
+        for r in ev.withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .collect()
+    }
+    bounds = {
+        r["user_id"]: (r["lo"], r["hi"])
+        for r in ev.groupBy("user_id")
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+        .collect()
+    }
+    rows = q.QUERIES["events_ewma_smooth"](spark, sf_dir).collect()
+    assert len(rows) == ev.count()
+    for r in rows:
+        key = (r["user_id"], r["event_id"])
+        if key in first:
+            assert r["ewma"] == first[key]  # no history -> identity
+        lo, hi = bounds[r["user_id"]]
+        assert lo - 1e-9 <= r["ewma"] <= hi + 1e-9  # convex combination
+
+
+def test_rfm_quartiles_partition_customers(spark, sf_dir):
+    rows = q.QUERIES["orders_rfm_quartiles"](spark, sf_dir).collect()
+    o = load_table(spark, sf_dir, "orders")
+    assert sum(r["n_customers"] for r in rows) == o.select(
+        "o_custkey"
+    ).distinct().count()
+    pat = re.compile(r"^R[1-4]F[1-4]M[1-4]$")
+    assert all(pat.match(r["segment"]) for r in rows)
+
+
+def test_link_prediction_excludes_edges(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    edges = {
+        (r["u"], r["v"])
+        for r in a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .count()
+        .where("count >= 2")
+        .collect()
+    }
+    rows = q.QUERIES["graph_link_prediction"](spark, sf_dir).collect()
+    for r in rows:
+        pair = (r["part_a"], r["part_b"])
+        assert r["part_a"] < r["part_b"]
+        assert pair not in edges  # predicted links are NON-edges
+        assert r["common_neighbors"] >= 2
+        # both endpoints have >= 2 neighbors (they share >= 2), so
+        # preferential attachment is at least 4
+        assert r["pref_attach"] >= 4
