@@ -47,7 +47,7 @@ def test_fuzzy_blocked_recall_is_total(spark, sf_dir):
     exceed the verify threshold."""
     rows = q.QUERIES["join_fuzzy_blocked"](spark, sf_dir).collect()
     p = load_table(spark, sf_dir, "part")
-    probes = {r["p_partkey"] for r in p.where("p_partkey % 7 = 0").collect()}
+    probes = {r["p_partkey"] for r in p.where("p_partkey % 37 = 0").collect()}
     self_hits = {
         r["probe_key"]: r["lev_dist"]
         for r in rows
