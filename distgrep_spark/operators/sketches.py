@@ -79,3 +79,60 @@ def countmin_probe(
         .groupBy(*keys.columns)
         .agg(F.min(F.coalesce("n", F.lit(0))).cast("bigint").alias("est_n"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Bitmap-exact distinct (mergeable, 32-bit words)
+# ---------------------------------------------------------------------------
+
+
+def bitmap_build(
+    df: DataFrame,
+    *,
+    key: str,
+    groups: list[str],
+    word_bits: int = 32,
+) -> DataFrame:
+    """Per-group bitmap index over a non-negative integer key: one row
+    per (groups..., word) with ``w = bit_or(1 << key % word_bits)`` and
+    ``word = key DIV word_bits``. Unlike count-distinct this is a
+    MERGEABLE EXACT structure: bitmaps over the same grouping union by
+    ``bit_or`` on (groups..., word) — across partitions, micro-batches,
+    days, or corpora — and ``bit_or`` is idempotent, so re-ingested
+    duplicates cost nothing. 32-bit words, not 64: DuckDB's ``<<``
+    throws on ``1::BIGINT << 63`` (CLAUDE.md), and the oracle must
+    build the identical words.
+
+    The 100-TB view: stage 1 is map-side combinable; the shuffle then
+    carries one BIGINT per populated word — for dense key ranges that
+    is ~word_bits-fold fewer bytes than shuffling raw keys, and the
+    materialized word table is the reusable index the per-period
+    distinct rollups (daily actives, incremental loads) merge from."""
+    return (
+        df.selectExpr(
+            *groups,
+            f"{key} DIV {word_bits} AS word",
+            f"shiftleft(CAST(1 AS BIGINT), CAST({key} % {word_bits} AS INT))"
+            " AS _mask",
+        )
+        .groupBy(*groups, "word")
+        .agg(F.expr("bit_or(_mask)").alias("w"))
+    )
+
+
+def bitmap_merge(*bitmaps: DataFrame) -> DataFrame:
+    """Union bitmap word tables built with the same grouping/word_bits:
+    ``bit_or`` over (groups..., word). Exact under arbitrary overlap."""
+    out = bitmaps[0]
+    for b in bitmaps[1:]:
+        out = out.unionAll(b)
+    gcols = [c for c in out.columns if c != "w"]
+    return out.groupBy(*gcols).agg(F.expr("bit_or(w)").alias("w"))
+
+
+def bitmap_count(bm: DataFrame, *, groups: list[str]) -> DataFrame:
+    """Exact distinct count per group from the word table:
+    ``sum(bit_count(w))`` as BIGINT."""
+    return bm.groupBy(*groups).agg(
+        F.expr("CAST(sum(bit_count(w)) AS BIGINT)").alias("n_distinct")
+    )

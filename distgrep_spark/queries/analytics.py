@@ -53,6 +53,7 @@ from pyspark.sql import functions as F
 
 from distgrep_spark.functions.numeric import dsum
 from distgrep_spark.operators.dedup import shingles
+from distgrep_spark.operators.sketches import bitmap_build, bitmap_count
 from distgrep_spark.queries.registry import query
 from distgrep_spark.sources.catalog import load_table
 
@@ -101,13 +102,9 @@ def q_agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "date_trunc('month', o_orderdate) AS month",
         "o_custkey AS ck",
     )
-    words = o.selectExpr(
-        "month",
-        "ck DIV 32 AS word",
-        "shiftleft(CAST(1 AS BIGINT), CAST(ck % 32 AS INT)) AS mask",
-    ).groupBy("month", "word").agg(F.expr("bit_or(mask)").alias("w"))
-    bm = words.groupBy("month").agg(
-        F.expr("CAST(sum(bit_count(w)) AS BIGINT)").alias("n_distinct_bitmap")
+    words = bitmap_build(o, key="ck", groups=["month"])
+    bm = bitmap_count(words, groups=["month"]).withColumnRenamed(
+        "n_distinct", "n_distinct_bitmap"
     )
     ex = o.groupBy("month").agg(
         F.countDistinct("ck").alias("n_distinct_exact")

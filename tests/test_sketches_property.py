@@ -50,3 +50,39 @@ def test_countmin_unseen_key_estimates_bounded(spark):
     est = countmin_probe(cms, probe, key="k", d=4, w=256).collect()[0]["est_n"]
     # an unseen key can only pick up collision mass (0 at this width)
     assert 0 <= est <= 3
+
+
+_BM_KEYS = st.lists(st.integers(0, 500), min_size=1, max_size=80)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(keys=_BM_KEYS, keys2=_BM_KEYS)
+def test_bitmap_distinct_exact_and_merge_idempotent(spark, keys, keys2):
+    from distgrep_spark.operators.sketches import (
+        bitmap_build,
+        bitmap_count,
+        bitmap_merge,
+    )
+
+    df1 = spark.createDataFrame([("g", k) for k in keys], "g string, k long")
+    df2 = spark.createDataFrame([("g", k) for k in keys2], "g string, k long")
+    bm1 = bitmap_build(df1, key="k", groups=["g"])
+    bm2 = bitmap_build(df2, key="k", groups=["g"])
+    # exactness on arbitrary multisets (duplicates are free)
+    assert bitmap_count(bm1, groups=["g"]).collect()[0]["n_distinct"] == len(
+        set(keys)
+    )
+    # merge = set union, exact under arbitrary overlap; idempotent when
+    # merging a bitmap with itself
+    merged = bitmap_merge(bm1, bm2)
+    assert bitmap_count(merged, groups=["g"]).collect()[0][
+        "n_distinct"
+    ] == len(set(keys) | set(keys2))
+    self_merged = bitmap_merge(bm1, bm1)
+    assert {tuple(r) for r in self_merged.collect()} == {
+        tuple(r) for r in bm1.collect()
+    }
