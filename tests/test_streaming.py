@@ -578,3 +578,61 @@ def test_transform_with_state_running_totals(spark, tmp_path):
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", saved)
         else:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_foreach_batch_bitmap_distinct_merge_matches_batch(spark, tmp_path):
+    """Bitmap mergeability under incremental ingest: build the per-group
+    32-bit word table (operators/sketches.py bitmap_build) PER
+    MICRO-BATCH and merge words by bitwise OR into an accumulator — the
+    merged table must equal the one built over all data in one pass, and
+    its popcount is the EXACT distinct count. OR is idempotent, so a
+    replayed batch (at-least-once delivery) changes nothing — the
+    property that makes per-day bitmap tables the exactly-once-free way
+    to answer "distinct users this month" without rescans."""
+    from distgrep_spark.operators.sketches import bitmap_build, bitmap_count
+
+    d = tmp_path / "in"
+    load_table(spark, SF, "events").repartition(4).write.mode(
+        "overwrite"
+    ).parquet(str(d))
+    merged: dict[tuple[str, int], int] = {}
+    n_batches = []
+
+    def handle(batch_df, batch_id):
+        n_batches.append(batch_id)
+        for r in bitmap_build(
+            batch_df, key="user_id", groups=["event_type"]
+        ).collect():
+            k = (r["event_type"], r["word"])
+            merged[k] = merged.get(k, 0) | r["w"]
+
+    stream = read_event_stream(
+        spark, str(d), max_files_per_trigger=1
+    ).select("event_type", "user_id")
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert len(n_batches) >= 2, "merge not exercised: only one micro-batch"
+    whole = spark.read.parquet(str(d)).select("event_type", "user_id")
+    want = {
+        (r["event_type"], r["word"]): r["w"]
+        for r in bitmap_build(
+            whole, key="user_id", groups=["event_type"]
+        ).collect()
+    }
+    assert merged == want
+    # popcount of the merged words is the exact per-group distinct
+    exact = {
+        r["event_type"]: r["n"]
+        for r in whole.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    got: dict[str, int] = {}
+    for (etype, _), w in merged.items():
+        got[etype] = got.get(etype, 0) + bin(w & ((1 << 64) - 1)).count("1")
+    assert got == exact
