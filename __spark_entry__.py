@@ -223,6 +223,11 @@ POST_PREFIX = [
     "events_ewma_smooth",
     "orders_rfm_quartiles",
     "graph_link_prediction",
+    # round-3 batch 7: changepoint detection, winnowing fingerprints,
+    # multimodal patch planning (full oracles)
+    "events_cusum_drift",
+    "text_winnowing_select",
+    "multimodal_patch_grid",
 ]
 
 

@@ -746,3 +746,276 @@ def q_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("da") * F.col("db")).alias("pref_attach"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint screen (prefix-sum minus running-min)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_cusum_drift",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_id, ts,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) - 5000 AS d
+      FROM events
+    ),
+    p AS (
+      SELECT user_id, event_id, ts,
+             sum(d) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS prefix
+      FROM c
+    )
+    SELECT user_id, event_id,
+           CAST(prefix - least(0, min(prefix) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS BIGINT)
+             AS cusum_cents,
+           prefix - least(0, min(prefix) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) > 15000
+             AS flagged
+    FROM p
+    """,
+)
+def q_events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM drift detector over each user's event values —
+    the changepoint kernel behind data-quality burn-in alarms. The
+    textbook recursion ``S_i = max(0, S_{i-1} + d_i)`` is hostile to
+    both distribution and cross-engine checking, so this uses the exact
+    closed form: ``S_i = prefix_i - min(0, min_{k<=i} prefix_k)`` — a
+    prefix sum and a running minimum, two frames over ONE window pass.
+    All arithmetic is integer cents (2-dp fixture values are exact under
+    ``floor(v*100 + 0.5)``), so the running sums are order-proof exact
+    BIGINTs — a float prefix sum would depend on the engine's window
+    accumulation scheme (DuckDB segment-trees vs Spark running fold).
+
+    Both frames order by the same (ts, event_id) key, so the running
+    min ranges over the true time-prefix and Catalyst fuses the two
+    aggregates into one Window operator over one sort.
+    At 100 TB: one hash exchange on user_id, per-user state is one
+    running pair — the same per-entity-timeline invariant as the
+    interval and EWMA kernels."""
+    ev = load_table(spark, sf_dir, "events")
+    w1 = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = ev.selectExpr(
+        "user_id",
+        "event_id",
+        "ts",
+        "CAST(floor(value * 100 + 0.5) AS BIGINT) - 5000 AS d",
+    )
+    p = c.select(
+        "user_id", "event_id", "ts", F.sum("d").over(w1).alias("prefix")
+    )
+    cusum = (
+        F.col("prefix") - F.least(F.lit(0), F.min("prefix").over(w2))
+    )
+    return p.select(
+        "user_id",
+        "event_id",
+        cusum.cast("bigint").alias("cusum_cents"),
+        (cusum > 15000).alias("flagged"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprint selection (Schleimer et al., MOSS)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_winnowing_select",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+    ),
+    hashed AS (
+      SELECT doc_id, i,
+             CAST(('0x' || substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]),
+                                  1, 8)) AS BIGINT) AS h
+      FROM toks, LATERAL unnest(generate_series(1, greatest(len(t) - 2, 0)))
+        AS u(i)
+    ),
+    n AS (SELECT doc_id, count(*) AS n_grams FROM hashed GROUP BY doc_id),
+    wins AS (
+      SELECT doc_id, i,
+             min(h) OVER (PARTITION BY doc_id ORDER BY i
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+      FROM hashed
+    ),
+    sel AS (
+      SELECT DISTINCT w.doc_id, w.wmin
+      FROM wins w JOIN n USING (doc_id)
+      WHERE w.i <= n.n_grams - 3
+    )
+    SELECT s.doc_id, n.n_grams,
+           CAST(count(*) AS BIGINT) AS n_selected,
+           count(*) * 1.0 / n.n_grams AS density
+    FROM sel s JOIN n ON s.doc_id = n.doc_id
+    GROUP BY s.doc_id, n.n_grams
+    """,
+)
+def q_text_winnowing_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken, the
+    MOSS algorithm): hash every positional trigram, slide a w=4 window
+    over the hash sequence, keep each window's minimum, dedupe — the
+    selected set is the document's fingerprint, with the winnowing
+    guarantee (every match of length >= w+2 grams shares a fingerprint)
+    at expected density 2/(w+1). Positions are per-document sequence
+    numbers, so the window min is an ORDER-ed frame over integers
+    derived from md5 — bit-stable across engines (same digest, same
+    ints). Docs with fewer than w grams have no complete window and are
+    excluded on both sides.
+
+    This is the selection layer the fingerprint-based dedup family
+    (text_fingerprints / text_fingerprint_gate) samples from: at 100 TB
+    you store ~2/(w+1) of the gram hashes per document instead of all
+    of them, posting-list style, and near-dup candidate generation
+    joins on the winnowed set only. One window pass per doc inside the
+    doc_id partition; the fingerprint table shuffles 8-byte ints."""
+    from distgrep_spark.functions.textfns import ngrams_of_tokens, tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("t"))
+    hashed = toks.select(
+        "doc_id",
+        F.posexplode(ngrams_of_tokens(F.col("t"), 3)).alias("i", "gram"),
+    ).selectExpr(
+        "doc_id",
+        "i",
+        "CAST(conv(substr(md5(gram), 1, 8), 16, 10) AS BIGINT) AS h",
+    )
+    n = hashed.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(Window.currentRow, 3)
+    )
+    wins = hashed.select("doc_id", "i", F.min("h").over(w).alias("wmin"))
+    sel = (
+        wins.join(n, "doc_id")
+        .where(F.col("i") <= F.col("n_grams") - 4)  # 0-based: full windows
+        .select("doc_id", "wmin")
+        .distinct()
+    )
+    return (
+        sel.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_selected"))
+        .join(n, "doc_id")
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_selected",
+            (F.col("n_selected") * F.lit(1.0) / F.col("n_grams")).alias(
+                "density"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal patch-grid planner (decode-free ViT patchify)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "multimodal_patch_grid",
+    oracle="""
+    WITH meta AS (
+      SELECT doc_id,
+             CAST(doc_id % 640 + 64 AS INT) AS width,
+             CAST(doc_id % 480 + 48 AS INT) AS height
+      FROM documents
+    ),
+    grid AS (
+      SELECT doc_id, width, height,
+             (width + 63) // 64 AS nx, (height + 63) // 64 AS ny
+      FROM meta
+    ),
+    patches AS (
+      SELECT g.doc_id, g.width, g.height, px.px, py.py,
+             least(g.width,  px.px * 64 + 64) - px.px * 64 AS pw,
+             least(g.height, py.py * 64 + 64) - py.py * 64 AS ph
+      FROM grid g,
+        LATERAL unnest(generate_series(0, g.nx - 1)) AS px(px),
+        LATERAL unnest(generate_series(0, g.ny - 1)) AS py(py)
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_patches,
+           CAST(count(*) FILTER (WHERE pw < 64 OR ph < 64) AS BIGINT)
+             AS n_edge_patches,
+           CAST(sum(pw * ph) AS BIGINT) = CAST(any_value(width) AS BIGINT)
+             * any_value(height) AS covers_exactly
+    FROM patches GROUP BY doc_id
+    """,
+)
+def q_multimodal_patch_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ViT-style patchify PLANNER over image metadata only (the fake
+    640x480-bounded dims of multimodal_metadata,
+    operators/multimodal.py): 64x64 patch grid per image with edge
+    clipping, rolled up to patch counts and an exact-coverage gate
+    (sum of clipped patch areas == width*height — an integer identity
+    that breaks if the grid math off-by-ones). No payload is touched:
+    this is the 100-TB order of operations, where the patch plan
+    (hence decode batch shape, token count, and GPU memory) is computed
+    from metadata columns and only the selected images ever reach the
+    Arrow-batched decode UDF. Pure integer arithmetic and a bounded
+    explode (nx*ny <= 11*9); entirely map-side before the final
+    per-doc rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    grid = docs.selectExpr(
+        "doc_id",
+        "CAST(doc_id % 640 + 64 AS INT) AS width",
+        "CAST(doc_id % 480 + 48 AS INT) AS height",
+    ).selectExpr(
+        "doc_id",
+        "width",
+        "height",
+        "(width + 63) DIV 64 AS nx",
+        "(height + 63) DIV 64 AS ny",
+    )
+    patches = grid.selectExpr(
+        "doc_id",
+        "width",
+        "height",
+        "explode(sequence(0, nx - 1)) AS px",
+        "ny",
+    ).selectExpr(
+        "doc_id",
+        "width",
+        "height",
+        "px",
+        "explode(sequence(0, ny - 1)) AS py",
+    ).selectExpr(
+        "doc_id",
+        "width",
+        "height",
+        "least(width, px * 64 + 64) - px * 64 AS pw",
+        "least(height, py * 64 + 64) - py * 64 AS ph",
+    )
+    return patches.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_patches"),
+        F.sum(
+            F.when((F.col("pw") < 64) | (F.col("ph") < 64), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_edge_patches"),
+        (
+            F.sum(F.col("pw") * F.col("ph")).cast("bigint")
+            == (
+                F.any_value(F.col("width")).cast("bigint")
+                * F.any_value(F.col("height"))
+            )
+        ).alias("covers_exactly"),
+    )

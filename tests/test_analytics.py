@@ -175,3 +175,55 @@ def test_link_prediction_excludes_edges(spark, sf_dir):
         # both endpoints have >= 2 neighbors (they share >= 2), so
         # preferential attachment is at least 4
         assert r["pref_attach"] >= 4
+
+
+def test_cusum_closed_form_matches_recursion(spark, sf_dir):
+    """The prefix-minus-running-min closed form must equal the textbook
+    recursion S_i = max(0, S_{i-1} + d_i), replayed in Python per user."""
+    ev = load_table(spark, sf_dir, "events").selectExpr(
+        "user_id", "event_id", "ts",
+        "CAST(floor(value * 100 + 0.5) AS BIGINT) - 5000 AS d",
+    ).collect()
+    by_user: dict = {}
+    for r in ev:
+        by_user.setdefault(r["user_id"], []).append(r)
+    want = {}
+    for uid, rows in by_user.items():
+        rows.sort(key=lambda r: (r["ts"], r["event_id"]))
+        s = 0
+        for r in rows:
+            s = max(0, s + r["d"])
+            want[(uid, r["event_id"])] = s
+    got = q.QUERIES["events_cusum_drift"](spark, sf_dir).collect()
+    assert len(got) == len(want)
+    for r in got:
+        w = want[(r["user_id"], r["event_id"])]
+        assert r["cusum_cents"] == w
+        assert r["flagged"] == (w > 15000)
+
+
+def test_winnowing_density_and_coverage(spark, sf_dir):
+    rows = q.QUERIES["text_winnowing_select"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        n_windows = r["n_grams"] - 3
+        assert 1 <= r["n_selected"] <= n_windows
+        assert 0.0 < r["density"] <= 1.0
+    # Expected density for w=4 is 2/(w+1) = 0.4; the corpus mean should
+    # sit near it (hash positions are effectively uniform).
+    mean = sum(r["density"] for r in rows) / len(rows)
+    assert 0.25 < mean < 0.55, mean
+
+
+def test_patch_grid_matches_arithmetic(spark, sf_dir):
+    rows = q.QUERIES["multimodal_patch_grid"](spark, sf_dir).collect()
+    docs_n = load_table(spark, sf_dir, "documents").count()
+    assert len(rows) == docs_n
+    for r in rows:
+        w = r["doc_id"] % 640 + 64
+        h = r["doc_id"] % 480 + 48
+        nx, ny = -(-w // 64), -(-h // 64)
+        assert r["n_patches"] == nx * ny
+        edge = nx * ny - (w // 64) * (h // 64)
+        assert r["n_edge_patches"] == edge
+        assert r["covers_exactly"] is True
