@@ -228,6 +228,7 @@ POST_PREFIX = [
     "events_cusum_drift",
     "text_winnowing_select",
     "multimodal_patch_grid",
+    "orders_cohort_ltv",
 ]
 
 

@@ -1019,3 +1019,82 @@ def q_multimodal_patch_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("covers_exactly"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohort lifetime-value matrix
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_cohort_ltv",
+    oracle="""
+    WITH om AS (
+      SELECT o_custkey, o_totalprice,
+             CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+               AS midx
+      FROM orders
+    ),
+    first AS (SELECT o_custkey, min(midx) AS cohort FROM om GROUP BY o_custkey),
+    cell AS (
+      SELECT f.cohort, om.midx - f.cohort AS k,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(CAST(om.o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
+               AS revenue
+      FROM om JOIN first f USING (o_custkey)
+      GROUP BY 1, 2
+    )
+    SELECT cohort, k, n_orders, revenue,
+           CAST(sum(CAST(revenue AS DECIMAL(25,6))) OVER (
+             PARTITION BY cohort ORDER BY k
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS cum_revenue
+    FROM cell
+    """,
+)
+def q_orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value matrix: customers are grouped by the month
+    of their FIRST order (an integer month index, ``year*12 + month`` —
+    no float months_between, no timezone), and each (cohort, months
+    since first order) cell aggregates order count and exact-decimal
+    revenue; a per-cohort ordered window then accumulates the running
+    LTV curve. The revenue-based twin of ``events_user_retention``
+    (user-count cohorts). The cumulative sum re-casts each cell's 2-dp
+    double through DECIMAL so the running total is order-proof.
+
+    The 100-TB shape: the first-order table is a per-customer min
+    (map-side combinable), the fact-to-cohort join shuffles on the
+    customer key both sides already group by, and the final window
+    partitions by cohort — ~100 cohorts x ~80 offsets stay tiny no
+    matter how many orders feed them. The matrix is the standard input
+    to LTV forecasting and cohort-quality triage in a curation loop."""
+    o = load_table(spark, sf_dir, "orders")
+    om = o.selectExpr(
+        "o_custkey",
+        "o_totalprice",
+        "CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS midx",
+    )
+    first = om.groupBy("o_custkey").agg(F.min("midx").alias("cohort"))
+    cell = (
+        om.join(first, "o_custkey")
+        .groupBy("cohort", (F.col("midx") - F.col("cohort")).alias("k"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", "revenue"),
+        )
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("k")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return cell.select(
+        "cohort",
+        "k",
+        "n_orders",
+        "revenue",
+        F.sum(F.col("revenue").cast("decimal(25,6)"))
+        .over(w)
+        .cast("double")
+        .alias("cum_revenue"),
+    )

@@ -227,3 +227,21 @@ def test_patch_grid_matches_arithmetic(spark, sf_dir):
         edge = nx * ny - (w // 64) * (h // 64)
         assert r["n_edge_patches"] == edge
         assert r["covers_exactly"] is True
+
+
+def test_cohort_ltv_totals_and_monotone(spark, sf_dir):
+    rows = q.QUERIES["orders_cohort_ltv"](spark, sf_dir).collect()
+    o = load_table(spark, sf_dir, "orders")
+    assert sum(r["n_orders"] for r in rows) == o.count()
+    total = sum(r["revenue"] for r in rows)
+    exact = o.agg(F.sum(F.col("o_totalprice").cast("decimal(25,6)"))).collect()[0][0]
+    assert abs(total - float(exact)) < 1e-6 * float(exact)
+    by_cohort: dict = {}
+    for r in rows:
+        assert r["k"] >= 0
+        by_cohort.setdefault(r["cohort"], []).append(r)
+    for cells in by_cohort.values():
+        cells.sort(key=lambda r: r["k"])
+        assert cells[0]["k"] == 0  # every cohort starts at its birth month
+        cum = [c["cum_revenue"] for c in cells]
+        assert cum == sorted(cum)  # LTV curve is non-decreasing
