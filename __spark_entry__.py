@@ -229,6 +229,7 @@ POST_PREFIX = [
     "text_winnowing_select",
     "multimodal_patch_grid",
     "orders_cohort_ltv",
+    "part_skyline_pareto",
 ]
 
 

@@ -1098,3 +1098,71 @@ def q_orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("cum_revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 2-D skyline (Pareto front) via integer RANGE frames
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "part_skyline_pareto",
+    oracle="""
+    WITH p AS (
+      SELECT p_partkey,
+             CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS cents,
+             CAST(p_size AS BIGINT) AS size
+      FROM part
+    ),
+    scored AS (
+      SELECT p_partkey, cents, size,
+             max(size) OVER (ORDER BY cents
+                             RANGE BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING) AS best_cheaper,
+             max(size) OVER (PARTITION BY cents) AS best_same_price
+      FROM p
+    )
+    SELECT p_partkey, cents, size
+    FROM scored
+    WHERE (best_cheaper IS NULL OR best_cheaper < size)
+      AND best_same_price = size
+    """,
+)
+def q_part_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto front): parts not dominated on (price low,
+    size high) — q dominates p iff q is no worse on both dims and
+    strictly better on one. Instead of the naive O(n^2) dominance
+    anti-join, the front falls out of two window aggregates over ONE
+    sort: a part survives iff no strictly-cheaper part has >= size
+    (integer RANGE frame ending 1 PRECEDING — PySpark rangeBetween is
+    int-only, hence price in cents, CLAUDE.md) and no same-price part
+    has > size. Equal (price, size) duplicates do not dominate each
+    other and all survive, per the standard strict-dominance
+    definition. All keys are exact integers.
+
+    At 100 TB: skyline is ASSOCIATIVE — skyline(A ∪ B) =
+    skyline(skyline(A) ∪ skyline(B)) — so the scale plan is
+    per-partition skyline (map-side, each a tiny running-max pass),
+    union the ~log-sized survivors, re-skyline on one node; the global
+    RANGE sort here is the fixture-scale stand-in the partition-wise
+    version is checked against."""
+    p = load_table(spark, sf_dir, "part").selectExpr(
+        "p_partkey",
+        "CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS cents",
+        "CAST(p_size AS BIGINT) AS size",
+    )
+    w_cheaper = Window.orderBy("cents").rangeBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_same = Window.partitionBy("cents")
+    scored = p.select(
+        "p_partkey",
+        "cents",
+        "size",
+        F.max("size").over(w_cheaper).alias("best_cheaper"),
+        F.max("size").over(w_same).alias("best_same_price"),
+    )
+    return scored.where(
+        (F.col("best_cheaper").isNull() | (F.col("best_cheaper") < F.col("size")))
+        & (F.col("best_same_price") == F.col("size"))
+    ).select("p_partkey", "cents", "size")

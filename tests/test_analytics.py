@@ -245,3 +245,23 @@ def test_cohort_ltv_totals_and_monotone(spark, sf_dir):
         assert cells[0]["k"] == 0  # every cohort starts at its birth month
         cum = [c["cum_revenue"] for c in cells]
         assert cum == sorted(cum)  # LTV curve is non-decreasing
+
+
+def test_skyline_matches_naive_dominance(spark, sf_dir):
+    pts = [
+        (r["p_partkey"], round(r["p_retailprice"] * 100), r["p_size"])
+        for r in load_table(spark, sf_dir, "part")
+        .select("p_partkey", "p_retailprice", "p_size")
+        .collect()
+    ]
+    def dominated(p):
+        return any(
+            q[1] <= p[1] and q[2] >= p[2] and (q[1] < p[1] or q[2] > p[2])
+            for q in pts
+        )
+    want = {p[0] for p in pts if not dominated(p)}
+    got = {
+        r["p_partkey"]
+        for r in q.QUERIES["part_skyline_pareto"](spark, sf_dir).collect()
+    }
+    assert got == want and got
