@@ -279,3 +279,40 @@ def test_aqe_splits_skewed_join_partitions_at_runtime(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def _plan_tree(plan: str) -> str:
+    """The operator-tree block of a formatted plan (before the
+    per-operator detail sections, which repeat every operator name)."""
+    return plan.split("\n\n")[0]
+
+
+def test_cusum_is_one_exchange_one_sort(spark):
+    """events_cusum_drift's prefix sum and running min order by the same
+    (user_id; ts, event_id) key, so both Window operators must ride ONE
+    exchange and ONE sort — the property that keeps the changepoint
+    kernel a single-shuffle pass."""
+    tree = _plan_tree(
+        formatted_plan(q.QUERIES["events_cusum_drift"](spark, SF_ORACLE))
+    )
+    assert tree.count("Exchange") == 1
+    assert tree.count("Sort") == 1
+
+
+def test_skyline_is_single_scan_no_join(spark):
+    """part_skyline_pareto replaces the naive O(n^2) dominance anti-join
+    with window aggregates: the plan must contain no join at all and
+    scan the part table exactly once."""
+    tree = _plan_tree(
+        formatted_plan(q.QUERIES["part_skyline_pareto"](spark, SF_ORACLE))
+    )
+    assert "Join" not in tree
+    assert tree.count("Scan parquet") == 1
+
+
+def test_pq_assign_broadcasts_codebook(spark):
+    """embed_pq_assign's M x k codebook must reach the probe side as a
+    broadcast (32 rows), never a shuffled join."""
+    plan = formatted_plan(q.QUERIES["embed_pq_assign"](spark, SF_ORACLE))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
