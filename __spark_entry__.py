@@ -230,6 +230,15 @@ POST_PREFIX = [
     "multimodal_patch_grid",
     "orders_cohort_ltv",
     "part_skyline_pareto",
+    # round-3 batch 8: statistical kernels, drift monitor, seasonality
+    # diagnostics, k-core peel, recursive CTE (full oracles)
+    "stats_ols_trend",
+    "events_autocorr_hourly",
+    "stats_ab_ztest",
+    "graph_kcore_peel",
+    "drift_tv_stability",
+    "orders_seasonal_naive_mae",
+    "recursive_order_chain",
 ]
 
 

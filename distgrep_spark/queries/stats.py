@@ -1,0 +1,636 @@
+"""Round-3 batch 8: statistical model-fit kernels, drift monitoring,
+time-series diagnostics, a k-core peel step, and the Spark 4 recursive
+CTE surface.
+
+The 100-TB rationale per query:
+
+- ``stats_ols_trend``: per-group simple linear regression (slope /
+  intercept / R^2) from the six classic sufficient statistics
+  ``(n, Σx, Σy, Σxy, Σx², Σy²)``. The sufficient statistics are
+  map-side-combinable BIGINT sums — the ONLY shuffle carries six
+  numbers per group, never rows, so the fit costs the same one
+  exchange as a count. That is why the normal-equation form (not an
+  iterative solver) is the 100-TB regression kernel. The built-in
+  ``regr_slope``/``regr_r2`` aggregates accumulate FLOATS in engine
+  partition order (non-deterministic hash) — this integer-sufficient-
+  statistics form is the bit-stable equivalent.
+- ``events_autocorr_hourly``: autocorrelation of the hourly event-count
+  series at lags 1 and 24 — the seasonality screen that decides window
+  sizes for every downstream rolling feature. The series is a ~720-row
+  rollup, so the lag pairing is a self-join of the DENSE spine (zero
+  hours included; a gap that skips missing hours biases the ACF), and
+  every moment is an exact BIGINT sum. On a 100-TB event log the
+  rollup-then-diagnose shape is the whole design: the O(n) scan
+  happens once, the O(series²) analysis happens on the tiny rollup.
+- ``stats_ab_ztest``: two-proportion z-test between deterministic user
+  cohorts (the A/B readout). Per-cohort trials/successes are exact
+  integer counts off one user rollup; the z statistic is a fixed tree
+  of IEEE single operations (div/sub/mul/sqrt are all correctly
+  rounded per IEEE 754, hence bit-identical on any engine given the
+  same integers — unlike ln/exp, sqrt is safe; see CLAUDE.md). The
+  significance boolean is therefore also deterministic even though
+  1.96 sits wherever it sits.
+- ``graph_kcore_peel``: one peeling iteration of k-core decomposition
+  over the part co-purchase graph: degree → drop nodes with
+  ``deg < k`` → recompute degrees on the induced subgraph. The full
+  decomposition iterates this kernel to a fixpoint exactly like
+  ``operators/graph.connected_components`` (localCheckpoint per
+  round); one step is the SQL-oracle-checkable unit. Degrees are one
+  map-side-combined rollup of the edge list; the induced-subgraph
+  recount is two semi joins against the (much smaller) survivor set —
+  at 100 TB survivors shrink geometrically per round, so the first
+  peel dominates and is exactly this plan.
+- ``drift_tv_stability``: training-serving drift monitor — total
+  variation distance between the reference and current period's
+  order-value histograms. Buckets are fixed-width integer cents
+  (``cents DIV $20k``) so assignment is exact on any engine; the TV
+  numerator ``Σ|c_ref·m - c_cur·n|`` is computed in cross-multiplied
+  BIGINTs (no per-bucket float shares summed in engine order). The
+  histogram is a map-side rollup; the distance is computed on the
+  ~25-row bucket table. This is the PSI/KS-style gate every feature
+  pipeline runs per batch — TV chosen because it needs no logarithm
+  (ln is not correctly rounded and would need the 4-dp margin dance).
+- ``orders_seasonal_naive_mae``: backtest of the seasonal-naive
+  forecast (x̂_t = x_{t-7}) over the dense daily revenue series —
+  the baseline every demand-forecast model must beat, and the
+  absolute-error aggregate is exact BIGINT cents end to end. Dense
+  spine via integer epoch-day (missing days are real zeros, not
+  skipped rows); the lag pairing is a spine self-join, not a global
+  window.
+- ``recursive_order_chain``: per-customer order-timeline walk via
+  Spark 4's ``WITH RECURSIVE`` — anchor = each customer's first
+  order, step = join to the next row_number, accumulating hop count
+  and running-spend cents. Certifies the recursive-CTE surface
+  (iterative UnionLoop execution) against DuckDB's recursive CTE on
+  a deterministic ~1% customer sample (``o_custkey % 97 = 0`` —
+  content-keyed, resharding-stable). The same shape is a window
+  running-sum, of course; the point is the recursion surface, which
+  windows can't certify. Depth = max orders per customer (25 in the
+  fixture, well under spark.sql.cteRecursionLevelLimit=100); each
+  iteration joins only the frontier against the seq view, so work per
+  round is |frontier|, not |orders|.
+
+No reference counterpart (the reference's only query is grep,
+worker.go:24-43); these extend the analytics surface every
+training-data/reporting pipeline needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from distgrep_spark.queries.registry import query
+from distgrep_spark.sources.catalog import load_table
+
+# ---------------------------------------------------------------------------
+# Per-group OLS from integer sufficient statistics
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stats_ols_trend",
+    oracle="""
+    WITH base AS (
+      SELECT p_brand,
+             CAST(floor(l_quantity + 0.5) AS BIGINT)      AS x,
+             CAST(floor(l_extendedprice + 0.5) AS BIGINT) AS y
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+    ),
+    s AS (
+      SELECT p_brand,
+             CAST(count(*) AS BIGINT)   AS n,
+             CAST(sum(x) AS BIGINT)     AS sx,
+             CAST(sum(y) AS BIGINT)     AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(y * y) AS BIGINT) AS syy
+      FROM base GROUP BY p_brand
+    ),
+    d AS (
+      SELECT p_brand, n,
+             CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE) AS dxy,
+             CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE) AS dxx,
+             CAST(CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE) AS dyy,
+             CAST(sx AS DOUBLE) AS sxd,
+             CAST(sy AS DOUBLE) AS syd
+      FROM s
+    )
+    SELECT p_brand, n,
+           dxy / dxx AS slope,
+           (syd - (dxy / dxx) * sxd) / CAST(n AS DOUBLE) AS intercept,
+           (dxy * dxy) / (dxx * dyy) AS r2
+    FROM d
+    """,
+)
+def q_stats_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand OLS fit of line price (whole dollars) against quantity.
+
+    Sufficient statistics are BIGINT sums (quantity is integral 1..50;
+    price rounds to whole dollars — ``floor(x+0.5)``, never a bare
+    double→BIGINT cast, which rounds in DuckDB but truncates in Spark).
+    The widening products ``n·Σxy - Σx·Σy`` run in DECIMAL(38,0) on the
+    Spark side and HUGEINT in DuckDB — both exact 128-bit-class integer
+    arithmetic, both correctly rounded on the single cast to DOUBLE, so
+    slope/intercept/R² are identical IEEE expression trees over
+    identical doubles (no rounding needed). At 100 TB the oversized
+    products stay in DECIMAL(38,0); the BIGINT moment sums would want a
+    dollars→hundreds rescale past ~sf10 (documented headroom: Σy² at
+    sf0.1 is ~1e18 of the 9.2e18 BIGINT range)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    base = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).selectExpr(
+        "p_brand",
+        "CAST(floor(l_quantity + 0.5) AS BIGINT)      AS x",
+        "CAST(floor(l_extendedprice + 0.5) AS BIGINT) AS y",
+    )
+    s = base.groupBy("p_brand").agg(
+        F.expr("CAST(count(*) AS BIGINT)   AS n"),
+        F.expr("CAST(sum(x) AS BIGINT)     AS sx"),
+        F.expr("CAST(sum(y) AS BIGINT)     AS sy"),
+        F.expr("CAST(sum(x * x) AS BIGINT) AS sxx"),
+        F.expr("CAST(sum(x * y) AS BIGINT) AS sxy"),
+        F.expr("CAST(sum(y * y) AS BIGINT) AS syy"),
+    )
+    d = s.selectExpr(
+        "p_brand",
+        "n",
+        "CAST(CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy"
+        " AS DOUBLE) AS dxy",
+        "CAST(CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx"
+        " AS DOUBLE) AS dxx",
+        "CAST(CAST(n AS DECIMAL(38,0)) * syy - CAST(sy AS DECIMAL(38,0)) * sy"
+        " AS DOUBLE) AS dyy",
+        "CAST(sx AS DOUBLE) AS sxd",
+        "CAST(sy AS DOUBLE) AS syd",
+    )
+    return d.selectExpr(
+        "p_brand",
+        "n",
+        "dxy / dxx AS slope",
+        "(syd - (dxy / dxx) * sxd) / CAST(n AS DOUBLE) AS intercept",
+        "(dxy * dxy) / (dxx * dyy) AS r2",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hourly-series autocorrelation (lag 1 / lag 24)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_autocorr_hourly",
+    oracle="""
+    WITH cnt AS (
+      SELECT epoch_us(ts) // 3600000000 AS h, CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1
+    ),
+    b AS (SELECT min(h) AS h0, max(h) AS h1 FROM cnt),
+    spine AS (SELECT unnest(generate_series(h0, h1)) AS h FROM b),
+    series AS (
+      SELECT s.h, coalesce(cnt.c, 0) AS c
+      FROM spine s LEFT JOIN cnt ON s.h = cnt.h
+    ),
+    lags AS (SELECT unnest([1, 24]) AS lag_h),
+    pairs AS (
+      SELECT lag_h, a.c AS x, b2.c AS y
+      FROM series a
+        CROSS JOIN lags
+        JOIN series b2 ON b2.h = a.h + lag_h
+    ),
+    s AS (
+      SELECT lag_h,
+             CAST(count(*) AS BIGINT)   AS n,
+             CAST(sum(x) AS BIGINT)     AS sx,
+             CAST(sum(y) AS BIGINT)     AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(y * y) AS BIGINT) AS syy
+      FROM pairs GROUP BY lag_h
+    )
+    SELECT lag_h, n AS n_pairs,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS acf
+    FROM s
+    """,
+)
+def q_events_autocorr_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACF of the hourly event-count series at lag 1 and lag 24.
+
+    Hour index is tz-free exact integer microseconds DIV 3.6e9 (the
+    events.ts TIMESTAMP_NTZ idiom from CLAUDE.md); the dense spine comes
+    from one broadcast min/max row so zero-count hours enter the series
+    as real zeros. Lag pairing is a spine self-join (no global window);
+    all five moments are exact BIGINT sums (hourly counts are ~1e2, so
+    every product is far inside BIGINT). The Pearson ratio is one fixed
+    IEEE tree — sqrt IS correctly rounded under IEEE 754, so no
+    rounding/margin dance is needed (contrast ln/exp, CLAUDE.md)."""
+    ev = load_table(spark, sf_dir, "events")
+    cnt = (
+        ev.selectExpr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
+            " DIV 3600000000 AS h"
+        )
+        .groupBy("h")
+        .agg(F.expr("CAST(count(*) AS BIGINT) AS c"))
+    )
+    bounds = cnt.agg(F.expr("min(h) AS h0"), F.expr("max(h) AS h1"))
+    spine = bounds.selectExpr("explode(sequence(h0, h1)) AS h")
+    series = spine.join(cnt, "h", "left").selectExpr("h", "coalesce(c, 0L) AS c")
+    lags = spark.range(1).selectExpr("explode(array(1L, 24L)) AS lag_h")
+    a = series.selectExpr("h", "c AS x")
+    b = series.selectExpr("h AS h_b", "c AS y")
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.expr("h_b = h + lag_h"))
+        .select("lag_h", "x", "y")
+    )
+    s = pairs.groupBy("lag_h").agg(
+        F.expr("CAST(count(*) AS BIGINT)   AS n"),
+        F.expr("CAST(sum(x) AS BIGINT)     AS sx"),
+        F.expr("CAST(sum(y) AS BIGINT)     AS sy"),
+        F.expr("CAST(sum(x * x) AS BIGINT) AS sxx"),
+        F.expr("CAST(sum(x * y) AS BIGINT) AS sxy"),
+        F.expr("CAST(sum(y * y) AS BIGINT) AS syy"),
+    )
+    return s.selectExpr(
+        "lag_h",
+        "n AS n_pairs",
+        "CAST(n * sxy - sx * sy AS DOUBLE)"
+        " / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))"
+        "    * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS acf",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Two-proportion z-test (A/B readout)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stats_ab_ztest",
+    oracle="""
+    WITH users AS (
+      SELECT user_id, user_id % 2 AS grp,
+             CASE WHEN CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                             AS BIGINT) >= 14
+                  THEN 1 ELSE 0 END AS conv
+      FROM events GROUP BY user_id
+    ),
+    s AS (
+      SELECT grp, CAST(count(*) AS BIGINT) AS n, CAST(sum(conv) AS BIGINT) AS x
+      FROM users GROUP BY grp
+    ),
+    z AS (
+      SELECT a.n AS n_a, a.x AS x_a, b.n AS n_b, b.x AS x_b,
+             (CAST(a.x AS DOUBLE) / CAST(a.n AS DOUBLE)
+              - CAST(b.x AS DOUBLE) / CAST(b.n AS DOUBLE))
+             / sqrt((CAST(a.x + b.x AS DOUBLE) / CAST(a.n + b.n AS DOUBLE))
+                    * (1.0 - CAST(a.x + b.x AS DOUBLE) / CAST(a.n + b.n AS DOUBLE))
+                    * (1.0 / CAST(a.n AS DOUBLE) + 1.0 / CAST(b.n AS DOUBLE)))
+               AS z_score
+      FROM s a JOIN s b ON a.grp = 0 AND b.grp = 1
+    )
+    SELECT n_a, x_a, n_b, x_b, z_score,
+           abs(z_score) > 1.959963984540054 AS significant_95
+    FROM z
+    """,
+)
+def q_stats_ab_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test: heavy-purchaser rate (≥14 purchase
+    events — the fixture's ~median per-user purchase volume, so both
+    cohorts sit mid-range at every SF; a ≥1 threshold saturates to
+    p=1 and the pooled variance degenerates to a 0-divisor, which
+    Spark ANSI mode turns into a hard error), even vs odd user_id.
+
+    One user rollup (map-side-combinable count), one 2-row cohort
+    aggregate, then the pooled-variance z statistic as a fixed tree of
+    IEEE single ops over exact integers — every div/sub/mul/sqrt is
+    correctly rounded, so z (and even the 1.96 threshold boolean) is
+    bit-identical across engines and partition layouts with no rounding.
+    At 100 TB this is the canonical experiment readout: the only shuffle
+    is the user rollup, and the test itself runs on two rows."""
+    ev = load_table(spark, sf_dir, "events")
+    users = (
+        ev.selectExpr("user_id", "event_type")
+        .groupBy("user_id")
+        .agg(
+            F.expr(
+                "CASE WHEN CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0"
+                " END) AS BIGINT) >= 14 THEN 1 ELSE 0 END AS conv"
+            )
+        )
+        .selectExpr("user_id % 2 AS grp", "conv")
+    )
+    s = users.groupBy("grp").agg(
+        F.expr("CAST(count(*) AS BIGINT) AS n"),
+        F.expr("CAST(sum(conv) AS BIGINT) AS x"),
+    )
+    a = s.where("grp = 0").selectExpr("n AS n_a", "x AS x_a")
+    b = s.where("grp = 1").selectExpr("n AS n_b", "x AS x_b")
+    z = a.crossJoin(F.broadcast(b)).selectExpr(
+        "n_a",
+        "x_a",
+        "n_b",
+        "x_b",
+        "(CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE)"
+        " - CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE))"
+        " / sqrt((CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))"
+        "        * (1.0 - CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))"
+        "        * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))"
+        " AS z_score",
+    )
+    return z.selectExpr(
+        "n_a",
+        "x_a",
+        "n_b",
+        "x_b",
+        "z_score",
+        "abs(z_score) > 1.959963984540054 AS significant_95",
+    )
+
+
+# ---------------------------------------------------------------------------
+# One k-core peeling iteration
+# ---------------------------------------------------------------------------
+
+_KCORE_K = 4
+
+
+@query(
+    "graph_kcore_peel",
+    oracle=f"""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    und AS (SELECT u AS a, v AS b FROM edges UNION ALL SELECT v, u FROM edges),
+    deg0 AS (
+      SELECT a AS node, CAST(count(*) AS BIGINT) AS deg0
+      FROM und GROUP BY a
+    ),
+    alive AS (SELECT node FROM deg0 WHERE deg0 >= {_KCORE_K}),
+    deg1 AS (
+      SELECT und.a AS node, CAST(count(*) AS BIGINT) AS deg1
+      FROM und
+        JOIN alive s ON und.a = s.node
+        JOIN alive t ON und.b = t.node
+      GROUP BY und.a
+    )
+    SELECT d0.node, d0.deg0,
+           coalesce(d1.deg1, CAST(0 AS BIGINT)) AS deg1,
+           coalesce(d1.deg1, CAST(0 AS BIGINT)) >= {_KCORE_K} AS in_core_next
+    FROM deg0 d0
+      JOIN alive a ON d0.node = a.node
+      LEFT JOIN deg1 d1 ON d0.node = d1.node
+    """,
+)
+def q_graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One k-core peel (k=4) over the part co-purchase graph.
+
+    Kernel of the iterative decomposition: degree rollup → drop
+    ``deg < k`` → recompute degrees on the induced subgraph (two semi
+    joins against the survivor set). The fixpoint loop is
+    ``operators/graph.connected_components``-style (localCheckpoint per
+    round); this one step is the SQL-oracle-checkable unit, and at scale
+    the first peel dominates the total cost because survivors shrink
+    geometrically. Same localCheckpointed edge build as
+    graph_triangle_count (ref has no graph ops; worker.go:24-43 is
+    grep-only)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = (
+        li.select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+    )
+    edges = (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, x ->"
+                    " transform(filter(ps, y -> y > x),"
+                    "           y -> struct(x AS u, y AS v))))"
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .where(F.col("w") >= 2)
+        .select("u", "v")
+        .localCheckpoint()
+    )
+    und = edges.selectExpr("u AS a", "v AS b").unionAll(
+        edges.selectExpr("v AS a", "u AS b")
+    )
+    deg0 = und.groupBy(F.col("a").alias("node")).agg(
+        F.expr("CAST(count(*) AS BIGINT) AS deg0")
+    )
+    alive = deg0.where(F.col("deg0") >= _KCORE_K).select("node")
+    deg1 = (
+        und.join(alive.withColumnRenamed("node", "a"), "a", "left_semi")
+        .join(alive.withColumnRenamed("node", "b"), "b", "left_semi")
+        .groupBy(F.col("a").alias("node"))
+        .agg(F.expr("CAST(count(*) AS BIGINT) AS deg1"))
+    )
+    return (
+        deg0.join(alive, "node", "left_semi")
+        .join(deg1, "node", "left")
+        .selectExpr(
+            "node",
+            "deg0",
+            "coalesce(deg1, 0L) AS deg1",
+            f"coalesce(deg1, 0L) >= {_KCORE_K} AS in_core_next",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distribution-drift monitor (total variation distance)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "drift_tv_stability",
+    oracle="""
+    WITH base AS (
+      SELECT least(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) // 2000000, 25)
+               AS bucket,
+             CASE WHEN CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+                  THEN 0 ELSE 1 END AS period
+      FROM orders
+    ),
+    cnt AS (
+      SELECT bucket,
+             CAST(sum(CASE WHEN period = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c_ref,
+             CAST(sum(CASE WHEN period = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c_cur
+      FROM base GROUP BY bucket
+    ),
+    tot AS (
+      SELECT CAST(sum(c_ref) AS BIGINT) AS n_ref, CAST(sum(c_cur) AS BIGINT) AS n_cur
+      FROM cnt
+    )
+    SELECT bucket, c_ref, c_cur,
+           CAST(c_ref AS DOUBLE) / CAST(n_ref AS DOUBLE) AS share_ref,
+           CAST(c_cur AS DOUBLE) / CAST(n_cur AS DOUBLE) AS share_cur,
+           CAST(sum(abs(c_ref * n_cur - c_cur * n_ref)) OVER () AS DOUBLE)
+             / (2.0 * CAST(n_ref AS DOUBLE) * CAST(n_cur AS DOUBLE)) AS tv_distance
+    FROM cnt, tot
+    """,
+)
+def q_drift_tv_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-value distribution drift, reference (<1998) vs current.
+
+    Fixed-width $20k histogram buckets on exact integer cents (integer
+    division — never a float-division + cast, CLAUDE.md) make the bucket
+    assignment engine-exact; the conditional counts pivot both periods
+    out of ONE scan. Total variation distance uses the cross-multiplied
+    integer numerator ``Σ|c_ref·m - c_cur·n|`` — an exact BIGINT — so no
+    float accumulates in engine order, and ONE division produces the
+    reported distance (TV, not PSI: no logarithm, no rounding-margin
+    dance). The window-sum runs over the ~25-row bucket table (the
+    chi2/stats_chi2_independence precedent). At 100 TB this is a
+    map-side histogram plus arithmetic on a constant-size table."""
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.selectExpr(
+        "least(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) DIV 2000000, 25)"
+        " AS bucket",
+        "CASE WHEN CAST(o_orderdate AS DATE) < DATE '1998-01-01'"
+        " THEN 0 ELSE 1 END AS period",
+    )
+    cnt = base.groupBy("bucket").agg(
+        F.expr("CAST(sum(CASE WHEN period = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c_ref"),
+        F.expr("CAST(sum(CASE WHEN period = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c_cur"),
+    )
+    tot = cnt.agg(
+        F.expr("CAST(sum(c_ref) AS BIGINT) AS n_ref"),
+        F.expr("CAST(sum(c_cur) AS BIGINT) AS n_cur"),
+    )
+    return cnt.crossJoin(F.broadcast(tot)).selectExpr(
+        "bucket",
+        "c_ref",
+        "c_cur",
+        "CAST(c_ref AS DOUBLE) / CAST(n_ref AS DOUBLE) AS share_ref",
+        "CAST(c_cur AS DOUBLE) / CAST(n_cur AS DOUBLE) AS share_cur",
+        "CAST(sum(abs(c_ref * n_cur - c_cur * n_ref)) OVER () AS DOUBLE)"
+        " / (2.0 * CAST(n_ref AS DOUBLE) * CAST(n_cur AS DOUBLE)) AS tv_distance",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-naive forecast backtest (MAE)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_seasonal_naive_mae",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS d,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS rev
+      FROM orders GROUP BY 1
+    ),
+    b AS (SELECT min(d) AS d0, max(d) AS d1 FROM daily),
+    spine AS (SELECT unnest(generate_series(d0, d1)) AS d FROM b),
+    series AS (
+      SELECT s.d, coalesce(daily.rev, 0) AS rev
+      FROM spine s LEFT JOIN daily ON s.d = daily.d
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_days_scored,
+           CAST(sum(abs(a.rev - p.rev)) AS BIGINT) AS total_abs_err_cents,
+           CAST(sum(abs(a.rev - p.rev)) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+             AS mae_cents
+    FROM series a JOIN series p ON p.d = a.d - 7
+    """,
+)
+def q_orders_seasonal_naive_mae(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backtest MAE of the week-over-week seasonal-naive forecast.
+
+    Daily revenue in exact BIGINT cents on an integer epoch-day dense
+    spine (zero-revenue days are real zeros — skipping them would make
+    the naive forecast look artificially good), lag-7 pairing as a
+    spine self-join (no global single-partition window), and the error
+    aggregate is an exact integer sum with ONE final division. The
+    baseline every forecasting model in the order pipeline must beat;
+    at 100 TB the daily rollup is the only real work."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.selectExpr(
+            "datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') AS d",
+            "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents",
+        )
+        .groupBy("d")
+        .agg(F.expr("CAST(sum(cents) AS BIGINT) AS rev"))
+    )
+    bounds = daily.agg(F.expr("min(d) AS d0"), F.expr("max(d) AS d1"))
+    spine = bounds.selectExpr("explode(sequence(d0, d1)) AS d")
+    series = spine.join(daily, "d", "left").selectExpr("d", "coalesce(rev, 0L) AS rev")
+    a = series.selectExpr("d", "rev AS rev_a")
+    p = series.selectExpr("d AS d_p", "rev AS rev_p")
+    return (
+        a.join(p, F.expr("d_p = d - 7"))
+        .agg(
+            F.expr("CAST(count(*) AS BIGINT) AS n_days_scored"),
+            F.expr("CAST(sum(abs(rev_a - rev_p)) AS BIGINT) AS total_abs_err_cents"),
+            F.expr(
+                "CAST(sum(abs(rev_a - rev_p)) AS DOUBLE) / CAST(count(*) AS DOUBLE)"
+                " AS mae_cents"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Recursive CTE: per-customer order-timeline walk
+# ---------------------------------------------------------------------------
+
+_RCHAIN_SQL = """
+WITH RECURSIVE seq AS (
+  SELECT o_custkey AS ck, o_orderkey AS ok, cents,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) AS rn
+  FROM (
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+    FROM {orders} WHERE o_custkey % 97 = 0
+  )
+),
+chain AS (
+  SELECT ck, ok, rn, 1 AS hop, cents AS running_cents
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.ck, s.ok, s.rn, c.hop + 1, c.running_cents + s.cents
+  FROM chain c JOIN seq s ON s.ck = c.ck AND s.rn = c.rn + 1
+)
+SELECT ck AS o_custkey, ok AS o_orderkey, hop,
+       CAST(running_cents AS BIGINT) AS running_cents
+FROM chain
+"""
+
+
+@query(
+    "recursive_order_chain",
+    oracle=_RCHAIN_SQL.format(orders="orders"),
+)
+def q_recursive_order_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer order-chain walk via Spark 4 ``WITH RECURSIVE``.
+
+    Anchor = each sampled customer's first order (row_number 1), step =
+    join the frontier to the next row_number, carrying hop count and
+    running-spend cents. Certifies the recursive-CTE surface (Spark
+    executes it as an iterative UnionLoop; DuckDB runs the identical
+    text) on a deterministic ~1% customer sample (``o_custkey % 97 =
+    0`` — key-addressed, stable under resharding). Fixture depth is the
+    max orders per customer (25), far under
+    spark.sql.cteRecursionLevelLimit (100); per-iteration work is the
+    frontier only. The running sum is of course also a window — the
+    recursion IS the point (iterative plans the reference's static
+    pipeline, server.go:95-229, cannot express)."""
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("rchain_orders")
+    return spark.sql(_RCHAIN_SQL.format(orders="rchain_orders"))

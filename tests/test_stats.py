@@ -1,0 +1,133 @@
+"""Property tests for the round-3 batch-8 statistical kernels (DuckDB
+value parity itself is covered by tools/check_oracles.py)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+import distgrep_spark.queries as q
+from distgrep_spark.sources.catalog import load_table
+
+
+def test_ols_trend_matches_numpy_lstsq(spark, sf_dir):
+    """The integer-sufficient-statistics fit must agree with a dense
+    least-squares solve on the raw points (per brand)."""
+    import numpy as np
+
+    rows = {r["p_brand"]: r for r in q.QUERIES["stats_ols_trend"](spark, sf_dir).collect()}
+    assert rows
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    pts = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .selectExpr(
+            "p_brand",
+            "CAST(floor(l_quantity + 0.5) AS BIGINT) AS x",
+            "CAST(floor(l_extendedprice + 0.5) AS BIGINT) AS y",
+        )
+        .collect()
+    )
+    by_brand: dict[str, list[tuple[int, int]]] = {}
+    for p in pts:
+        by_brand.setdefault(p["p_brand"], []).append((p["x"], p["y"]))
+    for brand, xy in by_brand.items():
+        x = np.array([a for a, _ in xy], dtype=float)
+        y = np.array([b for _, b in xy], dtype=float)
+        slope, intercept = np.polyfit(x, y, 1)
+        r = rows[brand]
+        assert r["n"] == len(xy)
+        assert math.isclose(r["slope"], slope, rel_tol=1e-9, abs_tol=1e-6)
+        assert math.isclose(r["intercept"], intercept, rel_tol=1e-9, abs_tol=1e-3)
+        assert 0.0 <= r["r2"] <= 1.0
+
+
+def test_autocorr_bounds_and_pair_counts(spark, sf_dir):
+    rows = {r["lag_h"]: r for r in q.QUERIES["events_autocorr_hourly"](spark, sf_dir).collect()}
+    assert set(rows) == {1, 24}
+    # dense spine: n_pairs differs between lags by exactly lag difference
+    assert rows[1]["n_pairs"] - rows[24]["n_pairs"] == 23
+    for r in rows.values():
+        assert -1.0 <= r["acf"] <= 1.0
+
+
+def test_ab_ztest_matches_python_float_tree(spark, sf_dir):
+    (r,) = q.QUERIES["stats_ab_ztest"](spark, sf_dir).collect()
+    n_a, x_a, n_b, x_b = r["n_a"], r["x_a"], r["n_b"], r["x_b"]
+    assert 0 < x_a < n_a and 0 < x_b < n_b, "threshold must not saturate"
+    pool = (x_a + x_b) / (n_a + n_b)
+    z = (x_a / n_a - x_b / n_b) / math.sqrt(pool * (1.0 - pool) * (1.0 / n_a + 1.0 / n_b))
+    # same IEEE single-op tree in CPython — bit-identical, not just close
+    assert r["z_score"] == z
+    assert r["significant_95"] == (abs(z) > 1.959963984540054)
+
+
+def test_kcore_peel_degrees_monotone(spark, sf_dir):
+    rows = q.QUERIES["graph_kcore_peel"](spark, sf_dir).collect()
+    assert rows, "co-purchase graph has a 4-core candidate set"
+    for r in rows:
+        assert r["deg0"] >= 4, "only survivors of the first cut are reported"
+        assert 0 <= r["deg1"] <= r["deg0"], "induced degree can only shrink"
+        assert r["in_core_next"] == (r["deg1"] >= 4)
+    assert any(not r["in_core_next"] for r in rows) or all(
+        r["deg1"] == r["deg0"] for r in rows
+    ), "either the peel removed something or the graph was already stable"
+
+
+def test_drift_tv_is_half_l1_of_shares(spark, sf_dir):
+    rows = q.QUERIES["drift_tv_stability"](spark, sf_dir).collect()
+    assert rows
+    tv = {r["tv_distance"] for r in rows}
+    assert len(tv) == 1, "tv_distance is a corpus-level constant column"
+    tv = tv.pop()
+    assert 0.0 <= tv <= 1.0
+    assert math.isclose(sum(r["share_ref"] for r in rows), 1.0, rel_tol=1e-9)
+    assert math.isclose(sum(r["share_cur"] for r in rows), 1.0, rel_tol=1e-9)
+    half_l1 = 0.5 * sum(abs(r["share_ref"] - r["share_cur"]) for r in rows)
+    assert math.isclose(tv, half_l1, rel_tol=1e-9)
+
+
+def test_seasonal_naive_mae_consistency(spark, sf_dir):
+    (r,) = q.QUERIES["orders_seasonal_naive_mae"](spark, sf_dir).collect()
+    assert r["n_days_scored"] > 0
+    assert r["total_abs_err_cents"] >= 0
+    assert r["mae_cents"] == r["total_abs_err_cents"] / r["n_days_scored"]
+    # dense spine: scored days = span - 7
+    daily = load_table(spark, sf_dir, "orders").selectExpr(
+        "datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') AS d"
+    )
+    lo, hi = daily.agg({"d": "min"}).first()[0], daily.agg({"d": "max"}).first()[0]
+    assert r["n_days_scored"] == (hi - lo + 1) - 7
+
+
+def test_recursive_chain_terminal_totals(spark, sf_dir):
+    """The deepest hop per customer must equal the customer's sampled
+    order count, and its running total must equal the direct sum."""
+    chain = q.QUERIES["recursive_order_chain"](spark, sf_dir)
+    rows = chain.collect()
+    assert rows, "custkey % 97 sample is non-empty at every SF"
+    last = {}
+    for r in rows:
+        cur = last.get(r["o_custkey"])
+        if cur is None or r["hop"] > cur["hop"]:
+            last[r["o_custkey"]] = r
+    direct = {
+        r["o_custkey"]: (r["n"], r["total"])
+        for r in load_table(spark, sf_dir, "orders")
+        .where("o_custkey % 97 = 0")
+        .selectExpr(
+            "o_custkey", "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents"
+        )
+        .groupBy("o_custkey")
+        .agg(
+            F.expr("CAST(count(*) AS BIGINT) AS n"),
+            F.expr("CAST(sum(cents) AS BIGINT) AS total"),
+        )
+        .collect()
+    }
+    assert set(last) == set(direct)
+    for ck, r in last.items():
+        n, total = direct[ck]
+        assert r["hop"] == n
+        assert r["running_cents"] == total
