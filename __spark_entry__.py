@@ -239,6 +239,12 @@ POST_PREFIX = [
     "drift_tv_stability",
     "orders_seasonal_naive_mae",
     "recursive_order_chain",
+    # round-3 batch 9: sequence patterns, survival, bootstrap,
+    # interpolation (full oracles)
+    "events_funnel_pattern_regex",
+    "orders_survival_empirical",
+    "sample_poisson_bootstrap",
+    "window_linear_interpolate",
 ]
 
 

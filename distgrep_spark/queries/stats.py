@@ -634,3 +634,341 @@ def q_recursive_order_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     orders.createOrReplaceTempView("rchain_orders")
     return spark.sql(_RCHAIN_SQL.format(orders="rchain_orders"))
+
+
+# ---------------------------------------------------------------------------
+# Sequential-pattern funnel via regex over ordered event strings
+# ---------------------------------------------------------------------------
+
+_FUNNEL_RE = "v[^p]*c[^p]*p"
+
+
+@query(
+    "events_funnel_pattern_regex",
+    oracle=f"""
+    WITH coded AS (
+      SELECT user_id, ts, event_id,
+             CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+                  WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+                  ELSE 'e' END AS code
+      FROM events
+    ),
+    seqs AS (
+      SELECT user_id,
+             string_agg(code, '' ORDER BY ts, event_id) AS seq,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM coded GROUP BY user_id
+    )
+    SELECT user_id, seq, n_events,
+           CAST(len(regexp_extract_all(seq, '{_FUNNEL_RE}')) AS BIGINT) AS n_funnels,
+           CAST(len(regexp_extract_all(seq, '{_FUNNEL_RE}')) AS BIGINT) > 0
+             AS converted
+    FROM seqs
+    """,
+)
+def q_events_funnel_pattern_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style sequential-pattern detection: encode each
+    user's time-ordered event stream as a code string (one char per
+    event) and count view→click→purchase funnels with a regex —
+    ``v[^p]*c[^p]*p`` (no purchase may intervene before the funnel's
+    own purchase). Spark has no MATCH_RECOGNIZE; the encode-then-regex
+    reduction is the standard way to run sequence patterns on a
+    DataFrame engine, and non-overlapping greedy counting agrees
+    between Java regex (Spark) and RE2 (DuckDB) for this
+    backreference-free, lookaround-free pattern class (the Java∩RE2
+    discipline, CLAUDE.md). One user_id shuffle builds the sequence
+    (array_sort on (ts, event_id) structs — deterministic total order);
+    the scan is otherwise map-side. At 100 TB the per-user string is
+    bounded by the session chunking upstream; pattern work never joins
+    or re-shuffles."""
+    ev = load_table(spark, sf_dir, "events")
+    coded = ev.selectExpr(
+        "user_id",
+        "ts",
+        "event_id",
+        "CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'"
+        " WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'"
+        " ELSE 'e' END AS code",
+    )
+    seqs = (
+        coded.groupBy("user_id")
+        .agg(
+            F.expr(
+                "array_join(transform(array_sort(collect_list(struct(ts, event_id,"
+                " code))), x -> x.code), '') AS seq"
+            ),
+            F.expr("CAST(count(*) AS BIGINT) AS n_events"),
+        )
+    )
+    return seqs.selectExpr(
+        "user_id",
+        "seq",
+        "n_events",
+        f"CAST(regexp_count(seq, '{_FUNNEL_RE}') AS BIGINT) AS n_funnels",
+        f"CAST(regexp_count(seq, '{_FUNNEL_RE}') AS BIGINT) > 0 AS converted",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Empirical survival curve (order -> first-ship latency)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_survival_empirical",
+    oracle="""
+    WITH lat AS (
+      SELECT o_orderkey,
+             datediff('day', CAST(o_orderdate AS DATE), CAST(min(l_shipdate) AS DATE))
+               AS t
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY o_orderkey, o_orderdate
+    ),
+    cnt AS (SELECT t, CAST(count(*) AS BIGINT) AS d FROM lat GROUP BY t),
+    tot AS (SELECT CAST(sum(d) AS BIGINT) AS n FROM cnt),
+    cum AS (
+      SELECT t, d, n,
+             CAST(sum(d) OVER (ORDER BY t
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum_le
+      FROM cnt, tot
+    )
+    SELECT t AS latency_days, d AS n_events,
+           n - cum_le + d AS n_at_risk,
+           CAST(n - cum_le AS DOUBLE) / CAST(n AS DOUBLE) AS survival
+    FROM cum
+    """,
+)
+def q_orders_survival_empirical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical survival curve of order→first-shipment latency:
+    S(t) = P(latency > t), evaluated at every observed event time —
+    the Kaplan-Meier estimate for uncensored data, where the product
+    form collapses to one exact count ratio (so no cumulative float
+    product, the classic cross-engine trap; with censoring you'd emit
+    the per-step hazard d/n_at_risk — also a single exact division —
+    and fold the product client-side). The heavy work is one orderkey
+    rollup; the curve itself is a ~120-row latency table, so the
+    running sum is the rollup-then-window shape (chi2 precedent), not
+    a window over facts. n_at_risk/n_events make the row a full
+    life-table entry."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    lat = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.expr("min(l_shipdate) AS first_ship"))
+        .selectExpr(
+            "datediff(CAST(first_ship AS DATE), CAST(o_orderdate AS DATE)) AS t"
+        )
+    )
+    cnt = lat.groupBy("t").agg(F.expr("CAST(count(*) AS BIGINT) AS d"))
+    tot = cnt.agg(F.expr("CAST(sum(d) AS BIGINT) AS n"))
+    cum = cnt.crossJoin(F.broadcast(tot)).selectExpr(
+        "t",
+        "d",
+        "n",
+        "CAST(sum(d) OVER (ORDER BY t"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_le",
+    )
+    return cum.selectExpr(
+        "t AS latency_days",
+        "d AS n_events",
+        "n - cum_le + d AS n_at_risk",
+        "CAST(n - cum_le AS DOUBLE) / CAST(n AS DOUBLE) AS survival",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic Poisson bootstrap (hash-derandomized resampling)
+# ---------------------------------------------------------------------------
+
+# Cumulative Poisson(1) CDF as 8-hex-char thresholds over the 2^32 space
+# (lexicographic compare on fixed-width lowercase hex == numeric compare).
+_POIS_T = [
+    "5e2d58d8", "bc5ab1b1", "eb715e1d", "fb239797",
+    "ff1025f5", "ffd90f3b", "fffa8b71", "ffff540c",
+]
+_POIS_CASE = (
+    "CASE "
+    + " ".join(f"WHEN u < '{t}' THEN {k}" for k, t in enumerate(_POIS_T))
+    + " ELSE 8 END"
+)
+_N_BOOT = 16
+
+
+@query(
+    "sample_poisson_bootstrap",
+    oracle=f"""
+    WITH reps AS (SELECT unnest(generate_series(0, {_N_BOOT - 1})) AS rep),
+    base AS (
+      SELECT o_orderkey,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    ),
+    orig AS (
+      SELECT CAST(sum(cents) AS BIGINT) AS s0, CAST(count(*) AS BIGINT) AS n0
+      FROM base
+    ),
+    weighted AS (
+      SELECT rep, cents, {_POIS_CASE.replace(
+          "u", "substr(md5(CAST(o_orderkey AS VARCHAR) || '#'"
+               " || CAST(rep AS VARCHAR)), 1, 8)")} AS w
+      FROM base CROSS JOIN reps
+    )
+    SELECT rep AS replicate_id,
+           CAST(sum(w) AS BIGINT) AS n_eff,
+           CAST(sum(w * cents) AS DOUBLE) / CAST(sum(w) AS DOUBLE)
+             AS boot_mean_cents,
+           CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS orig_mean_cents
+    FROM weighted, orig
+    GROUP BY rep, s0, n0
+    """,
+)
+def q_sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derandomized Poisson bootstrap of the mean order value: each of
+    16 replicates draws a Poisson(1) weight per order from
+    ``md5(orderkey # replicate)`` — the standard streaming bootstrap
+    (resampling-with-replacement without materializing resamples, the
+    shape used to put error bars on 100-TB aggregates in one pass) made
+    bit-reproducible by inverting the Poisson CDF on a hash-uniform.
+    The inverse-CDF thresholds are fixed-width hex-string constants, so
+    the draw is a pure lexicographic compare in both engines (the
+    md5-rank precedent, CLAUDE.md); replicate sums are exact BIGINTs
+    and each mean is one IEEE division. No shuffle grows with B: the
+    16× row expansion is map-side and combines before the 16-row
+    exchange."""
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.selectExpr(
+        "o_orderkey", "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents"
+    )
+    orig = base.agg(
+        F.expr("CAST(sum(cents) AS BIGINT) AS s0"),
+        F.expr("CAST(count(*) AS BIGINT) AS n0"),
+    )
+    reps = spark.range(_N_BOOT).selectExpr("CAST(id AS BIGINT) AS rep")
+    u = (
+        "substr(md5(CAST(o_orderkey AS STRING) || '#'"
+        " || CAST(rep AS STRING)), 1, 8)"
+    )
+    weighted = base.crossJoin(F.broadcast(reps)).selectExpr(
+        "rep", "cents", f"{_POIS_CASE.replace('u', u)} AS w"
+    )
+    return (
+        weighted.groupBy("rep")
+        .agg(
+            F.expr("CAST(sum(w) AS BIGINT) AS n_eff"),
+            F.expr(
+                "CAST(sum(w * cents) AS DOUBLE) / CAST(sum(w) AS DOUBLE)"
+                " AS boot_mean_cents"
+            ),
+        )
+        .crossJoin(F.broadcast(orig))
+        .selectExpr(
+            "rep AS replicate_id",
+            "n_eff",
+            "boot_mean_cents",
+            "CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS orig_mean_cents",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Linear interpolation over series gaps (vs LOCF forward-fill)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "window_linear_interpolate",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS d,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS rev
+      FROM orders WHERE o_custkey % 10 = 0 GROUP BY 1
+    ),
+    b AS (SELECT min(d) AS d0, max(d) AS d1 FROM daily),
+    spine AS (SELECT unnest(generate_series(d0, d1)) AS d FROM b),
+    obs AS (
+      SELECT s.d, daily.rev FROM spine s LEFT JOIN daily ON s.d = daily.d
+    ),
+    nb AS (
+      SELECT d, rev,
+             last_value(rev IGNORE NULLS) OVER
+               (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_rev,
+             last_value(CASE WHEN rev IS NOT NULL THEN d END IGNORE NULLS) OVER
+               (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_d,
+             first_value(rev IGNORE NULLS) OVER
+               (ORDER BY d ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+               AS next_rev,
+             first_value(CASE WHEN rev IS NOT NULL THEN d END IGNORE NULLS) OVER
+               (ORDER BY d ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+               AS next_d
+      FROM obs
+    )
+    SELECT d, rev, rev IS NULL AS was_missing,
+           CASE WHEN rev IS NOT NULL THEN CAST(rev AS DOUBLE)
+                WHEN prev_rev IS NOT NULL AND next_rev IS NOT NULL THEN
+                  CAST(prev_rev AS DOUBLE)
+                  + (CAST(next_rev AS DOUBLE) - CAST(prev_rev AS DOUBLE))
+                    * (CAST(d - prev_d AS DOUBLE) / CAST(next_d - prev_d AS DOUBLE))
+                WHEN prev_rev IS NOT NULL THEN CAST(prev_rev AS DOUBLE)
+                ELSE CAST(next_rev AS DOUBLE) END AS filled
+    FROM nb
+    """,
+)
+def q_window_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation across series gaps — the numeric-imputation
+    sibling of ``window_forward_fill`` (LOCF): missing days take the
+    straight line between the nearest observed neighbors, edge gaps
+    fall back to the one-sided neighbor. Series = daily revenue of the
+    ``o_custkey % 10`` customer decile, sparse at every SF so the
+    interpolation branch is genuinely exercised. Neighbor lookup is
+    four IGNORE NULLS window reads over the same ordering (values and
+    their day indexes share null positions, so the paired reads are
+    consistent); the interpolation is one fixed IEEE tree over exact
+    integer cents/days. The window runs on the ~2,400-row daily rollup
+    (rollup-then-window, chi2 precedent) — at 100 TB you'd partition
+    the spine by series key (this series is global by construction)."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.where("o_custkey % 10 = 0")
+        .selectExpr(
+            "datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') AS d",
+            "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents",
+        )
+        .groupBy("d")
+        .agg(F.expr("CAST(sum(cents) AS BIGINT) AS rev"))
+    )
+    bounds = daily.agg(F.expr("min(d) AS d0"), F.expr("max(d) AS d1"))
+    spine = bounds.selectExpr("explode(sequence(d0, d1)) AS d")
+    obs = spine.join(daily, "d", "left").select("d", "rev")
+    nb = obs.selectExpr(
+        "d",
+        "rev",
+        "last_value(rev) IGNORE NULLS OVER"
+        " (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
+        " AS prev_rev",
+        "last_value(CASE WHEN rev IS NOT NULL THEN d END) IGNORE NULLS OVER"
+        " (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
+        " AS prev_d",
+        "first_value(rev) IGNORE NULLS OVER"
+        " (ORDER BY d ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)"
+        " AS next_rev",
+        "first_value(CASE WHEN rev IS NOT NULL THEN d END) IGNORE NULLS OVER"
+        " (ORDER BY d ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)"
+        " AS next_d",
+    )
+    return nb.selectExpr(
+        "d",
+        "rev",
+        "rev IS NULL AS was_missing",
+        "CASE WHEN rev IS NOT NULL THEN CAST(rev AS DOUBLE)"
+        " WHEN prev_rev IS NOT NULL AND next_rev IS NOT NULL THEN"
+        "   CAST(prev_rev AS DOUBLE)"
+        "   + (CAST(next_rev AS DOUBLE) - CAST(prev_rev AS DOUBLE))"
+        "     * (CAST(d - prev_d AS DOUBLE) / CAST(next_d - prev_d AS DOUBLE))"
+        " WHEN prev_rev IS NOT NULL THEN CAST(prev_rev AS DOUBLE)"
+        " ELSE CAST(next_rev AS DOUBLE) END AS filled",
+    )

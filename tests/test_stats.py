@@ -131,3 +131,81 @@ def test_recursive_chain_terminal_totals(spark, sf_dir):
         n, total = direct[ck]
         assert r["hop"] == n
         assert r["running_cents"] == total
+
+
+def test_funnel_pattern_counts_match_python_re(spark, sf_dir):
+    """Java-regex counts must equal Python's re on the same strings
+    (both in the backreference-free common dialect)."""
+    import re
+
+    rows = q.QUERIES["events_funnel_pattern_regex"](spark, sf_dir).collect()
+    assert rows
+    pat = re.compile("v[^p]*c[^p]*p")
+    for r in rows:
+        assert len(r["seq"]) == r["n_events"]
+        assert set(r["seq"]) <= set("vcpse")
+        assert r["n_funnels"] == len(pat.findall(r["seq"]))
+        assert r["converted"] == (r["n_funnels"] > 0)
+
+
+def test_survival_curve_monotone_and_normalized(spark, sf_dir):
+    rows = sorted(
+        q.QUERIES["orders_survival_empirical"](spark, sf_dir).collect(),
+        key=lambda r: r["latency_days"],
+    )
+    assert rows
+    n = rows[0]["n_at_risk"]  # first event time sees the full cohort at risk
+    assert sum(r["n_events"] for r in rows) == n
+    prev = 1.0
+    at_risk = n
+    for r in rows:
+        assert r["n_at_risk"] == at_risk
+        at_risk -= r["n_events"]
+        assert r["survival"] <= prev + 1e-15
+        prev = r["survival"]
+    assert rows[-1]["survival"] == 0.0, "uncensored data: curve reaches zero"
+
+
+def test_poisson_bootstrap_weights_distribution(spark, sf_dir):
+    rows = q.QUERIES["sample_poisson_bootstrap"](spark, sf_dir).collect()
+    assert len(rows) == 16
+    assert len({r["replicate_id"] for r in rows}) == 16
+    orig = {r["orig_mean_cents"] for r in rows}
+    assert len(orig) == 1
+    orig = orig.pop()
+    n0 = load_table(spark, sf_dir, "orders").count()
+    for r in rows:
+        # Poisson(1): E[n_eff] = n; loose 5-sigma band (sd = sqrt(n))
+        assert abs(r["n_eff"] - n0) < 5 * math.sqrt(n0) + 1
+        # replicate means cluster around the original mean
+        assert abs(r["boot_mean_cents"] - orig) / orig < 0.2
+    # replicates must actually differ (the hash draw is per-replicate)
+    assert len({r["boot_mean_cents"] for r in rows}) > 1
+
+
+def test_linear_interpolate_lies_between_neighbors(spark, sf_dir):
+    rows = sorted(
+        q.QUERIES["window_linear_interpolate"](spark, sf_dir).collect(),
+        key=lambda r: r["d"],
+    )
+    assert any(r["was_missing"] for r in rows), "series must have gaps"
+    assert all(r["filled"] is not None for r in rows)
+    obs = [(i, r) for i, r in enumerate(rows) if not r["was_missing"]]
+    for i, r in enumerate(rows):
+        if not r["was_missing"]:
+            assert r["filled"] == float(r["rev"])
+            continue
+        left = [o for o in obs if o[0] < i]
+        right = [o for o in obs if o[0] > i]
+        if left and right:
+            (li_, lr), (ri_, rr) = left[-1], right[0]
+            lo, hi = sorted((float(lr["rev"]), float(rr["rev"])))
+            assert lo - 1e-9 <= r["filled"] <= hi + 1e-9
+            # exact linear formula
+            frac = (r["d"] - lr["d"]) / (rr["d"] - lr["d"])
+            expect = float(lr["rev"]) + (float(rr["rev"]) - float(lr["rev"])) * frac
+            assert r["filled"] == expect
+        elif left:
+            assert r["filled"] == float(left[-1][1]["rev"])
+        else:
+            assert r["filled"] == float(right[0][1]["rev"])
