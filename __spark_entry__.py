@@ -245,6 +245,11 @@ POST_PREFIX = [
     "orders_survival_empirical",
     "sample_poisson_bootstrap",
     "window_linear_interpolate",
+    # round-3 batch 10: spatial grid join, KS test, RAKE keywords
+    # (full oracles)
+    "join_spatial_grid",
+    "stats_ks_two_sample",
+    "text_rake_keywords",
 ]
 
 

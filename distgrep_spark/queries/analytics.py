@@ -1166,3 +1166,259 @@ def q_part_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("best_cheaper").isNull() | (F.col("best_cheaper") < F.col("size")))
         & (F.col("best_same_price") == F.col("size"))
     ).select("p_partkey", "cents", "size")
+
+
+# ---------------------------------------------------------------------------
+# Round-3 batch 10: grid-bucketed spatial join, two-sample KS test,
+# RAKE keyword extraction
+# ---------------------------------------------------------------------------
+
+_GRID_R = 2  # L-infinity radius in grid units; cell edge == radius
+
+
+@query(
+    "join_spatial_grid",
+    oracle=f"""
+    WITH pts AS (
+      SELECT p_partkey AS k, CAST(p_size AS BIGINT) AS x,
+             CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) // 10 AS y
+      FROM part
+    )
+    SELECT a.k AS key_a, b.k AS key_b,
+           b.x - a.x AS dx, b.y - a.y AS dy
+    FROM pts a JOIN pts b
+      ON a.k < b.k
+     AND abs(a.x - b.x) <= {_GRID_R}
+     AND abs(a.y - b.y) <= {_GRID_R}
+    """,
+)
+def q_join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D spatial self-join via grid bucketing: all part pairs within
+    L∞ distance 2 in (size, price-dime) space — the geospatial
+    near-neighbor join pattern (geohash/S2-cell joins are this exact
+    plan with a spherical cell function). Each point lands in ONE cell
+    of edge r; the probe side explodes its 3×3 cell neighborhood, the
+    build side joins on exact cell id, and the exact L∞ predicate
+    verifies. Because cells partition the plane, every qualifying pair
+    is found exactly once (probe a, build b) — no dropDuplicates
+    shuffle. The oracle is the honest quadratic; the engine plan is a
+    hash equi-join on cell id whose cost is Σ|cell|·|3×3 neighborhood|
+    — linear in points for bounded density, the property that holds at
+    100 TB where the quadratic does not. Skewed cells (hub cities in
+    real geodata) get the operators/skew.py salting treatment; here
+    the fixture grid is near-uniform (~0.4 points/cell)."""
+    part = load_table(spark, sf_dir, "part")
+    pts = part.selectExpr(
+        "p_partkey AS k",
+        "CAST(p_size AS BIGINT) AS x",
+        "CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) DIV 10 AS y",
+    )
+    probe = pts.selectExpr(
+        "k", "x", "y",
+        f"explode(flatten(transform(sequence(-1, 1), dx ->"
+        f" transform(sequence(-1, 1), dy ->"
+        f" struct(x DIV {_GRID_R} + dx AS cx, y DIV {_GRID_R} + dy AS cy)))))"
+        " AS cell",
+    ).selectExpr("k AS ka", "x AS xa", "y AS ya", "cell.cx AS cx", "cell.cy AS cy")
+    build = pts.selectExpr(
+        "k AS kb", "x AS xb", "y AS yb",
+        f"xb DIV {_GRID_R} AS cx", f"yb DIV {_GRID_R} AS cy",
+    )
+    return (
+        probe.join(build, ["cx", "cy"])
+        .where(
+            f"ka < kb AND abs(xa - xb) <= {_GRID_R} AND abs(ya - yb) <= {_GRID_R}"
+        )
+        .selectExpr("ka AS key_a", "kb AS key_b", "xb - xa AS dx", "yb - ya AS dy")
+    )
+
+
+@query(
+    "stats_ks_two_sample",
+    oracle="""
+    WITH o AS (
+      SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) // 100000 AS v,
+             CASE WHEN c_mktsegment = 'BUILDING' THEN 0 ELSE 1 END AS grp
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+    ),
+    cnt AS (
+      SELECT v,
+             CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+             CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+      FROM o GROUP BY v
+    ),
+    tot AS (
+      SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2 FROM cnt
+    ),
+    cum AS (
+      SELECT n1, n2,
+             CAST(sum(c1) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS f1,
+             CAST(sum(c2) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS f2
+      FROM cnt, tot
+    )
+    SELECT n1, n2,
+           CAST(max(abs(f1 * n2 - f2 * n1)) AS BIGINT) AS d_scaled,
+           CAST(max(abs(f1 * n2 - f2 * n1)) AS DOUBLE)
+             / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS d_stat,
+           CAST(max(abs(f1 * n2 - f2 * n1)) AS DOUBLE)
+             / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+             > 1.3581015157406195
+               * sqrt((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                      / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)))
+             AS reject_95
+    FROM cum GROUP BY n1, n2
+    """,
+)
+def q_stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test: order-value distribution,
+    BUILDING vs MACHINERY customers. D = max|F1 - F2| is computed on
+    the cross-multiplied INTEGER lattice — ``max|f1·n2 - f2·n1|`` over
+    the $1000-bucket value rollup — so the supremum is exact (no float
+    CDF subtraction ordered by engine whim), and the single division
+    plus the sqrt threshold compare are correctly-rounded IEEE ops
+    (deterministic boolean, same discipline as stats_ab_ztest). The
+    heavy work is one broadcast dim join + a map-side histogram; the
+    cumulative window runs over the ~400-row bucket table
+    (rollup-then-window, chi2 precedent). Completes the hypothesis-test
+    trio: z (proportions), chi2 (categorical), KS (distributional)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").where(
+        "c_mktsegment IN ('BUILDING', 'MACHINERY')"
+    )
+    o = orders.join(
+        F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+        orders.o_custkey == cust.c_custkey,
+    ).selectExpr(
+        "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) DIV 100000 AS v",
+        "CASE WHEN c_mktsegment = 'BUILDING' THEN 0 ELSE 1 END AS grp",
+    )
+    cnt = o.groupBy("v").agg(
+        F.expr("CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c1"),
+        F.expr("CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c2"),
+    )
+    tot = cnt.agg(
+        F.expr("CAST(sum(c1) AS BIGINT) AS n1"),
+        F.expr("CAST(sum(c2) AS BIGINT) AS n2"),
+    )
+    cum = cnt.crossJoin(F.broadcast(tot)).selectExpr(
+        "n1",
+        "n2",
+        "CAST(sum(c1) OVER (ORDER BY v"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS f1",
+        "CAST(sum(c2) OVER (ORDER BY v"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS f2",
+    )
+    return cum.groupBy("n1", "n2").agg(
+        F.expr("CAST(max(abs(f1 * n2 - f2 * n1)) AS BIGINT) AS d_scaled"),
+        F.expr(
+            "CAST(max(abs(f1 * n2 - f2 * n1)) AS DOUBLE)"
+            " / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS d_stat"
+        ),
+        F.expr(
+            "CAST(max(abs(f1 * n2 - f2 * n1)) AS DOUBLE)"
+            " / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))"
+            " > 1.3581015157406195"
+            "   * sqrt((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))"
+            "          / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)))"
+            " AS reject_95"
+        ),
+    )
+
+
+@query(
+    "text_rake_keywords",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+    ),
+    idx AS (
+      SELECT doc_id, i, lower(t[i]) AS tok,
+             CASE WHEN lower(t[i]) IN ('the', 'a', 'of', 'and')
+                  THEN 1 ELSE 0 END AS is_stop
+      FROM toks, LATERAL unnest(generate_series(1, len(t))) AS u(i)
+    ),
+    marked AS (
+      SELECT doc_id, i, tok, is_stop,
+             CAST(sum(is_stop) OVER (PARTITION BY doc_id ORDER BY i
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS phrase_id
+      FROM idx
+    ),
+    phrase_len AS (
+      SELECT doc_id, phrase_id, CAST(count(*) AS BIGINT) AS plen
+      FROM marked WHERE is_stop = 0 GROUP BY doc_id, phrase_id
+    ),
+    words AS (
+      SELECT m.tok, p.plen
+      FROM marked m JOIN phrase_len p
+        ON m.doc_id = p.doc_id AND m.phrase_id = p.phrase_id
+      WHERE m.is_stop = 0
+    ),
+    scored AS (
+      SELECT tok AS word,
+             CAST(count(*) AS BIGINT) AS freq,
+             CAST(sum(plen) AS BIGINT) AS degree,
+             CAST(sum(plen) AS BIGINT) * 1000000 // CAST(count(*) AS BIGINT)
+               AS score_scaled
+      FROM words GROUP BY tok
+    )
+    SELECT word, freq, degree, score_scaled
+    FROM scored
+    ORDER BY score_scaled DESC, word
+    LIMIT 20
+    """,
+)
+def q_text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010): split each document
+    into candidate phrases at stopword boundaries, then rank words by
+    degree/frequency — degree counts each occurrence's full phrase
+    length, so words that live in long multiword phrases outrank
+    bare-frequency terms. The ratio is integer-scaled
+    (``degree·1e6 DIV freq``) so ranking and the top-20 cut are exact
+    on both engines (the integer-division discipline, CLAUDE.md — a
+    float score would put ranks one ulp from flipping). Phrase
+    segmentation is gaps-and-islands on the stopword marks (one doc_id
+    exchange shared by the window and the phrase rollup); the final
+    top-20 is TakeOrdered with a total-order tie-break. At 100 TB the
+    word table is vocabulary-sized — the per-document work never
+    leaves the mapper beyond the doc-keyed phrase window."""
+    docs = load_table(spark, sf_dir, "documents")
+    idx = docs.selectExpr(
+        "doc_id",
+        "posexplode(split(trim(text), '\\\\s+')) AS (i, rawtok)",
+    ).selectExpr(
+        "doc_id",
+        "i",
+        "lower(rawtok) AS tok",
+        "CASE WHEN lower(rawtok) IN ('the', 'a', 'of', 'and')"
+        " THEN 1 ELSE 0 END AS is_stop",
+    )
+    marked = idx.selectExpr(
+        "doc_id",
+        "tok",
+        "is_stop",
+        "CAST(sum(is_stop) OVER (PARTITION BY doc_id ORDER BY i"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)"
+        " AS phrase_id",
+    )
+    nonstop = marked.where("is_stop = 0")
+    phrase_len = nonstop.groupBy("doc_id", "phrase_id").agg(
+        F.expr("CAST(count(*) AS BIGINT) AS plen")
+    )
+    words = nonstop.join(phrase_len, ["doc_id", "phrase_id"]).select("tok", "plen")
+    scored = words.groupBy(F.col("tok").alias("word")).agg(
+        F.expr("CAST(count(*) AS BIGINT) AS freq"),
+        F.expr("CAST(sum(plen) AS BIGINT) AS degree"),
+        F.expr(
+            "CAST(sum(plen) AS BIGINT) * 1000000 DIV CAST(count(*) AS BIGINT)"
+            " AS score_scaled"
+        ),
+    )
+    return scored.orderBy(
+        F.col("score_scaled").desc(), F.col("word")
+    ).limit(20)

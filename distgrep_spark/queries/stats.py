@@ -589,8 +589,7 @@ def q_orders_seasonal_naive_mae(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Recursive CTE: per-customer order-timeline walk
 # ---------------------------------------------------------------------------
 
-_RCHAIN_SQL = """
-WITH RECURSIVE seq AS (
+_RCHAIN_SEQ_SQL = """
   SELECT o_custkey AS ck, o_orderkey AS ok, cents,
          row_number() OVER (PARTITION BY o_custkey
                             ORDER BY o_orderdate, o_orderkey) AS rn
@@ -599,13 +598,15 @@ WITH RECURSIVE seq AS (
            CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
     FROM {orders} WHERE o_custkey % 97 = 0
   )
-),
-chain AS (
+"""
+
+_RCHAIN_SQL = """
+WITH RECURSIVE chain AS (
   SELECT ck, ok, rn, 1 AS hop, cents AS running_cents
-  FROM seq WHERE rn = 1
+  FROM {seq} WHERE rn = 1
   UNION ALL
   SELECT s.ck, s.ok, s.rn, c.hop + 1, c.running_cents + s.cents
-  FROM chain c JOIN seq s ON s.ck = c.ck AND s.rn = c.rn + 1
+  FROM chain c JOIN {seq} s ON s.ck = c.ck AND s.rn = c.rn + 1
 )
 SELECT ck AS o_custkey, ok AS o_orderkey, hop,
        CAST(running_cents AS BIGINT) AS running_cents
@@ -613,10 +614,17 @@ FROM chain
 """
 
 
-@query(
-    "recursive_order_chain",
-    oracle=_RCHAIN_SQL.format(orders="orders"),
+# The DuckDB twin inlines seq as a plain CTE ahead of the recursion;
+# the Spark side materializes it first (see the docstring).
+_RCHAIN_ORACLE = (
+    "WITH RECURSIVE seq AS ("
+    + _RCHAIN_SEQ_SQL.format(orders="orders")
+    + "),\nchain AS"
+    + _RCHAIN_SQL.format(seq="seq").split("WITH RECURSIVE chain AS", 1)[1]
 )
+
+
+@query("recursive_order_chain", oracle=_RCHAIN_ORACLE)
 def q_recursive_order_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-customer order-chain walk via Spark 4 ``WITH RECURSIVE``.
 
@@ -628,12 +636,19 @@ def q_recursive_order_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     0`` — key-addressed, stable under resharding). Fixture depth is the
     max orders per customer (25), far under
     spark.sql.cteRecursionLevelLimit (100); per-iteration work is the
-    frontier only. The running sum is of course also a window — the
-    recursion IS the point (iterative plans the reference's static
-    pipeline, server.go:95-229, cannot express)."""
+    frontier only. The seq table (sample + row_number) is
+    localCheckpoint-materialized BEFORE the recursion: Spark's
+    UnionLoopExec re-executes every subplan the recursive step
+    references on each iteration, so an unmaterialized seq re-runs the
+    scan+window 25x (measured 5.2 s → ~2 s at sf0.1). The running sum
+    is of course also a window — the recursion IS the point (iterative
+    plans the reference's static pipeline, server.go:95-229, cannot
+    express)."""
     orders = load_table(spark, sf_dir, "orders")
     orders.createOrReplaceTempView("rchain_orders")
-    return spark.sql(_RCHAIN_SQL.format(orders="rchain_orders"))
+    seq = spark.sql(_RCHAIN_SEQ_SQL.format(orders="rchain_orders")).localCheckpoint()
+    seq.createOrReplaceTempView("rchain_seq")
+    return spark.sql(_RCHAIN_SQL.format(seq="rchain_seq"))
 
 
 # ---------------------------------------------------------------------------
@@ -809,12 +824,13 @@ _N_BOOT = 16
       SELECT CAST(sum(cents) AS BIGINT) AS s0, CAST(count(*) AS BIGINT) AS n0
       FROM base
     ),
-    weighted AS (
-      SELECT rep, cents, {_POIS_CASE.replace(
-          "u", "substr(md5(CAST(o_orderkey AS VARCHAR) || '#'"
-               " || CAST(rep AS VARCHAR)), 1, 8)")} AS w
+    hashed AS (
+      SELECT rep, cents,
+             substr(md5(CAST(o_orderkey AS VARCHAR) || '#'
+                        || CAST(rep AS VARCHAR)), 1, 8) AS u
       FROM base CROSS JOIN reps
-    )
+    ),
+    weighted AS (SELECT rep, cents, {_POIS_CASE} AS w FROM hashed)
     SELECT rep AS replicate_id,
            CAST(sum(w) AS BIGINT) AS n_eff,
            CAST(sum(w * cents) AS DOUBLE) / CAST(sum(w) AS DOUBLE)
@@ -846,13 +862,17 @@ def q_sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(count(*) AS BIGINT) AS n0"),
     )
     reps = spark.range(_N_BOOT).selectExpr("CAST(id AS BIGINT) AS rep")
-    u = (
+    # Materialize the hash ONCE per row before the CASE ladder: inlining
+    # it into every WHEN branch re-evaluates md5 up to 9x per row
+    # (measured 9.8 s -> ~2 s at sf0.1 — the HOF-inline gotcha,
+    # CLAUDE.md, in CASE form).
+    hashed = base.crossJoin(F.broadcast(reps)).selectExpr(
+        "rep",
+        "cents",
         "substr(md5(CAST(o_orderkey AS STRING) || '#'"
-        " || CAST(rep AS STRING)), 1, 8)"
+        " || CAST(rep AS STRING)), 1, 8) AS u",
     )
-    weighted = base.crossJoin(F.broadcast(reps)).selectExpr(
-        "rep", "cents", f"{_POIS_CASE.replace('u', u)} AS w"
-    )
+    weighted = hashed.selectExpr("rep", "cents", f"{_POIS_CASE} AS w")
     return (
         weighted.groupBy("rep")
         .agg(

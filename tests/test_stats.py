@@ -209,3 +209,81 @@ def test_linear_interpolate_lies_between_neighbors(spark, sf_dir):
             assert r["filled"] == float(left[-1][1]["rev"])
         else:
             assert r["filled"] == float(right[0][1]["rev"])
+
+
+def test_spatial_grid_equals_quadratic(spark, sf_dir):
+    """Grid-bucketed pairs must equal the brute-force quadratic, with
+    each pair reported exactly once."""
+    rows = q.QUERIES["join_spatial_grid"](spark, sf_dir).collect()
+    got = {(r["key_a"], r["key_b"]) for r in rows}
+    assert len(got) == len(rows), "grid join must not duplicate pairs"
+    pts = {
+        r["k"]: (r["x"], r["y"])
+        for r in load_table(spark, sf_dir, "part")
+        .selectExpr(
+            "p_partkey AS k",
+            "CAST(p_size AS BIGINT) AS x",
+            "CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) DIV 10 AS y",
+        )
+        .collect()
+    }
+    keys = sorted(pts)
+    brute = {
+        (a, b)
+        for i, a in enumerate(keys)
+        for b in keys[i + 1 :]
+        if abs(pts[a][0] - pts[b][0]) <= 2 and abs(pts[a][1] - pts[b][1]) <= 2
+    }
+    assert got == brute
+    for r in rows:
+        assert abs(r["dx"]) <= 2 and abs(r["dy"]) <= 2
+
+
+def test_ks_two_sample_matches_scipy_style(spark, sf_dir):
+    (r,) = q.QUERIES["stats_ks_two_sample"](spark, sf_dir).collect()
+    assert r["n1"] > 0 and r["n2"] > 0
+    assert 0.0 <= r["d_stat"] <= 1.0
+    assert r["d_stat"] == r["d_scaled"] / (r["n1"] * r["n2"])
+    crit = 1.3581015157406195 * math.sqrt((r["n1"] + r["n2"]) / (r["n1"] * r["n2"]))
+    assert r["reject_95"] == (r["d_stat"] > crit)
+    # recompute D from the raw bucketed samples
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .join(
+            load_table(spark, sf_dir, "customer").where(
+                "c_mktsegment IN ('BUILDING', 'MACHINERY')"
+            ),
+            F.expr("o_custkey = c_custkey"),
+        )
+        .selectExpr(
+            "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) DIV 100000 AS v",
+            "c_mktsegment = 'BUILDING' AS g1",
+        )
+        .collect()
+    )
+    s1 = sorted(x["v"] for x in o if x["g1"])
+    s2 = sorted(x["v"] for x in o if not x["g1"])
+    values = sorted(set(s1) | set(s2))
+    import bisect
+
+    d = max(
+        abs(
+            bisect.bisect_right(s1, v) * len(s2)
+            - bisect.bisect_right(s2, v) * len(s1)
+        )
+        for v in values
+    )
+    assert r["d_scaled"] == d
+    assert (r["n1"], r["n2"]) == (len(s1), len(s2))
+
+
+def test_rake_keywords_scores_consistent(spark, sf_dir):
+    rows = q.QUERIES["text_rake_keywords"](spark, sf_dir).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r["degree"] >= r["freq"] >= 1, "each occurrence contributes >= 1"
+        assert r["score_scaled"] == r["degree"] * 1000000 // r["freq"]
+        assert r["word"] not in {"the", "a", "of", "and"}
+    # ranking is by the integer score with word tie-break
+    ranks = [(-r["score_scaled"], r["word"]) for r in rows]
+    assert ranks == sorted(ranks)
