@@ -316,3 +316,54 @@ def test_pq_assign_broadcasts_codebook(spark):
     plan = formatted_plan(q.QUERIES["embed_pq_assign"](spark, SF_ORACLE))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_ols_trend_broadcasts_dim_and_single_exchange(spark):
+    """The regression kernel must broadcast the part dimension and
+    shuffle only the six sufficient statistics (one hash-agg exchange,
+    partial+final)."""
+    df = q.QUERIES["stats_ols_trend"](spark, SF_ORACLE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_spatial_grid_is_hash_equi_join(spark):
+    """The grid cell id must turn the quadratic neighbor search into an
+    equi-join (hash or sort-merge), never a nested-loop."""
+    plan = formatted_plan(q.QUERIES["join_spatial_grid"](spark, SF_ORACLE))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan) or ("HashJoin" in plan)
+
+
+def test_ks_and_drift_windows_run_on_rollups(spark):
+    """The KS cumulative window and drift TV window must sit above an
+    aggregate (rollup-then-window), not above the fact scan."""
+    for name in ("stats_ks_two_sample", "drift_tv_stability"):
+        df = q.QUERIES[name](spark, SF_ORACLE)
+        plan = formatted_plan(df)
+        assert "CartesianProduct" not in plan
+        # walking DOWN the tree from the Window node, an aggregate must
+        # appear before any scan: the window consumes the bucket rollup,
+        # never raw fact rows
+        lines = plan.splitlines()
+        widx = next(i for i, ln in enumerate(lines) if "Window" in ln)
+        below = lines[widx + 1 :]
+        sidx = next(i for i, ln in enumerate(below) if "Scan" in ln)
+        assert any("HashAggregate" in ln for ln in below[:sidx]), name
+
+
+def test_bootstrap_hashes_once_per_row(spark):
+    """The Poisson CASE ladder must reference one materialized hash
+    column, not re-evaluate md5 per branch (measured 3x cost)."""
+    plan = formatted_plan(q.QUERIES["sample_poisson_bootstrap"](spark, SF_ORACLE))
+    assert plan.count("md5") <= 2, "md5 must appear once (plus possible reuse ref)"
+
+
+def test_funnel_pattern_single_user_exchange(spark):
+    df = q.QUERIES["events_funnel_pattern_regex"](spark, SF_ORACLE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "CartesianProduct" not in plan
