@@ -250,6 +250,11 @@ POST_PREFIX = [
     "join_spatial_grid",
     "stats_ks_two_sample",
     "text_rake_keywords",
+    # round-3 batch 11: drawdown, bot screen, weighted median
+    # (full oracles)
+    "window_max_drawdown",
+    "events_bot_score_panel",
+    "agg_weighted_median",
 ]
 
 

@@ -1422,3 +1422,239 @@ def q_text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.col("score_scaled").desc(), F.col("word")
     ).limit(20)
+
+
+# ---------------------------------------------------------------------------
+# Round-3 batch 11: max drawdown, behavioral bot screen, weighted median
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "window_max_drawdown",
+    oracle="""
+    WITH daily AS (
+      SELECT c_mktsegment AS seg,
+             CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS d,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS rev
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1, 2
+    ),
+    dd AS (
+      SELECT seg, d, rev,
+             CAST(max(rev) OVER (PARTITION BY seg ORDER BY d
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS peak
+      FROM daily
+    ),
+    enc AS (
+      SELECT seg,
+             CAST(max((peak - rev) * 32768 + (32767 - d)) AS BIGINT) AS e
+      FROM dd GROUP BY seg
+    )
+    SELECT seg AS c_mktsegment,
+           e // 32768 AS max_drawdown_cents,
+           32767 - (e % 32768) AS drawdown_day
+    FROM enc
+    """,
+)
+def q_window_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of each market segment's daily-revenue series —
+    the classic running-peak-minus-value risk kernel. The running peak
+    is a per-segment window (partitioned — never the global-window
+    antipattern); the argmax day rides the proven integer-encoding
+    trick (``dd * 32768 + (32767 - day)``: max picks the largest
+    drawdown, then the EARLIEST day on ties — same family as
+    embed_pq_assign's argmin encoding, epoch days < 32768 through
+    2059). Everything is exact BIGINT cents; the drawdown in a
+    peak-to-trough sense is bounded by the running peak (~1e9 cents at
+    sf0.1, 1e5 headroom under the encoder). One segment-keyed exchange
+    serves the rollup, the window, and the final argmax."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    daily = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .selectExpr(
+            "c_mktsegment AS seg",
+            "datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') AS d",
+            "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents",
+        )
+        .groupBy("seg", "d")
+        .agg(F.expr("CAST(sum(cents) AS BIGINT) AS rev"))
+    )
+    dd = daily.selectExpr(
+        "seg",
+        "d",
+        "rev",
+        "CAST(max(rev) OVER (PARTITION BY seg ORDER BY d"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS peak",
+    )
+    return (
+        dd.groupBy("seg")
+        .agg(F.expr("CAST(max((peak - rev) * 32768 + (32767 - d)) AS BIGINT) AS e"))
+        .selectExpr(
+            "seg AS c_mktsegment",
+            "e DIV 32768 AS max_drawdown_cents",
+            "32767 - (e % 32768) AS drawdown_day",
+        )
+    )
+
+
+@query(
+    "events_bot_score_panel",
+    oracle="""
+    WITH base AS (
+      SELECT user_id, ts, event_id,
+             epoch_us(ts) // 60000000 AS minute,
+             epoch_us(ts) // 1000000  AS sec
+      FROM events
+    ),
+    bursts AS (
+      SELECT user_id, CAST(max(c) AS BIGINT) AS max_per_minute
+      FROM (SELECT user_id, minute, count(*) AS c FROM base GROUP BY 1, 2)
+      GROUP BY user_id
+    ),
+    gaps AS (
+      SELECT user_id,
+             sec - lag(sec) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS g
+      FROM base
+    ),
+    gstats AS (
+      SELECT user_id,
+             CAST(count(g) AS BIGINT)     AS n_gaps,
+             CAST(sum(g) AS BIGINT)       AS sg,
+             CAST(sum(g * g) AS BIGINT)   AS sgg
+      FROM gaps WHERE g IS NOT NULL GROUP BY user_id
+    )
+    SELECT b.user_id, b.max_per_minute, g.n_gaps,
+           CAST(g.n_gaps * g.sgg - g.sg * g.sg AS DOUBLE)
+             / (CAST(g.n_gaps AS DOUBLE) * CAST(g.n_gaps - 1 AS DOUBLE))
+             AS gap_var_sec2,
+           b.max_per_minute >= 2 AS burst_flag,
+           CAST(g.n_gaps * g.sgg - g.sg * g.sg AS DOUBLE)
+             / (CAST(g.n_gaps AS DOUBLE) * CAST(g.n_gaps - 1 AS DOUBLE))
+             < 500000000.0 AS metronome_flag
+    FROM bursts b JOIN gstats g ON b.user_id = g.user_id
+    """,
+)
+def q_events_bot_score_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral bot screen per user: burst rate (max events within
+    one wall-clock minute) and inter-arrival regularity (sample
+    variance of the gap series — metronomic traffic has near-zero
+    variance; humans are bursty). Gaps are exact integer SECONDS
+    (microsecond gaps square past BIGINT over a month-long window —
+    seconds keep Σg² under 1e15 at fixture scale), the variance is the
+    cross-multiplied integer numerator over one IEEE division
+    (two-decimal-sum variance discipline), and both flags compare
+    exact-arithmetic values, so the booleans are engine-identical. One
+    user_id exchange serves the minute rollup, the lag window, and the
+    gap rollup. The 100-TB shape: this panel is THE pre-filter before
+    expensive behavioral models — map-side except the user exchange."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.selectExpr(
+        "user_id",
+        "ts",
+        "event_id",
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
+        " DIV 60000000 AS minute",
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
+        " DIV 1000000 AS sec",
+    )
+    bursts = (
+        base.groupBy("user_id", "minute")
+        .agg(F.expr("count(*) AS c"))
+        .groupBy("user_id")
+        .agg(F.expr("CAST(max(c) AS BIGINT) AS max_per_minute"))
+    )
+    gaps = base.selectExpr(
+        "user_id",
+        "sec - lag(sec) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS g",
+    )
+    gstats = (
+        gaps.where("g IS NOT NULL")
+        .groupBy("user_id")
+        .agg(
+            F.expr("CAST(count(g) AS BIGINT)   AS n_gaps"),
+            F.expr("CAST(sum(g) AS BIGINT)     AS sg"),
+            F.expr("CAST(sum(g * g) AS BIGINT) AS sgg"),
+        )
+    )
+    var_expr = (
+        "CAST(n_gaps * sgg - sg * sg AS DOUBLE)"
+        " / (CAST(n_gaps AS DOUBLE) * CAST(n_gaps - 1 AS DOUBLE))"
+    )
+    return bursts.join(gstats, "user_id").selectExpr(
+        "user_id",
+        "max_per_minute",
+        "n_gaps",
+        f"{var_expr} AS gap_var_sec2",
+        "max_per_minute >= 2 AS burst_flag",
+        f"{var_expr} < 500000000.0 AS metronome_flag",
+    )
+
+
+@query(
+    "agg_weighted_median",
+    oracle="""
+    WITH w AS (
+      SELECT p_brand,
+             CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) // 10 AS v,
+             CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS wt
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT p_brand, v, wt,
+             CAST(sum(wt) OVER (PARTITION BY p_brand ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cw,
+             CAST(sum(wt) OVER (PARTITION BY p_brand) AS BIGINT) AS tw
+      FROM w
+    )
+    SELECT p_brand, tw AS total_weight,
+           CAST(min(CASE WHEN 2 * cw >= tw THEN v END) AS BIGINT)
+             AS weighted_median_dimes
+    FROM cum GROUP BY p_brand, tw
+    """,
+)
+def q_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median part price per brand — the weighted
+    order statistic (lower weighted median: smallest value whose
+    cumulative weight reaches half the total). Pure integer plan:
+    price dimes × total shipped quantity per (brand, price) rolls up
+    map-side, the cumulative weight is a per-brand window over the
+    small value table, and the median is a conditional min — no
+    percentile interpolation, no float compare. Contrast
+    agg_percentiles (unweighted, interpolating): the weighted form is
+    what pricing/abuse analyses actually need and is exact at any
+    scale. One brand-keyed exchange for rollup + both windows +
+    final min."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_retailprice"
+    )
+    w = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .selectExpr(
+            "p_brand",
+            "CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) DIV 10 AS v",
+            "CAST(floor(l_quantity + 0.5) AS BIGINT) AS q",
+        )
+        .groupBy("p_brand", "v")
+        .agg(F.expr("CAST(sum(q) AS BIGINT) AS wt"))
+    )
+    cum = w.selectExpr(
+        "p_brand",
+        "v",
+        "wt",
+        "CAST(sum(wt) OVER (PARTITION BY p_brand ORDER BY v"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cw",
+        "CAST(sum(wt) OVER (PARTITION BY p_brand) AS BIGINT) AS tw",
+    )
+    return (
+        cum.groupBy("p_brand", "tw")
+        .agg(F.expr("CAST(min(CASE WHEN 2 * cw >= tw THEN v END) AS BIGINT)"
+                    " AS weighted_median_dimes"))
+        .selectExpr("p_brand", "tw AS total_weight", "weighted_median_dimes")
+    )

@@ -265,3 +265,88 @@ def test_skyline_matches_naive_dominance(spark, sf_dir):
         for r in q.QUERIES["part_skyline_pareto"](spark, sf_dir).collect()
     }
     assert got == want and got
+
+
+def test_max_drawdown_matches_python_scan(spark, sf_dir):
+    rows = {
+        r["c_mktsegment"]: r
+        for r in q.QUERIES["window_max_drawdown"](spark, sf_dir).collect()
+    }
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .join(
+            load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment"),
+            F.expr("o_custkey = c_custkey"),
+        )
+        .selectExpr(
+            "c_mktsegment AS seg",
+            "datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') AS d",
+            "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents",
+        )
+        .groupBy("seg", "d")
+        .agg(F.expr("CAST(sum(cents) AS BIGINT) AS rev"))
+        .collect()
+    )
+    series: dict[str, list] = {}
+    for r in daily:
+        series.setdefault(r["seg"], []).append((r["d"], r["rev"]))
+    assert set(series) == set(rows)
+    for seg, pts in series.items():
+        peak, best = 0, (-1, None)  # (drawdown, earliest day)
+        for d, rev in sorted(pts):
+            peak = max(peak, rev)
+            dd = peak - rev
+            if dd > best[0]:
+                best = (dd, d)
+        assert rows[seg]["max_drawdown_cents"] == best[0]
+        assert rows[seg]["drawdown_day"] == best[1]
+
+
+def test_bot_panel_variance_and_flags(spark, sf_dir):
+    rows = q.QUERIES["events_bot_score_panel"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["max_per_minute"] >= 1
+        assert r["n_gaps"] >= 1
+        assert r["gap_var_sec2"] >= 0.0
+        assert r["burst_flag"] == (r["max_per_minute"] >= 2)
+        assert r["metronome_flag"] == (r["gap_var_sec2"] < 5e8)
+    assert any(r["burst_flag"] for r in rows) or all(
+        r["max_per_minute"] == 1 for r in rows
+    )
+
+
+def test_weighted_median_splits_weight(spark, sf_dir):
+    rows = q.QUERIES["agg_weighted_median"](spark, sf_dir).collect()
+    assert len(rows) > 0
+    w = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(
+            load_table(spark, sf_dir, "part").select(
+                "p_partkey", "p_brand", "p_retailprice"
+            ),
+            F.expr("l_partkey = p_partkey"),
+        )
+        .selectExpr(
+            "p_brand",
+            "CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) DIV 10 AS v",
+            "CAST(floor(l_quantity + 0.5) AS BIGINT) AS q",
+        )
+        .collect()
+    )
+    from collections import defaultdict
+
+    per_brand = defaultdict(lambda: defaultdict(int))
+    for r in w:
+        per_brand[r["p_brand"]][r["v"]] += r["q"]
+    for r in rows:
+        vals = per_brand[r["p_brand"]]
+        total = sum(vals.values())
+        assert r["total_weight"] == total
+        m = r["weighted_median_dimes"]
+        below = sum(q_ for v, q_ in vals.items() if v < m)
+        at_or_below = sum(q_ for v, q_ in vals.items() if v <= m)
+        # lower weighted median: at least half the weight at or below,
+        # strictly less than half strictly below
+        assert 2 * at_or_below >= total
+        assert 2 * below < total
