@@ -255,6 +255,8 @@ POST_PREFIX = [
     "window_max_drawdown",
     "events_bot_score_panel",
     "agg_weighted_median",
+    # round-3 batch 12: JL sketch projection + distance audit
+    "embed_jl_projection_audit",
 ]
 
 

@@ -1658,3 +1658,109 @@ def q_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
                     " AS weighted_median_dimes"))
         .selectExpr("p_brand", "tw AS total_weight", "weighted_median_dimes")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-3 batch 12: Johnson-Lindenstrauss integer sketch projection
+# ---------------------------------------------------------------------------
+
+# Deterministic pseudo-random sign for plane (i, j): multiplicative hash
+# on exact BIGINTs, identical in both engines. i is the 0-based input
+# dim, j the 0-based output dim.
+# Portable in both dialects (%, *, >= only — DIV is Spark-only, // is
+# DuckDB-only) and NONLINEAR: an affine hash mod 2^k leaves the sign
+# matrix on a lattice whose cross-dim correlations bias E[proj_d2]
+# (measured mean ratio 1.57); the middle-square step breaks the lattice
+# (measured mean 0.99, std 0.34 ~ sqrt(2/k)).
+_JL_SIGN = (
+    "(CASE WHEN (((CAST(i AS BIGINT) - 1) * 1103515245"
+    " + CAST(j AS BIGINT) * 2654435761) % 1048576)"
+    " * (((CAST(i AS BIGINT) - 1) * 1103515245"
+    " + CAST(j AS BIGINT) * 2654435761) % 1048576)"
+    " % 2048 >= 1024 THEN -1 ELSE 1 END)"
+)
+_JL_K = 16
+
+
+@query(
+    "embed_jl_projection_audit",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                            x -> CAST(floor(x * 127 + 0.5) AS BIGINT)) AS qa
+      FROM embeddings WHERE vec_id < 20
+    ),
+    p AS (
+      SELECT vec_id, qa,
+             list_transform(generate_series(0, {_JL_K - 1}), j ->
+               list_sum(list_transform(generate_series(1, 64), i ->
+                 {_JL_SIGN} * qa[i]))) AS pr
+      FROM q
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           CAST(list_sum(list_transform(generate_series(1, 64),
+                i -> (a.qa[i] - b.qa[i]) * (a.qa[i] - b.qa[i]))) AS BIGINT)
+             AS orig_d2,
+           CAST(list_sum(list_transform(generate_series(1, {_JL_K}),
+                i -> (a.pr[i] - b.pr[i]) * (a.pr[i] - b.pr[i]))) AS BIGINT)
+             AS proj_d2,
+           CAST(list_sum(list_transform(generate_series(1, {_JL_K}),
+                i -> (a.pr[i] - b.pr[i]) * (a.pr[i] - b.pr[i]))) AS DOUBLE)
+             / ({_JL_K}.0 * CAST(list_sum(list_transform(generate_series(1, 64),
+                i -> (a.qa[i] - b.qa[i]) * (a.qa[i] - b.qa[i]))) AS DOUBLE))
+             AS jl_ratio
+    FROM p a JOIN p b ON a.vec_id < b.vec_id
+    """,
+)
+def q_embed_jl_projection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss sketch: project int-quantized 64-d
+    embeddings to 16 dims with a ±1 (Rademacher/Achlioptas) plane
+    matrix and audit pairwise distance preservation — E[proj_d²] =
+    k·orig_d², so jl_ratio concentrates around 1 with variance ~2/k.
+    The dimensionality-reduction layer between raw embeddings and the
+    ANN indexes: at 100 TB you project once map-side (64→16 integer
+    ops per vector, no shuffle) and every downstream distance costs
+    4x less. Determinism discipline: vectors quantize to an integer
+    grid first (embed_pq_assign precedent — float matmul folds in
+    engine order), the sign matrix is a multiplicative-hash parity on
+    exact BIGINTs (no constant table to ship), and every dot product
+    is an integer HOF fold — order-free because integer addition is
+    associative, unlike the float folds CLAUDE.md bans. The audit
+    joins the 20-vector head (190 bounded pairs); the oracle's
+    1-based list index vs Spark's 0-based is normalized by hashing
+    ``i - 1``."""
+    emb = load_table(spark, sf_dir, "embeddings").where("vec_id < 20")
+    q_df = emb.selectExpr(
+        "vec_id",
+        "transform(embedding, x -> CAST(floor(x * 127 + 0.5) AS BIGINT)) AS qa",
+    )
+    p = q_df.selectExpr(
+        "vec_id",
+        "qa",
+        f"transform(sequence(0, {_JL_K - 1}), j ->"
+        f" aggregate(sequence(1, 64), 0L, (acc, i) ->"
+        f" acc + {_JL_SIGN} * element_at(qa, i))) AS pr",
+    )
+    a = p.selectExpr("vec_id AS vec_a", "qa AS qa_a", "pr AS pr_a")
+    b = p.selectExpr("vec_id AS vec_b", "qa AS qa_b", "pr AS pr_b")
+    pairs = a.join(F.broadcast(b), F.expr("vec_a < vec_b")).selectExpr(
+        "vec_a",
+        "vec_b",
+        "CAST(aggregate(sequence(1, 64), 0L, (acc, i) ->"
+        " acc + (element_at(qa_a, i) - element_at(qa_b, i))"
+        "     * (element_at(qa_a, i) - element_at(qa_b, i))) AS BIGINT)"
+        " AS orig_d2",
+        f"CAST(aggregate(sequence(1, {_JL_K}), 0L, (acc, i) ->"
+        " acc + (element_at(pr_a, i) - element_at(pr_b, i))"
+        "     * (element_at(pr_a, i) - element_at(pr_b, i))) AS BIGINT)"
+        " AS proj_d2",
+    )
+    return pairs.selectExpr(
+        "vec_a",
+        "vec_b",
+        "orig_d2",
+        "proj_d2",
+        f"CAST(proj_d2 AS DOUBLE) / ({_JL_K}.0 * CAST(orig_d2 AS DOUBLE))"
+        " AS jl_ratio",
+    )

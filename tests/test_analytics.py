@@ -350,3 +350,17 @@ def test_weighted_median_splits_weight(spark, sf_dir):
         # strictly less than half strictly below
         assert 2 * at_or_below >= total
         assert 2 * below < total
+
+
+def test_jl_projection_preserves_distances_on_average(spark, sf_dir):
+    """JL with k=16: ratios concentrate near 1; the mean over 190
+    pairs must be well inside [0.5, 1.5] and every ratio positive."""
+    rows = q.QUERIES["embed_jl_projection_audit"](spark, sf_dir).collect()
+    assert len(rows) == 190
+    ratios = [r["jl_ratio"] for r in rows]
+    assert all(r > 0 for r in ratios)
+    mean = sum(ratios) / len(ratios)
+    assert 0.5 < mean < 1.5, f"sign matrix degenerate: mean ratio {mean}"
+    for r in rows:
+        assert r["proj_d2"] >= 0 and r["orig_d2"] > 0
+        assert r["jl_ratio"] == r["proj_d2"] / (16.0 * r["orig_d2"])
