@@ -264,6 +264,11 @@ POST_PREFIX = [
     "agg_weighted_median",
     # round-3 batch 12: JL sketch projection + distance audit
     "embed_jl_projection_audit",
+    # round-3 batch 13: rolling z-score, higher moments, repeat-purchase
+    # gaps (full oracles)
+    "window_zscore_rolling",
+    "agg_skewness_kurtosis",
+    "orders_interpurchase_gaps",
 ]
 
 

@@ -992,3 +992,235 @@ def q_window_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         " WHEN prev_rev IS NOT NULL THEN CAST(prev_rev AS DOUBLE)"
         " ELSE CAST(next_rev AS DOUBLE) END AS filled",
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-3 batch 13: rolling z-score anomalies, higher moments,
+# inter-purchase gaps
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "window_zscore_rolling",
+    oracle="""
+    WITH daily AS (
+      SELECT c_mktsegment AS seg,
+             CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS d,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS rev
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT seg, d, rev,
+             CAST(count(*) OVER win AS BIGINT)        AS n,
+             CAST(sum(rev) OVER win AS BIGINT)        AS s1,
+             CAST(sum(rev * rev) OVER win AS BIGINT)  AS s2
+      FROM daily
+      WINDOW win AS (PARTITION BY seg ORDER BY d
+                     ROWS BETWEEN 28 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT seg AS c_mktsegment, d, rev, n AS n_baseline,
+           (CAST(rev AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+             / sqrt((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+                     - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                    / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))
+             AS z_score,
+           abs((CAST(rev AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+             / sqrt((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+                     - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                    / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))) > 3.0
+             AS anomaly_flag
+    FROM w WHERE n >= 14
+    """,
+)
+def q_window_zscore_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly screen: each day's segment revenue
+    against its own trailing 28-day baseline (excluding today — ROWS
+    28 PRECEDING .. 1 PRECEDING, the standard leak-free monitor frame).
+    The streaming-flavored sibling of events_value_outliers (which is
+    global two-pass): baseline mean/std come from exact BIGINT window
+    sums (count/Σ/Σ² share ONE partitioned frame and one sort), the z
+    and the |z|>3 page are correctly-rounded IEEE trees, and warm-up
+    days (n<14) are suppressed. Per-segment partitions keep the window
+    distributed; at 100 TB this is the per-series pattern behind every
+    metrics-anomaly pipeline — the day rollup is the only fact-scale
+    work."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    daily = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .selectExpr(
+            "c_mktsegment AS seg",
+            "datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') AS d",
+            "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents",
+        )
+        .groupBy("seg", "d")
+        .agg(F.expr("CAST(sum(cents) AS BIGINT) AS rev"))
+    )
+    frame = (
+        "OVER (PARTITION BY seg ORDER BY d ROWS BETWEEN 28 PRECEDING"
+        " AND 1 PRECEDING)"
+    )
+    w = daily.selectExpr(
+        "seg",
+        "d",
+        "rev",
+        f"CAST(count(*) {frame} AS BIGINT)       AS n",
+        f"CAST(sum(rev) {frame} AS BIGINT)       AS s1",
+        f"CAST(sum(rev * rev) {frame} AS BIGINT) AS s2",
+    )
+    z = (
+        "(CAST(rev AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))"
+        " / sqrt((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)"
+        "         - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))"
+        "        / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))"
+    )
+    return w.where("n >= 14").selectExpr(
+        "seg AS c_mktsegment",
+        "d",
+        "rev",
+        "n AS n_baseline",
+        f"{z} AS z_score",
+        f"abs({z}) > 3.0 AS anomaly_flag",
+    )
+
+
+@query(
+    "agg_skewness_kurtosis",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderpriority AS pri,
+             CAST(floor(o_totalprice + 0.5) AS BIGINT) // 1000 AS x
+      FROM orders
+    ),
+    s AS (
+      SELECT pri,
+             CAST(count(*) AS BIGINT)           AS n,
+             CAST(sum(x) AS BIGINT)             AS s1,
+             CAST(sum(x * x) AS BIGINT)         AS s2,
+             CAST(sum(x * x * x) AS BIGINT)     AS s3,
+             CAST(sum(x * x * x * x) AS BIGINT) AS s4
+      FROM base GROUP BY pri
+    ),
+    k AS (
+      SELECT pri, n,
+             CAST(CAST(n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)
+               AS m2n2,
+             CAST(CAST(n AS HUGEINT) * CAST(n AS HUGEINT) * s3
+                  - 3 * CAST(n AS HUGEINT) * s1 * s2
+                  + 2 * CAST(s1 AS HUGEINT) * s1 * s1 AS DOUBLE) AS m3n3,
+             CAST(CAST(n AS HUGEINT) * CAST(n AS HUGEINT) * CAST(n AS HUGEINT) * s4
+                  - 4 * CAST(n AS HUGEINT) * CAST(n AS HUGEINT) * s1 * s3
+                  + 6 * CAST(n AS HUGEINT) * s1 * s1 * s2
+                  - 3 * CAST(s1 AS HUGEINT) * s1 * s1 * s1 AS DOUBLE) AS m4n4
+      FROM s
+    )
+    SELECT pri AS o_orderpriority, n,
+           m3n3 / (sqrt(m2n2) * sqrt(m2n2) * sqrt(m2n2)) AS skewness,
+           m4n4 / (m2n2 * m2n2) - 3.0 AS excess_kurtosis
+    FROM k
+    """,
+)
+def q_agg_skewness_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact skewness and excess kurtosis of order value (thousands of
+    dollars — hundreds measured 3.8e18 of the 9.2e18 BIGINT range at
+    sf0.1, one scale-up from an ANSI overflow throw; thousands give
+    1e4 headroom) per priority class — the higher-moment distribution
+    profile (heavy-tail screen) that decides whether downstream
+    samplers need log-domain stratification. The raw power sums stay
+    BIGINT-exact; the central-moment expansion runs in 128-bit exact
+    arithmetic: DECIMAL(38,0) on Spark, HUGEINT in DuckDB — the
+    stats_ols_trend widening discipline, and (Σx)³/(Σx)⁴ terms are why
+    128 bits are genuinely needed). One cast to DOUBLE per scaled
+    central moment, then a fixed mul/div/sqrt tree: the n-powers cancel exactly
+    (skew = n²M3/(nM2)^1.5, kurt = n³M4/(nM2)² - 3), verified against
+    numpy's dense central moments in tests/test_stats.py. One
+    exchange, five rows out."""
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.selectExpr(
+        "o_orderpriority AS pri",
+        "CAST(floor(o_totalprice + 0.5) AS BIGINT) DIV 1000 AS x",
+    )
+    s = base.groupBy("pri").agg(
+        F.expr("CAST(count(*) AS BIGINT)           AS n"),
+        F.expr("CAST(sum(x) AS BIGINT)             AS s1"),
+        F.expr("CAST(sum(x * x) AS BIGINT)         AS s2"),
+        F.expr("CAST(sum(x * x * x) AS BIGINT)     AS s3"),
+        F.expr("CAST(sum(x * x * x * x) AS BIGINT) AS s4"),
+    )
+    k = s.selectExpr(
+        "pri",
+        "n",
+        "CAST(CAST(n AS DECIMAL(38,0)) * s2 - CAST(s1 AS DECIMAL(38,0)) * s1"
+        " AS DOUBLE) AS m2n2",
+        "CAST(CAST(n AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0)) * s3"
+        " - 3 * CAST(n AS DECIMAL(38,0)) * s1 * s2"
+        " + 2 * CAST(s1 AS DECIMAL(38,0)) * s1 * s1 AS DOUBLE) AS m3n3",
+        "CAST(CAST(n AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0))"
+        " * CAST(n AS DECIMAL(38,0)) * s4"
+        " - 4 * CAST(n AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0)) * s1 * s3"
+        " + 6 * CAST(n AS DECIMAL(38,0)) * s1 * s1 * s2"
+        " - 3 * CAST(s1 AS DECIMAL(38,0)) * s1 * s1 * s1 AS DOUBLE) AS m4n4",
+    )
+    return k.selectExpr(
+        "pri AS o_orderpriority",
+        "n",
+        "m3n3 / (sqrt(m2n2) * sqrt(m2n2) * sqrt(m2n2)) AS skewness",
+        "m4n4 / (m2n2 * m2n2) - 3.0 AS excess_kurtosis",
+    )
+
+
+@query(
+    "orders_interpurchase_gaps",
+    oracle="""
+    WITH seq AS (
+      SELECT o_custkey,
+             CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS d,
+             lag(CAST(o_orderdate AS DATE) - DATE '1970-01-01')
+               OVER (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey) AS prev_d
+      FROM orders
+    ),
+    gaps AS (SELECT d - prev_d AS gap FROM seq WHERE prev_d IS NOT NULL),
+    hist AS (
+      SELECT least(gap // 30, 12) AS gap_month_bucket,
+             CAST(count(*) AS BIGINT) AS n_gaps
+      FROM gaps GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(n_gaps) AS BIGINT) AS total FROM hist)
+    SELECT gap_month_bucket, n_gaps,
+           CAST(n_gaps AS DOUBLE) / CAST(total AS DOUBLE) AS share
+    FROM hist, tot
+    """,
+)
+def q_orders_interpurchase_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-purchase interval profile: days between a customer's
+    consecutive orders, rolled into 30-day buckets (capped at 12+
+    months) — the repeat-behavior signature behind churn models and
+    the empirical prior for RFM recency cuts. One custkey-partitioned
+    lag window (exact integer epoch days, deterministic
+    (date, orderkey) ordering), a map-side histogram, and one share
+    division. At 100 TB the lag rides the same per-entity-timeline
+    exchange as sessionization — gap analytics is free once the
+    timeline partitioning exists."""
+    orders = load_table(spark, sf_dir, "orders")
+    seq = orders.selectExpr(
+        "o_custkey",
+        "datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') AS d",
+        "lag(datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01'))"
+        " OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)"
+        " AS prev_d",
+    )
+    hist = (
+        seq.where("prev_d IS NOT NULL")
+        .selectExpr("least((d - prev_d) DIV 30, 12) AS gap_month_bucket")
+        .groupBy("gap_month_bucket")
+        .agg(F.expr("CAST(count(*) AS BIGINT) AS n_gaps"))
+    )
+    tot = hist.agg(F.expr("CAST(sum(n_gaps) AS BIGINT) AS total"))
+    return hist.crossJoin(F.broadcast(tot)).selectExpr(
+        "gap_month_bucket",
+        "n_gaps",
+        "CAST(n_gaps AS DOUBLE) / CAST(total AS DOUBLE) AS share",
+    )

@@ -287,3 +287,57 @@ def test_rake_keywords_scores_consistent(spark, sf_dir):
     # ranking is by the integer score with word tie-break
     ranks = [(-r["score_scaled"], r["word"]) for r in rows]
     assert ranks == sorted(ranks)
+
+
+def test_zscore_rolling_baseline_excludes_today(spark, sf_dir):
+    rows = q.QUERIES["window_zscore_rolling"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 14 <= r["n_baseline"] <= 28
+        assert r["anomaly_flag"] == (abs(r["z_score"]) > 3.0)
+    # in a stationary synthetic series, anomalies must be rare
+    frac = sum(r["anomaly_flag"] for r in rows) / len(rows)
+    assert frac < 0.1
+
+
+def test_skewness_kurtosis_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    rows = {
+        r["o_orderpriority"]: r
+        for r in q.QUERIES["agg_skewness_kurtosis"](spark, sf_dir).collect()
+    }
+    pts = (
+        load_table(spark, sf_dir, "orders")
+        .selectExpr(
+            "o_orderpriority AS pri",
+            "CAST(floor(o_totalprice + 0.5) AS BIGINT) DIV 1000 AS x",
+        )
+        .collect()
+    )
+    by = {}
+    for p in pts:
+        by.setdefault(p["pri"], []).append(p["x"])
+    assert set(by) == set(rows)
+    for pri, xs in by.items():
+        x = np.array(xs, dtype=float)
+        m = x.mean()
+        m2 = ((x - m) ** 2).mean()
+        skew = ((x - m) ** 3).mean() / m2**1.5
+        kurt = ((x - m) ** 4).mean() / m2**2 - 3.0
+        r = rows[pri]
+        assert r["n"] == len(xs)
+        assert math.isclose(r["skewness"], skew, rel_tol=1e-9, abs_tol=1e-9)
+        assert math.isclose(r["excess_kurtosis"], kurt, rel_tol=1e-9, abs_tol=1e-9)
+
+
+def test_interpurchase_gaps_cover_all_repeat_orders(spark, sf_dir):
+    rows = q.QUERIES["orders_interpurchase_gaps"](spark, sf_dir).collect()
+    assert rows
+    total_gaps = sum(r["n_gaps"] for r in rows)
+    o = load_table(spark, sf_dir, "orders")
+    n_orders = o.count()
+    n_customers = o.select("o_custkey").distinct().count()
+    assert total_gaps == n_orders - n_customers, "one gap per non-first order"
+    assert math.isclose(sum(r["share"] for r in rows), 1.0, rel_tol=1e-9)
+    assert all(0 <= r["gap_month_bucket"] <= 12 for r in rows)
