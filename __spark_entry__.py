@@ -269,6 +269,12 @@ POST_PREFIX = [
     "window_zscore_rolling",
     "agg_skewness_kurtosis",
     "orders_interpurchase_gaps",
+    # round-3 batch 14: surface batteries, LATERAL subquery, BI
+    # decomposition (full oracles)
+    "join_lateral_topn",
+    "orders_price_volume_decomposition",
+    "scalar_bitwise_fns",
+    "agg_boolean_fns",
 ]
 
 

@@ -1764,3 +1764,84 @@ def q_embed_jl_projection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"CAST(proj_d2 AS DOUBLE) / ({_JL_K}.0 * CAST(orig_d2 AS DOUBLE))"
         " AS jl_ratio",
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-3 batch 14 (cont.): price/volume BI decomposition
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_price_volume_decomposition",
+    oracle="""
+    WITH base AS (
+      SELECT p_brand,
+             CASE WHEN year(l_shipdate) = 1996 THEN 0 ELSE 1 END AS period,
+             CAST(floor(l_quantity + 0.5) AS BIGINT) AS q,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE year(l_shipdate) IN (1996, 1997)
+    ),
+    agg AS (
+      SELECT p_brand,
+             CAST(sum(CASE WHEN period = 0 THEN q ELSE 0 END) AS BIGINT)     AS q0,
+             CAST(sum(CASE WHEN period = 0 THEN cents ELSE 0 END) AS BIGINT) AS r0,
+             CAST(sum(CASE WHEN period = 1 THEN q ELSE 0 END) AS BIGINT)     AS q1,
+             CAST(sum(CASE WHEN period = 1 THEN cents ELSE 0 END) AS BIGINT) AS r1
+      FROM base GROUP BY p_brand
+    )
+    SELECT p_brand, q0, r0, q1, r1,
+           CAST(r1 - r0 AS BIGINT) AS delta_cents,
+           (CAST(q1 AS DOUBLE) - CAST(q0 AS DOUBLE))
+             * (CAST(r0 AS DOUBLE) / CAST(q0 AS DOUBLE)) AS volume_effect,
+           CAST(q1 AS DOUBLE)
+             * (CAST(r1 AS DOUBLE) / CAST(q1 AS DOUBLE)
+                - CAST(r0 AS DOUBLE) / CAST(q0 AS DOUBLE)) AS price_effect
+    FROM agg WHERE q0 > 0 AND q1 > 0
+    """,
+)
+def q_orders_price_volume_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price/volume decomposition of year-over-year revenue change per
+    brand (1996→1997): Δrevenue = volume effect (quantity change at
+    old unit price) + price effect (new volume × unit-price change) —
+    the standard BI bridge chart, and the two effects sum to
+    delta_cents exactly in exact arithmetic (asserted in pytest up to
+    one ulp of the IEEE tree). Both periods pivot out of ONE scan via
+    conditional sums (the drift_tv pattern); unit prices are single
+    IEEE divisions of exact BIGINT cents/quantities, so every output
+    is engine-identical. One brand exchange, 25 rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    base = (
+        li.where("year(l_shipdate) IN (1996, 1997)")
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .selectExpr(
+            "p_brand",
+            "CASE WHEN year(l_shipdate) = 1996 THEN 0 ELSE 1 END AS period",
+            "CAST(floor(l_quantity + 0.5) AS BIGINT) AS q",
+            "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents",
+        )
+    )
+    agg = base.groupBy("p_brand").agg(
+        F.expr("CAST(sum(CASE WHEN period = 0 THEN q ELSE 0 END) AS BIGINT) AS q0"),
+        F.expr(
+            "CAST(sum(CASE WHEN period = 0 THEN cents ELSE 0 END) AS BIGINT) AS r0"
+        ),
+        F.expr("CAST(sum(CASE WHEN period = 1 THEN q ELSE 0 END) AS BIGINT) AS q1"),
+        F.expr(
+            "CAST(sum(CASE WHEN period = 1 THEN cents ELSE 0 END) AS BIGINT) AS r1"
+        ),
+    )
+    return agg.where("q0 > 0 AND q1 > 0").selectExpr(
+        "p_brand",
+        "q0",
+        "r0",
+        "q1",
+        "r1",
+        "CAST(r1 - r0 AS BIGINT) AS delta_cents",
+        "(CAST(q1 AS DOUBLE) - CAST(q0 AS DOUBLE))"
+        " * (CAST(r0 AS DOUBLE) / CAST(q0 AS DOUBLE)) AS volume_effect",
+        "CAST(q1 AS DOUBLE)"
+        " * (CAST(r1 AS DOUBLE) / CAST(q1 AS DOUBLE)"
+        "    - CAST(r0 AS DOUBLE) / CAST(q0 AS DOUBLE)) AS price_effect",
+    )

@@ -893,3 +893,117 @@ def json_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("k").isNotNull())
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-3 batch 14: scalar/aggregate surface batteries + LATERAL subquery
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "scalar_bitwise_fns",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderkey & 255 AS BIGINT)      AS band,
+           CAST(o_orderkey | 4096 AS BIGINT)     AS bor,
+           CAST(xor(o_orderkey, 1365) AS BIGINT) AS bxor,
+           CAST(o_orderkey << 3 AS BIGINT)       AS shl,
+           CAST(o_orderkey >> 2 AS BIGINT)       AS shr,
+           CAST(bit_count(o_orderkey) AS INT)    AS popcnt,
+           CAST(~o_orderkey AS BIGINT)           AS bnot
+    FROM orders WHERE o_orderkey < 1000
+    """,
+)
+def q_scalar_bitwise_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar surface battery: and/or/xor/shifts/popcount/not —
+    the primitives every sketch in this engine builds on (simhash lane
+    packing, bitmap-distinct words, LSH band keys), certified as
+    user-facing scalars. Dialect note: Spark spells xor ``^`` and
+    DuckDB spells it ``xor()`` (``^`` is power there), so the sides are
+    written separately — the CLAUDE.md no-verbatim-sharing rule for
+    operator dialects. Map-side, pushdown-filtered."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.where("o_orderkey < 1000").selectExpr(
+        "o_orderkey",
+        "CAST(o_orderkey & 255 AS BIGINT)    AS band",
+        "CAST(o_orderkey | 4096 AS BIGINT)   AS bor",
+        "CAST(o_orderkey ^ 1365 AS BIGINT)   AS bxor",
+        "CAST(shiftleft(o_orderkey, 3) AS BIGINT)  AS shl",
+        "CAST(shiftright(o_orderkey, 2) AS BIGINT) AS shr",
+        "CAST(bit_count(o_orderkey) AS INT)  AS popcnt",
+        "CAST(~o_orderkey AS BIGINT)         AS bnot",
+    )
+
+
+@query(
+    "agg_boolean_fns",
+    oracle="""
+    SELECT o_orderpriority,
+           bool_and(o_totalprice > 1000.0)   AS all_over_1k,
+           bool_or(o_totalprice > 400000.0)  AS any_over_400k,
+           CAST(count_if(o_orderstatus = 'F') AS BIGINT) AS n_finished,
+           CAST(count(*) AS BIGINT)          AS n
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_agg_boolean_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean-aggregate surface battery: every/any (bool_and/bool_or)
+    and count_if — the predicates-as-aggregates family used by the DQ
+    report queries, certified standalone. Comparisons sit on DOUBLE
+    fixture values against round constants far from any data point
+    (fixture min/max are 900.68/499993.18), so the booleans are not on
+    a knife edge. One map-side-combined exchange, five rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.expr("every(o_totalprice > 1000.0D)   AS all_over_1k"),
+        F.expr("any(o_totalprice > 400000.0D)   AS any_over_400k"),
+        F.expr("CAST(count_if(o_orderstatus = 'F') AS BIGINT) AS n_finished"),
+        F.expr("CAST(count(*) AS BIGINT)        AS n"),
+    )
+
+
+@query(
+    "join_lateral_topn",
+    oracle="""
+    SELECT c.c_custkey, t.o_orderkey, t.cents, t.rnk
+    FROM customer c,
+    LATERAL (
+      SELECT o_orderkey,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+             row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey)
+               AS rnk
+      FROM orders WHERE o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+    ) t
+    WHERE c.c_custkey < 50
+    """,
+)
+def q_join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery: top-2 orders per customer for a
+    50-customer panel — certifies the LATERAL join surface (the
+    SQL-standard correlated table expression Spark supports since 3.2;
+    Catalyst decorrelates it to a ranked join rather than executing
+    per-row subqueries, which is exactly the rewrite you rely on at
+    100 TB: a naive per-customer loop would be 10^9 subqueries). The
+    deterministic (price DESC, orderkey) tie-break makes top-2 a total
+    function of the data. Contrast window_topk_per_group, which writes
+    the ranked-join form by hand — here the ENGINE must find it."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    orders.createOrReplaceTempView("lat_orders")
+    cust.createOrReplaceTempView("lat_customer")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.cents, t.rnk
+        FROM lat_customer c,
+        LATERAL (
+          SELECT o_orderkey,
+                 CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+                 row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey)
+                   AS rnk
+          FROM lat_orders WHERE o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+        ) t
+        WHERE c.c_custkey < 50
+        """
+    )

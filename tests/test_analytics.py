@@ -364,3 +364,42 @@ def test_jl_projection_preserves_distances_on_average(spark, sf_dir):
     for r in rows:
         assert r["proj_d2"] >= 0 and r["orig_d2"] > 0
         assert r["jl_ratio"] == r["proj_d2"] / (16.0 * r["orig_d2"])
+
+
+def test_lateral_topn_is_decorrelated_and_correct(spark, sf_dir):
+    """The LATERAL subquery must decorrelate (no per-row loop — a
+    single plan with a window or ranked join) and return each panel
+    customer's true top-2 orders."""
+    df = q.QUERIES["join_lateral_topn"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    rows = df.collect()
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .where("o_custkey < 50")
+        .selectExpr(
+            "o_custkey",
+            "o_orderkey",
+            "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents",
+        )
+        .collect()
+    )
+    per = {}
+    for o in orders:
+        per.setdefault(o["o_custkey"], []).append((-o["cents"], o["o_orderkey"]))
+    for ck, lst in per.items():
+        expect = sorted(lst)[:2]
+        got = sorted(
+            (-r["cents"], r["o_orderkey"]) for r in rows if r["c_custkey"] == ck
+        )
+        assert got == expect, ck
+    assert all(r["rnk"] in (1, 2) for r in rows)
+
+
+def test_price_volume_effects_bridge_to_delta(spark, sf_dir):
+    rows = q.QUERIES["orders_price_volume_decomposition"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["delta_cents"] == r["r1"] - r["r0"]
+        # the two effects bridge the revenue change up to IEEE rounding
+        assert abs((r["volume_effect"] + r["price_effect"]) - r["delta_cents"]) < 1e-3
