@@ -275,6 +275,11 @@ POST_PREFIX = [
     "orders_price_volume_decomposition",
     "scalar_bitwise_fns",
     "agg_boolean_fns",
+    # round-3 batch 15: bag-semantics set ops, null battery, ABC/XYZ
+    # segmentation (full oracles)
+    "set_ops_bag_semantics",
+    "scalar_null_fns",
+    "part_abc_xyz_classification",
 ]
 
 

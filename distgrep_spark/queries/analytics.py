@@ -1845,3 +1845,92 @@ def q_orders_price_volume_decomposition(spark: SparkSession, sf_dir: str) -> Dat
         " * (CAST(r1 AS DOUBLE) / CAST(q1 AS DOUBLE)"
         "    - CAST(r0 AS DOUBLE) / CAST(q0 AS DOUBLE)) AS price_effect",
     )
+
+
+@query(
+    "part_abc_xyz_classification",
+    oracle="""
+    WITH monthly AS (
+      SELECT l_partkey,
+             date_trunc('month', l_shipdate) AS m,
+             CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS q,
+             CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM lineitem GROUP BY 1, 2
+    ),
+    per_part AS (
+      SELECT l_partkey,
+             CAST(sum(cents) AS BIGINT) AS revenue_cents,
+             CAST(count(*) AS BIGINT)   AS n_months,
+             CAST(sum(q) AS BIGINT)     AS s1,
+             CAST(sum(q * q) AS BIGINT) AS s2
+      FROM monthly GROUP BY 1
+    ),
+    ranked AS (
+      SELECT *,
+             CAST(sum(revenue_cents) OVER (ORDER BY revenue_cents DESC, l_partkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_rev,
+             CAST(sum(revenue_cents) OVER () AS BIGINT) AS total_rev
+      FROM per_part
+    )
+    SELECT l_partkey, revenue_cents, n_months,
+           CASE WHEN cum_rev * 100 <= total_rev * 80 THEN 'A'
+                WHEN cum_rev * 100 <= total_rev * 95 THEN 'B'
+                ELSE 'C' END AS abc_class,
+           CASE WHEN 4 * n_months * s2 < 5 * s1 * s1 THEN 'X'
+                WHEN n_months * s2 < 2 * s1 * s1 THEN 'Y'
+                ELSE 'Z' END AS xyz_class
+    FROM ranked
+    """,
+)
+def q_part_abc_xyz_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC/XYZ inventory segmentation: parts classed by revenue
+    concentration (A = first 80% of cumulative revenue, B = next 15%,
+    C = tail) × demand variability (X/Y/Z via the coefficient of
+    variation of monthly shipped quantity). Every boundary is an exact
+    integer cross-multiplication — ``cum·100 ≤ total·80`` for ABC and
+    ``4·n·Σq² < 5·(Σq)²`` for cv² < 0.25 — so no class flips on a
+    float ulp (the knife-edge discipline behind every classification
+    query here). The cumulative-revenue window runs over the
+    part-level rollup (dimension-sized — 20k rows at sf0.1; at 100 TB
+    you'd range-partition the rollup by revenue bucket first and
+    prefix-sum bucket totals, the layout_compaction_bins pattern). One
+    partkey exchange for both rollups."""
+    li = load_table(spark, sf_dir, "lineitem")
+    monthly = (
+        li.selectExpr(
+            "l_partkey",
+            "date_trunc('month', l_shipdate) AS m",
+            "CAST(floor(l_quantity + 0.5) AS BIGINT) AS q",
+            "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents",
+        )
+        .groupBy("l_partkey", "m")
+        .agg(
+            F.expr("CAST(sum(q) AS BIGINT) AS q"),
+            F.expr("CAST(sum(cents) AS BIGINT) AS cents"),
+        )
+    )
+    per_part = monthly.groupBy("l_partkey").agg(
+        F.expr("CAST(sum(cents) AS BIGINT) AS revenue_cents"),
+        F.expr("CAST(count(*) AS BIGINT)   AS n_months"),
+        F.expr("CAST(sum(q) AS BIGINT)     AS s1"),
+        F.expr("CAST(sum(q * q) AS BIGINT) AS s2"),
+    )
+    ranked = per_part.selectExpr(
+        "*",
+        "CAST(sum(revenue_cents) OVER (ORDER BY revenue_cents DESC, l_partkey"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_rev",
+        "CAST(sum(revenue_cents) OVER () AS BIGINT) AS total_rev",
+    )
+    return ranked.selectExpr(
+        "l_partkey",
+        "revenue_cents",
+        "n_months",
+        "CASE WHEN cum_rev * 100 <= total_rev * 80 THEN 'A'"
+        " WHEN cum_rev * 100 <= total_rev * 95 THEN 'B'"
+        " ELSE 'C' END AS abc_class",
+        "CASE WHEN 4 * n_months * s2 < 5 * s1 * s1 THEN 'X'"
+        " WHEN n_months * s2 < 2 * s1 * s1 THEN 'Y'"
+        " ELSE 'Z' END AS xyz_class",
+    )

@@ -1007,3 +1007,79 @@ def q_join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE c.c_custkey < 50
         """
     )
+
+
+@query(
+    "set_ops_bag_semantics",
+    oracle="""
+    WITH a AS (SELECT l_partkey AS k FROM lineitem WHERE l_returnflag = 'R'),
+    b AS (SELECT l_partkey AS k FROM lineitem WHERE l_linestatus = 'F'),
+    i AS (SELECT k FROM a INTERSECT ALL SELECT k FROM b),
+    e AS (SELECT k FROM a EXCEPT ALL SELECT k FROM b)
+    SELECT 'intersect_all' AS op, k, CAST(count(*) AS BIGINT) AS multiplicity
+    FROM i GROUP BY k
+    UNION ALL
+    SELECT 'except_all' AS op, k, CAST(count(*) AS BIGINT) AS multiplicity
+    FROM e GROUP BY k
+    """,
+)
+def q_set_ops_bag_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL / EXCEPT ALL — bag (multiset) semantics, the SQL
+    surface the distinct-flavored set_union_intersect_except can't
+    certify: multiplicities are min(m_a, m_b) and max(m_a - m_b, 0)
+    per key, which matters whenever dedup must NOT happen (billing
+    reconciliation, event-stream diffs). Spark plans these as
+    count-annotated aggregates + a generator — no row explosion
+    beyond the answer. The result is rolled up per key so the driver
+    compares (op, key, multiplicity) scalars."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.where("l_returnflag = 'R'").selectExpr("l_partkey AS k")
+    b = li.where("l_linestatus = 'F'").selectExpr("l_partkey AS k")
+    i = (
+        a.intersectAll(b)
+        .groupBy("k")
+        .agg(F.expr("CAST(count(*) AS BIGINT) AS multiplicity"))
+        .selectExpr("'intersect_all' AS op", "k", "multiplicity")
+    )
+    e = (
+        a.exceptAll(b)
+        .groupBy("k")
+        .agg(F.expr("CAST(count(*) AS BIGINT) AS multiplicity"))
+        .selectExpr("'except_all' AS op", "k", "multiplicity")
+    )
+    return i.unionAll(e)
+
+
+@query(
+    "scalar_null_fns",
+    oracle="""
+    SELECT c_custkey,
+           nullif(c_mktsegment, 'BUILDING')                  AS seg_or_null,
+           coalesce(nullif(c_mktsegment, 'BUILDING'), 'N/A') AS seg_filled,
+           CAST(coalesce(nullif(c_nationkey, 0), -1) AS INT) AS nation_or_neg,
+           (c_acctbal IS NULL)                               AS bal_is_null,
+           CASE WHEN isnan(c_acctbal / nullif(c_nationkey, c_nationkey))
+                THEN NULL ELSE c_acctbal END IS NULL         AS nan_guard_null
+    FROM customer WHERE c_custkey < 200
+    """,
+)
+def q_scalar_null_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-handling scalar battery: nullif / coalesce chains, IS NULL
+    projection, and a NaN guard (nanvl family) — three-valued logic as
+    user-facing surface. ``c_acctbal / nullif(x, x)`` manufactures a
+    NULL divisor (never a zero divisor — ANSI mode throws on those, so
+    the NULL path is also the SAFE path and the idiom this engine's
+    try_arithmetic battery recommends). Map-side, pushdown-filtered;
+    every output is deterministic because no float arithmetic survives
+    to the comparison (the division's result is discarded through
+    IS NULL)."""
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.where("c_custkey < 200").selectExpr(
+        "c_custkey",
+        "nullif(c_mktsegment, 'BUILDING')                  AS seg_or_null",
+        "coalesce(nullif(c_mktsegment, 'BUILDING'), 'N/A') AS seg_filled",
+        "CAST(coalesce(nullif(c_nationkey, 0), -1) AS INT) AS nation_or_neg",
+        "(c_acctbal IS NULL)                               AS bal_is_null",
+        "CASE WHEN isnan(c_acctbal / nullif(c_nationkey, c_nationkey))"
+        " THEN NULL ELSE c_acctbal END IS NULL             AS nan_guard_null",
+    )

@@ -403,3 +403,41 @@ def test_price_volume_effects_bridge_to_delta(spark, sf_dir):
         assert r["delta_cents"] == r["r1"] - r["r0"]
         # the two effects bridge the revenue change up to IEEE rounding
         assert abs((r["volume_effect"] + r["price_effect"]) - r["delta_cents"]) < 1e-3
+
+
+def test_bag_semantics_multiplicities(spark, sf_dir):
+    """INTERSECT ALL keeps min(m_a, m_b) copies; EXCEPT ALL keeps
+    max(m_a - m_b, 0) — verified against direct multiset counts."""
+    from collections import Counter
+
+    rows = q.QUERIES["set_ops_bag_semantics"](spark, sf_dir).collect()
+    li = load_table(spark, sf_dir, "lineitem")
+    a = Counter(
+        r["k"] for r in li.where("l_returnflag = 'R'").selectExpr("l_partkey AS k").collect()
+    )
+    b = Counter(
+        r["k"] for r in li.where("l_linestatus = 'F'").selectExpr("l_partkey AS k").collect()
+    )
+    got_i = {r["k"]: r["multiplicity"] for r in rows if r["op"] == "intersect_all"}
+    got_e = {r["k"]: r["multiplicity"] for r in rows if r["op"] == "except_all"}
+    want_i = {k: min(a[k], b[k]) for k in a if k in b and min(a[k], b[k]) > 0}
+    want_e = {k: a[k] - b.get(k, 0) for k in a if a[k] - b.get(k, 0) > 0}
+    assert got_i == want_i
+    assert got_e == want_e
+
+
+def test_abc_xyz_class_boundaries(spark, sf_dir):
+    rows = q.QUERIES["part_abc_xyz_classification"](spark, sf_dir).collect()
+    assert rows
+    by_class = {}
+    total = sum(r["revenue_cents"] for r in rows)
+    for r in rows:
+        by_class.setdefault(r["abc_class"], []).append(r["revenue_cents"])
+        assert r["xyz_class"] in ("X", "Y", "Z")
+    assert set(by_class) <= {"A", "B", "C"} and "A" in by_class
+    # A-class revenue share is ~80% (within one part's revenue of it)
+    a_share = sum(by_class["A"]) / total
+    assert a_share <= 0.80 + max(by_class["A"]) / total
+    # every A part out-earns every C part
+    if "C" in by_class:
+        assert min(by_class["A"]) >= max(by_class["C"])
