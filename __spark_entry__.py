@@ -98,9 +98,11 @@ SCOREBOARD_PREFIX = [
     # UDTF / UDAF
     "udtf_split_sentences",
     "udaf_length_quantiles",
-    # merge / reshape
+    # merge / reshape (pivot demoted late round 3: reshape keeps
+    # merge_upsert; the slot goes to FLAGSHIP 3, the one-exchange
+    # behavioral pipeline)
     "merge_upsert_snapshot",
-    "pivot_status_totals",
+    "events_behavior_pipeline",
 ]
 
 
@@ -114,6 +116,7 @@ POST_PREFIX = [
     "agg_percentiles",
     "join_outer",
     "window_forward_fill",
+    "pivot_status_totals",
     "tpch_q17_small_quantity",
     "tpch_q21_waiting_suppliers",
     "tpch_q8_market_share",

@@ -1934,3 +1934,155 @@ def q_part_abc_xyz_classification(spark: SparkSession, sf_dir: str) -> DataFrame
         " WHEN n_months * s2 < 2 * s1 * s1 THEN 'Y'"
         " ELSE 'Z' END AS xyz_class",
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-3 flagship 3: end-to-end behavioral analytics pipeline
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_behavior_pipeline",
+    oracle="""
+    WITH base AS (
+      SELECT user_id, ts, event_id, event_type,
+             epoch_us(ts) // 1000000 AS sec,
+             epoch_us(ts) // 60000000 AS minute
+      FROM events
+    ),
+    bots AS (
+      SELECT user_id FROM (
+        SELECT user_id, minute, count(*) AS c FROM base GROUP BY 1, 2
+      ) GROUP BY user_id HAVING CAST(max(c) AS BIGINT) >= 3
+    ),
+    clean AS (
+      SELECT b.* FROM base b ANTI JOIN bots USING (user_id)
+    ),
+    flagged AS (
+      SELECT user_id, ts, event_id, event_type, sec,
+             CASE WHEN sec - lag(sec) OVER w > 1800 OR
+                       lag(sec) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+      FROM clean
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, event_type, sec,
+             CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS session_id
+      FROM flagged
+    ),
+    per_session AS (
+      SELECT user_id, session_id,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(max(sec) - min(sec) AS BIGINT) AS duration_sec,
+             CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS has_purchase,
+             CAST(max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS has_view,
+             CASE WHEN min(CASE WHEN event_type = 'view' THEN sec END)
+                       < max(CASE WHEN event_type = 'purchase' THEN sec END)
+                  THEN 1 ELSE 0 END AS view_then_purchase
+      FROM sess GROUP BY user_id, session_id
+    )
+    SELECT user_id % 2 AS cohort,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(n_events) AS BIGINT) AS n_events,
+           CAST(sum(n_events) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+             AS mean_session_events,
+           CAST(sum(duration_sec) AS BIGINT) AS total_duration_sec,
+           CAST(sum(has_purchase) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+             AS purchase_session_share,
+           CAST(sum(view_then_purchase) AS BIGINT) AS funnel_sessions
+    FROM per_session
+    GROUP BY user_id % 2
+    """,
+)
+def q_events_behavior_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAGSHIP composition 3 — the event-analytics pipeline end to
+    end, one DataFrame plan: behavioral bot exclusion (per-minute
+    burst ≥ 3, the events_bot_score_panel screen as an anti join) →
+    30-minute-gap sessionization (lag + running flag sum, the
+    sessionize_events kernel) → per-session facts (length, duration,
+    purchase/view flags, in-session view→purchase ordering) → cohort
+    report. Demonstrates the single-partitioning discipline at
+    pipeline scope: the bot rollup, both sessionization windows, and
+    the session rollup all key on user_id, so Catalyst runs the whole
+    pipeline on ONE user exchange (plan-asserted); the final 2-row
+    cohort aggregate is the only other shuffle. All counters exact
+    BIGINTs off tz-free integer seconds; shares are single IEEE
+    divisions. At 100 TB this is the nightly product-analytics job —
+    filter, sessionize, measure — and it rides the same per-entity
+    timeline partitioning as every other kernel here."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.selectExpr(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
+        " DIV 1000000 AS sec",
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
+        " DIV 60000000 AS minute",
+    )
+    bots = (
+        base.groupBy("user_id", "minute")
+        .agg(F.expr("count(*) AS c"))
+        .groupBy("user_id")
+        .agg(F.expr("CAST(max(c) AS BIGINT) AS mx"))
+        .where("mx >= 3")
+        .select("user_id")
+    )
+    clean = base.join(bots, "user_id", "left_anti")
+    flagged = clean.selectExpr(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        "sec",
+        "CASE WHEN sec - lag(sec) OVER (PARTITION BY user_id"
+        " ORDER BY ts, event_id) > 1800 OR"
+        " lag(sec) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL"
+        " THEN 1 ELSE 0 END AS new_s",
+    )
+    sess = flagged.selectExpr(
+        "user_id",
+        "event_type",
+        "sec",
+        "CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)"
+        " AS session_id",
+    )
+    per_session = sess.groupBy("user_id", "session_id").agg(
+        F.expr("CAST(count(*) AS BIGINT) AS n_events"),
+        F.expr("CAST(max(sec) - min(sec) AS BIGINT) AS duration_sec"),
+        F.expr(
+            "CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)"
+            " AS BIGINT) AS has_purchase"
+        ),
+        F.expr(
+            "CAST(max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)"
+            " AS BIGINT) AS has_view"
+        ),
+        F.expr(
+            "CASE WHEN min(CASE WHEN event_type = 'view' THEN sec END)"
+            " < max(CASE WHEN event_type = 'purchase' THEN sec END)"
+            " THEN 1 ELSE 0 END AS view_then_purchase"
+        ),
+    )
+    return per_session.groupBy(F.expr("user_id % 2").alias("cohort")).agg(
+        F.expr("CAST(count(DISTINCT user_id) AS BIGINT) AS n_users"),
+        F.expr("CAST(count(*) AS BIGINT) AS n_sessions"),
+        F.expr("CAST(sum(n_events) AS BIGINT) AS n_events"),
+        F.expr(
+            "CAST(sum(n_events) AS DOUBLE) / CAST(count(*) AS DOUBLE)"
+            " AS mean_session_events"
+        ),
+        F.expr("CAST(sum(duration_sec) AS BIGINT) AS total_duration_sec"),
+        F.expr(
+            "CAST(sum(has_purchase) AS DOUBLE) / CAST(count(*) AS DOUBLE)"
+            " AS purchase_session_share"
+        ),
+        F.expr("CAST(sum(view_then_purchase) AS BIGINT) AS funnel_sessions"),
+    )

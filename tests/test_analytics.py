@@ -441,3 +441,17 @@ def test_abc_xyz_class_boundaries(spark, sf_dir):
     # every A part out-earns every C part
     if "C" in by_class:
         assert min(by_class["A"]) >= max(by_class["C"])
+
+
+def test_behavior_pipeline_conservation(spark, sf_dir):
+    rows = {r["cohort"]: r for r in q.QUERIES["events_behavior_pipeline"](spark, sf_dir).collect()}
+    assert set(rows) == {0, 1}
+    ev = load_table(spark, sf_dir, "events")
+    n_events_total = ev.count()
+    kept = sum(r["n_events"] for r in rows.values())
+    assert kept <= n_events_total
+    for r in rows.values():
+        assert r["n_sessions"] >= r["n_users"] >= 1
+        assert 0.0 <= r["purchase_session_share"] <= 1.0
+        assert r["funnel_sessions"] <= r["n_sessions"]
+        assert r["mean_session_events"] == r["n_events"] / r["n_sessions"]

@@ -367,3 +367,18 @@ def test_funnel_pattern_single_user_exchange(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
     assert "CartesianProduct" not in plan
+
+
+def test_behavior_pipeline_single_user_exchange(spark):
+    """Bot rollup, both sessionization windows, and the session rollup
+    all key on user_id: the pipeline must run on ONE user-keyed hash
+    exchange plus the 2-row cohort aggregate's exchange."""
+    df = q.QUERIES["events_behavior_pipeline"](spark, SF_ORACLE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # user_id-keyed exchanges, the honest floor for a two-pass bot
+    # screen: (user_id, minute) burst rollup -> user_id bot rollup on
+    # the detector branch, plus ONE user_id exchange that serves both
+    # sessionization windows AND the session rollup on the clean
+    # branch. Anything >3 means a window or rollup re-shuffled.
+    assert plan.count("Exchange hashpartitioning(user_id") == 3
