@@ -283,6 +283,7 @@ POST_PREFIX = [
     "set_ops_bag_semantics",
     "scalar_null_fns",
     "part_abc_xyz_classification",
+    "udtf_table_arg_sessions",
 ]
 
 

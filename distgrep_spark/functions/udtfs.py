@@ -30,3 +30,43 @@ class SplitSentences:
         for i, part in enumerate(text.split(". ")):
             if part:
                 yield i, part
+
+
+@udtf(returnType="user_id bigint, n_sessions bigint, longest_run int")
+class UserSessionStats:
+    """Polymorphic-input UDTF consuming ``TABLE(...) PARTITION BY
+    user_id ORDER BY ts, event_id`` — the Spark 4 table-argument
+    surface: each partition's rows stream through ONE instance in
+    order, ``terminate()`` emits the per-user summary. Imperative
+    per-entity state (session counting at a 1800 s gap + longest
+    same-event-type run) that the engine also expresses declaratively
+    (sessionize_events, text_max_token_run) — here the point is the
+    API: partition-ordered streaming input into Python with end-of-
+    partition aggregation, the applyInPandasWithState shape for
+    batch. The SQL twin oracles the whole Arrow round trip."""
+
+    def __init__(self) -> None:
+        self.user = None
+        self.prev_sec = None
+        self.n_sessions = 0
+        self.prev_type = None
+        self.run = 0
+        self.longest = 0
+
+    def eval(self, row):  # noqa: D102 - contract fixed by Spark
+        self.user = row.user_id
+        sec = row.sec
+        if self.prev_sec is None or sec - self.prev_sec > 1800:
+            self.n_sessions += 1
+        self.prev_sec = sec
+        if row.event_type == self.prev_type:
+            self.run += 1
+        else:
+            self.run = 1
+            self.prev_type = row.event_type
+        if self.run > self.longest:
+            self.longest = self.run
+
+    def terminate(self):  # noqa: D102 - contract fixed by Spark
+        if self.user is not None:
+            yield self.user, self.n_sessions, self.longest

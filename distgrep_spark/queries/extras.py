@@ -1092,3 +1092,77 @@ def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ts").alias("session_end"),
         F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias("total_value"),
     )
+
+@query(
+    "udtf_table_arg_sessions",
+    oracle="""
+    WITH base AS (
+      SELECT user_id, ts, event_id, event_type,
+             epoch_us(ts) // 1000000 AS sec
+      FROM events
+    ),
+    w1 AS (
+      SELECT user_id, event_type,
+             CASE WHEN lag(sec) OVER w IS NULL OR sec - lag(sec) OVER w > 1800
+                  THEN 1 ELSE 0 END AS new_s,
+             CASE WHEN event_type = lag(event_type) OVER w
+                  THEN 0 ELSE 1 END AS new_run,
+             row_number() OVER w AS rn
+      FROM base
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    w2 AS (
+      SELECT user_id, new_s,
+             CAST(sum(new_run) OVER (PARTITION BY user_id ORDER BY rn
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS run_id
+      FROM w1
+    ),
+    runs AS (
+      SELECT user_id, run_id, CAST(count(*) AS INT) AS run_len
+      FROM w2 GROUP BY user_id, run_id
+    ),
+    sess AS (
+      SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions
+      FROM w2 GROUP BY user_id
+    )
+    SELECT s.user_id, s.n_sessions, CAST(max(r.run_len) AS INT) AS longest_run
+    FROM sess s JOIN runs r ON s.user_id = r.user_id
+    GROUP BY s.user_id, s.n_sessions
+    """,
+)
+def q_udtf_table_arg_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 polymorphic UDTF with a TABLE argument
+    (functions/udtfs.UserSessionStats): ``PARTITION BY user_id ORDER
+    BY ts, event_id`` streams each user's timeline through one Python
+    instance in order and ``terminate()`` emits the summary — the
+    SQL-standard table-function form of applyInPandasWithState, and
+    the API every imperative per-entity analyzer (custom sessionizers,
+    protocol parsers) plugs into. The declarative twin (two windows +
+    gaps-and-islands, same kernels as sessionize_events /
+    text_max_token_run) oracles the whole partition-ordered Arrow
+    round trip value-for-value. Scale note: the engine hash-partitions
+    input by user_id exactly as for a window — Python execution adds
+    serialization cost, not shuffle cost; keep it off paths an
+    expression can serve (CLAUDE.md UDF discipline)."""
+    from distgrep_spark.functions.udtfs import UserSessionStats
+
+    spark.udtf.register("user_session_stats", UserSessionStats)
+    ev = load_table(spark, sf_dir, "events")
+    ev.selectExpr(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
+        " DIV 1000000 AS sec",
+    ).createOrReplaceTempView("events_udtf_base")
+    return spark.sql(
+        """
+        SELECT user_id, n_sessions, longest_run
+        FROM user_session_stats(
+          TABLE(events_udtf_base)
+          PARTITION BY user_id ORDER BY (ts, event_id)
+        )
+        """
+    )
