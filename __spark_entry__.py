@@ -284,6 +284,10 @@ POST_PREFIX = [
     "scalar_null_fns",
     "part_abc_xyz_classification",
     "udtf_table_arg_sessions",
+    # round-3 batch 16: budget apportionment, modularity audit
+    # (full oracles)
+    "corpus_token_budget_allocation",
+    "graph_modularity_by_brand",
 ]
 
 

@@ -35,6 +35,8 @@ HEADLINE = [
     "corpus_curation_pipeline",
     "agg_countmin_gate",
     "embed_pca_power_step",
+    "events_behavior_pipeline",
+    "stats_ols_trend",
 ]
 
 

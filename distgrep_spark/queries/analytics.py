@@ -2086,3 +2086,187 @@ def q_events_behavior_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.expr("CAST(sum(view_then_purchase) AS BIGINT) AS funnel_sessions"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-3 batch 16: token-budget apportionment, modularity audit
+# ---------------------------------------------------------------------------
+
+_BUDGET_TOKENS = 1_000_000
+
+
+@query(
+    "corpus_token_budget_allocation",
+    oracle=f"""
+    WITH per_source AS (
+      SELECT source,
+             CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+               AS tokens
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT CAST(sum(tokens) AS BIGINT) AS total FROM per_source),
+    quota AS (
+      SELECT source, tokens, total,
+             tokens * {_BUDGET_TOKENS} // total AS floor_alloc,
+             tokens * {_BUDGET_TOKENS} % total  AS remainder
+      FROM per_source, tot
+    ),
+    ranked AS (
+      SELECT *,
+             row_number() OVER (ORDER BY remainder DESC, source) AS rem_rank,
+             CAST({_BUDGET_TOKENS} - sum(floor_alloc) OVER () AS BIGINT)
+               AS leftover
+      FROM quota
+    )
+    SELECT source, tokens, floor_alloc,
+           CAST(floor_alloc + CASE WHEN rem_rank <= leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS alloc_tokens
+    FROM ranked
+    """,
+)
+def q_corpus_token_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment of a 1M-token training
+    budget across corpus sources, proportional to their token counts —
+    the exact integer kernel behind every mixture-weighted sampling run
+    ('give domain X its fair share of the token budget, and make the
+    shares sum EXACTLY to the budget'). Floor quotas via integer
+    division, the shortfall goes +1 each to the largest remainders
+    (deterministic (remainder DESC, source) tie-break), so
+    Σalloc == budget identically — no float shares that sum to
+    0.9999... The window runs over the source table (a handful of
+    rows); the only fact-scale work is the token-count rollup, which is
+    map-side-combinable. Same family as mix_domain_weights but
+    integer-exact end-to-end — the form you actually ship to a sampler
+    at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_source = (
+        docs.selectExpr(
+            "source",
+            "size(split(trim(text), '\\\\s+')) AS n_tok",
+        )
+        .groupBy("source")
+        .agg(F.expr("CAST(sum(n_tok) AS BIGINT) AS tokens"))
+    )
+    tot = per_source.agg(F.expr("CAST(sum(tokens) AS BIGINT) AS total"))
+    quota = per_source.crossJoin(F.broadcast(tot)).selectExpr(
+        "source",
+        "tokens",
+        "total",
+        f"tokens * {_BUDGET_TOKENS} DIV total AS floor_alloc",
+        f"tokens * {_BUDGET_TOKENS} % total  AS remainder",
+    )
+    ranked = quota.selectExpr(
+        "*",
+        "row_number() OVER (ORDER BY remainder DESC, source) AS rem_rank",
+        f"CAST({_BUDGET_TOKENS} - sum(floor_alloc) OVER () AS BIGINT) AS leftover",
+    )
+    return ranked.selectExpr(
+        "source",
+        "tokens",
+        "floor_alloc",
+        "CAST(floor_alloc + CASE WHEN rem_rank <= leftover THEN 1 ELSE 0 END"
+        " AS BIGINT) AS alloc_tokens",
+    )
+
+
+@query(
+    "graph_modularity_by_brand",
+    oracle="""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    labeled AS (
+      SELECT e.u, e.v, pu.p_brand AS bu, pv.p_brand AS bv
+      FROM edges e
+        JOIN part pu ON e.u = pu.p_partkey
+        JOIN part pv ON e.v = pv.p_partkey
+    ),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM labeled),
+    deg AS (
+      SELECT brand, CAST(sum(d) AS BIGINT) AS d_c FROM (
+        SELECT bu AS brand, count(*) AS d FROM labeled GROUP BY bu
+        UNION ALL
+        SELECT bv, count(*) FROM labeled GROUP BY bv
+      ) GROUP BY brand
+    ),
+    intra AS (
+      SELECT bu AS brand, CAST(count(*) AS BIGINT) AS e_c
+      FROM labeled WHERE bu = bv GROUP BY bu
+    )
+    SELECT d.brand, coalesce(i.e_c, CAST(0 AS BIGINT)) AS intra_edges,
+           d.d_c AS degree_sum, m.n_edges,
+           CAST(coalesce(i.e_c, 0) AS DOUBLE) / CAST(m.n_edges AS DOUBLE)
+             - (CAST(d.d_c AS DOUBLE) / (2.0 * CAST(m.n_edges AS DOUBLE)))
+               * (CAST(d.d_c AS DOUBLE) / (2.0 * CAST(m.n_edges AS DOUBLE)))
+             AS modularity_term
+    FROM deg d LEFT JOIN intra i ON d.brand = i.brand, m
+    """,
+)
+def q_graph_modularity_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the brand partition over the co-purchase
+    graph: per community c, Q_c = e_c/m - (d_c/2m)² — the audit that
+    tells you whether an attribute (here p_brand) explains the graph's
+    edge structure (ΣQ_c near 0 ⇒ it doesn't; the metric every
+    community-detection run is judged by). Counts are exact BIGINTs off
+    the localCheckpointed edge list (triangle/k-core build); each term
+    is a fixed IEEE tree so the 25-row report is engine-identical. At
+    100 TB: edges dominate, and e_c/d_c are one map-side-combined
+    rollup each — modularity is CHEAPER than one label-propagation
+    step, which is why you audit before you iterate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = (
+        li.select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+    )
+    edges = (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, x ->"
+                    " transform(filter(ps, y -> y > x),"
+                    "           y -> struct(x AS u, y AS v))))"
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .where(F.col("w") >= 2)
+        .select("u", "v")
+        .localCheckpoint()
+    )
+    pu = part.selectExpr("p_partkey AS u", "p_brand AS bu")
+    pv = part.selectExpr("p_partkey AS v", "p_brand AS bv")
+    labeled = edges.join(F.broadcast(pu), "u").join(F.broadcast(pv), "v")
+    m = labeled.agg(F.expr("CAST(count(*) AS BIGINT) AS n_edges"))
+    deg = (
+        labeled.selectExpr("bu AS brand")
+        .unionAll(labeled.selectExpr("bv AS brand"))
+        .groupBy("brand")
+        .agg(F.expr("CAST(count(*) AS BIGINT) AS d_c"))
+    )
+    intra = (
+        labeled.where("bu = bv")
+        .groupBy(F.col("bu").alias("brand"))
+        .agg(F.expr("CAST(count(*) AS BIGINT) AS e_c"))
+    )
+    return (
+        deg.join(intra, "brand", "left")
+        .crossJoin(F.broadcast(m))
+        .selectExpr(
+            "brand",
+            "coalesce(e_c, 0L) AS intra_edges",
+            "d_c AS degree_sum",
+            "n_edges",
+            "CAST(coalesce(e_c, 0L) AS DOUBLE) / CAST(n_edges AS DOUBLE)"
+            " - (CAST(d_c AS DOUBLE) / (2.0 * CAST(n_edges AS DOUBLE)))"
+            "   * (CAST(d_c AS DOUBLE) / (2.0 * CAST(n_edges AS DOUBLE)))"
+            " AS modularity_term",
+        )
+    )

@@ -455,3 +455,26 @@ def test_behavior_pipeline_conservation(spark, sf_dir):
         assert 0.0 <= r["purchase_session_share"] <= 1.0
         assert r["funnel_sessions"] <= r["n_sessions"]
         assert r["mean_session_events"] == r["n_events"] / r["n_sessions"]
+
+
+def test_token_budget_sums_exactly(spark, sf_dir):
+    rows = q.QUERIES["corpus_token_budget_allocation"](spark, sf_dir).collect()
+    assert rows
+    assert sum(r["alloc_tokens"] for r in rows) == 1_000_000
+    total = sum(r["tokens"] for r in rows)
+    for r in rows:
+        # allocation within 1 of the exact proportional share
+        exact = r["tokens"] * 1_000_000 / total
+        assert abs(r["alloc_tokens"] - exact) < 1.0
+        assert r["alloc_tokens"] in (r["floor_alloc"], r["floor_alloc"] + 1)
+
+
+def test_modularity_terms_sum_in_range(spark, sf_dir):
+    rows = q.QUERIES["graph_modularity_by_brand"](spark, sf_dir).collect()
+    assert rows
+    m = rows[0]["n_edges"]
+    assert all(r["n_edges"] == m for r in rows)
+    assert sum(r["degree_sum"] for r in rows) == 2 * m, "handshake lemma"
+    assert sum(r["intra_edges"] for r in rows) <= m
+    q_mod = sum(r["modularity_term"] for r in rows)
+    assert -1.0 <= q_mod <= 1.0
