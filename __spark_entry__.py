@@ -288,6 +288,11 @@ POST_PREFIX = [
     # (full oracles)
     "corpus_token_budget_allocation",
     "graph_modularity_by_brand",
+    # round-3 batch 17: assortativity, padding planner, reconciliation
+    # (full oracles)
+    "graph_assortativity_degree",
+    "text_batch_padding_plan",
+    "dq_order_total_reconciliation",
 ]
 
 

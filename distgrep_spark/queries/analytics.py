@@ -2270,3 +2270,269 @@ def q_graph_modularity_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS modularity_term",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-3 batch 17: assortativity, padding-efficiency planner,
+# cross-table reconciliation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "graph_assortativity_degree",
+    oracle="""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS d
+      FROM (SELECT u AS node FROM edges UNION ALL SELECT v FROM edges)
+      GROUP BY node
+    ),
+    ends AS (
+      SELECT du.d AS x, dv.d AS y
+      FROM edges e JOIN deg du ON e.u = du.node JOIN deg dv ON e.v = dv.node
+      UNION ALL
+      SELECT dv.d, du.d
+      FROM edges e JOIN deg du ON e.u = du.node JOIN deg dv ON e.v = dv.node
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT)   AS n,
+             CAST(sum(x) AS BIGINT)     AS sx,
+             CAST(sum(y) AS BIGINT)     AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(y * y) AS BIGINT) AS syy
+      FROM ends
+    )
+    SELECT n AS n_edge_ends,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS assortativity
+    FROM s
+    """,
+)
+def q_graph_assortativity_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the co-purchase graph — Pearson
+    correlation of endpoint degrees over (symmetrized) edges, the
+    Newman metric that separates hub-attracts-hub networks (r>0,
+    social) from hub-and-spoke ones (r<0, technological): it predicts
+    how the graph will shatter under the k-core peel and how skewed
+    the join on it will be. Machinery is the stats_ols_trend /
+    autocorr sufficient-statistics kernel: exact BIGINT moments over
+    the edge-end pairs (degrees ~1e2, products far inside BIGINT),
+    one correctly-rounded IEEE sqrt tree. The edge list is the same
+    localCheckpointed build as triangles/k-core/modularity — at 100 TB
+    this whole graph-audit family shares one materialized edge
+    artifact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = (
+        li.select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+    )
+    edges = (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, x ->"
+                    " transform(filter(ps, y -> y > x),"
+                    "           y -> struct(x AS u, y AS v))))"
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .where(F.col("w") >= 2)
+        .select("u", "v")
+        .localCheckpoint()
+    )
+    deg = (
+        edges.selectExpr("u AS node")
+        .unionAll(edges.selectExpr("v AS node"))
+        .groupBy("node")
+        .agg(F.expr("CAST(count(*) AS BIGINT) AS d"))
+    )
+    du = deg.selectExpr("node AS u", "d AS du")
+    dv = deg.selectExpr("node AS v", "d AS dv")
+    both = edges.join(du, "u").join(dv, "v")
+    ends = both.selectExpr("du AS x", "dv AS y").unionAll(
+        both.selectExpr("dv AS x", "du AS y")
+    )
+    s = ends.agg(
+        F.expr("CAST(count(*) AS BIGINT)   AS n"),
+        F.expr("CAST(sum(x) AS BIGINT)     AS sx"),
+        F.expr("CAST(sum(y) AS BIGINT)     AS sy"),
+        F.expr("CAST(sum(x * x) AS BIGINT) AS sxx"),
+        F.expr("CAST(sum(x * y) AS BIGINT) AS sxy"),
+        F.expr("CAST(sum(y * y) AS BIGINT) AS syy"),
+    )
+    return s.selectExpr(
+        "n AS n_edge_ends",
+        "CAST(n * sxy - sx * sy AS DOUBLE)"
+        " / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))"
+        "    * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS assortativity",
+    )
+
+
+@query(
+    "text_batch_padding_plan",
+    oracle="""
+    WITH lens AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+               AS n_tok
+      FROM documents
+    ),
+    bucketed AS (
+      SELECT doc_id, n_tok, n_tok // 64 AS len_bucket,
+             CAST(row_number() OVER (PARTITION BY n_tok // 64
+                    ORDER BY n_tok, doc_id) - 1 AS BIGINT) // 8 AS batch_id
+      FROM lens
+    ),
+    batches AS (
+      SELECT len_bucket, batch_id,
+             CAST(count(*) AS BIGINT)   AS batch_size,
+             CAST(max(n_tok) AS BIGINT) AS batch_maxlen,
+             CAST(sum(n_tok) AS BIGINT) AS batch_tokens
+      FROM bucketed GROUP BY len_bucket, batch_id
+    )
+    SELECT len_bucket,
+           CAST(count(*) AS BIGINT) AS n_batches,
+           CAST(sum(batch_size) AS BIGINT) AS n_docs,
+           CAST(sum(batch_tokens) AS BIGINT) AS real_tokens,
+           CAST(sum(batch_size * batch_maxlen - batch_tokens) AS BIGINT)
+             AS padding_tokens,
+           CAST(sum(batch_size * batch_maxlen - batch_tokens) AS DOUBLE)
+             / CAST(sum(batch_size * batch_maxlen) AS DOUBLE)
+             AS padding_waste_share
+    FROM batches GROUP BY len_bucket
+    """,
+)
+def q_text_batch_padding_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batch-padding planner: group documents into
+    64-token length buckets, cut deterministic batches of 8 inside
+    each (row_number on (n_tok, doc_id) — total order), and report the
+    padding waste ``Σ(batch_size·max_len - Σlen)`` per bucket — the
+    dynamic-batching efficiency audit every training loader runs
+    (padding share ≈ GPU cycles burned on pad tokens; bucketing is THE
+    fix, and this query quantifies what it buys). All integer token
+    counts; the per-bucket window partitions by len_bucket so the sort
+    is distributed. Companion to pack_token_budget (greedy packing) —
+    this is the fixed-batch-size variant with the waste metric."""
+    docs = load_table(spark, sf_dir, "documents")
+    lens = docs.selectExpr(
+        "doc_id", "CAST(size(split(trim(text), '\\\\s+')) AS BIGINT) AS n_tok"
+    )
+    bucketed = lens.selectExpr(
+        "doc_id",
+        "n_tok",
+        "n_tok DIV 64 AS len_bucket",
+        "CAST(row_number() OVER (PARTITION BY n_tok DIV 64"
+        " ORDER BY n_tok, doc_id) - 1 AS BIGINT) DIV 8 AS batch_id",
+    )
+    batches = bucketed.groupBy("len_bucket", "batch_id").agg(
+        F.expr("CAST(count(*) AS BIGINT)   AS batch_size"),
+        F.expr("CAST(max(n_tok) AS BIGINT) AS batch_maxlen"),
+        F.expr("CAST(sum(n_tok) AS BIGINT) AS batch_tokens"),
+    )
+    return batches.groupBy("len_bucket").agg(
+        F.expr("CAST(count(*) AS BIGINT) AS n_batches"),
+        F.expr("CAST(sum(batch_size) AS BIGINT) AS n_docs"),
+        F.expr("CAST(sum(batch_tokens) AS BIGINT) AS real_tokens"),
+        F.expr(
+            "CAST(sum(batch_size * batch_maxlen - batch_tokens) AS BIGINT)"
+            " AS padding_tokens"
+        ),
+        F.expr(
+            "CAST(sum(batch_size * batch_maxlen - batch_tokens) AS DOUBLE)"
+            " / CAST(sum(batch_size * batch_maxlen) AS DOUBLE)"
+            " AS padding_waste_share"
+        ),
+    )
+
+
+@query(
+    "dq_order_total_reconciliation",
+    oracle="""
+    WITH li AS (
+      SELECT l_orderkey,
+             CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS line_cents
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    j AS (
+      SELECT o.o_orderkey,
+             CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS header_cents,
+             coalesce(li.line_cents, CAST(0 AS BIGINT)) AS line_cents,
+             li.l_orderkey IS NULL AS headerless
+      FROM orders o LEFT JOIN li ON o.o_orderkey = li.l_orderkey
+    ),
+    classed AS (
+      SELECT *,
+             CASE WHEN headerless THEN 'no_lines'
+                  WHEN header_cents = line_cents THEN 'exact'
+                  WHEN abs(header_cents - line_cents) * 100
+                       <= 5 * greatest(header_cents, line_cents) THEN 'near_5pct'
+                  ELSE 'mismatch' END AS recon_class
+      FROM j
+    )
+    SELECT recon_class,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(abs(header_cents - line_cents)) AS BIGINT)
+             AS total_abs_gap_cents,
+           CAST(max(abs(header_cents - line_cents)) AS BIGINT)
+             AS worst_gap_cents
+    FROM classed GROUP BY recon_class
+    """,
+)
+def q_dq_order_total_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table reconciliation: order-header totals against the sum
+    of their line items — the header-vs-detail consistency report every
+    finance/warehouse pipeline runs after load (the complement of
+    dq_constraint_checks' within-table rules and
+    snapshot_diff_classify's across-time diff). Exact integer cents on
+    both sides, tolerance classes via cross-multiplied integers (|Δ|·100
+    ≤ 5·max — never a float ratio on the class boundary), left join so
+    line-less orders surface as their own class instead of vanishing.
+    One orderkey rollup + one join that at 100 TB co-partitions on the
+    key both tables are naturally bucketed by."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .selectExpr(
+            "l_orderkey", "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS c"
+        )
+        .groupBy("l_orderkey")
+        .agg(F.expr("CAST(sum(c) AS BIGINT) AS line_cents"))
+    )
+    j = orders.join(li, orders.o_orderkey == li.l_orderkey, "left").selectExpr(
+        "o_orderkey",
+        "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS header_cents",
+        "coalesce(line_cents, 0L) AS line_cents",
+        "l_orderkey IS NULL AS headerless",
+    )
+    classed = j.selectExpr(
+        "*",
+        "CASE WHEN headerless THEN 'no_lines'"
+        " WHEN header_cents = line_cents THEN 'exact'"
+        " WHEN abs(header_cents - line_cents) * 100"
+        "      <= 5 * greatest(header_cents, line_cents) THEN 'near_5pct'"
+        " ELSE 'mismatch' END AS recon_class",
+    )
+    return classed.groupBy("recon_class").agg(
+        F.expr("CAST(count(*) AS BIGINT) AS n_orders"),
+        F.expr(
+            "CAST(sum(abs(header_cents - line_cents)) AS BIGINT)"
+            " AS total_abs_gap_cents"
+        ),
+        F.expr(
+            "CAST(max(abs(header_cents - line_cents)) AS BIGINT)"
+            " AS worst_gap_cents"
+        ),
+    )

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import re
 
+import pytest
 from pyspark.sql import functions as F
 
 import distgrep_spark.queries as q
@@ -478,3 +479,33 @@ def test_modularity_terms_sum_in_range(spark, sf_dir):
     assert sum(r["intra_edges"] for r in rows) <= m
     q_mod = sum(r["modularity_term"] for r in rows)
     assert -1.0 <= q_mod <= 1.0
+
+
+def test_assortativity_in_range_and_symmetric(spark, sf_dir):
+    (r,) = q.QUERIES["graph_assortativity_degree"](spark, sf_dir).collect()
+    assert r["n_edge_ends"] % 2 == 0, "symmetrized edge ends come in pairs"
+    assert -1.0 <= r["assortativity"] <= 1.0
+
+
+def test_batch_padding_plan_accounting(spark, sf_dir):
+    rows = q.QUERIES["text_batch_padding_plan"](spark, sf_dir).collect()
+    assert rows
+    docs = load_table(spark, sf_dir, "documents")
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+    for r in rows:
+        assert r["padding_tokens"] >= 0
+        assert 0.0 <= r["padding_waste_share"] < 1.0
+        assert r["n_batches"] >= (r["n_docs"] + 7) // 8
+        assert r["padding_tokens"] == pytest.approx(
+            r["padding_waste_share"] * (r["real_tokens"] + r["padding_tokens"])
+        )
+
+
+def test_order_reconciliation_covers_all_orders(spark, sf_dir):
+    rows = {r["recon_class"]: r for r in q.QUERIES["dq_order_total_reconciliation"](spark, sf_dir).collect()}
+    n_orders = load_table(spark, sf_dir, "orders").count()
+    assert sum(r["n_orders"] for r in rows.values()) == n_orders
+    for r in rows.values():
+        assert r["worst_gap_cents"] <= r["total_abs_gap_cents"]
+    if "exact" in rows:
+        assert rows["exact"]["total_abs_gap_cents"] == 0
