@@ -293,6 +293,12 @@ POST_PREFIX = [
     "graph_assortativity_degree",
     "text_batch_padding_plan",
     "dq_order_total_reconciliation",
+    # round-3 batch 18: Gini, churn labels, feature-norm stats,
+    # aspect buckets (full oracles)
+    "orders_gini_spend",
+    "orders_churn_labels",
+    "embed_feature_norm_stats",
+    "multimodal_aspect_buckets",
 ]
 
 

@@ -2536,3 +2536,254 @@ def q_dq_order_total_reconciliation(spark: SparkSession, sf_dir: str) -> DataFra
             " AS worst_gap_cents"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-3 batch 18: Gini, churn labels, feature-norm stats, aspect buckets
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_gini_spend",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT cents,
+             CAST(row_number() OVER (ORDER BY cents, o_custkey) AS BIGINT) AS rnk
+      FROM spend
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS total,
+             CAST(sum(rnk * cents) AS BIGINT) AS weighted
+      FROM ranked
+    )
+    SELECT n AS n_customers, total AS total_cents,
+           (2.0 * CAST(weighted AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(total AS DOUBLE))
+             - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE) AS gini
+    FROM s
+    """,
+)
+def q_orders_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer spend — the scalar inequality
+    complement to events_pareto_concentration's decile curve, via the
+    rank formula G = 2·Σ(i·x_(i))/(n·Σx) - (n+1)/n. Rank and both sums
+    are exact BIGINTs (rnk·cents peaks ~3e16 at sf0.1 — 250x BIGINT
+    headroom); the G expression is one fixed IEEE tree. The ranking
+    window runs over the customer ROLLUP (dimension-sized), with a
+    deterministic (cents, custkey) total order so tied spends don't
+    make G layout-dependent. At 100 TB: rollup map-side, then a
+    range-partitioned sort of customer-count rows — never order
+    rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    spend = (
+        orders.selectExpr(
+            "o_custkey", "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c"
+        )
+        .groupBy("o_custkey")
+        .agg(F.expr("CAST(sum(c) AS BIGINT) AS cents"))
+    )
+    ranked = spend.selectExpr(
+        "cents",
+        "CAST(row_number() OVER (ORDER BY cents, o_custkey) AS BIGINT) AS rnk",
+    )
+    s = ranked.agg(
+        F.expr("CAST(count(*) AS BIGINT) AS n"),
+        F.expr("CAST(sum(cents) AS BIGINT) AS total"),
+        F.expr("CAST(sum(rnk * cents) AS BIGINT) AS weighted"),
+    )
+    return s.selectExpr(
+        "n AS n_customers",
+        "total AS total_cents",
+        "(2.0 * CAST(weighted AS DOUBLE))"
+        " / (CAST(n AS DOUBLE) * CAST(total AS DOUBLE))"
+        " - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE) AS gini",
+    )
+
+
+@query(
+    "orders_churn_labels",
+    oracle="""
+    WITH pre AS (
+      SELECT o_custkey,
+             CAST(count(*) AS BIGINT) AS frequency,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS monetary_cents,
+             CAST(DATE '2000-01-01' - max(CAST(o_orderdate AS DATE)) AS BIGINT)
+               AS recency_days
+      FROM orders WHERE CAST(o_orderdate AS DATE) < DATE '2000-01-01'
+      GROUP BY o_custkey
+    ),
+    post AS (
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE CAST(o_orderdate AS DATE) >= DATE '2000-01-01'
+        AND CAST(o_orderdate AS DATE) <  DATE '2001-01-01'
+    )
+    SELECT pre.o_custkey, pre.recency_days, pre.frequency, pre.monetary_cents,
+           post.o_custkey IS NULL AS churned
+    FROM pre LEFT JOIN post ON pre.o_custkey = post.o_custkey
+    """,
+)
+def q_orders_churn_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supervised-label construction for churn modeling: features are
+    computed STRICTLY before the 2000-01-01 cutoff (RFM as of that
+    date — the leak-free discipline that makes or breaks a label
+    build), the label is 'no order in the following 12 months' via a
+    left anti-style join to the post-window customer set. Exact
+    integer features (days/counts/cents); one custkey rollup and one
+    co-keyed join. This is the training-set builder every churn/LTV
+    model starts from, and the SQL-oracled version doubles as the
+    leakage audit: any feature touching post-cutoff data would break
+    the hash."""
+    orders = load_table(spark, sf_dir, "orders")
+    pre = (
+        orders.where("CAST(o_orderdate AS DATE) < DATE '2000-01-01'")
+        .selectExpr(
+            "o_custkey",
+            "CAST(o_orderdate AS DATE) AS d",
+            "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents",
+        )
+        .groupBy("o_custkey")
+        .agg(
+            F.expr("CAST(count(*) AS BIGINT) AS frequency"),
+            F.expr("CAST(sum(cents) AS BIGINT) AS monetary_cents"),
+            F.expr(
+                "CAST(datediff(DATE '2000-01-01', max(d)) AS BIGINT)"
+                " AS recency_days"
+            ),
+        )
+    )
+    post = (
+        orders.where(
+            "CAST(o_orderdate AS DATE) >= DATE '2000-01-01'"
+            " AND CAST(o_orderdate AS DATE) < DATE '2001-01-01'"
+        )
+        .select("o_custkey")
+        .distinct()
+        .withColumnRenamed("o_custkey", "post_key")
+    )
+    return pre.join(post, pre.o_custkey == post.post_key, "left").selectExpr(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        "post_key IS NULL AS churned",
+    )
+
+
+@query(
+    "embed_feature_norm_stats",
+    oracle="""
+    SELECT i - 1 AS dim,
+           CAST(count(*) AS BIGINT) AS n,
+           list_aggregate(list_sort(list(embedding[i]::DOUBLE)), 'sum')
+             / count(*) AS mean_val,
+           list_aggregate(list_sort(list(embedding[i]::DOUBLE
+                                         * embedding[i]::DOUBLE)), 'sum')
+             / count(*)
+             - (list_aggregate(list_sort(list(embedding[i]::DOUBLE)), 'sum')
+                / count(*))
+               * (list_aggregate(list_sort(list(embedding[i]::DOUBLE)), 'sum')
+                  / count(*)) AS var_val,
+           min(embedding[i]::DOUBLE) AS min_val,
+           max(embedding[i]::DOUBLE) AS max_val
+    FROM embeddings, LATERAL unnest(generate_series(1, len(embedding))) AS u(i)
+    GROUP BY i - 1
+    """,
+)
+def q_embed_feature_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension normalization statistics (mean/var/min/max) — the
+    StandardScaler/whitening FIT step every embedding pipeline runs
+    before indexing. Means and second moments are sequential folds over
+    SORTED values (the embed_centroids_by_label discipline: double
+    addition isn't associative, so canonical ascending order makes both
+    engines execute the identical IEEE sequence; the checker's
+    1e-9-relative NEAR tolerance absorbs the last ulp); min/max are
+    order-free. 64 output rows; at 100 TB the sorted fold becomes the
+    two-pass exact form (sum then compensated residual) or the decimal
+    trick — the per-dim rollup shape is unchanged."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    per_dim = emb.select(
+        F.posexplode(F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")).alias(
+            "dim", "v"
+        )
+    )
+    v_sorted = "aggregate(sort_array(collect_list(v)), 0.0D, (a, x) -> a + x)"
+    v2_sorted = "aggregate(sort_array(collect_list(v * v)), 0.0D, (a, x) -> a + x)"
+    return per_dim.groupBy("dim").agg(
+        F.expr("CAST(count(*) AS BIGINT) AS n"),
+        F.expr(f"{v_sorted} / count(*) AS mean_val"),
+        F.expr(
+            f"{v2_sorted} / count(*)"
+            f" - ({v_sorted} / count(*)) * ({v_sorted} / count(*)) AS var_val"
+        ),
+        F.expr("min(v) AS min_val"),
+        F.expr("max(v) AS max_val"),
+    )
+
+
+# Aspect ladder (p, q) = width:height; scores compare |w·q - h·p|
+# normalized by L/q with L = lcm of the q's (exact integers).
+_ASPECT_LADDER = [("square_1_1", 1, 1), ("land_4_3", 4, 3), ("port_3_4", 3, 4),
+                  ("land_16_9", 16, 9), ("port_9_16", 9, 16)]
+_ASPECT_L = 144  # lcm(1, 3, 4, 9, 16)
+
+
+def _aspect_case() -> str:
+    scores = [
+        f"abs(width * {q} - height * {p}) * {_ASPECT_L // q} * 8 + {i}"
+        for i, (_, p, q) in enumerate(_ASPECT_LADDER)
+    ]
+    least = "least(" + ", ".join(scores) + ")"
+    names = " ".join(
+        f"WHEN {i} THEN '{name}'" for i, (name, _, _) in enumerate(_ASPECT_LADDER)
+    )
+    return f"CASE {least} % 8 {names} END"
+
+
+@query(
+    "multimodal_aspect_buckets",
+    oracle=f"""
+    WITH meta AS (
+      SELECT doc_id,
+             CAST(doc_id % 640 + 64 AS INT) AS width,
+             CAST(doc_id % 480 + 48 AS INT) AS height
+      FROM documents
+    )
+    SELECT {_aspect_case()} AS bucket,
+           CAST(count(*) AS BIGINT) AS n_images,
+           CAST(min(width * 1000 // height) AS BIGINT) AS min_aspect_milli,
+           CAST(max(width * 1000 // height) AS BIGINT) AS max_aspect_milli
+    FROM meta GROUP BY 1
+    """,
+)
+def q_multimodal_aspect_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-ratio bucketing for image batching (the SDXL-style
+    trick: batches must share a shape, so snap each image to the
+    nearest of a fixed aspect ladder instead of square-cropping
+    everything). Nearest-aspect is an exact integer argmin:
+    |w/h - p/q| ∝ |w·q - h·p|·(L/q) with L = lcm of ladder
+    denominators, and the ``·8 + i`` encoding folds the deterministic
+    tie-break into one ``least()`` (the embed_pq_assign discipline —
+    float aspect math would flip buckets on a ulp). Metadata-speed:
+    uses the same deterministic fake (width, height) attach as
+    multimodal_metadata (operators/multimodal.attach_fake_payload —
+    a real pipeline reads actual headers), no decode, map-side
+    except the ~5-row rollup."""
+    from distgrep_spark.operators.multimodal import attach_fake_payload
+
+    docs = load_table(spark, sf_dir, "documents")
+    meta = attach_fake_payload(docs).selectExpr(
+        "doc_id", "media_meta.width AS width", "media_meta.height AS height"
+    )
+    return meta.groupBy(F.expr(_aspect_case()).alias("bucket")).agg(
+        F.expr("CAST(count(*) AS BIGINT) AS n_images"),
+        F.expr("CAST(min(width * 1000 DIV height) AS BIGINT) AS min_aspect_milli"),
+        F.expr("CAST(max(width * 1000 DIV height) AS BIGINT) AS max_aspect_milli"),
+    )

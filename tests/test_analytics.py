@@ -509,3 +509,75 @@ def test_order_reconciliation_covers_all_orders(spark, sf_dir):
         assert r["worst_gap_cents"] <= r["total_abs_gap_cents"]
     if "exact" in rows:
         assert rows["exact"]["total_abs_gap_cents"] == 0
+
+
+def test_gini_matches_dense_python(spark, sf_dir):
+    (r,) = q.QUERIES["orders_gini_spend"](spark, sf_dir).collect()
+    spend = sorted(
+        x["cents"]
+        for x in load_table(spark, sf_dir, "orders")
+        .selectExpr("o_custkey", "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents")
+        .groupBy("o_custkey")
+        .agg(F.expr("CAST(sum(cents) AS BIGINT) AS cents"))
+        .collect()
+    )
+    n, total = len(spend), sum(spend)
+    gini = 2.0 * sum((i + 1) * x for i, x in enumerate(spend)) / (n * total) - (n + 1.0) / n
+    assert abs(r["gini"] - gini) < 1e-12
+    assert 0.0 <= r["gini"] < 1.0
+
+
+def test_churn_labels_are_leak_free(spark, sf_dir):
+    rows = q.QUERIES["orders_churn_labels"](spark, sf_dir).collect()
+    assert rows
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .selectExpr("o_custkey", "CAST(o_orderdate AS DATE) AS d")
+        .collect()
+    )
+    from collections import defaultdict
+
+    pre, post = defaultdict(int), set()
+    import datetime
+
+    cutoff = datetime.date(2000, 1, 1)
+    end = datetime.date(2001, 1, 1)
+    for o in orders:
+        if o["d"] < cutoff:
+            pre[o["o_custkey"]] += 1
+        elif o["d"] < end:
+            post.add(o["o_custkey"])
+    got = {r["o_custkey"]: r for r in rows}
+    assert set(got) == set(pre), "exactly the pre-cutoff customers get rows"
+    for ck, r in got.items():
+        assert r["frequency"] == pre[ck]
+        assert r["churned"] == (ck not in post)
+        assert r["recency_days"] > 0
+
+
+def test_feature_norm_stats_match_numpy(spark, sf_dir):
+    import numpy as np
+
+    rows = {r["dim"]: r for r in q.QUERIES["embed_feature_norm_stats"](spark, sf_dir).collect()}
+    vecs = np.array(
+        [r["embedding"] for r in load_table(spark, sf_dir, "embeddings").collect()],
+        dtype=np.float64,
+    )
+    assert set(rows) == set(range(vecs.shape[1]))
+    for d in range(vecs.shape[1]):
+        col = vecs[:, d]
+        r = rows[d]
+        assert r["n"] == len(col)
+        assert abs(r["mean_val"] - col.mean()) < 1e-9
+        assert abs(r["var_val"] - col.var()) < 1e-9
+        assert r["min_val"] == col.min() and r["max_val"] == col.max()
+
+
+def test_aspect_buckets_cover_all_images(spark, sf_dir):
+    rows = q.QUERIES["multimodal_aspect_buckets"](spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(r["n_images"] for r in rows) == n_docs
+    ladder = {"square_1_1", "land_4_3", "port_3_4", "land_16_9", "port_9_16"}
+    assert {r["bucket"] for r in rows} <= ladder
+    for r in rows:
+        assert r["min_aspect_milli"] <= r["max_aspect_milli"]
