@@ -299,6 +299,10 @@ POST_PREFIX = [
     "orders_churn_labels",
     "embed_feature_norm_stats",
     "multimodal_aspect_buckets",
+    # round-3 batch 19: HHI concentration, Mahalanobis screen
+    # (full oracles)
+    "supplier_concentration_hhi",
+    "embed_mahalanobis_screen",
 ]
 
 

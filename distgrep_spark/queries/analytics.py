@@ -2787,3 +2787,161 @@ def q_multimodal_aspect_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(min(width * 1000 DIV height) AS BIGINT) AS min_aspect_milli"),
         F.expr("CAST(max(width * 1000 DIV height) AS BIGINT) AS max_aspect_milli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-3 batch 19: market-concentration HHI, Mahalanobis outlier screen
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "supplier_concentration_hhi",
+    oracle="""
+    WITH s AS (
+      SELECT n_name,
+             l_suppkey,
+             CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+      GROUP BY n_name, l_suppkey
+    ),
+    m AS (
+      SELECT n_name,
+             CAST(count(*) AS BIGINT) AS n_suppliers,
+             CAST(sum(cents) AS BIGINT) AS market_cents,
+             CAST(sum(CAST(cents AS HUGEINT) * cents) AS DOUBLE) AS sumsq,
+             CAST(max(cents) AS BIGINT) AS top_cents
+      FROM s GROUP BY n_name
+    )
+    SELECT n_name, n_suppliers, market_cents,
+           sumsq / (CAST(market_cents AS DOUBLE) * CAST(market_cents AS DOUBLE))
+             AS hhi,
+           CAST(top_cents AS DOUBLE) / CAST(market_cents AS DOUBLE)
+             AS top_share
+    FROM m
+    """,
+)
+def q_supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration of supplier revenue within
+    each nation — HHI = Σ share² (1/n = perfect competition, 1 =
+    monopoly), the antitrust-standard concentration scalar and the
+    supply-chain-risk complement to orders_gini_spend's inequality
+    curve. Squares of per-supplier cents exceed BIGINT (~3.6e21 at
+    sf0.1), so the sum of squares runs in DECIMAL(38,0)/HUGEINT (the
+    stats_ols_trend widening discipline) with ONE cast to DOUBLE;
+    shares are never materialized per supplier — the identity
+    Σ(s/S)² = (Σs²)/S² keeps the whole metric two exact aggregates
+    and one IEEE division. Dimension joins broadcast; one
+    (nation, supplier) rollup then a 25-row nation rollup."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    s = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .selectExpr(
+            "n_name",
+            "l_suppkey",
+            "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS c",
+        )
+        .groupBy("n_name", "l_suppkey")
+        .agg(F.expr("CAST(sum(c) AS BIGINT) AS cents"))
+    )
+    m = s.groupBy("n_name").agg(
+        F.expr("CAST(count(*) AS BIGINT) AS n_suppliers"),
+        F.expr("CAST(sum(cents) AS BIGINT) AS market_cents"),
+        F.expr("CAST(sum(CAST(cents AS DECIMAL(38,0)) * cents) AS DOUBLE) AS sumsq"),
+        F.expr("CAST(max(cents) AS BIGINT) AS top_cents"),
+    )
+    return m.selectExpr(
+        "n_name",
+        "n_suppliers",
+        "market_cents",
+        "sumsq / (CAST(market_cents AS DOUBLE) * CAST(market_cents AS DOUBLE))"
+        " AS hhi",
+        "CAST(top_cents AS DOUBLE) / CAST(market_cents AS DOUBLE) AS top_share",
+    )
+
+
+@query(
+    "embed_mahalanobis_screen",
+    oracle="""
+    WITH stats AS (
+      SELECT i AS dim1,
+             list_aggregate(list_sort(list(embedding[i]::DOUBLE)), 'sum')
+               / count(*) AS mu,
+             list_aggregate(list_sort(list(embedding[i]::DOUBLE
+                                           * embedding[i]::DOUBLE)), 'sum')
+               / count(*)
+               - (list_aggregate(list_sort(list(embedding[i]::DOUBLE)), 'sum')
+                  / count(*))
+                 * (list_aggregate(list_sort(list(embedding[i]::DOUBLE)), 'sum')
+                    / count(*)) AS var
+      FROM embeddings, LATERAL unnest(generate_series(1, len(embedding))) AS u(i)
+      GROUP BY i
+    ),
+    terms AS (
+      SELECT e.vec_id,
+             (e.embedding[s.dim1]::DOUBLE - s.mu)
+               * (e.embedding[s.dim1]::DOUBLE - s.mu) / s.var AS t,
+             s.dim1
+      FROM embeddings e, stats s
+    ),
+    folded AS (
+      SELECT vec_id,
+             list_aggregate(list_transform(list_sort(list({'d': dim1, 't': t})),
+                                           r -> r.t), 'sum') AS d2
+      FROM terms GROUP BY vec_id
+    )
+    SELECT vec_id, d2 AS mahalanobis_sq FROM folded
+    """,
+)
+def q_embed_mahalanobis_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diagonal-covariance Mahalanobis distance² per embedding — the
+    multivariate outlier screen that consumes
+    embed_feature_norm_stats' fit (per-dim μ/σ² broadcast back over
+    the corpus): d² = Σ_d (x_d - μ_d)²/σ²_d, E[d²] = n_dims for
+    in-distribution vectors. The per-vector sum folds terms in
+    canonical DIM ORDER on both engines (the list is sorted by dim
+    before folding — double addition isn't associative, CLAUDE.md);
+    μ/σ² themselves are the sorted-fold stats, so the whole chain is
+    last-ulp stable and the checker's NEAR tolerance covers it. At
+    100 TB the 64-row stats table broadcasts and the screen is
+    map-side — the fit/transform split every feature pipeline uses."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    per_dim = emb.select(
+        F.posexplode(F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")).alias(
+            "dim0", "v"
+        )
+    )
+    v_sorted = "aggregate(sort_array(collect_list(v)), 0.0D, (a, x) -> a + x)"
+    v2_sorted = "aggregate(sort_array(collect_list(v * v)), 0.0D, (a, x) -> a + x)"
+    stats = per_dim.groupBy("dim0").agg(
+        F.expr(f"{v_sorted} / count(*) AS mu"),
+        F.expr(
+            f"{v2_sorted} / count(*)"
+            f" - ({v_sorted} / count(*)) * ({v_sorted} / count(*)) AS var"
+        ),
+    )
+    terms = (
+        emb.select(
+            "vec_id",
+            F.posexplode(
+                F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+            ).alias("dim0", "x"),
+        )
+        .join(F.broadcast(stats), "dim0")
+        .selectExpr("vec_id", "dim0", "(x - mu) * (x - mu) / var AS t")
+    )
+    return (
+        terms.groupBy("vec_id")
+        .agg(
+            F.expr(
+                "aggregate(transform(array_sort(collect_list(struct(dim0, t))),"
+                " r -> r.t), 0.0D, (a, x) -> a + x) AS mahalanobis_sq"
+            )
+        )
+        .selectExpr("vec_id", "mahalanobis_sq")
+    )

@@ -581,3 +581,25 @@ def test_aspect_buckets_cover_all_images(spark, sf_dir):
     assert {r["bucket"] for r in rows} <= ladder
     for r in rows:
         assert r["min_aspect_milli"] <= r["max_aspect_milli"]
+
+
+def test_hhi_bounds_and_identity(spark, sf_dir):
+    rows = q.QUERIES["supplier_concentration_hhi"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        lo = 1.0 / r["n_suppliers"]
+        assert lo - 1e-12 <= r["hhi"] <= 1.0
+        assert r["top_share"] ** 2 <= r["hhi"] + 1e-12
+        assert r["top_share"] <= 1.0
+
+
+def test_mahalanobis_mean_is_dimensionality(spark, sf_dir):
+    rows = q.QUERIES["embed_mahalanobis_screen"](spark, sf_dir).collect()
+    n_dims = 64
+    assert rows
+    scores = [r["mahalanobis_sq"] for r in rows]
+    assert all(s > 0 for s in scores)
+    # population-variance standardization: mean d2 == n_dims exactly
+    # (up to float fold error)
+    mean = sum(scores) / len(scores)
+    assert abs(mean - n_dims) < 0.01
