@@ -303,6 +303,8 @@ POST_PREFIX = [
     # (full oracles)
     "supplier_concentration_hhi",
     "embed_mahalanobis_screen",
+    # round-3 batch 20: URL decomposition battery (full oracle)
+    "scalar_url_parse",
 ]
 
 

@@ -1083,3 +1083,49 @@ def q_scalar_null_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CASE WHEN isnan(c_acctbal / nullif(c_nationkey, c_nationkey))"
         " THEN NULL ELSE c_acctbal END IS NULL             AS nan_guard_null",
     )
+
+
+@query(
+    "scalar_url_parse",
+    oracle=r"""
+    WITH u AS (
+      SELECT doc_id,
+             'https://' || source || '.example.com/docs/'
+               || CAST(doc_id AS VARCHAR) || '?lang=' || lang || '&ref=home'
+               AS url
+      FROM documents WHERE doc_id < 100
+    )
+    SELECT doc_id, url,
+           regexp_extract(url, '^([a-z]+)://', 1)           AS proto,
+           regexp_extract(url, '^[a-z]+://([^/]+)', 1)      AS host,
+           regexp_extract(url, '^[a-z]+://[^/]+([^?]*)', 1) AS path,
+           regexp_extract(url, '\?(.*)$', 1)                AS query,
+           regexp_extract(url, '[?&]lang=([^&]*)', 1)       AS lang_param
+    FROM u
+    """,
+)
+def q_scalar_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL decomposition battery: Spark's ``parse_url`` (PROTOCOL /
+    HOST / PATH / QUERY and per-key QUERY extraction — the
+    clickstream-normalization workhorse) certified against a
+    first-principles regex oracle (DuckDB has no parse_url; the twin
+    rebuilds each component with anchored Java∩RE2 patterns, so the
+    check is two INDEPENDENT implementations agreeing, not one
+    function tested against itself). URLs are derived deterministically
+    from fixture columns — no synthesized corpus. Map-side,
+    pushdown-filtered."""
+    docs = load_table(spark, sf_dir, "documents")
+    u = docs.where("doc_id < 100").selectExpr(
+        "doc_id",
+        "concat('https://', source, '.example.com/docs/',"
+        " CAST(doc_id AS STRING), '?lang=', lang, '&ref=home') AS url",
+    )
+    return u.selectExpr(
+        "doc_id",
+        "url",
+        "parse_url(url, 'PROTOCOL')      AS proto",
+        "parse_url(url, 'HOST')          AS host",
+        "parse_url(url, 'PATH')          AS path",
+        "parse_url(url, 'QUERY')         AS query",
+        "parse_url(url, 'QUERY', 'lang') AS lang_param",
+    )
