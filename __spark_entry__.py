@@ -305,6 +305,8 @@ POST_PREFIX = [
     "embed_mahalanobis_screen",
     # round-3 batch 20: URL decomposition battery (full oracle)
     "scalar_url_parse",
+    # round-3 batch 21: Haar wavelet energy spectrum (full oracle)
+    "events_haar_energy",
 ]
 
 

@@ -1224,3 +1224,102 @@ def q_orders_interpurchase_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_gaps",
         "CAST(n_gaps AS DOUBLE) / CAST(total AS DOUBLE) AS share",
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-3 batch 21: Haar wavelet energy (multi-resolution burst analysis)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_haar_energy",
+    oracle="""
+    WITH cnt AS (
+      SELECT epoch_us(ts) // 3600000000 AS h, CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1
+    ),
+    b AS (SELECT min(h) AS h0, max(h) AS h1 FROM cnt),
+    spine AS (SELECT unnest(generate_series(h0, h1)) AS h, h0 FROM b),
+    series AS (
+      SELECT s.h - s.h0 AS idx, coalesce(cnt.c, 0) AS c
+      FROM spine s LEFT JOIN cnt ON s.h = cnt.h
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS len FROM series),
+    scales AS (SELECT unnest([1, 2, 3, 4, 5]) AS k),
+    details AS (
+      SELECT k, idx // (1 << k) AS block,
+             CAST(sum((1 - 2 * ((idx // (1 << (k - 1))) % 2)) * c) AS BIGINT)
+               AS detail
+      FROM series CROSS JOIN scales, n
+      WHERE idx // (1 << k) < len // (1 << k)
+      GROUP BY k, idx // (1 << k)
+    ),
+    energy AS (
+      SELECT k AS scale_pow,
+             CAST(1 << k AS BIGINT) AS block_size,
+             CAST(count(*) AS BIGINT) AS n_blocks,
+             CAST(sum(detail * detail) AS BIGINT) AS energy
+      FROM details GROUP BY k
+    )
+    SELECT scale_pow, block_size, n_blocks, energy,
+           CAST(energy AS DOUBLE) / CAST(sum(energy) OVER () AS DOUBLE)
+             AS energy_share
+    FROM energy
+    """,
+)
+def q_events_haar_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Haar wavelet energy spectrum of the hourly event-count series —
+    which time scale carries the traffic's variability (2h pair noise
+    vs 32h daily-rhythm swings). The Haar detail at scale 2^k is
+    ``(sum of block's first half) - (second half)``: pure integer
+    adds/subtracts, so unlike an FFT the whole multi-resolution
+    decomposition is EXACT — energies are BIGINTs, immune to float
+    fold order, and the spectrum is one conditional-sum rollup per
+    scale off the same dense spine as events_autocorr_hourly (no
+    iterative cascade: the half-sign trick computes each scale's
+    details directly). Incomplete trailing blocks are dropped
+    (standard dyadic truncation). The 5-row share column uses the
+    small-table window precedent. At 100 TB: the hourly rollup is the
+    only fact-scale work — the decomposition runs on series rows."""
+    ev = load_table(spark, sf_dir, "events")
+    cnt = (
+        ev.selectExpr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
+            " DIV 3600000000 AS h"
+        )
+        .groupBy("h")
+        .agg(F.expr("CAST(count(*) AS BIGINT) AS c"))
+    )
+    bounds = cnt.agg(F.expr("min(h) AS h0"), F.expr("max(h) AS h1"))
+    spine = bounds.selectExpr("explode(sequence(h0, h1)) AS h", "h0")
+    series = (
+        spine.join(cnt, "h", "left")
+        .selectExpr("h - h0 AS idx", "coalesce(c, 0L) AS c")
+    )
+    n = series.agg(F.expr("CAST(count(*) AS BIGINT) AS len"))
+    scales = spark.range(1).selectExpr("explode(array(1, 2, 3, 4, 5)) AS k")
+    details = (
+        series.crossJoin(F.broadcast(scales))
+        .crossJoin(F.broadcast(n))
+        .where("idx DIV shiftleft(1, k) < len DIV shiftleft(1, k)")
+        .selectExpr(
+            "k",
+            "idx DIV shiftleft(1, k) AS block",
+            "(1 - 2 * ((idx DIV shiftleft(1, k - 1)) % 2)) * c AS signed_c",
+        )
+        .groupBy("k", "block")
+        .agg(F.expr("CAST(sum(signed_c) AS BIGINT) AS detail"))
+    )
+    energy = details.groupBy("k").agg(
+        F.expr("CAST(shiftleft(1, k) AS BIGINT) AS block_size"),
+        F.expr("CAST(count(*) AS BIGINT) AS n_blocks"),
+        F.expr("CAST(sum(detail * detail) AS BIGINT) AS energy"),
+    )
+    return energy.selectExpr(
+        "k AS scale_pow",
+        "block_size",
+        "n_blocks",
+        "energy",
+        "CAST(energy AS DOUBLE) / CAST(sum(energy) OVER () AS DOUBLE)"
+        " AS energy_share",
+    )

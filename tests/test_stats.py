@@ -341,3 +341,37 @@ def test_interpurchase_gaps_cover_all_repeat_orders(spark, sf_dir):
     assert total_gaps == n_orders - n_customers, "one gap per non-first order"
     assert math.isclose(sum(r["share"] for r in rows), 1.0, rel_tol=1e-9)
     assert all(0 <= r["gap_month_bucket"] <= 12 for r in rows)
+
+
+def test_haar_energy_matches_python_transform(spark, sf_dir):
+    """Engine energies must equal a direct Python Haar computation on
+    the same dense series, scale by scale."""
+    rows = {r["scale_pow"]: r for r in q.QUERIES["events_haar_energy"](spark, sf_dir).collect()}
+    assert set(rows) == {1, 2, 3, 4, 5}
+    hours = (
+        load_table(spark, sf_dir, "events")
+        .selectExpr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
+            " DIV 3600000000 AS h"
+        )
+        .groupBy("h")
+        .count()
+        .collect()
+    )
+    counts = {r["h"]: r["count"] for r in hours}
+    lo, hi = min(counts), max(counts.keys())
+    series = [counts.get(h, 0) for h in range(lo, hi + 1)]
+    total_energy = sum(r["energy"] for r in rows.values())
+    for k in range(1, 6):
+        size = 1 << k
+        n_blocks = len(series) // size
+        energy = 0
+        for b in range(n_blocks):
+            block = series[b * size : (b + 1) * size]
+            detail = sum(block[: size // 2]) - sum(block[size // 2 :])
+            energy += detail * detail
+        r = rows[k]
+        assert r["block_size"] == size
+        assert r["n_blocks"] == n_blocks
+        assert r["energy"] == energy
+        assert r["energy_share"] == energy / total_energy
