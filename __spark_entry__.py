@@ -307,6 +307,8 @@ POST_PREFIX = [
     "scalar_url_parse",
     # round-3 batch 21: Haar wavelet energy spectrum (full oracle)
     "events_haar_energy",
+    # round-3 batch 22: analyze()-schema polymorphic UDTF (full oracle)
+    "udtf_analyze_dynamic_pivot",
 ]
 
 

@@ -70,3 +70,40 @@ class UserSessionStats:
     def terminate(self):  # noqa: D102 - contract fixed by Spark
         if self.user is not None:
             yield self.user, self.n_sessions, self.longest
+
+
+class PivotTypeCounts:
+    """Dynamic-output-schema UDTF: ``analyze()`` computes the result
+    schema AT PLAN TIME from the constant type-list argument — one
+    ``n_<type>`` column per requested event type — the Spark 4
+    polymorphic-UDTF surface static ``returnType`` strings can't
+    express (a true dynamic pivot needs it: column set = data-driven
+    config). Consumes ``TABLE(...) PARTITION BY user_id`` and emits
+    one row per partition from ``terminate()``."""
+
+    @staticmethod
+    def analyze(table_arg, types_arg):  # noqa: D102 - contract fixed by Spark
+        from pyspark.sql.functions import AnalyzeResult
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        fields = [StructField("user_id", LongType())]
+        for t in types_arg.value.split(","):
+            fields.append(StructField(f"n_{t}", LongType()))
+        return AnalyzeResult(StructType(fields))
+
+    def __init__(self) -> None:
+        self.user = None
+        self.types = None
+        self.counts = None
+
+    def eval(self, row, types):  # noqa: D102 - contract fixed by Spark
+        if self.types is None:
+            self.types = types.split(",")
+            self.counts = {t: 0 for t in self.types}
+        self.user = row.user_id
+        if row.event_type in self.counts:
+            self.counts[row.event_type] += 1
+
+    def terminate(self):  # noqa: D102 - contract fixed by Spark
+        if self.user is not None:
+            yield (self.user, *[self.counts[t] for t in self.types])

@@ -1166,3 +1166,48 @@ def q_udtf_table_arg_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+@query(
+    "udtf_analyze_dynamic_pivot",
+    oracle="""
+    SELECT user_id,
+           CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_view,
+           CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_click,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_purchase
+    FROM events GROUP BY user_id
+    """,
+)
+def q_udtf_analyze_dynamic_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-schema UDTF (functions/udtfs.PivotTypeCounts): the
+    ``analyze()`` static method derives the output columns — one
+    ``n_<type>`` per entry of the constant type-list argument — at
+    PLAN TIME, the polymorphic path a static returnType can't express
+    and the API behind data-driven pivots. Input arrives as
+    ``TABLE(...) PARTITION BY user_id`` (one Python instance per user,
+    terminate() emits the count row); the oracle is the static
+    conditional-sum pivot over the same three types, so the whole
+    dynamic-schema machinery is value-hash-checked against declarative
+    SQL. Same scale story as udtf_table_arg_sessions: the engine
+    hash-partitions like a window; Python adds serialization, not
+    shuffle."""
+    from pyspark.sql.functions import udtf as _udtf
+
+    from distgrep_spark.functions.udtfs import PivotTypeCounts
+
+    spark.udtf.register("pivot_type_counts", _udtf(PivotTypeCounts))
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "events_udtf_pivot_base"
+    )
+    return spark.sql(
+        """
+        SELECT * FROM pivot_type_counts(
+          TABLE(SELECT user_id, event_type, ts, event_id
+                FROM events_udtf_pivot_base)
+          PARTITION BY user_id ORDER BY (ts, event_id),
+          'view,click,purchase')
+        """
+    )
