@@ -309,6 +309,8 @@ POST_PREFIX = [
     "events_haar_energy",
     # round-3 batch 22: analyze()-schema polymorphic UDTF (full oracle)
     "udtf_analyze_dynamic_pivot",
+    # round-3 batch 23: k-means++ seeding kernel (full oracle)
+    "kmeans_pp_seed_step",
 ]
 
 

@@ -2945,3 +2945,77 @@ def q_embed_mahalanobis_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .selectExpr("vec_id", "mahalanobis_sq")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-3 batch 23: k-means++ seeding step (exact integer argmax)
+# ---------------------------------------------------------------------------
+
+_QUANT = (
+    "transform(embedding, v -> CAST(greatest(-127.0D, least(127.0D,"
+    " floor(CAST(v AS DOUBLE) * 200 + 0.5))) AS BIGINT))"
+)
+_QUANT_DUCK = (
+    "list_transform(embedding, v -> CAST(greatest(-127.0, least(127.0,"
+    " floor(v::DOUBLE * 200 + 0.5))) AS BIGINT))"
+)
+
+
+@query(
+    "kmeans_pp_seed_step",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, {_QUANT_DUCK} AS qv FROM embeddings),
+    seeds AS (SELECT vec_id AS sid, qv AS sv FROM q WHERE vec_id < 2),
+    dmin AS (
+      SELECT q.vec_id,
+             CAST(min(list_sum(list_transform(generate_series(1, 64),
+                  i -> (q.qv[i] - s.sv[i]) * (q.qv[i] - s.sv[i])))) AS BIGINT)
+               AS min_d2
+      FROM q CROSS JOIN seeds s
+      WHERE q.vec_id >= 2
+      GROUP BY q.vec_id
+    )
+    SELECT vec_id AS next_seed, min_d2 FROM (
+      SELECT vec_id, min_d2,
+             row_number() OVER (ORDER BY min_d2 DESC, vec_id) AS rn
+      FROM dmin
+    ) WHERE rn = 1
+    """,
+)
+def q_kmeans_pp_seed_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One k-means++ (greedy/farthest-point variant) seeding step: with
+    seeds {vec 0, vec 1} chosen, the next seed is the vector maximizing
+    its min squared distance to the current seed set — the
+    initialization kernel that makes Lloyd iterations converge in few
+    rounds, here DERANDOMIZED to the farthest-point rule (classic
+    k-center 2-approximation; the sampled k-means++ draws proportional
+    to these same min_d2 values, so this step computes exactly the
+    distribution's support weights). All arithmetic on the global int8
+    grid (embed_pq_assign discipline): distances are exact BIGINTs,
+    the argmax carries a (min_d2 DESC, vec_id) total order, and the
+    broadcast seed set keeps the scan map-side — per round at 100 TB:
+    one pass, k×dim broadcast, no shuffle but the 1-row argmax."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q_df = emb.selectExpr("vec_id", f"{_QUANT} AS qv")
+    seeds = q_df.where("vec_id < 2").selectExpr("vec_id AS sid", "qv AS sv")
+    dmin = (
+        q_df.where("vec_id >= 2")
+        .crossJoin(F.broadcast(seeds))
+        .selectExpr(
+            "vec_id",
+            "aggregate(sequence(1, 64), 0L, (acc, i) ->"
+            " acc + (element_at(qv, i) - element_at(sv, i))"
+            "     * (element_at(qv, i) - element_at(sv, i))) AS d2",
+        )
+        .groupBy("vec_id")
+        .agg(F.expr("CAST(min(d2) AS BIGINT) AS min_d2"))
+    )
+    return (
+        dmin.selectExpr(
+            "vec_id",
+            "min_d2",
+            "row_number() OVER (ORDER BY min_d2 DESC, vec_id) AS rn",
+        )
+        .where("rn = 1")
+        .selectExpr("vec_id AS next_seed", "min_d2")
+    )

@@ -603,3 +603,24 @@ def test_mahalanobis_mean_is_dimensionality(spark, sf_dir):
     # (up to float fold error)
     mean = sum(scores) / len(scores)
     assert abs(mean - n_dims) < 0.01
+
+
+def test_kmeans_pp_seed_is_true_farthest_point(spark, sf_dir):
+    (r,) = q.QUERIES["kmeans_pp_seed_step"](spark, sf_dir).collect()
+    vecs = {
+        row["vec_id"]: [
+            max(-127, min(127, int(__import__("math").floor(float(v) * 200 + 0.5))))
+            for v in row["embedding"]
+        ]
+        for row in load_table(spark, sf_dir, "embeddings").collect()
+    }
+    seeds = [vecs[0], vecs[1]]
+    best = None
+    for vid, qv in vecs.items():
+        if vid < 2:
+            continue
+        d = min(sum((a - b) ** 2 for a, b in zip(qv, s)) for s in seeds)
+        key = (-d, vid)
+        if best is None or key < best[0]:
+            best = (key, vid, d)
+    assert (r["next_seed"], r["min_d2"]) == (best[1], best[2])
