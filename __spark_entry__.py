@@ -311,6 +311,10 @@ POST_PREFIX = [
     "udtf_analyze_dynamic_pivot",
     # round-3 batch 23: k-means++ seeding kernel (full oracle)
     "kmeans_pp_seed_step",
+    # round-3 batch 24: duplicate-payment audit, diff-in-diff
+    # (full oracles)
+    "dq_duplicate_payment_screen",
+    "stats_diff_in_diff",
 ]
 
 

@@ -3019,3 +3019,147 @@ def q_kmeans_pp_seed_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where("rn = 1")
         .selectExpr("vec_id AS next_seed", "min_d2")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-3 batch 24: duplicate-payment audit, difference-in-differences
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dq_duplicate_payment_screen",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) // 10000 AS amt,
+             CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS d
+      FROM orders
+    ),
+    seq AS (
+      SELECT o_orderkey, o_custkey, amt, d,
+             lag(d) OVER w AS prev_d,
+             lag(o_orderkey) OVER w AS prev_key
+      FROM o
+      WINDOW w AS (PARTITION BY o_custkey, amt ORDER BY d, o_orderkey)
+    )
+    SELECT o_custkey, amt AS amount_hundreds,
+           prev_key AS first_orderkey, o_orderkey AS second_orderkey,
+           CAST(d - prev_d AS BIGINT) AS gap_days
+    FROM seq
+    WHERE prev_d IS NOT NULL AND d - prev_d <= 90
+    """,
+)
+def q_dq_duplicate_payment_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-payment audit: same customer, same $100 amount band,
+    within 90 days — the accounts-payable double-charge screen every
+    finance pipeline runs (exact-key + time-window duplication, the
+    structured sibling of join_fuzzy_blocked's string fuzz). One
+    window over (custkey, cents) partitions — the candidate space IS
+    the partition key, so there's no pair join at all: consecutive
+    same-amount orders meet in the lag, and only ≤30-day gaps
+    survive. Exact integer cents/days end to end. At 100 TB this
+    beats the self-join formulation by never materializing
+    candidates — the partition carries them."""
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.selectExpr(
+        "o_orderkey",
+        "o_custkey",
+        "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) DIV 10000 AS amt",
+        "datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') AS d",
+    )
+    seq = o.selectExpr(
+        "o_orderkey",
+        "o_custkey",
+        "amt",
+        "d",
+        "lag(d) OVER (PARTITION BY o_custkey, amt ORDER BY d, o_orderkey)"
+        " AS prev_d",
+        "lag(o_orderkey) OVER (PARTITION BY o_custkey, amt"
+        " ORDER BY d, o_orderkey) AS prev_key",
+    )
+    return seq.where("prev_d IS NOT NULL AND d - prev_d <= 90").selectExpr(
+        "o_custkey",
+        "amt AS amount_hundreds",
+        "prev_key AS first_orderkey",
+        "o_orderkey AS second_orderkey",
+        "CAST(d - prev_d AS BIGINT) AS gap_days",
+    )
+
+
+@query(
+    "stats_diff_in_diff",
+    oracle="""
+    WITH base AS (
+      SELECT user_id % 2 AS cohort,
+             CASE WHEN epoch_us(ts) // 86400000000 - 19723 < 15
+                  THEN 0 ELSE 1 END AS period,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS p
+      FROM events
+    ),
+    users AS (
+      SELECT cohort, period, CAST(count(DISTINCT 0) AS BIGINT) AS dummy,
+             CAST(sum(p) AS BIGINT) AS purchases,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM base GROUP BY cohort, period
+    ),
+    piv AS (
+      SELECT
+        max(CASE WHEN cohort = 1 AND period = 0 THEN purchases END) AS t0,
+        max(CASE WHEN cohort = 1 AND period = 1 THEN purchases END) AS t1,
+        max(CASE WHEN cohort = 0 AND period = 0 THEN purchases END) AS c0,
+        max(CASE WHEN cohort = 0 AND period = 1 THEN purchases END) AS c1,
+        max(CASE WHEN cohort = 1 AND period = 0 THEN n_events END) AS nt0,
+        max(CASE WHEN cohort = 1 AND period = 1 THEN n_events END) AS nt1,
+        max(CASE WHEN cohort = 0 AND period = 0 THEN n_events END) AS nc0,
+        max(CASE WHEN cohort = 0 AND period = 1 THEN n_events END) AS nc1
+      FROM users
+    )
+    SELECT t0, t1, c0, c1, nt0, nt1, nc0, nc1,
+           (CAST(t1 AS DOUBLE) / CAST(nt1 AS DOUBLE)
+            - CAST(t0 AS DOUBLE) / CAST(nt0 AS DOUBLE))
+           - (CAST(c1 AS DOUBLE) / CAST(nc1 AS DOUBLE)
+              - CAST(c0 AS DOUBLE) / CAST(nc0 AS DOUBLE)) AS did_estimate
+    FROM piv
+    """,
+)
+def q_stats_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences: change in purchase share for the
+    'treated' cohort (odd user_id) minus the change for the control
+    (even), across the month's two halves — the workhorse
+    causal-inference readout when randomization isn't available (the
+    parallel-trends counterfactual). Day index is tz-free exact
+    integer epoch days (19723 = 2024-01-01); the 2x2 cell counts are
+    one map-side rollup, the estimate is a fixed IEEE tree over exact
+    integers — engine-identical with no rounding, same discipline as
+    stats_ab_ztest. Completes the causal/hypothesis family:
+    z (levels), DiD (changes), KS (distributions), chi2
+    (association)."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.selectExpr(
+        "user_id % 2 AS cohort",
+        "CASE WHEN timestampdiff(MICROSECOND,"
+        " TIMESTAMP_NTZ'1970-01-01 00:00:00', ts) DIV 86400000000 - 19723 < 15"
+        " THEN 0 ELSE 1 END AS period",
+        "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS p",
+    )
+    cells = base.groupBy("cohort", "period").agg(
+        F.expr("CAST(sum(p) AS BIGINT) AS purchases"),
+        F.expr("CAST(count(*) AS BIGINT) AS n_events"),
+    )
+    piv = cells.agg(
+        F.expr("max(CASE WHEN cohort = 1 AND period = 0 THEN purchases END) AS t0"),
+        F.expr("max(CASE WHEN cohort = 1 AND period = 1 THEN purchases END) AS t1"),
+        F.expr("max(CASE WHEN cohort = 0 AND period = 0 THEN purchases END) AS c0"),
+        F.expr("max(CASE WHEN cohort = 0 AND period = 1 THEN purchases END) AS c1"),
+        F.expr("max(CASE WHEN cohort = 1 AND period = 0 THEN n_events END) AS nt0"),
+        F.expr("max(CASE WHEN cohort = 1 AND period = 1 THEN n_events END) AS nt1"),
+        F.expr("max(CASE WHEN cohort = 0 AND period = 0 THEN n_events END) AS nc0"),
+        F.expr("max(CASE WHEN cohort = 0 AND period = 1 THEN n_events END) AS nc1"),
+    )
+    return piv.selectExpr(
+        "t0", "t1", "c0", "c1", "nt0", "nt1", "nc0", "nc1",
+        "(CAST(t1 AS DOUBLE) / CAST(nt1 AS DOUBLE)"
+        " - CAST(t0 AS DOUBLE) / CAST(nt0 AS DOUBLE))"
+        " - (CAST(c1 AS DOUBLE) / CAST(nc1 AS DOUBLE)"
+        "    - CAST(c0 AS DOUBLE) / CAST(nc0 AS DOUBLE)) AS did_estimate",
+    )

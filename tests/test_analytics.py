@@ -624,3 +624,35 @@ def test_kmeans_pp_seed_is_true_farthest_point(spark, sf_dir):
         if best is None or key < best[0]:
             best = (key, vid, d)
     assert (r["next_seed"], r["min_d2"]) == (best[1], best[2])
+
+
+def test_duplicate_payment_pairs_verified(spark, sf_dir):
+    rows = q.QUERIES["dq_duplicate_payment_screen"](spark, sf_dir).collect()
+    orders = {
+        r["o_orderkey"]: r
+        for r in load_table(spark, sf_dir, "orders")
+        .selectExpr(
+            "o_orderkey",
+            "o_custkey",
+            "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) DIV 10000 AS amt",
+            "datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') AS d",
+        )
+        .collect()
+    }
+    for r in rows:
+        a, b = orders[r["first_orderkey"]], orders[r["second_orderkey"]]
+        assert a["o_custkey"] == b["o_custkey"] == r["o_custkey"]
+        assert a["amt"] == b["amt"] == r["amount_hundreds"]
+        assert 0 <= r["gap_days"] <= 90
+        assert b["d"] - a["d"] == r["gap_days"]
+
+
+def test_diff_in_diff_matches_python(spark, sf_dir):
+    (r,) = q.QUERIES["stats_diff_in_diff"](spark, sf_dir).collect()
+    for c in ("t0", "t1", "c0", "c1", "nt0", "nt1", "nc0", "nc1"):
+        assert r[c] > 0
+    did = (r["t1"] / r["nt1"] - r["t0"] / r["nt0"]) - (
+        r["c1"] / r["nc1"] - r["c0"] / r["nc0"]
+    )
+    assert r["did_estimate"] == did
+    assert abs(did) < 1.0
