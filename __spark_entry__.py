@@ -315,6 +315,10 @@ POST_PREFIX = [
     # (full oracles)
     "dq_duplicate_payment_screen",
     "stats_diff_in_diff",
+    # round-3 batch 25: argmin/argmax aggregates, direct standardization
+    # (full oracles)
+    "agg_argminmax_fns",
+    "stats_standardized_rate",
 ]
 
 

@@ -3163,3 +3163,98 @@ def q_stats_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         " - (CAST(c1 AS DOUBLE) / CAST(nc1 AS DOUBLE)"
         "    - CAST(c0 AS DOUBLE) / CAST(nc0 AS DOUBLE)) AS did_estimate",
     )
+
+
+@query(
+    "stats_standardized_rate",
+    oracle="""
+    WITH o AS (
+      SELECT c_mktsegment AS seg, c_custkey % 2 AS cohort,
+             CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS urgent
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ),
+    cells AS (
+      SELECT seg, cohort,
+             CAST(sum(urgent) AS BIGINT) AS x,
+             CAST(count(*) AS BIGINT) AS n
+      FROM o GROUP BY seg, cohort
+    ),
+    strata AS (
+      SELECT seg, CAST(sum(n) AS BIGINT) AS n_s FROM cells GROUP BY seg
+    ),
+    tot AS (SELECT CAST(sum(n_s) AS BIGINT) AS n_tot FROM strata),
+    terms AS (
+      SELECT c.cohort, c.seg,
+             CAST(c.x AS DOUBLE) / CAST(c.n AS DOUBLE)
+               * (CAST(s.n_s AS DOUBLE) / CAST(t.n_tot AS DOUBLE)) AS term,
+             c.x, c.n
+      FROM cells c JOIN strata s ON c.seg = s.seg, tot t
+    ),
+    piv AS (
+      SELECT cohort,
+             CAST(sum(x) AS BIGINT) AS x_tot,
+             CAST(sum(n) AS BIGINT) AS n_cohort,
+             max(CASE WHEN seg = 'AUTOMOBILE' THEN term END) AS t1,
+             max(CASE WHEN seg = 'BUILDING'   THEN term END) AS t2,
+             max(CASE WHEN seg = 'FURNITURE'  THEN term END) AS t3,
+             max(CASE WHEN seg = 'HOUSEHOLD'  THEN term END) AS t4,
+             max(CASE WHEN seg = 'MACHINERY'  THEN term END) AS t5
+      FROM terms GROUP BY cohort
+    )
+    SELECT cohort,
+           CAST(x_tot AS DOUBLE) / CAST(n_cohort AS DOUBLE) AS crude_rate,
+           (((t1 + t2) + t3) + t4) + t5 AS standardized_rate
+    FROM piv
+    """,
+)
+def q_stats_standardized_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Direct standardization: each cohort's urgent-order rate
+    re-weighted to the OVERALL market-segment mix — the
+    epidemiology/BI adjustment that removes composition effects before
+    comparing groups (the non-causal complement of
+    stats_diff_in_diff; Simpson's-paradox insurance). Per-stratum
+    terms are single IEEE ratios of exact integers; the five-term sum
+    is an EXPLICIT left-associated literal tree over pivoted columns
+    (never a float aggregate in engine partition order — the
+    events_ewma_smooth fold discipline applied to a weighted mean),
+    so both engines execute the identical addition sequence. One
+    broadcast dim join + one (seg, cohort) rollup."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    o = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey).selectExpr(
+        "c_mktsegment AS seg",
+        "c_custkey % 2 AS cohort",
+        "CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS urgent",
+    )
+    cells = o.groupBy("seg", "cohort").agg(
+        F.expr("CAST(sum(urgent) AS BIGINT) AS x"),
+        F.expr("CAST(count(*) AS BIGINT) AS n"),
+    )
+    strata = cells.groupBy("seg").agg(F.expr("CAST(sum(n) AS BIGINT) AS n_s"))
+    tot = strata.agg(F.expr("CAST(sum(n_s) AS BIGINT) AS n_tot"))
+    terms = (
+        cells.join(strata, "seg")
+        .crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "cohort",
+            "seg",
+            "CAST(x AS DOUBLE) / CAST(n AS DOUBLE)"
+            " * (CAST(n_s AS DOUBLE) / CAST(n_tot AS DOUBLE)) AS term",
+            "x",
+            "n",
+        )
+    )
+    piv = terms.groupBy("cohort").agg(
+        F.expr("CAST(sum(x) AS BIGINT) AS x_tot"),
+        F.expr("CAST(sum(n) AS BIGINT) AS n_cohort"),
+        F.expr("max(CASE WHEN seg = 'AUTOMOBILE' THEN term END) AS t1"),
+        F.expr("max(CASE WHEN seg = 'BUILDING'   THEN term END) AS t2"),
+        F.expr("max(CASE WHEN seg = 'FURNITURE'  THEN term END) AS t3"),
+        F.expr("max(CASE WHEN seg = 'HOUSEHOLD'  THEN term END) AS t4"),
+        F.expr("max(CASE WHEN seg = 'MACHINERY'  THEN term END) AS t5"),
+    )
+    return piv.selectExpr(
+        "cohort",
+        "CAST(x_tot AS DOUBLE) / CAST(n_cohort AS DOUBLE) AS crude_rate",
+        "(((t1 + t2) + t3) + t4) + t5 AS standardized_rate",
+    )

@@ -1129,3 +1129,47 @@ def q_scalar_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         "parse_url(url, 'QUERY')         AS query",
         "parse_url(url, 'QUERY', 'lang') AS lang_param",
     )
+
+
+@query(
+    "agg_argminmax_fns",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderpriority,
+             o_orderkey,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) * 10000000
+               + o_orderkey AS price_key
+      FROM orders
+    )
+    SELECT o_orderpriority,
+           CAST(arg_max(o_orderkey, price_key) AS BIGINT) AS top_order,
+           CAST(arg_min(o_orderkey, price_key) AS BIGINT) AS bottom_order,
+           CAST(max(price_key) // 10000000 AS BIGINT) AS top_cents,
+           CAST(min(price_key) // 10000000 AS BIGINT) AS bottom_cents
+    FROM o GROUP BY o_orderpriority
+    """,
+)
+def q_agg_argminmax_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in argmax/argmin aggregates (Spark ``max_by``/``min_by``,
+    DuckDB ``arg_max``/``arg_min``) — the function surface behind
+    'which order was the most expensive', certified with the
+    engine-exact tie-break discipline this repo applies to every
+    hand-rolled argmax (embed_pq_assign, window_max_drawdown): the
+    ordering key packs cents and the unique orderkey into one BIGINT
+    (``cents·1e7 + key``, exact — cents ≤ 5e9 would still fit), so
+    ties are impossible BY CONSTRUCTION rather than left to the
+    engines' unspecified tie behavior, which differs and would flip
+    the hash. One map-side-combinable exchange, five rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.selectExpr(
+        "o_orderpriority",
+        "o_orderkey",
+        "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) * 10000000"
+        " + o_orderkey AS price_key",
+    )
+    return o.groupBy("o_orderpriority").agg(
+        F.expr("CAST(max_by(o_orderkey, price_key) AS BIGINT) AS top_order"),
+        F.expr("CAST(min_by(o_orderkey, price_key) AS BIGINT) AS bottom_order"),
+        F.expr("CAST(max(price_key) DIV 10000000 AS BIGINT) AS top_cents"),
+        F.expr("CAST(min(price_key) DIV 10000000 AS BIGINT) AS bottom_cents"),
+    )

@@ -656,3 +656,39 @@ def test_diff_in_diff_matches_python(spark, sf_dir):
     )
     assert r["did_estimate"] == did
     assert abs(did) < 1.0
+
+
+def test_argminmax_match_direct_sort(spark, sf_dir):
+    rows = {r["o_orderpriority"]: r for r in q.QUERIES["agg_argminmax_fns"](spark, sf_dir).collect()}
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .selectExpr(
+            "o_orderpriority",
+            "o_orderkey",
+            "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents",
+        )
+        .collect()
+    )
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for r in o:
+        per[r["o_orderpriority"]].append((r["cents"], r["o_orderkey"]))
+    assert set(per) == set(rows)
+    for pri, lst in per.items():
+        top = max(lst)
+        bot = min(lst)
+        r = rows[pri]
+        assert (r["top_cents"], r["top_order"]) == top
+        assert (r["bottom_cents"], r["bottom_order"]) == bot
+
+
+def test_standardized_rate_is_convex_mix(spark, sf_dir):
+    rows = q.QUERIES["stats_standardized_rate"](spark, sf_dir).collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert 0.0 <= r["crude_rate"] <= 1.0
+        assert 0.0 <= r["standardized_rate"] <= 1.0
+        # standardization re-weights within the same stratum rates, so it
+        # stays within the min/max stratum rate band — loose sanity:
+        assert abs(r["standardized_rate"] - r["crude_rate"]) < 0.2
