@@ -99,6 +99,13 @@ def kmeans(
         df.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
     )
     cents = [[float(x) for x in r[vec_col]] for r in init]
+    if not cents:
+        # empty input: no centroids to seed — degrade to an empty,
+        # schema-stable result (the reference's empty-input discipline,
+        # server.go:154-156; without this guard cents[0] IndexErrors)
+        return df.select(
+            F.col(id_col), F.lit(0).cast("int").alias("cluster")
+        ).limit(0)
 
     assigned = _assign(df, cents, id_col, vec_col).localCheckpoint()
     for _ in range(max_iter):

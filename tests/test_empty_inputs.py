@@ -41,3 +41,21 @@ def test_scored_query_survives_empty_input(spark, empty_sf, name):
     df = q.QUERIES[name](spark, empty_sf)
     assert df.count() >= 0  # executes without error; schema stays intact
     assert len(df.schema) > 0
+
+
+def test_full_registry_survives_empty_input(spark, empty_sf):
+    """Beyond the scored prefix: every registered query must degrade on
+    empty fixtures (one loop — per-query parametrize would double the
+    suite's session count). kmeans_clusters used to IndexError pulling
+    seed centroids from an empty collect; operators/clustering.py now
+    returns the schema-stable empty result instead."""
+    rest = [n for n in q.QUERIES if n not in set(SCOREBOARD_PREFIX)]
+    failures = []
+    for name in rest:
+        try:
+            df = q.QUERIES[name](spark, empty_sf)
+            assert df.count() >= 0
+            assert len(df.schema) > 0
+        except Exception as e:  # noqa: BLE001 - collecting a report
+            failures.append((name, str(e).splitlines()[0][:80]))
+    assert not failures, failures
