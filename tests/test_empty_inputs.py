@@ -59,3 +59,28 @@ def test_full_registry_survives_empty_input(spark, empty_sf):
         except Exception as e:  # noqa: BLE001 - collecting a report
             failures.append((name, str(e).splitlines()[0][:80]))
     assert not failures, failures
+
+
+@pytest.fixture(scope="module")
+def single_row_sf(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("single_sf")
+    for t in TABLES:
+        load_table(spark, SF_SMALL, t).limit(1).write.mode("overwrite").parquet(
+            str(root / f"{t}.parquet")
+        )
+    return str(root)
+
+
+def test_scored_prefix_survives_single_row_input(spark, single_row_sf):
+    """Degenerate one-row tables: the ANSI divide-by-zero hazard class
+    (variance with n=1, OLS on one point, shares of a zero total).
+    Measured: every scored query degrades (the FK joins mostly empty
+    out; the single-group aggregates guard their denominators)."""
+    failures = []
+    for name in SCOREBOARD_PREFIX:
+        try:
+            df = q.QUERIES[name](spark, single_row_sf)
+            assert df.count() >= 0
+        except Exception as e:  # noqa: BLE001 - collecting a report
+            failures.append((name, str(e).splitlines()[0][:80]))
+    assert not failures, failures
