@@ -319,6 +319,8 @@ POST_PREFIX = [
     # (full oracles)
     "agg_argminmax_fns",
     "stats_standardized_rate",
+    # round-3 batch 26: watermark-lateness audit (full oracle)
+    "events_watermark_lateness_audit",
 ]
 
 

@@ -186,3 +186,60 @@ def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").alias("err_value"),
     )
     return interval_join_clicks_errors(clicks, errors)
+
+
+@query(
+    "events_watermark_lateness_audit",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id,
+             epoch_us(ts) AS t,
+             max(epoch_us(ts)) OVER (PARTITION BY user_id
+                    ORDER BY event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS high_watermark
+      FROM events
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN high_watermark > t THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_late,
+           CAST(max(high_watermark - t) AS BIGINT) AS max_late_us,
+           CAST(max(high_watermark - t) AS BIGINT) // 1000000
+             AS max_late_sec
+    FROM seq GROUP BY user_id
+    """,
+)
+def q_events_watermark_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-orderness audit: treating event_id as arrival order, how
+    far does each event's event-time lag the running high watermark of
+    its user's stream? This measurement — max/share of late arrivals —
+    is what DECIDES the ``withWatermark`` delay for every streaming
+    query in this engine (streaming/pipelines.py): a delay below the
+    observed p-max silently drops rows, one far above it bloats state.
+    Lateness is exact integer microseconds off the tz-free epoch idiom
+    (CLAUDE.md); the running max and the rollup share one user_id
+    exchange. The batch twin of the lateness metric Structured
+    Streaming only exposes operationally (StreamingQueryProgress
+    watermark lag) — here it's queryable, testable, and
+    oracle-checked."""
+    ev = load_table(spark, sf_dir, "events")
+    seq = ev.selectExpr(
+        "user_id",
+        "event_id",
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts) AS t",
+        "max(timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts))"
+        " OVER (PARTITION BY user_id ORDER BY event_id"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS high_watermark",
+    )
+    return seq.groupBy("user_id").agg(
+        F.expr("CAST(count(*) AS BIGINT) AS n_events"),
+        F.expr(
+            "CAST(sum(CASE WHEN high_watermark > t THEN 1 ELSE 0 END) AS BIGINT)"
+            " AS n_late"
+        ),
+        F.expr("CAST(max(high_watermark - t) AS BIGINT) AS max_late_us"),
+        F.expr(
+            "CAST(max(high_watermark - t) AS BIGINT) DIV 1000000 AS max_late_sec"
+        ),
+    )

@@ -375,3 +375,14 @@ def test_haar_energy_matches_python_transform(spark, sf_dir):
         assert r["n_blocks"] == n_blocks
         assert r["energy"] == energy
         assert r["energy_share"] == energy / total_energy
+
+
+def test_watermark_lateness_nonnegative_and_consistent(spark, sf_dir):
+    rows = q.QUERIES["events_watermark_lateness_audit"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["max_late_us"] >= 0
+        assert 0 <= r["n_late"] < r["n_events"]
+        assert r["max_late_sec"] == r["max_late_us"] // 1_000_000
+        # a user with any late event has positive max lateness
+        assert (r["n_late"] > 0) == (r["max_late_us"] > 0)
