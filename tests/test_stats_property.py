@@ -125,3 +125,37 @@ def test_weighted_median_lower_definition(spark, vw):
     at_or_below = sum(w for v, w in agg.items() if v <= med)
     assert 2 * at_or_below >= tw
     assert 2 * below < tw
+
+
+# ---------------------------------------------------------------------------
+# Haar detail energies == direct transform on arbitrary integer series
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    series=st.lists(st.integers(0, 500), min_size=8, max_size=64),
+    k=st.integers(1, 3),
+)
+def test_haar_scale_energy_equals_direct(spark, series, k):
+    rows = [(i, c) for i, c in enumerate(series)]
+    df = spark.createDataFrame(rows, "idx long, c long")
+    size = 1 << k
+    half = 1 << (k - 1)
+    got = (
+        df.where(f"idx DIV {size} < {len(series) // size}")
+        .selectExpr(
+            f"idx DIV {size} AS block",
+            f"(1 - 2 * ((idx DIV {half}) % 2)) * c AS s",
+        )
+        .groupBy("block")
+        .agg(F.expr("CAST(sum(s) AS BIGINT) AS detail"))
+        .agg(F.expr("CAST(sum(detail * detail) AS BIGINT) AS e"))
+        .first()["e"]
+    )
+    want = 0
+    for b in range(len(series) // size):
+        block = series[b * size : (b + 1) * size]
+        d = sum(block[:half]) - sum(block[half:])
+        want += d * d
+    assert got == want
