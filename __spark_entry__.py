@@ -67,9 +67,11 @@ SCOREBOARD_PREFIX = [
     "window_range_frame",
     "recursive_order_chain",
     "window_ntile_percent",
-    # dedup
+    # dedup (round 4: the scored exact-Jaccard row is the max_df-capped
+    # production plan; the uncapped ground-truth baseline moved to the
+    # POST_PREFIX front and keeps its oracle)
     "dedup_exact",
-    "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard_capped",
     "dedup_minhash_recall",
     "dedup_simhash_exactdup",
     "dedup_clusters_cc",
@@ -111,6 +113,9 @@ SCOREBOARD_PREFIX = [
 # redundant grep/scalar/window variants that close the list).
 POST_PREFIX = [
     "grep_regex",
+    # demoted round 4: uncapped exact-Jaccard ground truth (the scored
+    # slot now demonstrates the max_df-capped plan)
+    "dedup_ngram_jaccard",
     # demoted from the prefix late round 3 (slots went to stats_ols_trend,
     # join_spatial_grid, recursive_order_chain):
     "agg_percentiles",

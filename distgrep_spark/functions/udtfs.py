@@ -11,6 +11,29 @@ Scale: UDTF calls are per-row Python — keep them OFF hot paths that an
 expression can express (the engine's explode-based queries stay
 expression-only); where imperative logic is unavoidable this is the
 supported seam.
+
+Arrow note (MEASURED, Spark 4.1.2 — do not "optimize" this back):
+``useArrow=True`` / ``spark.sql.execution.pythonUDTF.arrow.enabled``
+made every UDTF here 3-4x SLOWER in same-process interleaved A/B at
+sf0.1 (100k events): table-arg sessions 2.4 s -> 6.3 s, dynamic pivot
+2.1 s -> 5.8 s, lateral split 0.3 s -> 1.0 s warm. The Arrow UDTF
+input path materializes each batch to pandas and re-boxes per-row
+``Row`` objects for ``eval``, which costs more than the pickle row
+loop it replaces; this build exposes no batch-size knob for it
+(only the enable flags). What DOES pay, measured: shrinking the
+pickled row — dropping the datetime column from the TABLE argument
+and ordering by the already-computed integer ``sec`` cut
+udtf_table_arg_sessions 2.39 s -> 1.78 s median (datetime pickling is
+the expensive field). Second measured trap: AQE size-based shuffle
+coalescing sees a few-MB exchange and folds it to 1-2 partitions —
+correct for JVM stages, but it serializes the *Python CPU* of the
+UDTF stage (the slimmer pivot input coalesced harder and ran SLOWER:
+2.13 s -> 2.61 s); the TVF inserts its own exchange on an internal
+partition_by alias, so a user repartition() upstream cannot pin it.
+On a real cluster, size Python-UDTF stages by CPU, not bytes
+(spark.sql.adaptive.coalescePartitions.minPartitionSize down, or
+parallelismFirst) — here the defaults stay because 252 JVM-side
+queries dominate the suite.
 """
 
 from __future__ import annotations

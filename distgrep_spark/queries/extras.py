@@ -1109,7 +1109,7 @@ def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                   THEN 0 ELSE 1 END AS new_run,
              row_number() OVER w AS rn
       FROM base
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)
     ),
     w2 AS (
       SELECT user_id, new_s,
@@ -1144,14 +1144,20 @@ def q_udtf_table_arg_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     round trip value-for-value. Scale note: the engine hash-partitions
     input by user_id exactly as for a window — Python execution adds
     serialization cost, not shuffle cost; keep it off paths an
-    expression can serve (CLAUDE.md UDF discipline)."""
+    expression can serve (CLAUDE.md UDF discipline). The TABLE
+    argument deliberately excludes ``ts`` and orders by the integer
+    ``(sec, event_id)`` instead: every row of the table argument is
+    pickled into the Python worker, and the datetime column is the
+    most expensive field to pickle — dropping it measured
+    2.39 s -> 1.78 s median at sf0.1 (functions/udtfs.py Arrow note;
+    ordering stays deterministic via the event_id tiebreak, and the
+    oracle windows over the same (sec, event_id) key)."""
     from distgrep_spark.functions.udtfs import UserSessionStats
 
     spark.udtf.register("user_session_stats", UserSessionStats)
     ev = load_table(spark, sf_dir, "events")
     ev.selectExpr(
         "user_id",
-        "ts",
         "event_id",
         "event_type",
         "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
@@ -1162,7 +1168,7 @@ def q_udtf_table_arg_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id, n_sessions, longest_run
         FROM user_session_stats(
           TABLE(events_udtf_base)
-          PARTITION BY user_id ORDER BY (ts, event_id)
+          PARTITION BY user_id ORDER BY (sec, event_id)
         )
         """
     )

@@ -93,8 +93,61 @@ def q_dedup_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact trigram-Jaccard near-dup pairs (threshold 0.5) via shingle
-    inverted index — the exact baseline MinHash-LSH approximates."""
+    inverted index — the exact baseline MinHash-LSH approximates.
+    Deliberately UNCAPPED: this is the ground-truth oracle the sketches
+    and the capped production path are certified against, so it is
+    registered POST-prefix; the scored representative of the family is
+    ``dedup_ngram_jaccard_capped`` (the plan you'd run at 100 TB)."""
     return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), n=3, threshold=0.5)
+
+
+@query(
+    "dedup_ngram_jaccard_capped",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+      FROM toks, LATERAL unnest(generate_series(1, greatest(len(t) - 2, 0))) AS u(i)
+    ),
+    rare AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) <= 8),
+    capped AS (SELECT g.doc_id, g.gram FROM grams g JOIN rare USING (gram)),
+    sizes AS (SELECT doc_id, count(*) AS n_grams FROM capped GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+      FROM capped a JOIN capped b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, c * 1.0 / (sa.n_grams + sb.n_grams - c) AS jaccard
+    FROM common
+      JOIN sizes sa ON doc_a = sa.doc_id
+      JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE c * 1.0 / (sa.n_grams + sb.n_grams - c) >= 0.5
+    """,
+)
+def q_dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard pairs over the df-capped shingle vocabulary
+    (``max_df=8``) — the production form of ``dedup_ngram_jaccard``
+    and the scored representative of the exact near-dup family.
+
+    The cap drops hub shingles (document frequency > 8) BEFORE the
+    inverted-index self-join: a hub shingle with df=10^6 would emit
+    10^12 candidate rows at 100 TB (SCALE.md measured the uncapped
+    consequence: 12.1x cost at 8x rows in the coincident-density
+    stress). Semantics: this is exact Jaccard computed on the
+    informative (df<=cap) shingle vocabulary — stop-shingle removal,
+    the IR-standard trade. Numerator AND denominator share the filtered
+    vocabulary, so the score is a true Jaccard on that space, not a
+    bound on full-vocabulary Jaccard; docs whose overlap lives entirely
+    in hub shingles are the documented recall loss. Non-vacuous at
+    every fixture SF (measured pairs: 28 / 25 / 251 at sf0.001/0.01/0.1
+    vs 28 / 25 / 256 uncapped). Reference: worker.go:33-34 is the
+    reference's only filter; this family is the brief's dedup
+    extension."""
+    return ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), n=3, threshold=0.5, max_df=8
+    )
 
 
 @query("dedup_minhash_lsh")  # xxhash64 sketches: no DuckDB twin → rows-only
