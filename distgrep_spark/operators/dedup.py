@@ -241,9 +241,15 @@ def simhash(
     64-column codegen'd aggregate), the per-bit set-counts are packed
     into 16 SIMD-within-a-register words: word ``w_j = sum(shiftright
     (h, j) & 0x0001000100010001)`` carries four 16-bit lanes counting
-    bits ``j, j+16, j+32, j+48`` — lanes can't carry into each other
-    below 65,536 tokens per doc (way past any document this pipeline
-    chunks). Bit i of the fingerprint is then ``2*count_i > n`` (sign of
+    bits ``j, j+16, j+32, j+48``. Safety bound: lanes can't carry into
+    each other below 65,536 tokens per doc, but the BINDING bound under
+    Spark 4 ANSI mode is tighter — the lane-48 term makes the 64-bit
+    word sum itself approach 2^63 first, overflowing (and throwing) at
+    32,768 same-bit tokens per doc worst case. Chunk documents to
+    ≤2^15 tokens before fingerprinting (text_chunk_documents already
+    emits far smaller chunks), or widen the 16 word sums to
+    DECIMAL(38,0) if unchunked mega-docs ever reach this path.
+    Bit i of the fingerprint is then ``2*count_i > n`` (sign of
     ``#set - #unset``). This is 4× less per-token work and a 4× smaller
     generated aggregate — measured 4.6 s → 3.2 s cold at sf0.1, and the
     per-row saving is what matters on a 100 TB corpus where the token

@@ -3043,9 +3043,11 @@ def q_dq_duplicate_payment_screen(spark: SparkSession, sf_dir: str) -> DataFrame
     finance pipeline runs (exact-key + time-window duplication, the
     structured sibling of join_fuzzy_blocked's string fuzz). One
     window over (custkey, cents) partitions — the candidate space IS
-    the partition key, so there's no pair join at all: consecutive
-    same-amount orders meet in the lag, and only ≤30-day gaps
-    survive. Exact integer cents/days end to end. At 100 TB this
+    the partition key, so there's no pair join at all: CONSECUTIVE
+    same-amount orders meet in the lag (adjacent pairs, not all pairs
+    within the window — a chain of three flags two pairs), and only
+    ≤90-day gaps survive. Exact integer cents/days end to end. At
+    100 TB this
     beats the self-join formulation by never materializing
     candidates — the partition carries them."""
     orders = load_table(spark, sf_dir, "orders")

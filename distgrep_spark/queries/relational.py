@@ -1148,15 +1148,15 @@ def q_scalar_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH o AS (
       SELECT o_orderpriority,
              o_orderkey,
-             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) * 10000000
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) * 1000000000
                + o_orderkey AS price_key
       FROM orders
     )
     SELECT o_orderpriority,
            CAST(arg_max(o_orderkey, price_key) AS BIGINT) AS top_order,
            CAST(arg_min(o_orderkey, price_key) AS BIGINT) AS bottom_order,
-           CAST(max(price_key) // 10000000 AS BIGINT) AS top_cents,
-           CAST(min(price_key) // 10000000 AS BIGINT) AS bottom_cents
+           CAST(max(price_key) // 1000000000 AS BIGINT) AS top_cents,
+           CAST(min(price_key) // 1000000000 AS BIGINT) AS bottom_cents
     FROM o GROUP BY o_orderpriority
     """,
 )
@@ -1167,20 +1167,24 @@ def q_agg_argminmax_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-exact tie-break discipline this repo applies to every
     hand-rolled argmax (embed_pq_assign, window_max_drawdown): the
     ordering key packs cents and the unique orderkey into one BIGINT
-    (``cents·1e7 + key``, exact — cents ≤ 5e9 would still fit), so
-    ties are impossible BY CONSTRUCTION rather than left to the
-    engines' unspecified tie behavior, which differs and would flip
-    the hash. One map-side-combinable exchange, five rows."""
+    (``cents·1e9 + key``), so ties are impossible BY CONSTRUCTION
+    rather than left to the engines' unspecified tie behavior, which
+    differs and would flip the hash. Injectivity precondition:
+    ``o_orderkey < 1e9``, which holds through ~sf160 (TPC-H orderkeys
+    reach ~6e6·sf); cents ≤ 6e7 keeps the product ≤ 6e16, inside
+    BIGINT with 150× headroom. (Round-3 ADVICE: the old 1e7 multiplier
+    silently broke injectivity past ~sf1.6.) One map-side-combinable
+    exchange, five rows."""
     orders = load_table(spark, sf_dir, "orders")
     o = orders.selectExpr(
         "o_orderpriority",
         "o_orderkey",
-        "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) * 10000000"
+        "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) * 1000000000"
         " + o_orderkey AS price_key",
     )
     return o.groupBy("o_orderpriority").agg(
         F.expr("CAST(max_by(o_orderkey, price_key) AS BIGINT) AS top_order"),
         F.expr("CAST(min_by(o_orderkey, price_key) AS BIGINT) AS bottom_order"),
-        F.expr("CAST(max(price_key) DIV 10000000 AS BIGINT) AS top_cents"),
-        F.expr("CAST(min(price_key) DIV 10000000 AS BIGINT) AS bottom_cents"),
+        F.expr("CAST(max(price_key) DIV 1000000000 AS BIGINT) AS top_cents"),
+        F.expr("CAST(min(price_key) DIV 1000000000 AS BIGINT) AS bottom_cents"),
     )
