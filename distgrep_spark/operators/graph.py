@@ -88,3 +88,36 @@ def dedup_clusters(
         df.select(id_col), pairs, id_col=id_col, src_col=pair_a, dst_col=pair_b
     )
     return comps.select(F.col("id").alias(id_col), F.col("comp").alias("cluster_rep"))
+
+
+def degree_orient(edges: DataFrame, deg: DataFrame) -> DataFrame:
+    """Orient canonical undirected edges (u, v) from the lower-(degree,
+    id) endpoint to the higher — Schank-Wagner compact-forward
+    orientation, the degree-ordered scale path for triangle counting
+    (queries/profiling.py graph_triangle_count).
+
+    ``edges``: columns (u, v); ``deg``: columns (node, d). Returns
+    (s, t) with (d_s, s) < (d_t, t) lexicographically. Every triangle
+    {a, b, c} in that total order carries s->t edges a->b, a->c, b->c,
+    so the source-keyed wedge join finds it exactly once, and per-source
+    wedge work is outdeg^2 <= O(arboricity^2) per vertex — a hub's
+    edges all point INTO it, so the hub emits no wedges (the 100-TB
+    property; hub soak measured in SCALE.md round 4). Two node-keyed
+    equi-joins against the degree table (broadcast at fixture scale,
+    linear shuffle joins at 100 TB); no shuffle is added to the
+    downstream triangle join, which keys on the source column.
+
+    Reference: massimostanzione/distgrep has no graph operators
+    (worker.go:24-43 is grep-only); this is the brief's analytics
+    extension surface.
+    """
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    return (
+        edges.join(du, "u")
+        .join(dv, "v")
+        .selectExpr(
+            "CASE WHEN du < dv OR (du = dv AND u < v) THEN u ELSE v END AS s",
+            "CASE WHEN du < dv OR (du = dv AND u < v) THEN v ELSE u END AS t",
+        )
+    )

@@ -46,3 +46,73 @@ def test_dedup_clusters_keep_one_per_cluster(spark):
     clusters = dedup_clusters(df, pairs)
     kept = clusters.where("doc_id = cluster_rep")
     assert {r["doc_id"] for r in kept.collect()} == {0, 2, 4}
+
+
+# ---------------------------------------------------------------------------
+# Degree-ordered orientation (degree_orient, used by graph_triangle_count)
+# ---------------------------------------------------------------------------
+
+
+def _orient_and_count(spark, eset):
+    """Triangle count through degree_orient's source-keyed wedge join —
+    the exact plan shape of graph_triangle_count's tri branch."""
+    from pyspark.sql import functions as F
+
+    from distgrep_spark.operators.graph import degree_orient
+
+    edges = spark.createDataFrame(sorted(eset), "u long, v long")
+    deg = (
+        edges.selectExpr("u AS node")
+        .unionAll(edges.selectExpr("v AS node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    o = degree_orient(edges, deg)
+    p = o.select("s", F.col("t").alias("y"))
+    q_ = o.select("s", F.col("t").alias("z"))
+    e3 = o.select(F.col("s").alias("y"), F.col("t").alias("z"))
+    return (
+        p.join(q_, "s").where("y <> z").join(e3, ["y", "z"]).count(),
+        o,
+    )
+
+
+def _brute_triangles(eset):
+    adj = {}
+    for u, v in eset:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    return sum(1 for u, v in eset for w in (adj[u] & adj[v]) if w > v)
+
+
+def test_degree_orient_hub_graph_exact(spark):
+    """Mid-id hub (the id-ordering worst case) + planted triangles:
+    degree-ordered wedge join must count exactly the brute force."""
+    hub = 50
+    eset = {(min(hub, i), max(hub, i)) for i in range(30) if i != hub}
+    eset |= {(100 + i, 100 + i + 1) for i in range(0, 20, 2)}
+    eset |= {(0, 1), (1, 2), (0, 2), (0, 3), (2, 3)}  # triangles incl. hub spokes? no: ids 0-3
+    eset |= {(5, hub), (6, hub), (5, 6)}  # triangle THROUGH the hub
+    got, oriented = _orient_and_count(spark, eset)
+    assert got == _brute_triangles(eset)
+    # the hub has max degree, so (almost) all its edges point INTO it:
+    # its out-degree is 0 and it emits no wedges — the scale property.
+    hub_out = oriented.where(f"s = {hub}").count()
+    assert hub_out == 0
+
+
+def test_degree_orient_random_graph_exact(spark):
+    import random
+
+    rng = random.Random(7)
+    eset = set()
+    while len(eset) < 300:
+        u, v = rng.randrange(60), rng.randrange(60)
+        if u != v:
+            eset.add((min(u, v), max(u, v)))
+    got, oriented = _orient_and_count(spark, eset)
+    assert got == _brute_triangles(eset)
+    # orientation is a bijection on edges: every undirected edge appears
+    # exactly once, in exactly one direction
+    assert oriented.count() == len(eset)
+    assert oriented.selectExpr("least(s,t) AS a", "greatest(s,t) AS b").distinct().count() == len(eset)
