@@ -334,13 +334,20 @@ def q_layout_compaction_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY doc_id
     ),
     ded AS (
-      SELECT md5(clean_text) AS digest,
+      -- universe = docs with >=1 sentence; fully-boilerplate docs keep
+      -- clean_text = '' (the md5('') audit group) instead of vanishing,
+      -- mirroring operators/text.remove_dup_sentences exactly. An inner
+      -- join here was the round-4 sf0.1 sweep's off-by-one: no doc is
+      -- 100% boilerplate at sf0.01, several are at sf0.1.
+      SELECT md5(coalesce(c.clean_text, '')) AS digest,
              min(k.doc_id) AS doc_id,
              arg_min(k.lang, k.doc_id) AS lang,
-             arg_min(clean_text, k.doc_id) AS clean_text,
+             arg_min(coalesce(c.clean_text, ''), k.doc_id) AS clean_text,
              count(*) AS n_copies
-      FROM kept k JOIN clean USING (doc_id)
-      GROUP BY md5(clean_text)
+      FROM kept k
+      JOIN (SELECT DISTINCT doc_id FROM s) sd USING (doc_id)
+      LEFT JOIN clean c USING (doc_id)
+      GROUP BY md5(coalesce(c.clean_text, ''))
     )
     SELECT digest, doc_id, lang, n_copies,
            CAST(length(clean_text) AS BIGINT) AS n_clean_chars,
@@ -639,8 +646,14 @@ def q_agg_freq_items_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events WHERE event_type = 'view' GROUP BY user_id
     ),
     conv AS (
+      -- floor-of-difference in exact integer microseconds: CAST(epoch()
+      -- AS BIGINT) was the round-vs-truncate class (CLAUDE.md) — it
+      -- ROUNDS the double seconds while Spark's unix_timestamp
+      -- truncates, which flipped min_s/p75 at sf0.1's sub-second
+      -- fractions (round-4 sweep find).
       SELECT v.user_id,
-             CAST(epoch(min(e.ts)) - epoch(v.first_view) AS BIGINT) AS latency_s
+             (epoch_us(min(e.ts)) - epoch_us(v.first_view)) // 1000000
+               AS latency_s
       FROM v JOIN events e
         ON e.user_id = v.user_id AND e.event_type = 'click' AND e.ts > v.first_view
       GROUP BY v.user_id, v.first_view
@@ -660,9 +673,12 @@ def q_funnel_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     between the two engines' interpolation formulas fails the hash). The paired-event-latency shape every product
     pipeline runs after the funnel counts (funnel_view_click).
 
-    Latencies are exact integer epoch-second differences; quantile_cont
-    == Spark percentile (verified, CLAUDE.md) and interpolation over
-    integers is the same rational arithmetic on both engines. Plan: two
+    Latencies are exact integer microsecond differences floored to
+    whole seconds (integer DIV on both engines — never a double
+    epoch() cast, which ROUNDS in DuckDB and truncates in Spark, the
+    round-4 sf0.1 find); quantile_cont == Spark percentile (verified,
+    CLAUDE.md) and interpolation over integers is the same rational
+    arithmetic on both engines. Plan: two
     min-aggregates and the conversion join all key on user_id — ONE
     exchange serves the whole pipeline until the final 1-row quantile
     reduce."""
@@ -682,10 +698,13 @@ def q_funnel_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("user_id", "first_view")
         .agg(F.min("c_ts").alias("first_click"))
-        .select(
-            (
-                F.unix_timestamp("first_click") - F.unix_timestamp("first_view")
-            ).cast("bigint").alias("latency_s")
+        .selectExpr(
+            # tz-free exact integer micros (events.ts is TIMESTAMP_NTZ:
+            # unix_timestamp would interpret it in the session zone —
+            # vanilla-session fragile and DST-unsafe), floored to whole
+            # seconds with integer DIV on both engines.
+            "timestampdiff(MICROSECOND, first_view, first_click)"
+            " DIV 1000000 AS latency_s"
         )
     )
     return conv.agg(
