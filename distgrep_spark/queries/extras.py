@@ -1197,9 +1197,17 @@ def q_udtf_analyze_dynamic_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     terminate() emits the count row); the oracle is the static
     conditional-sum pivot over the same three types, so the whole
     dynamic-schema machinery is value-hash-checked against declarative
-    SQL. Same scale story as udtf_table_arg_sessions: the engine
-    hash-partitions like a window; Python adds serialization, not
-    shuffle."""
+    SQL.
+
+    Scale/perf (round 4): the TABLE argument is the JVM-side
+    (user, type, count) ROLLUP, not raw events — counting is
+    distributive, so per-fact work stays map-side in codegen and
+    Python folds ~|users|×|types| rows (measured 2.7 s → ~0.6 s at
+    sf0.1; pickling the raw rows, with their datetime column and an
+    irrelevant ORDER BY sort, was 95% of the cost — the same lesson
+    as udtf_table_arg_sessions' slimming, taken to its limit). The
+    dynamic analyze() schema — the point of this query — is
+    untouched."""
     from pyspark.sql.functions import udtf as _udtf
 
     from distgrep_spark.functions.udtfs import PivotTypeCounts
@@ -1211,9 +1219,10 @@ def q_udtf_analyze_dynamic_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT * FROM pivot_type_counts(
-          TABLE(SELECT user_id, event_type, ts, event_id
-                FROM events_udtf_pivot_base)
-          PARTITION BY user_id ORDER BY (ts, event_id),
+          TABLE(SELECT user_id, event_type, count(*) AS cnt
+                FROM events_udtf_pivot_base
+                GROUP BY user_id, event_type)
+          PARTITION BY (user_id),
           'view,click,purchase')
         """
     )

@@ -792,10 +792,12 @@ def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: the edge list (the same one-shuffle basket build as
     market_basket_lift / graph_pagerank_step) is ``localCheckpoint``ed
-    ONCE and reused (degrees, orientation, n_edges); the oriented list
-    is checkpointed too since the triangle join reads it three times
-    (ReusedExchange does not fire across branches under AQE, measured
-    on the PageRank variant). Wedge count Σ d(d-1)/2 is exact BIGINT
+    ONCE and reused (degrees, orientation, n_edges); the DEGREE rollup
+    is checkpointed too (node-count rows, read by wedges and all three
+    orientation branches — ReusedExchange does not fire across branches
+    under AQE, measured on the PageRank variant; see the inline note
+    for why oriented itself is deliberately NOT checkpointed at
+    fixture scale). Wedge count Σ d(d-1)/2 is exact BIGINT
     (integer division is exact: d(d-1) is even); the clustering
     coefficient is one BIGINT-ratio IEEE division, identical on both
     engines."""
@@ -827,11 +829,21 @@ def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(edges.select(F.col("v").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+        # node-count rows, read by wedges AND three orientation
+        # branches: checkpointing this tiny rollup caps the recompute
+        # at one shuffle total, while checkpointing ORIENTED (edge-
+        # count rows) costs more than the three broadcast-join
+        # recomputes it saves at fixture scale (A/B warm: 1.9 s
+        # oriented-ckpt vs 1.5 s deg-ckpt). At 100 TB, where the
+        # orientation joins shuffle instead of broadcasting, add
+        # .localCheckpoint() on oriented too — depth of reuse beats
+        # re-shuffling there.
+        .localCheckpoint()
     )
     wedges = deg.agg(
         F.sum((F.col("d") * (F.col("d") - 1)) / 2).cast("bigint").alias("n_wedges")
     )
-    oriented = degree_orient(edges, deg).localCheckpoint()
+    oriented = degree_orient(edges, deg)
     p = oriented.select(F.col("s"), F.col("t").alias("y"))
     q = oriented.select(F.col("s"), F.col("t").alias("z"))
     e3 = oriented.select(F.col("s").alias("y"), F.col("t").alias("z"))
