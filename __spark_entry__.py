@@ -116,6 +116,7 @@ POST_PREFIX = [
     # demoted round 4: uncapped exact-Jaccard ground truth (the scored
     # slot now demonstrates the max_df-capped plan)
     "dedup_ngram_jaccard",
+    "dedup_cross_corpus_exact",
     # demoted from the prefix late round 3 (slots went to stats_ols_trend,
     # join_spatial_grid, recursive_order_chain):
     "agg_percentiles",
