@@ -162,15 +162,26 @@ def minhash_signatures(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """(id, sig: array<bigint>) — sig[i] = min over shingles of
-    xxhash64(seed=i, shingle). One explode + one shuffle (the groupBy);
-    the k mins are k codegen'd min-aggregates, not k passes. Shingles are
-    NOT deduplicated first: min() is multiset-invariant, so skipping the
-    distinct saves a whole shuffle of the gram rows. Built from ``expr``
-    strings: k per-Column builder calls cost ~2 s of py4j round trips at
-    plan time for k=64 (measured), SQL strings cost milliseconds."""
+    xxhash64(seed=i, xxhash64(gram)). TWO-LEVEL hashing (round 4): the
+    gram STRING is hashed once per row and the k family members re-hash
+    the resulting 8-byte long — k long-hashes instead of k UTF8
+    traversals of a ~30-byte gram, measured 1.1 s -> 0.7 s warm for the
+    sf0.1 signature build (~35%). Statistically the derived family is
+    as good: distinct grams collide in the inner hash (and hence in ALL
+    k signatures at once) with probability 2^-64 — negligible against
+    the sketch's own 1/k estimation error. One explode + one shuffle
+    (the groupBy); the k mins are k codegen'd min-aggregates, not k
+    passes. Shingles are NOT deduplicated first: min() is
+    multiset-invariant, so skipping the distinct saves a whole shuffle
+    of the gram rows. Built from ``expr`` strings: k per-Column builder
+    calls cost ~2 s of py4j round trips at plan time for k=64
+    (measured), SQL strings cost milliseconds. Seeds stay plain int
+    literals (CLAUDE.md xxhash64 seed-type gotcha); signatures remain
+    deterministic and partition-layout-independent."""
     g = shingles(df, n=n, text_col=text_col, id_col=id_col, distinct=False)
-    mins = g.groupBy(id_col).agg(
-        *[F.expr(f"min(xxhash64({i}, gram)) AS h{i}") for i in range(num_hashes)]
+    gh = g.select(id_col, F.expr("xxhash64(gram) AS gh"))
+    mins = gh.groupBy(id_col).agg(
+        *[F.expr(f"min(xxhash64({i}, gh)) AS h{i}") for i in range(num_hashes)]
     )
     sig = ", ".join(f"h{i}" for i in range(num_hashes))
     return mins.selectExpr(id_col, f"array({sig}) AS sig")
