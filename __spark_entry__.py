@@ -223,6 +223,7 @@ POST_PREFIX = [
     "text_bpe_merge_step",
     "events_path_counts",
     "agg_hll_union_gate",
+    "agg_approx_topk_merge_gate",
     "events_peak_concurrency",
     "join_asof_nearest_events",
     "window_cumulative_distinct",

@@ -633,6 +633,54 @@ def q_agg_freq_items_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "agg_approx_topk_merge_gate",
+    oracle="""
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+    FROM documents GROUP BY lang
+    """,
+)
+def q_agg_approx_topk_merge_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certification gate for Spark 4.1's mergeable approx_top_k
+    surface (``approx_top_k_accumulate`` per group →
+    ``approx_top_k_combine`` → ``approx_top_k_estimate``) — the
+    re-aggregatable heavy-hitter form, the frequency twin of the HLL
+    union gate (agg_hll_union_gate). One partial sketch is ACCUMULATED
+    per source, the partials are COMBINED into a corpus sketch, and the
+    estimate is exploded to (lang, n_docs) rows.
+
+    The certification is a theorem, not a tolerance: with
+    maxItemsTracked (10000) far above the language cardinality (~10),
+    every per-source sketch tracks every language exactly, combining
+    sums exact counts, and estimate(k=64 ≥ distinct) returns the
+    COMPLETE exact rollup — so the plain GROUP BY oracle must match
+    row-for-row and value-for-value; any sketch truncation, merge
+    loss, or count drift breaks the hash. At 100 TB this is the shape
+    that matters: per-partition/per-day partial sketches stored and
+    merged without re-reading facts — the form approx_top_k alone
+    (one-shot aggregate) cannot provide.
+
+    Reference: massimostanzione/distgrep's only aggregate is the line
+    count (worker.go:46-62); sketches are the brief's extension
+    surface."""
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("docs_topk_base")
+    return spark.sql(
+        """
+        WITH partials AS (
+          SELECT source, approx_top_k_accumulate(lang, 10000) AS s
+          FROM docs_topk_base GROUP BY source
+        ),
+        merged AS (
+          SELECT approx_top_k_estimate(approx_top_k_combine(s, 10000), 64) AS tk
+          FROM partials
+        )
+        SELECT e.item AS lang, CAST(e.count AS BIGINT) AS n_docs
+        FROM merged LATERAL VIEW explode(tk) AS e
+        """
+    )
+
+
 # ---------------------------------------------------------------------------
 # Funnel conversion latency
 # ---------------------------------------------------------------------------
