@@ -667,9 +667,20 @@ def q_agg_approx_topk_merge_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs.createOrReplaceTempView("docs_topk_base")
     return spark.sql(
         """
-        WITH partials AS (
+        WITH base AS (
+          -- sentinel row: approx_top_k_combine's internal buffer throws
+          -- scala.MatchError when every partial is empty (found by the
+          -- empty-input sweep; the crash is inside the aggregate, so no
+          -- downstream null-filter can guard it). One synthetic row
+          -- keeps the sketch non-empty on ANY input; it is filtered
+          -- back out of the estimate below and cannot perturb real
+          -- counts (distinct items stay far below k=64).
+          SELECT source, lang FROM docs_topk_base
+          UNION ALL SELECT '_sentinel', '_sentinel'
+        ),
+        partials AS (
           SELECT source, approx_top_k_accumulate(lang, 10000) AS s
-          FROM docs_topk_base GROUP BY source
+          FROM base GROUP BY source
         ),
         merged AS (
           SELECT approx_top_k_estimate(approx_top_k_combine(s, 10000), 64) AS tk
@@ -677,6 +688,7 @@ def q_agg_approx_topk_merge_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT e.item AS lang, CAST(e.count AS BIGINT) AS n_docs
         FROM merged LATERAL VIEW explode(tk) AS e
+        WHERE e.item <> '_sentinel'
         """
     )
 
