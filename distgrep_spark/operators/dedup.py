@@ -221,12 +221,23 @@ def minhash_lsh_pairs(
             "count, biasing estimates low"
         )
     r = num_hashes // bands
+    # localCheckpoint: the signature table is read three times (banding,
+    # sig_a join-back, sig_b join-back) and ReusedExchange does not fire
+    # across branches; materializing |docs| x (k longs) (~10 MB at
+    # sf0.1) beats re-running the shingle explode + 64 min-aggregates
+    # per branch.
     sigs = minhash_signatures(
         df, n=n, num_hashes=num_hashes, text_col=text_col, id_col=id_col
-    )
+    ).localCheckpoint()
+    # The band join carries ONLY (id, band, key): routing the 64-long
+    # signature array through the banding explode would replicate it
+    # x16 per side into the join shuffle (~8 KB/doc, measured round 4);
+    # instead the deduped candidate pairs (narrow id rows) join the
+    # signature table back twice for the estimate — candidates are the
+    # near-dup survivors, orders of magnitude fewer than band rows, and
+    # each pair is scored ONCE instead of once per shared band.
     banded = sigs.select(
         id_col,
-        "sig",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -235,31 +246,31 @@ def minhash_lsh_pairs(
                 ),
             )
         ).alias("bk"),
-    ).select(id_col, "sig", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    a = banded.select(F.col(id_col).alias("doc_a"), F.col("sig").alias("sig_a"), "band", "key")
-    b = banded.select(F.col(id_col).alias("doc_b"), F.col("sig").alias("sig_b"), "band", "key")
-    est = (
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = banded.select(F.col(id_col).alias("doc_a"), "band", "key")
+    b = banded.select(F.col(id_col).alias("doc_b"), "band", "key")
+    cand = (
         a.join(b, ["band", "key"])
         .where(F.col("doc_a") < F.col("doc_b"))
-        # estimate + threshold BEFORE the pair-dedup exchange: the
-        # zip_with is map-side on the join output, so the dropDuplicates
-        # shuffle carries (doc_a, doc_b, est) survivors instead of two
-        # 64-long signature arrays per candidate (~1 KB/row)
-        .select(
-            "doc_a",
-            "doc_b",
-            (
-                F.size(
-                    F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v)
-                )
-                * F.lit(1.0)
-                / F.lit(num_hashes)
-            ).alias("est_jaccard"),
-        )
+        .select("doc_a", "doc_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    sa = sigs.select(F.col(id_col).alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col(id_col).alias("doc_b"), F.col("sig").alias("sig_b"))
+    est = cand.join(sa, "doc_a").join(sb, "doc_b").select(
+        "doc_a",
+        "doc_b",
+        (
+            F.size(
+                F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v)
+            )
+            * F.lit(1.0)
+            / F.lit(num_hashes)
+        ).alias("est_jaccard"),
     )
     if min_est_jaccard is not None:
         est = est.where(F.col("est_jaccard") >= min_est_jaccard)
-    return est.dropDuplicates(["doc_a", "doc_b"])
+    return est
 
 
 # ---------------------------------------------------------------------------
