@@ -97,19 +97,36 @@ def ngram_jaccard_pairs(
     documented trade)."""
     g = shingles(df, n=n, text_col=text_col, id_col=id_col)
     if max_df is not None:
-        # Posting-list plan: ONE gram-keyed shuffle builds the per-gram
-        # doc list, the df cap is a size() predicate on it, and pairs
-        # explode in-list (bounded by max_df^2 per gram — the
-        # market_basket_lift pattern). This replaces the naive
-        # rollup + join-back + self-join lineage, which recomputed the
-        # capped gram list four times (15 shuffles -> 5, measured;
-        # collect_set stays bounded BECAUSE of the cap — the uncapped
-        # branch below must keep the join form, a hub shingle would
-        # blow the list).
-        posts = (
+        # Posting-list plan: the per-gram doc list is built ONLY for
+        # sub-cap grams, and pairs explode in-list (bounded by
+        # max_df^2 per gram — the market_basket_lift pattern). The df
+        # pre-filter is load-bearing for the boundedness claim: a
+        # map-side-combinable count rollup (16-byte gram keys + longs)
+        # picks the rare vocabulary FIRST, so no aggregation buffer
+        # ever materializes a hub gram's 10^6-doc posting list just to
+        # throw it away (the round-4 review catch — a post-hoc
+        # size() filter bounds what survives, not what is collected).
+        # The collect groupBy rides the join's gram partitioning
+        # (hashpartitioning(gram) satisfies it — no extra exchange,
+        # verified in the plan), so this still replaces the old
+        # rollup + join-back + SELF-JOIN lineage's 15 shuffles.
+        rare = (
             g.groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") <= max_df)
+            .select("gram")
+        )
+        # localCheckpoint: posts feeds BOTH the size rollup and the
+        # pair explode, and ReusedExchange does not fire across
+        # branches — without it the rollup+join lineage re-runs per
+        # consumer (measured: the shuffle count doubles back to the
+        # old plan's 15). Rows are (gram, <=max_df ids): the bounded
+        # working set of the algorithm.
+        posts = (
+            g.join(rare, "gram")
+            .groupBy("gram")
             .agg(F.sort_array(F.collect_set(F.col(id_col))).alias("ds"))
-            .where(F.size("ds") <= max_df)
+            .localCheckpoint()
         )
         sizes = (
             posts.select(F.explode("ds").alias(id_col))

@@ -118,6 +118,13 @@ def grid_neighbor_pairs(
         # Hot list: (cell, splits) for super-threshold cells only.
         # ceil via integer arithmetic ((n - 1) DIV t + 1): ANSI-exact,
         # no float rounding at the boundary (CLAUDE.md DIV discipline).
+        # localCheckpoint: the hot list feeds BOTH broadcast enrichment
+        # joins below and ReusedExchange does not fire across branches
+        # under AQE (CLAUDE.md) — without it the per-cell count
+        # aggregation re-scans the points once per side, contradicting
+        # the "one count per cell" cost model (round-4 review catch).
+        # The materialized frame is tiny by construction (only
+        # super-threshold cells).
         hot = (
             build.groupBy("cx", "cy")
             .agg(F.count(F.lit(1)).alias("n"))
@@ -128,6 +135,7 @@ def grid_neighbor_pairs(
                 f"CAST(least((n - 1) DIV {int(hot_threshold)} + 1,"
                 f" {int(max_splits)}) AS INT) AS _splits",
             )
+            .localCheckpoint()
         )
         b = build.join(F.broadcast(hot), ["cx", "cy"], "left").withColumn(
             "_salt",

@@ -762,9 +762,9 @@ def q_graph_pagerank_step(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
     )
     SELECT (SELECT CAST(count(*) AS BIGINT) FROM edges) AS n_edges,
-           (SELECT CAST(sum(d * (d - 1) / 2) AS BIGINT) FROM deg) AS n_wedges,
+           (SELECT CAST(sum((d * (d - 1)) // 2) AS BIGINT) FROM deg) AS n_wedges,
            n_triangles,
-           3.0 * n_triangles / (SELECT sum(d * (d - 1) / 2) FROM deg)
+           3.0 * n_triangles / (SELECT sum((d * (d - 1)) // 2) FROM deg)
              AS global_clustering
     FROM tri
     """,
@@ -841,7 +841,11 @@ def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     wedges = deg.agg(
-        F.sum((F.col("d") * (F.col("d") - 1)) / 2).cast("bigint").alias("n_wedges")
+        # integer DIV keeps the whole fold in BIGINT (d*(d-1) is even,
+        # so DIV 2 is exact): PySpark `/` on bigints is DOUBLE and
+        # drifts past 2^53 — the round-4 review catch, and the oracle's
+        # // 2 is the same integer arithmetic.
+        F.expr("sum((d * (d - 1)) DIV 2)").cast("bigint").alias("n_wedges")
     )
     oriented = degree_orient(edges, deg)
     p = oriented.select(F.col("s"), F.col("t").alias("y"))
