@@ -11,6 +11,7 @@ to the engine), and the metric is total wall seconds across the suite.
 from __future__ import annotations
 
 import json
+import gc
 import os
 import sys
 import time
@@ -67,6 +68,14 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             print(f"bench error in {name}: {e}", file=sys.stderr)
             timings[name] = -1.0
+        # Release py4j references so the ContextCleaner frees each
+        # query's localCheckpoint blocks promptly: across hundreds of
+        # queries in ONE session the pinned blocks otherwise accumulate
+        # in storage memory (measured: the x16 prefix soak died with
+        # 'Could not allocate memory to grow BytesToBytesMap' at
+        # join_salted_skew, while the same query ran fine in a fresh
+        # session). Costs ~ms per query.
+        gc.collect()
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")

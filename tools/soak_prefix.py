@@ -14,6 +14,7 @@ dims. Usage:
 
 from __future__ import annotations
 
+import gc
 import os
 import sys
 import time
@@ -74,7 +75,13 @@ def main() -> None:
     def run(name: str, sf_dir: str) -> float:
         t0 = time.perf_counter()
         q.QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        return time.perf_counter() - t0
+        dt = time.perf_counter() - t0
+        # free py4j refs -> ContextCleaner drops localCheckpoint blocks;
+        # without this the x16 soak OOMs at join_salted_skew on the
+        # storage memory pinned by 14 earlier queries' checkpoints
+        # (bench.py carries the same guard; measured round 4).
+        gc.collect()
+        return dt
 
     print(f"{'query':34s} {'x1':>7s} {'x' + str(mult):>7s}  ratio")
     tot1 = totm = 0.0
