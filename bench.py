@@ -1,11 +1,17 @@
 """Benchmark harness (driver contract: one JSON line on stdout).
 
 Runs the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
-local[$SPARK_GRAFT_CPUS]. Each query is executed once as a warm-up-free
-timed run, forced through the ``noop`` sink (full execution of every
-operator, no driver-side row transfer — the standard Spark bench
-discipline; collect() would bill py4j serialization of the result set
-to the engine), and the metric is total wall seconds across the suite.
+local[$SPARK_GRAFT_CPUS]. Each query is executed
+$SPARK_GRAFT_BENCH_REPS times (default 3) through the ``noop`` sink
+(full execution of every operator, no driver-side row transfer — the
+standard Spark bench discipline; collect() would bill py4j
+serialization of the result set to the engine). Per query the reported
+time is the MEDIAN of the reps (round-5 de-noise: host variance was
+measured at ±70% on single runs, which made round-over-round per-query
+deltas unattributable; the median sheds the codegen-JIT first-run cost
+and scheduler noise) and BENCH_FULL.json carries the per-query
+max-min spread so regression triage can cite signal. The metric is the
+sum of per-query medians across the suite.
 """
 
 from __future__ import annotations
@@ -59,23 +65,35 @@ def main() -> None:
     names = [n for n in HEADLINE if n in q.QUERIES]
     names += [n for n in sorted(q.QUERIES) if n not in names]
 
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name in names:
-        t0 = time.perf_counter()
-        try:
-            q.QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.perf_counter() - t0, 3)
-        except Exception as e:  # noqa: BLE001
-            print(f"bench error in {name}: {e}", file=sys.stderr)
+        runs: list[float] = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            try:
+                q.QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                runs.append(round(time.perf_counter() - t0, 3))
+            except Exception as e:  # noqa: BLE001
+                print(f"bench error in {name}: {e}", file=sys.stderr)
+                runs = []
+                break
+            # Release py4j references so the ContextCleaner frees each
+            # query's localCheckpoint blocks promptly: across hundreds of
+            # queries in ONE session the pinned blocks otherwise
+            # accumulate in storage memory (measured: the x16 prefix soak
+            # died with 'Could not allocate memory to grow
+            # BytesToBytesMap' at join_salted_skew, while the same query
+            # ran fine in a fresh session). Costs ~ms per query.
+            gc.collect()
+        if runs:
+            timings[name] = sorted(runs)[len(runs) // 2]
+            spreads[name] = round(max(runs) - min(runs), 3)
+        else:
             timings[name] = -1.0
-        # Release py4j references so the ContextCleaner frees each
-        # query's localCheckpoint blocks promptly: across hundreds of
-        # queries in ONE session the pinned blocks otherwise accumulate
-        # in storage memory (measured: the x16 prefix soak died with
-        # 'Could not allocate memory to grow BytesToBytesMap' at
-        # join_salted_skew, while the same query ran fine in a fresh
-        # session). Costs ~ms per query.
-        gc.collect()
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -91,11 +109,12 @@ def main() -> None:
         "queries": {n: timings[n] for n in HEADLINE if n in timings},
         "n_queries": len(timings),
         "n_errors": len(errors),
+        "reps": reps,
         "sf": float(sf) if sf else None,
     }
     out = json.dumps(line)
     assert len(out) < 1900, f"stdout bench line too long ({len(out)} chars)"
-    full = dict(line, queries=timings, errors=errors)
+    full = dict(line, queries=timings, spreads=spreads, errors=errors)
     print(json.dumps(full), file=sys.stderr)
     try:
         here = os.path.dirname(os.path.abspath(__file__))

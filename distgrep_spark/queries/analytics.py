@@ -326,34 +326,87 @@ def q_embed_pq_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation: per-customer recency (days to a fixed anchor —
     a literal, not max-over-the-data, so the branches stay independent),
-    frequency, and exact-decimal monetary, each cut into quintiles by
-    ``ntile(5)`` with the customer key as the deterministic tie-break
-    (both engines distribute remainder rows to the leading tiles per the
-    SQL standard). Segment totals re-aggregate the 2-dp monetary through
+    frequency, and exact-decimal monetary, each cut into EXACT quintiles
+    with the customer key as the deterministic tie-break (both engines
+    distribute remainder rows to the leading tiles per the SQL
+    standard). Segment totals re-aggregate the 2-dp monetary through
     DECIMAL so the double is order-independent.
 
-    The 100-TB form drops the three global sorts: compute approximate
-    quintile boundaries (approx_percentile over one pass), broadcast the
-    15 cut points, and assign tiles map-side — same output schema, no
-    total order. The exact ntile here doubles as that version's
-    correctness oracle at test scale."""
-    o = load_table(spark, sf_dir, "orders")
-    rfm = o.groupBy("o_custkey").agg(
-        F.expr(
-            "CAST(datediff(DATE '1998-12-01', CAST(max(o_orderdate) AS DATE))"
-            " AS BIGINT)"
-        ).alias("recency_days"),
-        F.count(F.lit(1)).alias("frequency"),
-        dsum("o_totalprice", "monetary"),
+    Round 5: the three global ``ntile(5)`` sorts (Exchange
+    SinglePartition — the round-4 scale-killer class) are replaced by
+    the distributed exact-rank plan of ``operators/distrank.py``: one
+    approx_percentile pass yields 3×63 bucket boundaries, tiles come
+    from ``offset[bucket] + row_number() OVER (PARTITION BY bucket)``
+    plus the exact ntile arithmetic — bit-identical to the global
+    window (the unchanged oracle certifies that), but every window is
+    hash-partitioned. At 100 TB only the bucket count changes.
+    Companion ``orders_rfm_quartiles`` keeps the approximate-boundary
+    map-side-assignment variant (no rank at all)."""
+    from distgrep_spark.operators.distrank import (
+        array_lit,
+        bucket_expr,
+        exclusive_prefixes,
+        ntile_expr,
     )
-    tiled = rfm.select(
+
+    o = load_table(spark, sf_dir, "orders")
+    rfm = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.expr(
+                "CAST(datediff(DATE '1998-12-01', CAST(max(o_orderdate) AS"
+                " DATE)) AS BIGINT)"
+            ).alias("recency_days"),
+            F.count(F.lit(1)).alias("frequency"),
+            dsum("o_totalprice", "monetary"),
+        )
+        .localCheckpoint()
+    )
+    # One job pulls all three boundary sets (<= 3*63 scalars).
+    fracs = ", ".join(repr(i / 64) + "D" for i in range(1, 64))
+    brow = rfm.agg(
+        *[
+            F.expr(f"approx_percentile({k}, array({fracs}), 10000)").alias(k)
+            for k in ("recency_days", "frequency", "monetary")
+        ]
+    ).first()
+
+    def _bounds(key: str) -> list:
+        raw = [] if brow is None or brow[key] is None else brow[key]
+        return sorted({b for b in raw if b is not None})
+
+    dims = [
+        ("r", "recency_days", "bigint", _bounds("recency_days")),
+        ("f", "frequency", "bigint", _bounds("frequency")),
+        ("m", "monetary", "double", _bounds("monetary")),
+    ]
+    bucketed = rfm.selectExpr(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        *[
+            f"{bucket_expr(key, bs, typ)} AS {d}_bk"
+            for d, key, typ, bs in dims
+        ],
+    )
+    n = 0
+    rank_exprs = []
+    for d, key, _typ, _bs in dims:
+        pre, tot = exclusive_prefixes(
+            bucketed, f"{d}_bk", {"cnt": "CAST(count(*) AS BIGINT)"}, {"cnt": "sum"}
+        )
+        n = tot["cnt"]
+        offs = array_lit(pre["cnt"], "bigint")
+        rank_exprs.append(
+            f"element_at({offs}, {d}_bk + 1) + row_number() OVER "
+            f"(PARTITION BY {d}_bk ORDER BY {key}, o_custkey) AS {d}_rnk"
+        )
+    ranked = bucketed.selectExpr("o_custkey", "monetary", *rank_exprs)
+    tiled = ranked.selectExpr(
         "o_custkey",
         "monetary",
-        F.ntile(5)
-        .over(Window.orderBy("recency_days", "o_custkey"))
-        .alias("r"),
-        F.ntile(5).over(Window.orderBy("frequency", "o_custkey")).alias("f"),
-        F.ntile(5).over(Window.orderBy("monetary", "o_custkey")).alias("m"),
+        *[f"{ntile_expr(f'{d}_rnk', n, 5)} AS {d}" for d, *_ in dims],
     )
     return tiled.groupBy(
         F.concat(
@@ -1133,40 +1186,64 @@ def q_part_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-D skyline (Pareto front): parts not dominated on (price low,
     size high) — q dominates p iff q is no worse on both dims and
     strictly better on one. Instead of the naive O(n^2) dominance
-    anti-join, the front falls out of two window aggregates over ONE
-    sort: a part survives iff no strictly-cheaper part has >= size
-    (integer RANGE frame ending 1 PRECEDING — PySpark rangeBetween is
-    int-only, hence price in cents, CLAUDE.md) and no same-price part
-    has > size. Equal (price, size) duplicates do not dominate each
-    other and all survive, per the standard strict-dominance
-    definition. All keys are exact integers.
+    anti-join, a part survives iff no strictly-cheaper price level has
+    max-size >= its size (a running max over the per-price rollup;
+    price in integer cents) and no same-price part has > size. Equal
+    (price, size) duplicates do not dominate each other and all
+    survive, per the standard strict-dominance definition. All keys
+    are exact integers.
 
-    At 100 TB: skyline is ASSOCIATIVE — skyline(A ∪ B) =
-    skyline(skyline(A) ∪ skyline(B)) — so the scale plan is
-    per-partition skyline (map-side, each a tiny running-max pass),
-    union the ~log-sized survivors, re-skyline on one node; the global
-    RANGE sort here is the fixture-scale stand-in the partition-wise
-    version is checked against."""
+    Round 5 (the global-RANGE-frame was the round-4 single-partition
+    class): the dominance test needs only the per-price max size, so the
+    plan rolls up ``max(size) GROUP BY cents`` first (map-side
+    combinable), then runs the strictly-cheaper running max over that
+    rollup with ``operators/distrank.py``'s bucketed prefix-MAX — a
+    ``ROWS 1 PRECEDING`` running max per bucket (distinct cents make
+    RANGE == ROWS) combined via ``greatest`` with the exclusive
+    per-bucket max offsets (NULL = no cheaper bucket; Spark ``greatest``
+    skips nulls). Survivors come from an equi-join of parts back to
+    their price row — at 100 TB the price rollup is bounded by the
+    distinct-price count and the join broadcasts; no single-partition
+    window anywhere. Exactness is boundary-independent (the unchanged
+    quadratic-free oracle certifies it)."""
+    from distgrep_spark.operators.distrank import (
+        array_lit,
+        bucket_expr,
+        exclusive_prefixes,
+        percentile_boundaries,
+    )
+
     p = load_table(spark, sf_dir, "part").selectExpr(
         "p_partkey",
         "CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS cents",
         "CAST(p_size AS BIGINT) AS size",
     )
-    w_cheaper = Window.orderBy("cents").rangeBetween(
-        Window.unboundedPreceding, -1
+    m = (
+        p.groupBy("cents")
+        .agg(F.expr("CAST(max(size) AS BIGINT)").alias("msize"))
+        .localCheckpoint()
     )
-    w_same = Window.partitionBy("cents")
-    scored = p.select(
-        "p_partkey",
+    bs = percentile_boundaries(m, "cents", 64)
+    mb = m.selectExpr(
+        "cents", "msize", f"{bucket_expr('cents', bs, 'bigint')} AS bk"
+    )
+    pre, _tot = exclusive_prefixes(mb, "bk", {"mx": "max(msize)"}, {"mx": "max"})
+    offs = array_lit(pre["mx"], "bigint")
+    scored = mb.selectExpr(
         "cents",
-        "size",
-        F.max("size").over(w_cheaper).alias("best_cheaper"),
-        F.max("size").over(w_same).alias("best_same_price"),
+        "msize AS best_same_price",
+        f"greatest(element_at({offs}, bk + 1), "
+        "max(msize) OVER (PARTITION BY bk ORDER BY cents "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)) AS best_cheaper",
     )
-    return scored.where(
-        (F.col("best_cheaper").isNull() | (F.col("best_cheaper") < F.col("size")))
-        & (F.col("best_same_price") == F.col("size"))
-    ).select("p_partkey", "cents", "size")
+    return (
+        p.join(scored, "cents")
+        .where(
+            "(best_cheaper IS NULL OR best_cheaper < size)"
+            " AND best_same_price = size"
+        )
+        .select("p_partkey", "cents", "size")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1880,11 +1957,21 @@ def q_part_abc_xyz_classification(spark: SparkSession, sf_dir: str) -> DataFrame
     integer cross-multiplication — ``cum·100 ≤ total·80`` for ABC and
     ``4·n·Σq² < 5·(Σq)²`` for cv² < 0.25 — so no class flips on a
     float ulp (the knife-edge discipline behind every classification
-    query here). The cumulative-revenue window runs over the
-    part-level rollup (dimension-sized — 20k rows at sf0.1; at 100 TB
-    you'd range-partition the rollup by revenue bucket first and
-    prefix-sum bucket totals, the layout_compaction_bins pattern). One
-    partkey exchange for both rollups."""
+    query here). Round 5: the cumulative-revenue ranking over the
+    part-level rollup (20k rows at sf0.1, 10^8 at catalog scale — the
+    same unbounded-entity class as orders_gini_spend) runs through
+    ``operators/distrank.py``'s bucketed prefix sums: descending
+    revenue boundaries, per-bucket running sum + driver-folded
+    exclusive offsets, total revenue as a fold literal instead of a
+    ``sum() OVER ()``. One partkey exchange for both rollups; no
+    Exchange SinglePartition; the unchanged global-window oracle
+    certifies exactness."""
+    from distgrep_spark.operators.distrank import (
+        array_lit,
+        bucket_expr,
+        exclusive_prefixes,
+        percentile_boundaries,
+    )
     li = load_table(spark, sf_dir, "lineitem")
     monthly = (
         li.selectExpr(
@@ -1899,24 +1986,40 @@ def q_part_abc_xyz_classification(spark: SparkSession, sf_dir: str) -> DataFrame
             F.expr("CAST(sum(cents) AS BIGINT) AS cents"),
         )
     )
-    per_part = monthly.groupBy("l_partkey").agg(
-        F.expr("CAST(sum(cents) AS BIGINT) AS revenue_cents"),
-        F.expr("CAST(count(*) AS BIGINT)   AS n_months"),
-        F.expr("CAST(sum(q) AS BIGINT)     AS s1"),
-        F.expr("CAST(sum(q * q) AS BIGINT) AS s2"),
+    per_part = (
+        monthly.groupBy("l_partkey")
+        .agg(
+            F.expr("CAST(sum(cents) AS BIGINT) AS revenue_cents"),
+            F.expr("CAST(count(*) AS BIGINT)   AS n_months"),
+            F.expr("CAST(sum(q) AS BIGINT)     AS s1"),
+            F.expr("CAST(sum(q * q) AS BIGINT) AS s2"),
+        )
+        .localCheckpoint()
     )
-    ranked = per_part.selectExpr(
+    bs = percentile_boundaries(per_part, "revenue_cents", 64, descending=True)
+    pb = per_part.selectExpr(
         "*",
-        "CAST(sum(revenue_cents) OVER (ORDER BY revenue_cents DESC, l_partkey"
-        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_rev",
-        "CAST(sum(revenue_cents) OVER () AS BIGINT) AS total_rev",
+        f"{bucket_expr('revenue_cents', bs, 'bigint', descending=True)} AS bk",
+    )
+    pre, tot = exclusive_prefixes(
+        pb, "bk", {"s": "CAST(sum(revenue_cents) AS BIGINT)"}, {"s": "sum"}
+    )
+    total_rev = tot["s"]
+    offs = array_lit(pre["s"], "bigint")
+    ranked = pb.selectExpr(
+        "*",
+        f"CAST(element_at({offs}, bk + 1) + "
+        "sum(revenue_cents) OVER (PARTITION BY bk "
+        "ORDER BY revenue_cents DESC, l_partkey "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)"
+        " AS cum_rev",
     )
     return ranked.selectExpr(
         "l_partkey",
         "revenue_cents",
         "n_months",
-        "CASE WHEN cum_rev * 100 <= total_rev * 80 THEN 'A'"
-        " WHEN cum_rev * 100 <= total_rev * 95 THEN 'B'"
+        f"CASE WHEN cum_rev * 100 <= {total_rev} * CAST(80 AS BIGINT) THEN 'A'"
+        f" WHEN cum_rev * 100 <= {total_rev} * CAST(95 AS BIGINT) THEN 'B'"
         " ELSE 'C' END AS abc_class",
         "CASE WHEN 4 * n_months * s2 < 5 * s1 * s1 THEN 'X'"
         " WHEN n_months * s2 < 2 * s1 * s1 THEN 'Y'"
@@ -2563,12 +2666,20 @@ def q_orders_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     complement to events_pareto_concentration's decile curve, via the
     rank formula G = 2·Σ(i·x_(i))/(n·Σx) - (n+1)/n. Rank and both sums
     are exact BIGINTs (rnk·cents peaks ~3e16 at sf0.1 — 250x BIGINT
-    headroom); the G expression is one fixed IEEE tree. The ranking
-    window runs over the customer ROLLUP (dimension-sized), with a
-    deterministic (cents, custkey) total order so tied spends don't
-    make G layout-dependent. At 100 TB: rollup map-side, then a
-    range-partitioned sort of customer-count rows — never order
-    rows."""
+    headroom); the G expression is one fixed IEEE tree. Round 5: the
+    rank runs over the customer rollup through
+    ``operators/distrank.py``'s bucketed exact rank — hash-partitioned
+    windows plus driver-folded bucket offsets — with a deterministic
+    (cents, custkey) total order so tied spends don't make G
+    layout-dependent; no Exchange SinglePartition over the rollup. The
+    unchanged global-window oracle certifies exactness."""
+    from distgrep_spark.operators.distrank import (
+        array_lit,
+        bucket_expr,
+        exclusive_prefixes,
+        percentile_boundaries,
+    )
+
     orders = load_table(spark, sf_dir, "orders")
     spend = (
         orders.selectExpr(
@@ -2576,10 +2687,20 @@ def q_orders_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("o_custkey")
         .agg(F.expr("CAST(sum(c) AS BIGINT) AS cents"))
+        .localCheckpoint()
     )
-    ranked = spend.selectExpr(
+    bs = percentile_boundaries(spend, "cents", 64)
+    sb = spend.selectExpr(
+        "o_custkey", "cents", f"{bucket_expr('cents', bs, 'bigint')} AS bk"
+    )
+    pre, _tot = exclusive_prefixes(
+        sb, "bk", {"cnt": "CAST(count(*) AS BIGINT)"}, {"cnt": "sum"}
+    )
+    offs = array_lit(pre["cnt"], "bigint")
+    ranked = sb.selectExpr(
         "cents",
-        "CAST(row_number() OVER (ORDER BY cents, o_custkey) AS BIGINT) AS rnk",
+        f"element_at({offs}, bk + 1) + row_number() OVER "
+        "(PARTITION BY bk ORDER BY cents, o_custkey) AS rnk",
     )
     s = ranked.agg(
         F.expr("CAST(count(*) AS BIGINT) AS n"),

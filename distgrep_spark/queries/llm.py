@@ -990,21 +990,43 @@ def q_pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     stable doc_id order (batch = exclusive-cumsum div budget — the
     streaming-friendly approximation of bin packing; a doc can straddle
     a boundary, which training loaders tolerate). Integer window math,
-    so the oracle is exact. At 100 TB: range-partition by doc_id, cumsum
-    per partition + broadcast per-partition offsets — same arithmetic,
-    no global window."""
+    so the oracle is exact. Round 5: the global cumsum is the bucketed
+    distributed form its docstring used to only promise —
+    ``operators/distrank.py`` boundaries on doc_id, per-bucket running
+    sum + driver-folded exclusive sum offsets; the tokenization rollup
+    is localCheckpoint'ed so the boundary/offset passes don't re-split
+    every document. No Exchange SinglePartition; the unchanged
+    global-window oracle certifies the bucketed cumsum exactly."""
     from distgrep_spark.functions.textfns import token_count
-    from pyspark.sql import Window
+    from distgrep_spark.operators.distrank import (
+        array_lit,
+        bucket_expr,
+        exclusive_prefixes,
+        percentile_boundaries,
+    )
 
     d = load_table(spark, sf_dir, "documents")
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    return (
-        d.select("doc_id", token_count(F.col("text")).alias("n_tokens"))
-        .withColumn(
-            "batch_id",
-            ((F.sum("n_tokens").over(w) - F.col("n_tokens")) / F.lit(2048))
-            .cast("bigint"),
+    toks = (
+        d.select(
+            "doc_id", token_count(F.col("text")).cast("bigint").alias("n_tokens")
         )
+        .localCheckpoint()
+    )
+    bs = percentile_boundaries(toks, "doc_id", 64)
+    tb = toks.selectExpr(
+        "doc_id", "n_tokens", f"{bucket_expr('doc_id', bs, 'bigint')} AS bk"
+    )
+    pre, _tot = exclusive_prefixes(
+        tb, "bk", {"s": "CAST(sum(n_tokens) AS BIGINT)"}, {"s": "sum"}
+    )
+    offs = array_lit(pre["s"], "bigint")
+    return tb.selectExpr(
+        "doc_id",
+        "n_tokens",
+        f"CAST((element_at({offs}, bk + 1) + sum(n_tokens) OVER "
+        "(PARTITION BY bk ORDER BY doc_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) "
+        "DIV 2048 AS BIGINT) AS batch_id",
     )
 
 

@@ -686,15 +686,14 @@ def q_graph_pagerank_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     noise edges. Out-degrees ride a window over the edge list keyed by
     src (the same exchange the dst rollup needs anyway repartitions
     it), so the whole query is a single lineage with one fact scan.
-    The final node-count window runs over the node table; at true
-    catalog scale (1e8 parts) that global window becomes a broadcast
-    1-row count over a persisted node table — documented trade, same
-    result. Measured (sf0.01): the naive broadcast-count crossJoin
-    re-runs the WHOLE basket/edge pipeline (2 lineitem scans,
-    ReusedExchange 0 under AQE), so at test scale the single-lineage
-    window — which only exchanges the 50x-smaller node table — is the
-    cheaper plan; only persist+count beats it once the node table
-    outgrows one partition. Determinism: degrees
+    Round 5: the node count is a bounded 1-scalar pull over the
+    localCheckpoint'ed node table (the codebook-collect pattern) —
+    round 3 had measured that a naive broadcast-count crossJoin re-runs
+    the WHOLE basket/edge pipeline (2 lineitem scans, ReusedExchange 0
+    under AQE) and kept a count() OVER () window instead; the
+    checkpoint keeps the single materialization AND drops the
+    Exchange SinglePartition that window forced on the (unbounded at
+    catalog scale) node table. Determinism: degrees
     are exact BIGINTs; only the 1/deg fold is order-sensitive in the
     last ulp and contrib rounds at 4 dp; pagerank then derives from
     identical doubles on both engines."""
@@ -722,16 +721,20 @@ def q_graph_pagerank_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     wd = edges.withColumn(
         "deg_src", F.count(F.lit(1)).over(Window.partitionBy("src")).cast("bigint")
     )
-    pn = wd.groupBy(F.col("dst").alias("part")).agg(
-        F.count(F.lit(1)).alias("degree"),
-        F.round(F.sum(F.lit(1.0) / F.col("deg_src")), 4).alias("contrib"),
+    pn = (
+        wd.groupBy(F.col("dst").alias("part"))
+        .agg(
+            F.count(F.lit(1)).alias("degree"),
+            F.round(F.sum(F.lit(1.0) / F.col("deg_src")), 4).alias("contrib"),
+        )
+        .localCheckpoint()
     )
-    n_nodes = F.count(F.lit(1)).over(Window.partitionBy()).cast("bigint")
-    return pn.select(
+    n_nodes = pn.count()  # bounded: ONE scalar off the checkpointed rollup
+    return pn.selectExpr(
         "part",
         "degree",
         "contrib",
-        ((F.lit(0.15) + F.lit(0.85) * F.col("contrib")) / n_nodes).alias("pagerank"),
+        f"(0.15 + 0.85 * contrib) / CAST({n_nodes} AS BIGINT) AS pagerank",
     )
 
 

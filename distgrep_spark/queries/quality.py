@@ -1669,32 +1669,57 @@ def q_events_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame
     here predicts hub keys in every per-user shuffle; see
     profile_key_skew for the per-key view).
 
-    The global window runs over the PER-USER rollup (|users| rows, not
+    The window runs over the PER-USER rollup (|users| rows, not
     events), which is the scalable order: rollup first, rank the small
-    relation. (n DESC, user_id) makes the rank total; cumulative share
-    is a ratio of exact BIGINTs; max() per decile is order-free."""
+    relation. Round 5: rank AND running sum are the bucketed
+    distributed form of ``operators/distrank.py`` (descending
+    boundaries on n; per-bucket row_number/cumsum + driver-folded
+    exclusive count/sum offsets) — no Exchange SinglePartition over the
+    unbounded user rollup. (n DESC, user_id) makes the rank total;
+    cumulative share is a ratio of exact BIGINTs; max() per decile is
+    order-free; the unchanged global-window oracle certifies the
+    bucketed form exactly."""
+    from distgrep_spark.operators.distrank import (
+        array_lit,
+        bucket_expr,
+        exclusive_prefixes,
+        percentile_boundaries,
+    )
+
     ev = load_table(spark, sf_dir, "events")
-    per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
-    w = Window.orderBy(F.col("n").desc(), "user_id")
-    totals = per_user.agg(
-        F.count(F.lit(1)).alias("n_users"), F.sum("n").cast("bigint").alias("total_n")
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .localCheckpoint()
     )
-    ranked = (
-        per_user.withColumn("rk", F.row_number().over(w))
-        .withColumn(
-            "cum_n",
-            F.sum("n").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("bigint"),
-        )
-        .crossJoin(F.broadcast(totals))
+    bs = percentile_boundaries(per_user, "n", 64, descending=True)
+    pb = per_user.selectExpr(
+        "user_id",
+        "n",
+        f"{bucket_expr('n', bs, 'bigint', descending=True)} AS bk",
     )
-    return (
-        ranked.groupBy(
-            F.expr("CAST(rk * 10 div n_users AS BIGINT)").alias("decile")
-        )
-        .agg(
-            F.max(F.col("cum_n") * F.lit(1.0) / F.col("total_n")).alias("cum_share"),
-            F.count(F.lit(1)).alias("n_users_in_decile"),
-        )
+    pre, tot = exclusive_prefixes(
+        pb,
+        "bk",
+        {"cnt": "CAST(count(*) AS BIGINT)", "s": "CAST(sum(n) AS BIGINT)"},
+        {"cnt": "sum", "s": "sum"},
+    )
+    n_users = max(tot["cnt"], 1)
+    total_n = max(tot["s"], 1)
+    cnt_offs = array_lit(pre["cnt"], "bigint")
+    sum_offs = array_lit(pre["s"], "bigint")
+    ranked = pb.selectExpr(
+        f"element_at({cnt_offs}, bk + 1) + row_number() OVER "
+        "(PARTITION BY bk ORDER BY n DESC, user_id) AS rk",
+        f"CAST(element_at({sum_offs}, bk + 1) + sum(n) OVER "
+        "(PARTITION BY bk ORDER BY n DESC, user_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n",
+    )
+    return ranked.groupBy(
+        F.expr(f"CAST(rk * 10 div {n_users} AS BIGINT)").alias("decile")
+    ).agg(
+        F.max(F.col("cum_n") * F.lit(1.0) / F.lit(total_n)).alias("cum_share"),
+        F.count(F.lit(1)).alias("n_users_in_decile"),
     )
 
 

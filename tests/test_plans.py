@@ -299,15 +299,59 @@ def test_cusum_is_one_exchange_one_sort(spark):
     assert tree.count("Sort") == 1
 
 
-def test_skyline_is_single_scan_no_join(spark):
+def test_skyline_rollup_equi_join_no_quadratic(spark):
     """part_skyline_pareto replaces the naive O(n^2) dominance anti-join
-    with window aggregates: the plan must contain no join at all and
-    scan the part table exactly once."""
-    tree = _plan_tree(
-        formatted_plan(q.QUERIES["part_skyline_pareto"](spark, SF_ORACLE))
-    )
-    assert "Join" not in tree
+    with a per-price rollup + distributed running max + ONE equi-join of
+    parts back to their price row: no nested-loop/cartesian, one parquet
+    scan of part (the rollup side is the localCheckpoint), and no
+    single-partition window (round-5 distrank form)."""
+    df = q.QUERIES["part_skyline_pareto"](spark, SF_ORACLE)
+    tree = _plan_tree(formatted_plan(df))
+    assert "CartesianProduct" not in tree
+    assert "BroadcastNestedLoopJoin" not in tree
     assert tree.count("Scan parquet") == 1
+
+
+def test_distrank_queries_have_no_single_partition_windows(spark):
+    """Round-5 contract: the seven queries moved off the global-window
+    scale-killer class (round-4 verdict 'What's wrong #1') must compile
+    to ZERO Window operators fed by an Exchange SinglePartition — every
+    rank/cumsum window is hash-partitioned by the distrank bucket."""
+    from tools.plan_audit import single_partition_windows
+
+    for name in (
+        "orders_rfm_segments",
+        "orders_gini_spend",
+        "part_skyline_pareto",
+        "events_pareto_concentration",
+        "pack_token_budget",
+        "part_abc_xyz_classification",
+        "graph_pagerank_step",
+    ):
+        df = q.QUERIES[name](spark, SF_ORACLE)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert single_partition_windows(plan) == 0, name
+
+
+def test_single_partition_window_lint_detects_violation(spark):
+    """The lint itself must fire when seeded with a violation (a global
+    ORDER BY window over an unbounded relation) — and stay quiet on a
+    scalar one-row aggregate, which also compiles to an Exchange
+    SinglePartition but is not the pathology."""
+    from pyspark.sql import functions as F
+
+    from tools.plan_audit import single_partition_windows
+
+    df = spark.range(100).selectExpr(
+        "id", "row_number() OVER (ORDER BY id) AS rn"
+    )
+    assert single_partition_windows(
+        df._jdf.queryExecution().executedPlan().toString()
+    ) >= 1
+    scalar = spark.range(100).agg(F.count(F.lit(1)).alias("n"))
+    assert single_partition_windows(
+        scalar._jdf.queryExecution().executedPlan().toString()
+    ) == 0
 
 
 def test_pq_assign_broadcasts_codebook(spark):

@@ -84,3 +84,68 @@ def test_rows_only_queries_are_documented_exceptions():
         "sim_cosine_topk_pandas",   # BLAS scorer differs from HOF in last ulp
     }
     assert set(q.QUERIES) - set(q.ORACLES) == expected_rows_only
+
+
+def test_every_oracle_is_live_at_sf001():
+    """Oracle-liveness lint (round-4 verdict ask): an oracle that
+    returns ZERO rows at sf0.01 certifies nothing — the round-3
+    ``join_anti`` vacuity (0 rows silently 'passing' for two rounds)
+    was caught by hand review. This runs every registered oracle
+    DuckDB-side with a LIMIT-1 wrapper (~5 s for all 246; parity with
+    the Spark side is check_oracles' job) and pins the explicit
+    zero-row allowlist. New intentionally-empty queries must be added
+    HERE, with a reason."""
+    import duckdb
+
+    from tests.conftest import SF_ORACLE
+
+    zero_row_allowlist = {
+        "grep_zero_matches",  # 0-row parity with the reference IS the test
+    }
+    tables = [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]
+    con = duckdb.connect()
+    for t in tables:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_ORACLE}/{t}.parquet'"
+        )
+    vacuous = [
+        name
+        for name, sql in q.ORACLES.items()
+        if name not in zero_row_allowlist
+        and not con.execute(f"SELECT 1 FROM ({sql}) LIMIT 1").fetchall()
+    ]
+    assert not vacuous, (
+        f"vacuous oracles (0 rows at sf0.01): {vacuous}; a 0-row oracle "
+        "certifies nothing — fix the predicate or allowlist with a reason"
+    )
+    dead_allowlist = zero_row_allowlist - set(q.ORACLES)
+    assert not dead_allowlist, f"allowlisted names not in registry: {dead_allowlist}"
+
+
+def test_plan_audit_single_partition_windows_are_allowlisted():
+    """The committed PLAN_AUDIT.json must show no Window fed by an
+    Exchange SinglePartition outside tools/plan_audit.py's justified
+    allowlist (bounded-cardinality window inputs only). Unbounded-entity
+    rank/cumsum queries must use operators/distrank.py — the round-4
+    'global-window order statistics' scale-killer class, automated."""
+    import json
+    import os
+
+    from tools.plan_audit import SP_WINDOW_ALLOWLIST
+
+    path = os.path.join(os.path.dirname(__file__), "..", "PLAN_AUDIT.json")
+    audit = json.load(open(path))
+    offenders = sorted(
+        name
+        for name, stats in audit.items()
+        if stats.get("sp_windows", 0) and name not in SP_WINDOW_ALLOWLIST
+    )
+    assert not offenders, (
+        f"single-partition windows outside allowlist: {offenders}; "
+        "use operators/distrank.py or justify in SP_WINDOW_ALLOWLIST"
+    )
+    stale = sorted(set(SP_WINDOW_ALLOWLIST) - set(q.QUERIES))
+    assert not stale, f"allowlist entries not in registry: {stale}"

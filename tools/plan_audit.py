@@ -29,8 +29,48 @@ import __spark_entry__ as entry  # noqa: E402
 SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
 
+# Queries allowed to keep a single-partition window: every entry's window
+# input is BOUNDED by construction (a fixed-cardinality rollup — buckets,
+# digits, calendar months, category cells, a 16-row spectral table, or a
+# support-floor-pruned pair table), so the SinglePartition exchange moves
+# O(bound) rows regardless of fact-table scale. Unbounded-entity rollups
+# (customers, parts, users, docs) must use operators/distrank.py instead —
+# tests/test_registry.py enforces this set against PLAN_AUDIT.json.
+SP_WINDOW_ALLOWLIST = {
+    "stats_ks_two_sample": "cumulative ECDF over the ~400-row value-bucket table",
+    "corpus_token_budget_allocation": "largest-remainder window over the source dimension (handful of rows)",
+    "timeseries_monthly_dense": "lag over the generated calendar-month spine (fixture span, bounded)",
+    "embed_pca_power_step": "normalization windows over the 16-row spectral S table",
+    "market_basket_lift": "margin window over the support-floor-pruned pair table (documented prune-first design)",
+    "stats_chi2_independence": "margin windows over the |segments|x|priorities| cell table (dozens of rows)",
+    "stats_benford_first_digit": "share window over the 9-row first-digit table",
+    "drift_tv_stability": "TV-distance window over the ~25-row histogram bucket table",
+    "orders_survival_empirical": "Kaplan-Meier running sum over distinct day durations (calendar-bounded)",
+}
+
+
+def single_partition_windows(plan: str) -> int:
+    """Count ``Window`` operators fed by an ``Exchange SinglePartition``
+    — the global-order-statistic scale-killer class (round-4 verdict
+    "What's wrong #1"). A Window's required child distribution puts the
+    exchange (and an interposed Sort) directly beneath it in the tree
+    string, so "Exchange SinglePartition with a Window within the 3
+    lines above" is the shape; scalar one-row aggregates also produce
+    SinglePartition exchanges but never under a Window, and stay
+    uncounted."""
+    lines = plan.splitlines()
+    bad = 0
+    for i, ln in enumerate(lines):
+        if "Exchange SinglePartition" in ln and any(
+            "Window" in prev for prev in lines[max(0, i - 3) : i]
+        ):
+            bad += 1
+    return bad
+
+
 def audit(plan: str) -> dict:
     return {
+        "sp_windows": single_partition_windows(plan),
         "shuffles": plan.count("Exchange hashpartitioning"),
         "broadcasts": plan.count("BroadcastExchange"),
         "smj": plan.count("SortMergeJoin"),
@@ -71,6 +111,12 @@ def main() -> None:
         reverse=True,
     )[:5]
     print(f"\n{len(out)} plans audited -> PLAN_AUDIT.json; most shuffles: {worst}")
+    spw = sorted(
+        k
+        for k, v in out.items()
+        if v.get("sp_windows", 0) and k not in SP_WINDOW_ALLOWLIST
+    )
+    print(f"single-partition windows outside allowlist: {spw or 'NONE'}")
 
 
 if __name__ == "__main__":
