@@ -49,13 +49,21 @@ def centroids_by(
     )
 
 
-def _assign(df: DataFrame, cents: list[list[float]], id_col: str, vec_col: str) -> DataFrame:
+def _assign(
+    df: DataFrame,
+    cents: list[list[float]],
+    id_col: str,
+    vec_col: str,
+    keep: list[str] | None = None,
+) -> DataFrame:
     cents_lit = F.from_json(F.lit(json.dumps(cents)), "array<array<double>>")
+    keep = keep or []
     return (
-        df.select(F.col(id_col), as_double(F.col(vec_col)).alias("_v"))
+        df.select(F.col(id_col), *keep, as_double(F.col(vec_col)).alias("_v"))
         .withColumn("_d", F.transform(cents_lit, lambda c: l2sq(F.col("_v"), c)))
         .select(
             id_col,
+            *keep,
             "_v",
             (F.array_position(F.col("_d"), F.array_min(F.col("_d"))) - 1)
             .cast("int")
@@ -70,14 +78,23 @@ def assign_to_centroids(
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep: list[str] | None = None,
 ) -> DataFrame:
     """One Lloyd assignment step against a fixed centroid list: (id,
-    cluster) with cluster in [0, len(cents)), ties to the lowest index.
-    This is the kernel ``kmeans`` iterates and the final map-side pass a
-    100 TB codebook application runs; exposed so the registry's
-    ``kmeans_assign_step`` query can oracle-check it directly (DuckDB
-    reproduces the element-order fold distance bit-for-bit)."""
-    return _assign(df, cents, id_col, vec_col).select(id_col, "cluster")
+    *keep, cluster) with cluster in [0, len(cents)), ties to the lowest
+    index. ``keep`` columns ride through the map-side assignment — a
+    caller that needs per-vector payload next to the cluster id
+    (embedding_index_pipeline's max_err) must NOT join it back on
+    id_col afterwards: that join re-executes the whole upstream lineage
+    on the second branch (measured round 5: the pipeline's quantize
+    math ran 3x). This is the kernel ``kmeans`` iterates and the final
+    map-side pass a 100 TB codebook application runs; exposed so the
+    registry's ``kmeans_assign_step`` query can oracle-check it
+    directly (DuckDB reproduces the element-order fold distance
+    bit-for-bit)."""
+    return _assign(df, cents, id_col, vec_col, keep=keep or []).select(
+        id_col, *(keep or []), "cluster"
+    )
 
 
 def kmeans(

@@ -100,6 +100,15 @@ def percentile_boundaries(
     return sorted({b for b in raw if b is not None}, reverse=descending)
 
 
+def _sql_literal(v: Any, sql_type: str) -> str:
+    """Exact SQL literal: ``D``-suffixed shortest-round-trip repr for
+    doubles (Spark parses it correctly rounded — a bare decimal literal
+    would type as DECIMAL), ``L``-suffixed for bigints."""
+    if sql_type == "double":
+        return repr(float(v)) + "D"
+    return f"{int(v)}L"
+
+
 def bucket_expr(
     key_sql: str, boundaries: list[Any], sql_type: str, descending: bool = False
 ) -> str:
@@ -107,17 +116,26 @@ def bucket_expr(
     order: ``sum_i CAST(key > b_i)`` (ascending; ``<`` over DESC-sorted
     boundaries for descending). Equal keys -> equal bucket, always.
 
-    ``key_sql`` should be a plain column reference — the HOF lambda
-    inlines it once per boundary (CLAUDE.md HOF-inlining gotcha).
+    Emitted as a FLAT comparison sum (<= 63 codegen'd compares), not an
+    ``aggregate()`` HOF over a boundary array: a captured-column HOF
+    lambda on BOTH sides of a join makes Catalyst mis-bind the outer
+    reference across branches at execution
+    (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND, measured round 5 in
+    count_greater_join — the probe-side lambda was bound against the
+    value side; uniquifying lambda variable names did NOT fix it). The
+    flat form has no lambda scope at all, costs one expr string (zero
+    py4j), and whole-stage codegen folds it tighter than the array
+    loop. ``key_sql`` should be a plain column reference — it is
+    inlined once per boundary.
     """
     if not boundaries:
         return "CAST(0 AS INT)"
     cmp = "<" if descending else ">"
-    arr = array_lit(boundaries, sql_type)
-    return (
-        f"aggregate({arr}, 0, "
-        f"(acc, b) -> acc + CAST(({key_sql}) {cmp} b AS INT))"
+    terms = " + ".join(
+        f"CAST(({key_sql}) {cmp} {_sql_literal(b, sql_type)} AS INT)"
+        for b in boundaries
     )
+    return f"({terms})"
 
 
 def exclusive_prefixes(

@@ -1407,7 +1407,15 @@ def q_embedding_index_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side column math against a broadcast 16xdim codebook; the ONLY
     shuffle is the final 16-row rollup, which is how an index build on
     a 1000-executor cluster must look — the fleet streams the corpus
-    once, and only per-list summaries meet."""
+    once, and only per-list summaries meet.
+
+    Round 5 (x16-soak attribution): the quantize transform was inlined
+    into max_err's zip_with AND re-executed by a vec_id join-back after
+    assignment — the HOF-inlining/CASE-CSE gotcha class (CLAUDE.md) at
+    pipeline granularity, so the corpus-wide quantize math ran ~3x.
+    ``r`` is now materialized ONCE, max_err derives from the
+    materialized column, and max_err rides THROUGH the assignment
+    (assign_to_centroids ``keep=``) — single scan, zero joins."""
     from distgrep_spark.operators.clustering import assign_to_centroids
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1424,8 +1432,9 @@ def q_embedding_index_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 127
         ).alias("scale"),
     )
-    rec = scaled.select(
+    quant = scaled.select(
         "vec_id",
+        "x",
         F.transform(
             F.col("x"),
             lambda v: F.greatest(
@@ -1433,28 +1442,21 @@ def q_embedding_index_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             * F.col("scale"),
         ).alias("r"),
+    )
+    rec = quant.select(
+        "vec_id",
+        "r",
         F.array_max(
-            F.zip_with(
-                F.transform(
-                    F.col("x"),
-                    lambda v: F.greatest(
-                        F.lit(-127.0),
-                        F.least(F.lit(127.0), F.floor(v / F.col("scale") + 0.5)),
-                    )
-                    * F.col("scale"),
-                ),
-                F.col("x"),
-                lambda a, b: F.abs(a - b),
-            )
+            F.zip_with(F.col("r"), F.col("x"), lambda a, b: F.abs(a - b))
         ).alias("max_err"),
     )
     cents = [
         [float(v) for v in r["embedding"]]
         for r in emb.where(F.col("vec_id") < 16).orderBy("vec_id").collect()
     ]
-    assigned = assign_to_centroids(rec, cents, vec_col="r")
+    assigned = assign_to_centroids(rec, cents, vec_col="r", keep=["max_err"])
     return (
-        assigned.join(rec.select("vec_id", "max_err"), "vec_id")
+        assigned
         .groupBy(F.col("cluster").cast("bigint").alias("list_id"))
         .agg(
             F.count(F.lit(1)).alias("n_vectors"),

@@ -362,9 +362,13 @@ def join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Non-equi (theta/range) join, computed the way a 100 TB run must:
-    banded decomposition (operators/rangejoin.py) — bucketed counts for
-    fully-above buckets plus a same-bucket equi-join residual — instead
-    of the |S|x|C| BroadcastNestedLoopJoin a raw theta join plans. The
+    count-greater as a distributed ORDER STATISTIC
+    (operators/rangejoin.py, round 5) — equi-depth buckets over the
+    union of both sides, a per-bucket running count of value rows, and
+    ``n_greater = |V| - n_le`` map-side. No pair residual at all: any
+    same-bucket compare-join is quadratic under densification (the
+    x16-soak 3.9x tail; the first equi-depth attempt measured 11x), and
+    a raw theta join plans the |S|x|C| BroadcastNestedLoopJoin. The
     quadratic formulation survives as the explicitly-bounded demo entry
     ``join_range_theta`` (queries/extras.py) with this same oracle."""
     from distgrep_spark.operators.rangejoin import count_greater_join
@@ -377,7 +381,6 @@ def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         probe_col="s_acctbal",
         value_col="c_acctbal",
         keys=["s_suppkey", "s_name"],
-        bucket_width=500.0,
     ).withColumnRenamed("n_greater", "n_richer_customers")
 
 

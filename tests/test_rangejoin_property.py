@@ -45,7 +45,7 @@ def test_banded_count_greater_matches_quadratic(spark, probes, values):
         r["pid"]: r["n_greater"]
         for r in count_greater_join(
             pdf, vdf, probe_col="pval", value_col="vval", keys=["pid"],
-            bucket_width=1.0,
+            n_buckets=4,  # small B stresses boundary/tie handling
         ).collect()
     }
     for i, p in enumerate(probes):
