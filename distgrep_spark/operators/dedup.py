@@ -246,30 +246,56 @@ def minhash_lsh_pairs(
     sigs = minhash_signatures(
         df, n=n, num_hashes=num_hashes, text_col=text_col, id_col=id_col
     ).localCheckpoint()
-    # The band join carries ONLY (id, band, key): routing the 64-long
+    # The band join carries ONLY (id, bkey): routing the 64-long
     # signature array through the banding explode would replicate it
     # x16 per side into the join shuffle (~8 KB/doc, measured round 4);
     # instead the deduped candidate pairs (narrow id rows) join the
     # signature table back twice for the estimate — candidates are the
     # near-dup survivors, orders of magnitude fewer than band rows, and
     # each pair is scored ONCE instead of once per shared band.
+    #
+    # bkey is ONE xxhash64 long over (band, r-long slice), not the
+    # (band, array<bigint>) composite the operator shipped through
+    # round 4: joining 15.8M band rows on an ARRAY key measured 44 s at
+    # 1M docs — array hashing + element-wise sort-merge comparisons
+    # dominate the whole pipeline — vs ~3 s on the single long (round-5
+    # A/B). Hashing the key is sound here: equal slices always collide
+    # (no false negatives), and a 2^-64 stray collision only creates a
+    # spurious CANDIDATE that the est_jaccard scorer (or the recall
+    # gate's exact side) filters — the same argument as the two-level
+    # gram hashing above. Deterministic and layout-independent.
     banded = sigs.select(
         id_col,
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"), F.slice("sig", b * r + 1, r).alias("key")
-                ),
+                lambda b: F.xxhash64(b, F.slice("sig", b * r + 1, r)),
             )
-        ).alias("bk"),
-    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    a = banded.select(F.col(id_col).alias("doc_a"), "band", "key")
-    b = banded.select(F.col(id_col).alias("doc_b"), "band", "key")
+        ).alias("bkey"),
+    )
+    # Posting-list pairing, not a two-sided self-join: ONE shuffle of
+    # the band rows (groupBy bkey), buckets of size 1 — the vast
+    # majority — vanish before any pairing, and in-bucket ordered pairs
+    # explode from the id list (round-5 A/B at 1M docs: ~2x over the
+    # bkey self-join, which itself was ~5x over the array-key join).
+    # The per-bucket m^2 blowup shares the operator's documented
+    # RUN-EXACT-DEDUP-FIRST precondition: after exact dedup, bucket
+    # membership = near-dup cluster size; a bucket that breaks the
+    # list-aggregate would have broken the join's pair output worse.
     cand = (
-        a.join(b, ["band", "key"])
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
+        banded.groupBy("bkey")
+        .agg(F.collect_list(id_col).alias("ids"))
+        .where(F.size("ids") > 1)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, x -> transform("
+                    "filter(ids, y -> y > x), "
+                    "y -> struct(x AS doc_a, y AS doc_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.doc_a", "p.doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
     )
     sa = sigs.select(F.col(id_col).alias("doc_a"), F.col("sig").alias("sig_a"))
