@@ -134,6 +134,18 @@ class PivotTypeCounts:
         if self.types is None:
             self.types = types.split(",")
             self.counts = {t: 0 for t in self.types}
+            # Input contract (round-4 advice): rows must be the
+            # pre-aggregated (user_id, event_type, cnt) rollup — fail
+            # loudly at the first row instead of an AttributeError
+            # deep in the Python worker if a caller passes raw events
+            # (the pre-round-4 contract).
+            if "cnt" not in row.__fields__:
+                raise TypeError(
+                    "PivotTypeCounts requires pre-aggregated rows "
+                    "(user_id, event_type, cnt); got fields "
+                    f"{list(row.__fields__)} — aggregate counts JVM-side "
+                    "first (see udtf_analyze_dynamic_pivot)"
+                )
         self.user = row.user_id
         if row.event_type in self.counts:
             self.counts[row.event_type] += row.cnt

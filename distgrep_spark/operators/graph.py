@@ -97,7 +97,9 @@ def degree_orient(edges: DataFrame, deg: DataFrame) -> DataFrame:
     (queries/profiling.py graph_triangle_count).
 
     ``edges``: columns (u, v); ``deg``: columns (node, d). Returns
-    (s, t) with (d_s, s) < (d_t, t) lexicographically. Every triangle
+    (s, t, dt) with (d_s, s) < (d_t, t) lexicographically (dt = d_t,
+    kept so wedge consumers can order the two targets without another
+    degree join). Every triangle
     {a, b, c} in that total order carries s->t edges a->b, a->c, b->c,
     so the source-keyed wedge join finds it exactly once, and per-source
     wedge work is outdeg^2 <= O(arboricity^2) per vertex — a hub's
@@ -113,11 +115,17 @@ def degree_orient(edges: DataFrame, deg: DataFrame) -> DataFrame:
     """
     du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
     dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    # dt (the target's degree) rides along so the wedge join can keep
+    # only the order-consistent (y, z) ordering — without it, both
+    # orderings of every wedge reach the closing join and the
+    # inconsistent half can never match an oriented e3 edge (round-4
+    # advice: half the probe work was provably wasted).
     return (
         edges.join(du, "u")
         .join(dv, "v")
         .selectExpr(
             "CASE WHEN du < dv OR (du = dv AND u < v) THEN u ELSE v END AS s",
             "CASE WHEN du < dv OR (du = dv AND u < v) THEN v ELSE u END AS t",
+            "CASE WHEN du < dv OR (du = dv AND u < v) THEN dv ELSE du END AS dt",
         )
     )

@@ -112,6 +112,14 @@ def grid_neighbor_pairs(
         f"xb DIV {r} AS cx",
         f"yb DIV {r} AS cy",
     )
+    if hot_threshold is not None and hot_threshold < 1:
+        raise ValueError(
+            f"hot_threshold must be >= 1 (got {hot_threshold}): 0 would "
+            "ANSI-divide-by-zero inside the split-count expression at "
+            "runtime; pass None to disable hot-cell salting"
+        )
+    if max_splits < 1:
+        raise ValueError(f"max_splits must be >= 1 (got {max_splits})")
     if hot_threshold is None:
         joined = probe.join(build, ["cx", "cy"])
     else:

@@ -851,12 +851,16 @@ def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("sum((d * (d - 1)) DIV 2)").cast("bigint").alias("n_wedges")
     )
     oriented = degree_orient(edges, deg)
-    p = oriented.select(F.col("s"), F.col("t").alias("y"))
-    q = oriented.select(F.col("s"), F.col("t").alias("z"))
+    p = oriented.select(F.col("s"), F.col("t").alias("y"), F.col("dt").alias("dy"))
+    q = oriented.select(F.col("s"), F.col("t").alias("z"), F.col("dt").alias("dz"))
     e3 = oriented.select(F.col("s").alias("y"), F.col("t").alias("z"))
     tri = (
         p.join(q, "s")
-        .where("y <> z")
+        # order-consistent wedges only (round-4 advice): e3 is oriented
+        # (d_y, y) < (d_z, z), so the reversed half of the wedge pairs
+        # could never close a triangle — emitting one ordering halves
+        # the rows shuffled into the closing join.
+        .where("dy < dz OR (dy = dz AND y < z)")
         .join(e3, ["y", "z"])
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
     )

@@ -674,9 +674,15 @@ def q_agg_approx_topk_merge_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
           -- downstream null-filter can guard it). One synthetic row
           -- keeps the sketch non-empty on ANY input; it is filtered
           -- back out of the estimate below and cannot perturb real
-          -- counts (distinct items stay far below k=64).
+          -- counts. Preconditions (round-4 advice, pinned by
+          -- tests/test_registry.py::test_topk_gate_preconditions):
+          -- the sentinel string is collision-improbable (a real lang
+          -- value equal to it would be silently dropped) and distinct
+          -- langs stay below the estimate k=64 (beyond it the
+          -- 'theorem' silently truncates).
           SELECT source, lang FROM docs_topk_base
-          UNION ALL SELECT '_sentinel', '_sentinel'
+          UNION ALL SELECT '__sg_sentinel_7f3a9c1e4b5d6021__',
+                           '__sg_sentinel_7f3a9c1e4b5d6021__'
         ),
         partials AS (
           SELECT source, approx_top_k_accumulate(lang, 10000) AS s
@@ -688,7 +694,7 @@ def q_agg_approx_topk_merge_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT e.item AS lang, CAST(e.count AS BIGINT) AS n_docs
         FROM merged LATERAL VIEW explode(tk) AS e
-        WHERE e.item <> '_sentinel'
+        WHERE e.item <> '__sg_sentinel_7f3a9c1e4b5d6021__'
         """
     )
 

@@ -149,3 +149,25 @@ def test_plan_audit_single_partition_windows_are_allowlisted():
     )
     stale = sorted(set(SP_WINDOW_ALLOWLIST) - set(q.QUERIES))
     assert not stale, f"allowlist entries not in registry: {stale}"
+
+
+def test_topk_gate_preconditions():
+    """agg_approx_topk_merge_gate's exact-by-theorem certification has
+    two silent-failure preconditions (round-4 advice): the sentinel row
+    must never collide with a real (source, lang) value, and distinct
+    langs must stay below the estimate's k=64 — past it the estimate
+    truncates and the 'theorem' quietly stops holding. Pin both against
+    the fixtures DuckDB-side (cheap; no Spark session)."""
+    import duckdb
+
+    from tests.conftest import SF_ORACLE
+
+    sentinel = "__sg_sentinel_7f3a9c1e4b5d6021__"
+    con = duckdb.connect()
+    n_langs, n_hits = con.execute(
+        f"""SELECT count(DISTINCT lang),
+                   count(*) FILTER (lang = '{sentinel}' OR source = '{sentinel}')
+            FROM '{SF_ORACLE}/documents.parquet'"""
+    ).fetchone()
+    assert n_hits == 0
+    assert n_langs < 64, f"{n_langs} langs reach the estimate's k=64 truncation"
