@@ -330,16 +330,23 @@ def q_dedup_simhash_exactdup(spark: SparkSession, sf_dir: str) -> DataFrame:
     verifies at Hamming distance exactly 0 — a theorem about the
     operator, not a measured constant, so the oracle is fully derived
     from the documents table at any SF. A missing or nonzero-hamming
-    pair means the fingerprint or banding is broken."""
+    pair means the fingerprint or banding is broken.
+
+    The original-side filter is a semi-join against the real doc-id
+    set, NOT ``doc_a < OFFSET``: the absolute-threshold form silently
+    dropped 7/8 of the planted pairs on the x8 key-shifted soak corpus
+    (doc ids up to 7e8 ≫ the 1e7 offset) — the SF-fragile-oracle class
+    the round-5 x8 prefix sweep exists to catch."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     copies = docs.select(
         (F.col("doc_id") + F.lit(_SIMHASH_DUP_OFFSET)).alias("doc_id"), "text"
     )
     pairs = simhash_pairs(docs.unionByName(copies), max_hamming=3)
-    return pairs.where(
-        (F.col("doc_b") == F.col("doc_a") + F.lit(_SIMHASH_DUP_OFFSET))
-        & (F.col("doc_a") < F.lit(_SIMHASH_DUP_OFFSET))
-    ).select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming"))
+    return (
+        pairs.where(F.col("doc_b") == F.col("doc_a") + F.lit(_SIMHASH_DUP_OFFSET))
+        .join(docs.select(F.col("doc_id").alias("doc_a")), "doc_a", "semi")
+        .select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming"))
+    )
 
 
 # ---------------------------------------------------------------------------

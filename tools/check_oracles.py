@@ -196,9 +196,12 @@ def main(names=None):
         spark = get_spark("oracle-check")
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
-        )
+        # driver fixtures are single files; Spark-written corpora (the
+        # x8/x16 soak builds) are directories of part files — glob them
+        path = f"{SF_DIR}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
 
     targets = names or sorted(q.QUERIES)
     failures = 0

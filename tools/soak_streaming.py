@@ -1,0 +1,174 @@
+"""Structured-Streaming throughput soak (round-5 verdict ask #5).
+
+The streaming surface is correctness-proven (file-source multi-batch
+pytest, watermark late-data, checkpoint recovery, stream-stream join);
+this harness adds the THROUGHPUT evidence: drive the three stateful
+pipelines (tumbling window agg, session windows, watermark-scoped
+dedup) from the rate source at escalating rows/sec and report, per
+(pipeline, rate):
+
+- sustained processedRowsPerSecond vs the offered rate (the ceiling is
+  the first rate where processing falls behind),
+- end-to-end watermark lag (wall clock - eventTime watermark) at the
+  last progress tick — bounded lag == keeping up,
+- state-store rows + memory at the last tick, and the ratio of last to
+  first tick state rows once the watermark horizon has passed (bounded
+  state == expiry is actually firing; an unbounded slope is the classic
+  missing-watermark leak).
+
+Window/gap/watermark are shrunk to seconds (the operators take them as
+parameters) so horizon expiry and session emission engage inside a
+short soak; the state-machine shape per row is identical to the
+production 10-minute/30-minute settings. A fraction of events is
+shifted seconds into the past (deterministic xxhash64 lag) so the
+watermark path sees genuine out-of-order data, as in the pytest
+late-data scenarios.
+
+Usage:
+    python tools/soak_streaming.py [seconds_per_run]
+
+Writes one summary line per (pipeline, rate); paste the table into
+SCALE.md. Rates are chosen to bracket the box's ceiling (measured
+round 5: see SCALE.md "streaming throughput soak").
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from distgrep_spark.session import get_spark  # noqa: E402
+from distgrep_spark.streaming.pipelines import (  # noqa: E402
+    session_counts,
+    stateful_dedup,
+    tumbling_counts,
+)
+
+RATES = [100_000, 800_000, 1_600_000]
+
+
+def rate_events(spark, rows_per_second: int):
+    """Rate-source stream shaped like the events table. ~20% of rows
+    arrive 1-8 s late (deterministic hash lag) to engage the watermark
+    path; user cardinality 10k keeps session/dedup state per-key
+    realistic rather than one-hot."""
+    return (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second)
+        .option("numPartitions", 8)
+        .load()
+        .selectExpr(
+            "value AS event_id",
+            # late arrivals: hash-selected 20%, lag 1-8 s
+            "CASE WHEN xxhash64(value, 7) % 5 = 0 THEN "
+            "timestamp - make_interval(0,0,0,0,0,0, 1 + pmod(xxhash64(value, 11), 8)) "
+            "ELSE timestamp END AS ts",
+            "pmod(xxhash64(value, 13), 10000) AS user_id",
+            "CASE pmod(xxhash64(value, 17), 5) WHEN 0 THEN 'view' WHEN 1 THEN 'click' "
+            "WHEN 2 THEN 'purchase' WHEN 3 THEN 'error' ELSE 'scroll' END AS event_type",
+            "CAST(pmod(xxhash64(value, 19), 1000) AS DOUBLE) / 10 AS value",
+            "'{}' AS props",
+        )
+    )
+
+
+PIPELINES = {
+    # output modes are operator-constrained: session windows support
+    # only append (watermark-gated emission); the dedup variant ends in
+    # a global count, so complete
+    "tumbling": (
+        lambda df: tumbling_counts(df, window="5 seconds", watermark="10 seconds"),
+        "update",
+    ),
+    "session": (
+        lambda df: session_counts(df, gap="3 seconds", watermark="10 seconds"),
+        "append",
+    ),
+    "dedup": (
+        # tiny sink-side reduce so the noop sink pulls every row
+        lambda df: stateful_dedup(df, watermark="10 seconds").groupBy().count(),
+        "complete",
+    ),
+}
+
+
+def soak(spark, name: str, rate: int, seconds: int) -> dict:
+    fn, mode = PIPELINES[name]
+    df = fn(rate_events(spark, rate))
+    q = (
+        df.writeStream.format("noop")
+        .outputMode(mode)
+        .option("checkpointLocation", f"/tmp/soak_stream_ckpt/{name}_{rate}_{time.time_ns()}")
+        .start()
+    )
+    t0 = time.time()
+    ticks = []
+    try:
+        while time.time() - t0 < seconds:
+            time.sleep(2)
+            p = q.lastProgress
+            if p:
+                ticks.append(p)
+    finally:
+        q.stop()
+    if not ticks:
+        return {"pipeline": name, "rate": rate, "error": "no progress"}
+    last = ticks[-1]
+    # state rows: first tick AFTER the watermark horizon (10 s) vs last
+    horizon_ticks = [p for p in ticks if p["batchId"] >= 3]
+    first_h = horizon_ticks[0] if horizon_ticks else last
+
+    def srows(p):
+        ops = p.get("stateOperators") or []
+        return sum(o.get("numRowsTotal", 0) for o in ops)
+
+    def smem(p):
+        ops = p.get("stateOperators") or []
+        return sum(o.get("memoryUsedBytes", 0) for o in ops)
+
+    proc = [
+        p["processedRowsPerSecond"]
+        for p in ticks
+        if p.get("processedRowsPerSecond")
+    ]
+    wm_lag = None
+    wm = (last.get("eventTime") or {}).get("watermark")
+    if wm:
+        from datetime import datetime, timezone
+
+        wm_dt = datetime.fromisoformat(wm.replace("Z", "+00:00"))
+        wm_lag = (datetime.now(timezone.utc) - wm_dt).total_seconds()
+    return {
+        "pipeline": name,
+        "rate": rate,
+        "batches": last["batchId"] + 1,
+        "proc_rows_per_s": round(sum(proc) / max(len(proc), 1)),
+        "keeping_up": bool(proc) and (sum(proc) / len(proc)) >= rate * 0.95,
+        "watermark_lag_s": round(wm_lag, 1) if wm_lag is not None else None,
+        "state_rows_last": srows(last),
+        "state_mb_last": round(smem(last) / 1e6, 1),
+        "state_growth_post_horizon": round(
+            srows(last) / max(srows(first_h), 1), 2
+        ),
+    }
+
+
+def main() -> None:
+    seconds = int(sys.argv[1]) if len(sys.argv) > 1 else 40
+    spark = get_spark("stream-soak")
+    spark.sparkContext.setLogLevel("ERROR")
+    print(f"# {seconds}s per (pipeline, rate); rates {RATES}")
+    for name in PIPELINES:
+        for rate in RATES:
+            r = soak(spark, name, rate, seconds)
+            print(r, flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
