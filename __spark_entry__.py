@@ -66,7 +66,13 @@ SCOREBOARD_PREFIX = [
     "window_rank_orders",
     "window_range_frame",
     "recursive_order_chain",
-    "window_ntile_percent",
+    # round 5: the scored ntile row is the distrank flagship — three
+    # EXACT global quintiles with hash-partitioned windows
+    # (operators/distrank.py), the plan that survives a 10^9-customer
+    # rollup; plain partitioned ntile/percent_rank
+    # (window_ntile_percent) moved to the POST_PREFIX front and stays
+    # oracle-checked
+    "orders_rfm_segments",
     # dedup (round 4: the scored exact-Jaccard row is the max_df-capped
     # production plan; the uncapped ground-truth baseline moved to the
     # POST_PREFIX front and keeps its oracle)
@@ -112,6 +118,9 @@ SCOREBOARD_PREFIX = [
 # next entries it should spend rows on (distinct shapes before the
 # redundant grep/scalar/window variants that close the list).
 POST_PREFIX = [
+    # demoted round 5: its slot went to orders_rfm_segments (distributed
+    # exact global ntile); partitioned ntile/percent_rank stays covered
+    "window_ntile_percent",
     "grep_regex",
     # demoted round 4: uncapped exact-Jaccard ground truth (the scored
     # slot now demonstrates the max_df-capped plan)

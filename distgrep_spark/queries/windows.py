@@ -153,11 +153,10 @@ def window_ntile_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ntile/percent_rank PARTITIONED by market segment: each segment's
     quartiles rank in parallel, so no single-partition window exists in
     the plan and the operator scales with the number of groups. (A truly
-    GLOBAL ordered rank over a 100 TB fact table has no non-serializing
-    window form — range-partition on the sort key and offset by
-    per-partition counts instead; on dimension-sized inputs an
-    unpartitioned window is acceptable but is deliberately not what this
-    scored entry demonstrates.)"""
+    GLOBAL ordered rank needs the bucketed two-pass form —
+    ``operators/distrank.py``, round 5 — which ``orders_rfm_segments``
+    demonstrates as the scored exact-ntile representative; this entry
+    keeps the plain partitioned surface covered post-prefix.)"""
     c = load_table(spark, sf_dir, "customer")
     w = Window.partitionBy("c_mktsegment").orderBy(
         F.col("c_acctbal").desc(), F.col("c_custkey")

@@ -108,17 +108,20 @@ def test_q19_pushes_derived_disjuncts(spark):
     assert "EqualTo(p_brand,Brand#12)" in plan  # part scan
 
 
-def test_join_range_banded_avoids_unbounded_nested_loop(spark):
-    """The scored join_range must not nested-loop over the raw values
-    table: its only theta join targets the aggregated bucket-count
-    table (rows = #buckets), and the residual is an equi join."""
+def test_join_range_order_statistic_has_no_join_at_all(spark):
+    """The scored join_range is the round-5 order-statistic form
+    (operators/rangejoin.py): NO join of any kind remains in the plan —
+    count-greater comes from a per-bucket running count over the union
+    of both sides plus a constant-folded offset array. In particular no
+    nested loop and no pair-producing residual exists to go quadratic
+    under densification."""
+    from tools.plan_audit import single_partition_windows
+
     plan = formatted_plan(q.QUERIES["join_range"](spark, SF_ORACLE))
-    # the banded decomposition keeps a hash join for the same-bucket
-    # residual; any nested-loop present must be against the broadcast
-    # aggregated side, which appears under a HashAggregate subtree
-    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
-    if "BroadcastNestedLoopJoin" in plan:
-        assert "HashAggregate" in plan
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan  # the per-bucket running count
+    assert single_partition_windows(plan) == 0
 
 
 def test_whole_stage_codegen_covers_grep(spark):
