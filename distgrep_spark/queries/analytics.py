@@ -345,7 +345,6 @@ def q_orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     from distgrep_spark.operators.distrank import (
         array_lit,
         bucket_expr,
-        exclusive_prefixes,
         ntile_expr,
     )
 
@@ -390,14 +389,34 @@ def q_orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             for d, key, typ, bs in dims
         ],
     )
-    n = 0
+    # ONE offsets job for all three dimensions (explode the three bucket
+    # ids into (dim, bucket) rows): 3 x <=64 counts to the driver in a
+    # single pass over the checkpointed rollup instead of three
+    # exclusive_prefixes jobs (x16 soak: the per-pass cost scales with
+    # the entity count, so pass-count is the x1 overhead knob).
+    cnt_rows = (
+        bucketed.selectExpr(
+            "explode(array("
+            "named_struct('d', 'r', 'bk', r_bk), "
+            "named_struct('d', 'f', 'bk', f_bk), "
+            "named_struct('d', 'm', 'bk', m_bk))) AS e"
+        )
+        .groupBy("e.d", "e.bk")
+        .count()
+        .collect()
+    )
+    by_dim: dict = {"r": {}, "f": {}, "m": {}}
+    for row in cnt_rows:
+        by_dim[row["d"]][row["bk"]] = row["count"]
+    n = sum(by_dim["r"].values())
     rank_exprs = []
     for d, key, _typ, _bs in dims:
-        pre, tot = exclusive_prefixes(
-            bucketed, f"{d}_bk", {"cnt": "CAST(count(*) AS BIGINT)"}, {"cnt": "sum"}
-        )
-        n = tot["cnt"]
-        offs = array_lit(pre["cnt"], "bigint")
+        cnts = by_dim[d]
+        pre, acc = [], 0
+        for b in range(max(cnts, default=0) + 1):
+            pre.append(acc)
+            acc += cnts.get(b, 0)
+        offs = array_lit(pre or [0], "bigint")
         rank_exprs.append(
             f"element_at({offs}, {d}_bk + 1) + row_number() OVER "
             f"(PARTITION BY {d}_bk ORDER BY {key}, o_custkey) AS {d}_rnk"
