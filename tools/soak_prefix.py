@@ -60,6 +60,14 @@ def main() -> None:
     mult = int(sys.argv[1]) if len(sys.argv) > 1 else 4
     out = sys.argv[2] if len(sys.argv) > 2 else f"/tmp/soak_sf_x{mult}"
 
+    # x16 data on the default 8 GB local heap (32 threads = 250 MB
+    # each) dies in join_salted_skew's replicated hash join with
+    # 'Could not allocate memory to grow BytesToBytesMap' (round 5;
+    # a mid-build map growth cannot spill). 16 GB is the
+    # cluster-honest per-executor figure for the stress joins.
+    if mult >= 16:
+        os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "16g")
+
     import distgrep_spark.queries as q
     from __spark_entry__ import SCOREBOARD_PREFIX
     from distgrep_spark.session import get_spark
