@@ -12,7 +12,13 @@ from tools.soak_streaming import PIPELINES, soak
 
 
 def test_tumbling_soak_reports_metrics(spark):
-    r = soak(spark, "tumbling", 50_000, 8)
+    # under a saturated box (the suite runs next to other Spark
+    # sessions) 8 s can end before the first completed-batch tick;
+    # retry once with a longer window before judging the harness
+    for seconds in (8, 25):
+        r = soak(spark, "tumbling", 50_000, seconds)
+        if "error" not in r and r["proc_rows_per_s"] > 0:
+            break
     assert "error" not in r, r
     assert r["batches"] >= 1
     assert r["proc_rows_per_s"] > 0
