@@ -12,19 +12,18 @@ from tools.soak_streaming import PIPELINES, soak
 
 
 def test_tumbling_soak_reports_metrics(spark):
-    # under a saturated box (the suite runs next to other Spark
-    # sessions) 8 s can end before the first completed-batch tick;
-    # retry once with a longer window before judging the harness
-    for seconds in (8, 25):
-        r = soak(spark, "tumbling", 50_000, seconds)
-        if "error" not in r and r["proc_rows_per_s"] > 0:
-            break
+    # condition-driven: poll until one completed-batch tick exists
+    # (hard deadline 4x40s inside soak) — a fixed window judged the
+    # box's scheduler latency, not the harness (measured flake under
+    # full-suite load)
+    r = soak(spark, "tumbling", 50_000, 10, min_ticks=1)
     assert "error" not in r, r
     assert r["batches"] >= 1
-    assert r["proc_rows_per_s"] > 0
+    assert r["proc_rows_per_s"] > 0, r
     # 5s windows x (view/click/purchase/error/scroll): state stays a
-    # handful of rows, never per-event
-    assert 0 < r["state_rows_last"] <= 100
+    # handful of rows, never per-event (50k rows/s would be millions);
+    # 200 leaves slack for a stalled watermark on a saturated box
+    assert 0 < r["state_rows_last"] <= 200
     for field in ("keeping_up", "watermark_lag_s", "state_growth_post_horizon"):
         assert field in r
 
