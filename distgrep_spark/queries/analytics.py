@@ -192,6 +192,114 @@ def q_join_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Entity resolution: block -> verify -> cluster -> canonicalize
+# ---------------------------------------------------------------------------
+
+_ER_RECS_SQL = """
+    SELECT c_custkey * 4 AS rec_id,
+           substr(md5(CAST(c_custkey AS {str_t})), 1, 16) AS name
+    FROM {customer}
+    UNION ALL
+    SELECT c_custkey * 4 + 1,
+           concat(substr(h, 1, 8), 'z', substr(h, 10))
+    FROM (SELECT c_custkey,
+                 substr(md5(CAST(c_custkey AS {str_t})), 1, 16) AS h
+          FROM {customer} WHERE c_custkey % 7 = 0)
+    UNION ALL
+    SELECT c_custkey * 4 + 2,
+           concat(substr(h, 1, 12), substr(h, 14))
+    FROM (SELECT c_custkey,
+                 substr(md5(CAST(c_custkey AS {str_t})), 1, 16) AS h
+          FROM {customer} WHERE c_custkey % 13 = 0)
+"""
+
+
+@query(
+    "er_resolve_customers",
+    oracle=f"""
+    WITH recs AS ({_ER_RECS_SQL.format(str_t="VARCHAR", customer="customer")}),
+    b AS (SELECT rec_id, name, substr(name, 1, 6) AS blk FROM recs),
+    edges AS (
+      SELECT a.rec_id AS ra, b2.rec_id AS rb
+      FROM b a JOIN b b2 ON a.blk = b2.blk AND a.rec_id < b2.rec_id
+      WHERE levenshtein(a.name, b2.name) <= 2
+    ),
+    und AS (SELECT ra AS x, rb AS y FROM edges
+            UNION ALL SELECT rb, ra FROM edges),
+    comp AS (
+      SELECT r.rec_id,
+             least(r.rec_id, coalesce(min(u.y), r.rec_id)) AS cluster_id
+      FROM b r LEFT JOIN und u ON u.x = r.rec_id
+      GROUP BY r.rec_id
+    )
+    SELECT c.cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+           r2.name AS canonical_name
+    FROM comp c JOIN b r2 ON r2.rec_id = c.cluster_id
+    GROUP BY c.cluster_id, r2.name
+    """,
+)
+def q_er_resolve_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution: blocked candidate generation ->
+    edit-distance verify -> connected-components clustering -> canonical
+    record election. The missing step past join_fuzzy_blocked (which
+    re-links 1:1): real ER must MERGE, because one entity can surface
+    under several corrupted spellings and the match relation is not
+    transitive-by-construction — the cluster step makes it so.
+
+    Corpus: a deterministic synthetic directory derived from customer —
+    each entity's surface form is a 16-hex md5-prefix name; every 7th
+    entity also appears with a substituted character (pos 9) and every
+    13th with a deleted character (pos 13). md5 and unit-cost
+    levenshtein are bit-identical across engines.
+
+    Pipeline: block on the 6-char name prefix (both corruptions are
+    beyond it — the block key must survive the corruption model), verify
+    within-block pairs at levenshtein <= 2, cluster with the iterative
+    min-label fixpoint (operators/graph.py), elect min rec_id (the clean
+    record by id construction) as canonical. The oracle twin replaces
+    the fixpoint with a one-hop neighbor min, exact here because every
+    verified component is a same-entity clique (diameter 1) — measured
+    across sf0.001/0.01/0.1: 0 cross-entity edges, while sf0.1 carries 5
+    cross-entity block collisions that the verifier rejects (blocking
+    over-generates, verification decides — the division of labor that
+    matters at scale).
+
+    The 100-TB shape: candidates come from an EQUI-join on the block key
+    (hash shuffle, co-located blocks), never all-pairs; the O(len^2) DP
+    runs only within blocks. Block-size capping (max_df, as in
+    ngram_jaccard_pairs) and multi-key blocking union are the production
+    hardening; CC shuffles only the verified-edge graph — a few edges
+    per entity, not the corpus. Reference: the grep pipeline's
+    group-then-reduce shape (server.go:176-191) applied to identity keys
+    instead of match lines."""
+    from distgrep_spark.operators.graph import connected_components
+
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    recs = spark.sql(
+        _ER_RECS_SQL.format(str_t="STRING", customer="customer")
+    ).localCheckpoint()
+    b = recs.selectExpr("rec_id", "name", "substr(name, 1, 6) AS blk")
+    left = b.selectExpr("rec_id AS ra", "name AS na", "blk")
+    right = b.selectExpr("rec_id AS rb", "name AS nb", "blk")
+    edges = (
+        left.join(right, "blk")
+        .where(F.col("ra") < F.col("rb"))
+        .where(F.levenshtein(F.col("na"), F.col("nb")) <= 2)
+        .select("ra", "rb")
+    )
+    comps = connected_components(
+        recs.select("rec_id"), edges, id_col="rec_id", src_col="ra", dst_col="rb"
+    )
+    canon = recs.selectExpr("rec_id AS cluster_id", "name AS canonical_name")
+    return (
+        comps.groupBy(F.col("comp").alias("cluster_id"))
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .join(canon, "cluster_id")
+        .select("cluster_id", "n_members", "canonical_name")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Product quantization: integer codebook assignment
 # ---------------------------------------------------------------------------
 
@@ -289,6 +397,124 @@ def q_embed_pq_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             for m in range(_PQ_M)
         ],
         F.expr(f"CAST(sum(enc DIV {_PQ_K}) AS BIGINT)").alias("total_dist"),
+    )
+
+
+@query(
+    "sim_ann_pq_adc",
+    oracle=f"""
+    WITH q8 AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               v -> CAST(greatest(-127.0, least(127.0,
+                           floor(CAST(v AS DOUBLE) * 200 + 0.5))) AS BIGINT))
+               AS qv
+      FROM embeddings
+    ),
+    subs AS (
+      SELECT vec_id, m, qv[{_PQ_D}*m+1 : {_PQ_D}*m+{_PQ_D}] AS sub
+      FROM q8, (SELECT unnest(range({_PQ_M})) AS m)
+    ),
+    cents AS (
+      SELECT vec_id AS cid, m, sub AS cvec FROM subs WHERE vec_id < {_PQ_K}
+    ),
+    scored AS (
+      SELECT s.vec_id, s.m, c.cid,
+             CAST(list_sum(list_transform(list_zip(s.sub, c.cvec),
+                    p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS dist
+      FROM subs s JOIN cents c ON s.m = c.m
+    ),
+    codes AS (
+      SELECT vec_id, m, min(dist * {_PQ_K} + cid) % {_PQ_K} AS code
+      FROM scored GROUP BY vec_id, m
+    ),
+    lut AS (
+      SELECT vec_id AS query_id, m, cid, dist FROM scored WHERE vec_id < 5
+    ),
+    adc AS (
+      SELECT l.query_id, c.vec_id, CAST(sum(l.dist) AS BIGINT) AS adc_dist
+      FROM codes c JOIN lut l ON c.m = l.m AND c.code = l.cid
+      WHERE c.vec_id <> l.query_id
+      GROUP BY l.query_id, c.vec_id
+    )
+    SELECT query_id, vec_id, adc_dist, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adc_dist, vec_id) AS rank
+      FROM adc
+    ) WHERE rank <= 10
+    """,
+)
+def q_sim_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance search (ADC) — the search half of the
+    IVF-PQ production ANN stack on top of embed_pq_assign's codes: each
+    query precomputes an (M x k) lookup table of exact squared L2
+    distances from its OWN subvectors (asymmetric — the query is never
+    quantized) to every codebook centroid, then every corpus vector is
+    scored by M table lookups on its one-byte codes, never touching raw
+    floats. Top-10 per query, rank tie-broken by vec_id.
+
+    Exactness: the int8 grid, codebook (subvectors of vec_id < 8), code
+    argmin (``min(dist*k + cid)``), LUT entries, and the ADC sum are ALL
+    integer arithmetic, so the ranking — normally the float-ulp trap in
+    distributed ANN — is bit-stable across engines and layouts, and the
+    query carries a full DuckDB oracle where hash-sketch ANN variants
+    (sim_ann_lsh/ivf) can only certify recall.
+
+    The 100-TB shape: the codes table IS the index (M bytes per vector —
+    with production M=16, k=256 a 64-dim float corpus compresses 16x on
+    top of int8); the LUT (Q x M x k rows) broadcasts; scoring is a
+    map-side broadcast join + map-side-combined sum, so the only shuffle
+    is the per-query top-k. At scale, top-k merges two-level (
+    per-partition top-k, then k x P rows to the final heap — the
+    TakeOrderedAndProject shape) and IVF probe lists (sim_ann_ivf)
+    bound the candidate set per query before ADC scoring."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q8 = emb.selectExpr(
+        "vec_id",
+        "transform(embedding, v -> CAST(greatest(-127.0D, least(127.0D, "
+        "floor(CAST(v AS DOUBLE) * 200 + 0.5))) AS BIGINT)) AS qv",
+    )
+    struct_items = ", ".join(
+        f"struct({m} AS m, slice(qv, {_PQ_D * m + 1}, {_PQ_D}) AS sub)"
+        for m in range(_PQ_M)
+    )
+    subs = q8.selectExpr(
+        "vec_id", f"explode(array({struct_items})) AS s"
+    ).selectExpr("vec_id", "s.m AS m", "s.sub AS sub")
+    cents = subs.where(F.col("vec_id") < _PQ_K).selectExpr(
+        "vec_id AS cid", "m", "sub AS cvec"
+    )
+    scored = subs.join(F.broadcast(cents), "m").selectExpr(
+        "vec_id",
+        "m",
+        "cid",
+        "aggregate(zip_with(sub, cvec, (a, b) -> (a - b) * (a - b)), "
+        "CAST(0 AS BIGINT), (acc, x) -> acc + x) AS dist",
+    )
+    # codes and lut both descend from `scored`: rename the join keys on
+    # each side so the equi-join binds across branches, not to itself
+    codes = (
+        scored.groupBy("vec_id", "m")
+        .agg(F.expr(f"min(dist * {_PQ_K} + cid) % {_PQ_K}").alias("code"))
+        .selectExpr("vec_id", "m AS cm", "code")
+    )
+    lut = scored.where(F.col("vec_id") < 5).selectExpr(
+        "vec_id AS query_id", "m AS lm", "cid", "dist"
+    )
+    adc = (
+        codes.join(
+            F.broadcast(lut),
+            (F.col("cm") == F.col("lm")) & (F.col("code") == F.col("cid")),
+        )
+        .where(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("dist").cast("bigint").alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "vec_id")
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+        .select("query_id", "vec_id", "adc_dist", "rank")
     )
 
 

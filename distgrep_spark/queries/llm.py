@@ -1442,6 +1442,68 @@ def q_mix_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "mix_temperature_sampling",
+    oracle="""
+    WITH src AS (
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS chars,
+             CAST(floor(sqrt(CAST(sum(n_chars) AS DOUBLE)) * 10000) AS BIGINT)
+               AS temp_mass
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT CAST(sum(temp_mass) AS BIGINT) AS denom FROM src)
+    SELECT source, n_docs, chars,
+           temp_mass * 1.0 / denom AS temp_weight,
+           (100000 * temp_mass) // denom AS alloc_docs
+    FROM src, tot
+    """,
+)
+def q_mix_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture sampling at alpha = 0.5: each source's
+    sampling weight is proportional to (its character mass)^alpha — the
+    standard multilingual/pretraining rebalancing knob (mT5/UniMax
+    family) that upsamples rare sources less aggressively than
+    mix_domain_weights' full uniform flattening. Emits the normalized
+    weight and an integer document allocation at a 100k-doc epoch
+    budget.
+
+    Exactness: alpha = 0.5 makes the power a ``sqrt``, which is
+    IEEE-correctly-rounded in both engines (unlike ln/exp — CLAUDE.md),
+    and the mass is quantized with ``floor(sqrt(chars) * 1e4)`` to a
+    BIGINT (floor on both sides; CAST alone rounds in DuckDB but
+    truncates in Spark). The quantization boundary margin is measured
+    at >= 1.9e-4 across sf0.001/0.01/0.1 — 5 orders above the ~2e-9 ulp
+    of sqrt at this magnitude — so the BIGINT masses are bit-identical,
+    their sum is exact integer arithmetic (order-free), and the final
+    weight is ONE IEEE division. The allocation uses integer division
+    (`div`) on both sides.
+
+    The 100-TB view: one map-side-combined shuffle on the
+    low-cardinality source key; the denominator rides in as a broadcast
+    1-row aggregate (the tfidf no-second-pass idiom). The corpus is
+    scanned once, reading only (source, n_chars)."""
+    from pyspark.sql.functions import broadcast
+
+    docs = load_table(spark, sf_dir, "documents")
+    src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("chars"),
+    )
+    src = src.withColumn(
+        "temp_mass",
+        F.floor(F.sqrt(F.col("chars").cast("double")) * 10000).cast("bigint"),
+    )
+    tot = src.agg(F.sum("temp_mass").cast("bigint").alias("denom"))
+    return src.crossJoin(broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "chars",
+        (F.col("temp_mass") * F.lit(1.0) / F.col("denom")).alias("temp_weight"),
+        F.expr("(100000 * temp_mass) div denom").alias("alloc_docs"),
+    )
+
+
+@query(
     "sample_rebalance_lang",
     oracle="""
     WITH counts AS (
