@@ -43,10 +43,12 @@ SCOREBOARD_PREFIX = [
     "stats_ols_trend",
     "agg_approx_distinct_error",
     # joins (outer demoted late round 3 for the spatial grid join —
-    # join_outer stays POST_PREFIX-front and oracle-checked)
+    # join_outer stays POST_PREFIX-front and oracle-checked; join_semi
+    # demoted round 5: semi/anti stay oracle-checked post-prefix, the
+    # slot buys the record-linkage family a scored row)
     "join_broadcast_dim",
     "join_shuffle_fact",
-    "join_semi",
+    "er_resolve_customers",
     "join_spatial_grid",
     "join_range",
     "join_asof_events",
@@ -121,6 +123,12 @@ POST_PREFIX = [
     # demoted round 5: its slot went to orders_rfm_segments (distributed
     # exact global ntile); partitioned ntile/percent_rank stays covered
     "window_ntile_percent",
+    # demoted round 5: slot went to er_resolve_customers (entity
+    # resolution — block/verify/cluster/canonicalize, full oracle)
+    "join_semi",
+    # round-5 additions, strongest-first if the window ever widens
+    "sim_ann_pq_adc",
+    "mix_temperature_sampling",
     "grep_regex",
     # demoted round 4: uncapped exact-Jaccard ground truth (the scored
     # slot now demonstrates the max_df-capped plan)
