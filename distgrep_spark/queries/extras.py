@@ -1226,3 +1226,87 @@ def q_udtf_analyze_dynamic_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
           'view,click,purchase')
         """
     )
+
+
+@query(
+    "events_attribution_last_touch",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, epoch_us(ts) AS pus,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    t AS (
+      SELECT user_id, epoch_us(ts) AS tus,
+             arg_max(event_type, event_id) AS touch_type
+      FROM events WHERE event_type <> 'purchase'
+      GROUP BY user_id, epoch_us(ts)
+    ),
+    j AS (
+      SELECT p.cents, p.pus, t.tus, t.touch_type
+      FROM p ASOF LEFT JOIN t
+        ON p.user_id = t.user_id AND p.pus >= t.tus
+    )
+    SELECT CASE WHEN tus IS NOT NULL AND tus >= pus - 86400000000
+                THEN touch_type ELSE 'unattributed' END AS channel,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(sum(cents) AS BIGINT) AS revenue_cents
+    FROM j GROUP BY 1
+    """,
+)
+def q_events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: every purchase credits its
+    revenue to the user's most recent non-purchase event within a 24 h
+    lookback, else to 'unattributed' — the attribution rollup behind
+    every channel-ROI dashboard, and a composition consumer of
+    operators/asof.py (credit assignment IS a backward as-of join).
+
+    Determinism: touches are pre-aggregated to one row per (user,
+    microsecond) with a max_by(event_type, event_id) tie-break — the
+    asof operator's uniqueness contract, identical in DuckDB's arg_max
+    — and purchase-instant ties resolve inclusively in both engines
+    (Spark fill window and DuckDB ASOF are both >=). Timestamps diff as
+    tz-free exact epoch micros (the timestampdiff/epoch_us pattern —
+    events.ts is NTZ); revenue sums integer cents. Filtering the
+    lookback AFTER the as-of is exact: the as-of row is the maximum
+    touch time, so it is inside the window iff any touch is.
+
+    The 100-TB shape: one user_id exchange for the union + window-fill
+    as-of (not a per-purchase range probe), then a 5-row channel
+    rollup. Skewed hub users cost one window partition each — the
+    salting regime notes in operators/skew.py apply if a bot user
+    dominates."""
+    ev = load_table(spark, sf_dir, "events")
+    us = "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
+    p = ev.where(F.col("event_type") == "purchase").selectExpr(
+        "user_id",
+        f"{us} AS pus",
+        "CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents",
+    )
+    t = (
+        ev.where(F.col("event_type") != "purchase")
+        .selectExpr("user_id", f"{us} AS tus", "event_id", "event_type")
+        .groupBy("user_id", "tus")
+        .agg(F.expr("max_by(event_type, event_id) AS touch_type"))
+    )
+    j = asof_join(
+        p,
+        t,
+        on=["user_id"],
+        left_ts="pus",
+        right_ts="tus",
+        payload=["touch_type"],
+        direction="backward",
+    )
+    return (
+        j.selectExpr(
+            "CASE WHEN tus IS NOT NULL AND tus >= pus - 86400000000"
+            " THEN touch_type ELSE 'unattributed' END AS channel",
+            "cents",
+        )
+        .groupBy("channel")
+        .agg(
+            F.expr("CAST(count(*) AS BIGINT) AS n_purchases"),
+            F.expr("CAST(sum(cents) AS BIGINT) AS revenue_cents"),
+        )
+    )

@@ -1886,3 +1886,84 @@ def q_embed_pca_power_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("s_num") * F.col("s_num")).over(Window.partitionBy()).cast("bigint")
     )
     return s.select("dim", "s_num", (F.col("s_num") / norm).alias("v1"))
+
+
+@query(
+    "text_vocab_oov_rate",
+    oracle=r"""
+    WITH toks AS (
+      SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS tok
+      FROM documents
+    ),
+    rolled AS (
+      SELECT source, tok, CAST(count(*) AS BIGINT) AS n
+      FROM toks GROUP BY source, tok
+    ),
+    vocab AS (
+      SELECT tok FROM (
+        SELECT tok, row_number() OVER
+          (ORDER BY CAST(sum(n) AS BIGINT) DESC, tok) AS rnk
+        FROM rolled GROUP BY tok
+      ) WHERE rnk <= 16
+    )
+    SELECT r.source,
+           CAST(sum(r.n) AS BIGINT) AS total_tokens,
+           CAST(sum(CASE WHEN v.tok IS NULL THEN r.n ELSE 0 END) AS BIGINT)
+             AS oov_tokens,
+           CAST(sum(CASE WHEN v.tok IS NULL THEN r.n ELSE 0 END) AS DOUBLE)
+             / CAST(sum(r.n) AS DOUBLE) AS oov_rate
+    FROM rolled r LEFT JOIN vocab v ON r.tok = v.tok
+    GROUP BY r.source
+    """,
+)
+def q_text_vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-prep vocabulary coverage: build the top-16 corpus
+    vocabulary by global token frequency (deterministic (count DESC,
+    token) tie-break) and report each source's out-of-vocabulary token
+    rate (the fixture's synthetic corpus has 31 distinct tokens at
+    every SF — measured — so the cut must sit below that to be
+    non-vacuous; production vocabularies are 32k-256k and change
+    nothing structural) — the coverage report that decides vocab size and flags sources
+    a fixed vocabulary would shred into UNK/bytes. Same whitespace
+    tokenization as text_tfidf_top_terms.
+
+    Plan: raw tokens shuffle ONCE into the map-side-combined
+    (source, tok) rollup; the global frequency table then aggregates the
+    ROLLUP (vocabulary-sized, not corpus-sized), the top-K cut is the
+    TakeOrderedAndProject shape, and the OOV probe is a broadcast left
+    join against the K-row vocabulary — per-source rates are exact
+    BIGINT ratios under one IEEE division. At 100 TB nothing here
+    scales with documents except the first rollup; the vocabulary stays
+    a bounded broadcast however large the corpus grows."""
+    from pyspark.sql.functions import broadcast
+
+    docs = load_table(spark, sf_dir, "documents")
+    rolled = (
+        docs.selectExpr(
+            "source", r"explode(split(trim(text), '\\s+')) AS tok"
+        )
+        .groupBy("source", "tok")
+        .agg(F.expr("CAST(count(*) AS BIGINT) AS n"))
+    )
+    vocab = (
+        rolled.groupBy("tok")
+        .agg(F.expr("CAST(sum(n) AS BIGINT) AS cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("tok"))
+        .limit(16)
+        .select(F.col("tok").alias("vtok"))
+    )
+    return (
+        rolled.join(broadcast(vocab), rolled["tok"] == vocab["vtok"], "left")
+        .groupBy("source")
+        .agg(
+            F.expr("CAST(sum(n) AS BIGINT) AS total_tokens"),
+            F.expr(
+                "CAST(sum(CASE WHEN vtok IS NULL THEN n ELSE 0 END) AS BIGINT)"
+                " AS oov_tokens"
+            ),
+            F.expr(
+                "CAST(sum(CASE WHEN vtok IS NULL THEN n ELSE 0 END) AS DOUBLE)"
+                " / CAST(sum(n) AS DOUBLE) AS oov_rate"
+            ),
+        )
+    )

@@ -1323,3 +1323,137 @@ def q_events_haar_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(energy AS DOUBLE) / CAST(sum(energy) OVER () AS DOUBLE)"
         " AS energy_share",
     )
+
+
+# ---------------------------------------------------------------------------
+# Mann–Whitney U: distributed exact rank-sum test
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stats_mannwhitney_u",
+    oracle="""
+    WITH pool AS (
+      SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+             CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS grp
+      FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+    ),
+    v AS (
+      SELECT cents, CAST(count(*) AS BIGINT) AS n_v,
+             CAST(sum(grp) AS BIGINT) AS a_v
+      FROM pool GROUP BY cents
+    ),
+    r AS (
+      SELECT n_v, a_v,
+             CAST(coalesce(sum(n_v) OVER (ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS c_lt
+      FROM v
+    ),
+    s AS (
+      SELECT CAST(sum(a_v * (2 * c_lt + n_v + 1)) AS BIGINT) AS two_r1,
+             CAST(sum(a_v) AS BIGINT) AS n1,
+             CAST(sum(n_v) AS BIGINT) AS nn,
+             CAST(sum(n_v * n_v * n_v - n_v) AS BIGINT) AS ties
+      FROM r
+    )
+    SELECT n1 AS n_urgent, nn - n1 AS n_low,
+           CAST(two_r1 - n1 * (n1 + 1) AS DOUBLE) / 2.0 AS u_stat,
+           (CAST(two_r1 - n1 * (n1 + 1) - n1 * (nn - n1) AS DOUBLE) / 2.0)
+             / sqrt((CAST(n1 * (nn - n1) AS DOUBLE) / 12.0)
+                    * ((CAST(nn AS DOUBLE) + 1.0)
+                       - CAST(ties AS DOUBLE)
+                         / CAST(nn * (nn - 1) AS DOUBLE))) AS z_score,
+           abs((CAST(two_r1 - n1 * (n1 + 1) - n1 * (nn - n1) AS DOUBLE) / 2.0)
+             / sqrt((CAST(n1 * (nn - n1) AS DOUBLE) / 12.0)
+                    * ((CAST(nn AS DOUBLE) + 1.0)
+                       - CAST(ties AS DOUBLE)
+                         / CAST(nn * (nn - 1) AS DOUBLE)))) > 1.96
+             AS reject_5pct
+    FROM s
+    """,
+)
+def q_stats_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U (Wilcoxon rank-sum) comparing URGENT vs LOW order
+    totals — the nonparametric complement to stats_ab_ztest when the
+    response is skewed and means mislead. Tie-corrected normal
+    approximation; no continuity correction (both engines omit it
+    identically).
+
+    The distributed-rank insight: U needs no per-row ranks at all. With
+    values quantized to integer cents and rolled up to (value, n_v,
+    a_v), the group-1 rank sum is 2*R1 = sum a_v * (2*C_lt + n_v + 1)
+    where C_lt is the running count of values below — an order
+    statistic over the DISTINCT-value rollup, computed here with
+    operators/distrank.py (boundary broadcast + per-bucket cumsum +
+    driver-folded offsets), never an Exchange SinglePartition. All
+    counts/products stay exact BIGINTs (two_r1 <= N^2 ~ 2.3e11 at x8 —
+    7 orders of headroom); the z statistic is one fixed
+    div/sub/mul/sqrt tree over those integers, bit-identical across
+    engines per the stats_ab_ztest/sqrt-safety precedent, so even the
+    rejection boolean needs no rounding margin.
+
+    The 100-TB shape: the pool shuffles once to the distinct-value
+    rollup (map-side combined); distrank buckets bound every window
+    partition; the final reduce is a 4-scalar aggregate. The oracle
+    twin is the plain global window — the same exactness certificate as
+    orders_gini_spend."""
+    from distgrep_spark.operators.distrank import (
+        array_lit,
+        bucket_expr,
+        exclusive_prefixes,
+        percentile_boundaries,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    pool = orders.where(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    ).selectExpr(
+        "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents",
+        "CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS grp",
+    )
+    v = (
+        pool.groupBy("cents")
+        .agg(
+            F.expr("CAST(count(*) AS BIGINT) AS n_v"),
+            F.expr("CAST(sum(grp) AS BIGINT) AS a_v"),
+        )
+        .localCheckpoint()
+    )
+    bs = percentile_boundaries(v, "cents", 64)
+    vb = v.selectExpr(
+        "cents", "n_v", "a_v", f"{bucket_expr('cents', bs, 'bigint')} AS bk"
+    )
+    pre, _tot = exclusive_prefixes(
+        vb, "bk", {"cnt": "CAST(sum(n_v) AS BIGINT)"}, {"cnt": "sum"}
+    )
+    offs = array_lit(pre["cnt"], "bigint")
+    r = vb.selectExpr(
+        "n_v",
+        "a_v",
+        f"element_at({offs}, bk + 1) + sum(n_v) OVER "
+        "(PARTITION BY bk ORDER BY cents "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_v AS c_lt",
+    )
+    s = r.agg(
+        F.expr("CAST(sum(a_v * (2 * c_lt + n_v + 1)) AS BIGINT) AS two_r1"),
+        F.expr("CAST(sum(a_v) AS BIGINT) AS n1"),
+        F.expr("CAST(sum(n_v) AS BIGINT) AS nn"),
+        F.expr("CAST(sum(n_v * n_v * n_v - n_v) AS BIGINT) AS ties"),
+    )
+    return s.selectExpr(
+        "n1 AS n_urgent",
+        "nn - n1 AS n_low",
+        "CAST(two_r1 - n1 * (n1 + 1) AS DOUBLE) / 2.0 AS u_stat",
+        "(CAST(two_r1 - n1 * (n1 + 1) - n1 * (nn - n1) AS DOUBLE) / 2.0)"
+        " / sqrt((CAST(n1 * (nn - n1) AS DOUBLE) / 12.0)"
+        "        * ((CAST(nn AS DOUBLE) + 1.0)"
+        "           - CAST(ties AS DOUBLE)"
+        "             / CAST(nn * (nn - 1) AS DOUBLE))) AS z_score",
+        "abs((CAST(two_r1 - n1 * (n1 + 1) - n1 * (nn - n1) AS DOUBLE) / 2.0)"
+        " / sqrt((CAST(n1 * (nn - n1) AS DOUBLE) / 12.0)"
+        "        * ((CAST(nn AS DOUBLE) + 1.0)"
+        "           - CAST(ties AS DOUBLE)"
+        "             / CAST(nn * (nn - 1) AS DOUBLE)))) > 1.96"
+        " AS reject_5pct",
+    )
