@@ -243,3 +243,38 @@ def q_events_watermark_lateness_audit(spark: SparkSession, sf_dir: str) -> DataF
             "CAST(max(high_watermark - t) AS BIGINT) DIV 1000000 AS max_late_sec"
         ),
     )
+
+
+@query(
+    "stream_interval_join_outer",
+    oracle="""
+    SELECT c.event_id, c.user_id, c.ts,
+           e.ts AS err_ts, e.value AS err_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+      ON c.user_id = e.user_id
+     AND e.ts >= c.ts - INTERVAL 10 MINUTE AND e.ts <= c.ts
+    """,
+)
+def q_stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the LEFT OUTER stream-stream interval join: every
+    click, padded with NULLs when no same-user error precedes it within
+    10 minutes. The outer variant is the semantically hard one in
+    streaming — the engine may only emit a padded row after the
+    watermark proves no matching error can still arrive, so state
+    expiry and result emission are coupled (pytest drives the real
+    readStream variant with a watermark-advancing flush row;
+    streaming/pipelines.py). In batch the identical code is a plain
+    LEFT range join, fully SQL-oracled."""
+    from distgrep_spark.streaming.pipelines import interval_join_clicks_errors
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    errors = ev.where(F.col("event_type") == "error").select(
+        F.col("user_id").alias("err_user_id"),
+        F.col("ts").alias("err_ts"),
+        F.col("value").alias("err_value"),
+    )
+    return interval_join_clicks_errors(clicks, errors, how="left_outer")

@@ -169,9 +169,10 @@ def interval_join_clicks_errors(
     *,
     lookback: str = "10 minutes",
     watermark: str = "30 minutes",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join: each click paired with every error by
-    the same user in the preceding ``lookback`` (inclusive both ends).
+    """Stream-stream join: each click paired with every error by the
+    same user in the preceding ``lookback`` (inclusive both ends).
 
     Both inputs must carry watermarks and the join condition must bound
     event time on BOTH sides — that pair of constraints is what lets the
@@ -179,9 +180,21 @@ def interval_join_clicks_errors(
     hold both streams forever. In batch the same expression is a plain
     range join (the DuckDB oracle for the registry twin).
 
+    ``how='left_outer'`` keeps clicks with no error in the window:
+    matched rows emit immediately, but the NULL-padded row for an
+    unmatched click can only emit once the watermark passes the click's
+    whole candidate window — the engine must PROVE no future error can
+    match before padding. Until the watermark advances that far the row
+    stays buffered (the classic outer-stream-join gotcha: a drained
+    finite stream withholds its trailing outer rows; tests advance the
+    watermark with a flush row). In batch the same code is a plain LEFT
+    JOIN, so the twin is still fully SQL-oracled.
+
     Expects clicks(event_id, user_id, ts) and errors with columns already
     aliased apart: (err_user_id, err_ts, err_value).
     """
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"how must be inner|left_outer, got {how!r}")
     c = _with_watermark(clicks, watermark)
     e = errors
     if errors.isStreaming and watermark is not None:
@@ -191,6 +204,6 @@ def interval_join_clicks_errors(
         & (e["err_ts"] >= F.col("ts") - F.expr(f"INTERVAL {lookback}"))
         & (e["err_ts"] <= F.col("ts"))
     )
-    return c.join(e, cond, "inner").select(
+    return c.join(e, cond, how).select(
         "event_id", "user_id", "ts", "err_ts", "err_value"
     )

@@ -636,3 +636,61 @@ def test_foreach_batch_bitmap_distinct_merge_matches_batch(spark, tmp_path):
     for (etype, _), w in merged.items():
         got[etype] = got.get(etype, 0) + bin(w & ((1 << 64) - 1)).count("1")
     assert got == exact
+
+
+def test_stream_stream_left_outer_join_emits_padded_rows(spark, tmp_path):
+    """LEFT OUTER stream-stream join: a click with no matching error must
+    emit a NULL-padded row — but only after the watermark PROVES no
+    error can still match (the outer row is withheld until eviction, so
+    the test advances the watermark with a later flush file; the flush
+    click itself stays buffered forever, the documented finite-stream
+    gotcha)."""
+    from datetime import datetime, timezone
+
+    from distgrep_spark.streaming.pipelines import interval_join_clicks_errors
+
+    def ts(sec):
+        return datetime.fromtimestamp(1704067200 + sec, tz=timezone.utc).replace(
+            tzinfo=None
+        )
+
+    cdir, edir = tmp_path / "clicks", tmp_path / "errors"
+    cs = "event_id bigint, user_id bigint, ts timestamp"
+    es = "err_user_id bigint, err_ts timestamp, err_value double"
+    # file 1: user 7 click matched by an error 10s earlier; user 8
+    # click with no error at all
+    spark.createDataFrame([(1, 7, ts(600)), (2, 8, ts(600))], cs).coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(cdir / "f1"))
+    spark.createDataFrame([(7, ts(590), 1.5)], es).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(edir / "f1"))
+    # file 2: flush rows far past watermark(30m) + lookback(10m), so the
+    # watermark passes file 1's clicks and evicts user 8's outer row
+    spark.createDataFrame([(99, 999, ts(600 + 3 * 3600))], cs).coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(cdir / "f2"))
+    spark.createDataFrame([(999, ts(600 + 3 * 3600), 0.0)], es).coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(edir / "f2"))
+
+    clicks_s = spark.readStream.schema(cs).option("maxFilesPerTrigger", 1).parquet(
+        str(cdir / "*")
+    )
+    errors_s = spark.readStream.schema(es).option("maxFilesPerTrigger", 1).parquet(
+        str(edir / "*")
+    )
+    run_to_memory(
+        interval_join_clicks_errors(clicks_s, errors_s, how="left_outer"),
+        "ssjoin_outer",
+        "append",
+    )
+    got = rows_set(spark.sql("select * from ssjoin_outer"))
+    assert (1, 7, ts(600), ts(590), 1.5) in got  # matched row
+    assert (2, 8, ts(600), None, None) in got  # NULL-padded outer row
+    # nothing beyond the batch LEFT JOIN result may appear
+    assert got <= {
+        (1, 7, ts(600), ts(590), 1.5),
+        (2, 8, ts(600), None, None),
+        (99, 999, ts(600 + 3 * 3600), ts(600 + 3 * 3600), 0.0),
+    }
