@@ -171,3 +171,72 @@ def test_negative_sampling_is_content_addressed_and_label_disjoint(spark):
         assert [r["neg_rank"] for r in sorted(got, key=lambda r: r["neg_rank"])] == list(
             range(1, len(got) + 1)
         )
+
+
+def test_pq_adc_recall_and_determinism(spark):
+    """PQ asymmetric-distance search (sim_ann_pq_adc): the demo
+    codebook (M=4, k=8 — production uses k=256) is very lossy, so the
+    meaningful property is placement, not exact recall: the ADC top-10
+    must sit far up the TRUE int8-L2 ranking (measured mean true rank
+    33-77 of 499 vs ~250 for random; bound 125 = half random with 1.6x
+    margin), recall must clear a catastrophic-regression floor
+    (measured 0.24), and the integer ranking must be bit-identical
+    across partition layouts."""
+    import numpy as np
+
+    from distgrep_spark.queries.analytics import q_sim_ann_pq_adc
+
+    sf = "/root/testdata/sf0.01"
+    got = q_sim_ann_pq_adc(spark, sf).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append(r.vec_id)
+    assert set(by_q) == {0, 1, 2, 3, 4}
+    assert all(len(v) == 10 for v in by_q.values())
+
+    # exact int8-grid L2 reference in numpy
+    emb = np.array(
+        [
+            r.embedding
+            for r in spark.read.parquet(f"{sf}/embeddings.parquet")
+            .orderBy("vec_id")
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    q8 = np.clip(np.floor(emb * 200 + 0.5), -127, 127).astype(np.int64)
+    recalls = []
+    for qid in range(5):
+        d = ((q8 - q8[qid]) ** 2).sum(axis=1)
+        d[qid] = np.iinfo(np.int64).max
+        order = np.lexsort((np.arange(len(d)), d))
+        rank_of = {v: i for i, v in enumerate(order.tolist())}
+        mean_rank = sum(rank_of[v] for v in by_q[qid]) / 10
+        assert mean_rank <= 125, (qid, mean_rank)
+        true10 = set(order[:10].tolist())
+        recalls.append(len(true10 & set(by_q[qid])) / 10)
+    assert sum(recalls) / len(recalls) >= 0.15, recalls
+
+    rep = q_sim_ann_pq_adc(spark, sf).repartition(7).collect()
+    assert sorted(map(tuple, rep)) == sorted(map(tuple, got))
+
+
+def test_er_resolve_planted_clusters(spark):
+    """Entity resolution (er_resolve_customers): every planted variant
+    must fold into its origin's cluster — cluster sizes are exactly
+    1 + [7|custkey] + [13|custkey], the canonical id is always the
+    clean record, and no cluster ever mixes origins."""
+    from distgrep_spark.queries.analytics import q_er_resolve_customers
+
+    rows = q_er_resolve_customers(spark, "/root/testdata/sf0.001").collect()
+    by_cluster = {r.cluster_id: r for r in rows}
+    n_cust = spark.read.parquet(
+        "/root/testdata/sf0.001/customer.parquet"
+    ).count()
+    assert len(rows) == n_cust  # one cluster per real entity
+    for cid, r in by_cluster.items():
+        assert cid % 4 == 0  # canonical is always the clean record
+        custkey = cid // 4
+        expect = 1 + (custkey % 7 == 0) + (custkey % 13 == 0)
+        assert r.n_members == expect, (custkey, r.n_members, expect)
+        assert len(r.canonical_name) == 16
