@@ -1310,3 +1310,87 @@ def q_events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFra
             F.expr("CAST(sum(cents) AS BIGINT) AS revenue_cents"),
         )
     )
+
+
+@query(
+    "sample_neyman_allocation",
+    oracle="""
+    WITH s AS (
+      SELECT o_orderpriority AS priority,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS DOUBLE) AS sx,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                      * CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS DOUBLE) AS sxx
+      FROM orders GROUP BY o_orderpriority
+    ),
+    m AS (
+      SELECT priority, n_rows,
+             CAST(floor(CAST(n_rows AS DOUBLE)
+               * sqrt((CAST(n_rows AS DOUBLE) * sxx - sx * sx)
+                      / (CAST(n_rows AS DOUBLE) * CAST(n_rows AS DOUBLE))))
+               AS BIGINT) AS mass
+      FROM s
+    ),
+    tot AS (SELECT CAST(sum(mass) AS BIGINT) AS denom FROM m)
+    SELECT priority, n_rows, mass,
+           CAST(mass AS DOUBLE) / CAST(denom AS DOUBLE) AS neyman_share,
+           (1000 * mass) // denom AS alloc_n
+    FROM m, tot
+    """,
+)
+def q_sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified sample allocation: a 1000-row budget
+    split across order-priority strata proportionally to N_h * S_h
+    (stratum size x population std) — the allocation that minimizes the
+    estimator variance at fixed budget, vs sample_stratified's equal
+    rates. The planning half of every stratified-sampling pipeline.
+
+    Exactness: sums of cents and squared cents accumulate in
+    DECIMAL(38,0)/HUGEINT (sum of c^2 at 6e7 cents x 60k rows overflows
+    BIGINT), which both engines cast to DOUBLE correctly rounded (the
+    stats_ols_trend precedent); N_h * S_h is then one fixed
+    div/sub/mul/sqrt tree over those exact inputs — bit-identical — and
+    is floored to a BIGINT mass (measured boundary margin >= 0.0038
+    across sf0.001/0.01/0.1, >= 3600x the double ulp at that
+    magnitude). The denominator is exact integer addition, the share
+    one IEEE division, the allocation integer div on both sides.
+
+    The 100-TB shape: one map-side-combined shuffle to 5 stratum rows;
+    the budget math is driver-free (broadcast 1-row total). The
+    downstream sampler consumes alloc_n exactly like
+    corpus_token_budget_allocation's apportionment."""
+    from pyspark.sql.functions import broadcast
+
+    orders = load_table(spark, sf_dir, "orders")
+    s = (
+        orders.selectExpr(
+            "o_orderpriority AS priority",
+            "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c",
+        )
+        .groupBy("priority")
+        .agg(
+            F.expr("CAST(count(*) AS BIGINT) AS n_rows"),
+            F.expr("CAST(sum(CAST(c AS DECIMAL(38,0))) AS DOUBLE) AS sx"),
+            F.expr(
+                "CAST(sum(CAST(c * c AS DECIMAL(38,0))) AS DOUBLE) AS sxx"
+            ),
+        )
+    )
+    m = s.selectExpr(
+        "priority",
+        "n_rows",
+        "CAST(floor(CAST(n_rows AS DOUBLE)"
+        " * sqrt((CAST(n_rows AS DOUBLE) * sxx - sx * sx)"
+        "        / (CAST(n_rows AS DOUBLE) * CAST(n_rows AS DOUBLE))))"
+        " AS BIGINT) AS mass",
+    )
+    tot = m.agg(F.expr("CAST(sum(mass) AS BIGINT) AS denom"))
+    return m.crossJoin(broadcast(tot)).selectExpr(
+        "priority",
+        "n_rows",
+        "mass",
+        "CAST(mass AS DOUBLE) / CAST(denom AS DOUBLE) AS neyman_share",
+        "(1000 * mass) div denom AS alloc_n",
+    )

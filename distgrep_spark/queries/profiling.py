@@ -877,3 +877,51 @@ def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "agg_log2_histogram",
+    oracle="""
+    WITH c AS (
+      SELECT event_type,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events
+    )
+    SELECT event_type,
+           CAST(length(bin(cents)) AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(cents) AS BIGINT) AS min_cents,
+           CAST(max(cents) AS BIGINT) AS max_cents
+    FROM c GROUP BY 1, 2
+    """,
+)
+def q_agg_log2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-scale (HdrHistogram-style) value histogram: per event type,
+    counts in power-of-two buckets — the latency/heavy-tail profiling
+    shape where agg_histogram_equiwidth's fixed-width bins collapse the
+    tail into one bar. The bucket is the BINARY DIGIT LENGTH of the
+    integer cents (floor(log2 x) + 1 for x >= 1), computed with NO
+    logarithm: Spark ``length(conv(cents, 10, 2))`` == DuckDB
+    ``length(bin(cents))`` exactly on nonnegative integers (verified
+    incl. the 0 -> '0' edge), so the transcendental-ranking-key trap
+    (CLAUDE.md) never arises. Buckets are mergeable across partitions,
+    days, and incremental loads — it's a groupBy, not a sketch.
+
+    The 100-TB shape: fully map-side-combinable single shuffle on
+    (type, bucket); ~60 cells per type regardless of corpus size."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.selectExpr(
+            "event_type",
+            "CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents",
+        )
+        .groupBy(
+            "event_type",
+            F.expr("CAST(length(conv(cents, 10, 2)) AS BIGINT)").alias("bucket"),
+        )
+        .agg(
+            F.expr("CAST(count(*) AS BIGINT) AS n"),
+            F.expr("CAST(min(cents) AS BIGINT) AS min_cents"),
+            F.expr("CAST(max(cents) AS BIGINT) AS max_cents"),
+        )
+    )
