@@ -1967,3 +1967,187 @@ def q_text_vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "corpus_unimax_waterfill",
+    oracle="""
+    WITH src AS (
+      SELECT source, CAST(sum(n_chars) AS BIGINT) AS chars,
+             CAST(4 * sum(n_chars) AS BIGINT) AS cap
+      FROM documents GROUP BY source
+    ),
+    tot AS (
+      SELECT CAST((38 * sum(chars)) // 10 AS BIGINT) AS budget,
+             CAST(count(*) AS BIGINT) AS n_src
+      FROM src
+    ),
+    ranked AS (
+      SELECT source, chars, cap, budget, n_src,
+             CAST(row_number() OVER (ORDER BY cap, source) AS BIGINT) AS rk,
+             CAST(coalesce(sum(cap) OVER (ORDER BY cap, source
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS csum_prev
+      FROM src, tot
+    ),
+    flagged AS (
+      SELECT *,
+             CASE WHEN cap * (n_src - rk + 1) <= budget - csum_prev
+                  THEN 1 ELSE 0 END AS is_capped
+      FROM ranked
+    ),
+    lvl AS (
+      SELECT CAST(sum(is_capped * cap) AS BIGINT) AS used,
+             CAST(sum(is_capped) AS BIGINT) AS k
+      FROM flagged
+    )
+    SELECT f.source, f.chars, f.cap,
+           f.is_capped = 1 AS is_capped,
+           CASE WHEN f.is_capped = 1 THEN f.cap
+                ELSE (f.budget - l.used) // (f.n_src - l.k) END AS alloc_tokens,
+           CAST(CASE WHEN f.is_capped = 1 THEN f.cap
+                ELSE (f.budget - l.used) // (f.n_src - l.k) END AS DOUBLE)
+             / CAST(f.chars AS DOUBLE) AS epochs
+    FROM flagged f, lvl l
+    """,
+)
+def q_corpus_unimax_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax epoch-capped budget allocation (Chung et al. 2023): spread
+    a token budget UNIFORMLY across sources, but never give a source
+    more than max_epochs (4) passes over its own data — the repeats cap
+    that uniform or temperature sampling alone cannot express. Solved
+    EXACTLY in one sorted pass, no iteration: processing sources by
+    ascending cap, source at rank j is capped iff
+    cap_j * (n - j + 1) <= budget - cumsum(cap_<j) — the classical
+    waterfilling criterion, monotone along the order (proof in repo
+    docstring tradition: if j fails, j+1's residual budget shrinks by
+    cap_j while its cap is >=, so it fails too), which is why a per-row
+    window test equals the iterative fixpoint. Uncapped sources get the
+    integer water level (budget - capped mass) div (n - k); the
+    fractional remainder (< n tokens) is deliberately left unallocated
+    (corpus_token_budget_allocation shows largest-remainder if exact
+    exhaustion matters). Budget = 3.8x corpus chars, chosen so BOTH
+    regimes are exercised at every fixture SF (measured: 1-2 sources
+    cap at each of sf0.001/0.01/0.1).
+
+    All arithmetic is BIGINT; the only doubles are the final epochs
+    ratio (one IEEE division). The global sort window runs over the
+    SOURCE ROLLUP — cardinality O(10^2) at any corpus size (the
+    bounded-input window class, same as the mix/budget planners), never
+    the documents."""
+    docs = load_table(spark, sf_dir, "documents")
+    src = docs.groupBy("source").agg(
+        F.expr("CAST(sum(n_chars) AS BIGINT) AS chars"),
+        F.expr("CAST(4 * sum(n_chars) AS BIGINT) AS cap"),
+    )
+    tot = src.agg(
+        F.expr("CAST((38 * sum(chars)) div 10 AS BIGINT) AS budget"),
+        F.expr("CAST(count(*) AS BIGINT) AS n_src"),
+    )
+    ranked = src.crossJoin(F.broadcast(tot)).selectExpr(
+        "source",
+        "chars",
+        "cap",
+        "budget",
+        "n_src",
+        "CAST(row_number() OVER (ORDER BY cap, source) AS BIGINT) AS rk",
+        "CAST(coalesce(sum(cap) OVER (ORDER BY cap, source"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)"
+        " AS BIGINT) AS csum_prev",
+    )
+    flagged = ranked.selectExpr(
+        "*",
+        "CASE WHEN cap * (n_src - rk + 1) <= budget - csum_prev"
+        " THEN 1 ELSE 0 END AS is_capped",
+    )
+    lvl = flagged.agg(
+        F.expr("CAST(sum(is_capped * cap) AS BIGINT) AS used"),
+        F.expr("CAST(sum(is_capped) AS BIGINT) AS k"),
+    )
+    return flagged.crossJoin(F.broadcast(lvl)).selectExpr(
+        "source",
+        "chars",
+        "cap",
+        "is_capped = 1 AS is_capped",
+        "CASE WHEN is_capped = 1 THEN cap"
+        " ELSE (budget - used) div (n_src - k) END AS alloc_tokens",
+        "CAST(CASE WHEN is_capped = 1 THEN cap"
+        " ELSE (budget - used) div (n_src - k) END AS DOUBLE)"
+        " / CAST(chars AS DOUBLE) AS epochs",
+    )
+
+
+@query(
+    "embed_matryoshka_prefix_norms",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               v -> CAST(greatest(-127.0, least(127.0,
+                           floor(CAST(v AS DOUBLE) * 200 + 0.5))) AS BIGINT))
+               AS qv
+      FROM embeddings
+    ),
+    per_vec AS (
+      SELECT vec_id, p.prefix_dims,
+             CAST(list_sum(list_transform(qv[1:p.prefix_dims],
+                                          v -> v * v)) AS BIGINT) AS psq,
+             CAST(list_sum(list_transform(qv, v -> v * v)) AS BIGINT) AS fsq
+      FROM q, (SELECT unnest([8, 16, 32, 64]) AS prefix_dims) p
+    )
+    SELECT prefix_dims,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(psq) AS DOUBLE) / CAST(sum(fsq) AS DOUBLE)
+             AS mean_energy_retention,
+           CAST(sum(CASE WHEN 10 * psq >= 9 * fsq THEN 1 ELSE 0 END)
+                AS DOUBLE) / count(*) AS share_ret90
+    FROM per_vec GROUP BY prefix_dims
+    """,
+)
+def q_embed_matryoshka_prefix_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka (MRL) prefix-dimension energy audit: how much of each
+    embedding's squared norm survives truncation to the first
+    8/16/32/64 dims — the report that decides whether a
+    Matryoshka-style truncated index (cheap first-pass ANN on a prefix,
+    full-dim rerank) is viable for this embedding family.
+
+    Exactness: vectors quantize to the global int8 grid (the PQ/kmeans
+    convention), so prefix and full squared norms are exact BIGINTs
+    (<= 64 * 127^2 per vector), corpus retention is a ratio of exact
+    integer sums (order-free), and the >= 0.9 share is an integer
+    cross-multiplication (10*psq >= 9*fsq) — no float accumulates
+    anywhere. DuckDB's 1-based list slice qv[1:k] == Spark
+    slice(qv, 1, k).
+
+    The 100-TB shape: pure map-side per-vector folds, one
+    map-side-combined 4-row rollup; the 4-way prefix explode carries
+    two BIGINTs per row, not the vector."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.selectExpr(
+        "vec_id",
+        "transform(embedding, v -> CAST(greatest(-127.0D, least(127.0D, "
+        "floor(CAST(v AS DOUBLE) * 200 + 0.5))) AS BIGINT)) AS qv",
+    )
+    per_vec = q.selectExpr(
+        "vec_id",
+        "explode(array(8, 16, 32, 64)) AS prefix_dims",
+        "aggregate(qv, CAST(0 AS BIGINT), (acc, v) -> acc + v * v) AS fsq",
+        "qv",
+    ).selectExpr(
+        "vec_id",
+        "prefix_dims",
+        "aggregate(slice(qv, 1, prefix_dims), CAST(0 AS BIGINT),"
+        " (acc, v) -> acc + v * v) AS psq",
+        "fsq",
+    )
+    return per_vec.groupBy("prefix_dims").agg(
+        F.expr("CAST(count(*) AS BIGINT) AS n_vecs"),
+        F.expr(
+            "CAST(sum(psq) AS DOUBLE) / CAST(sum(fsq) AS DOUBLE)"
+            " AS mean_energy_retention"
+        ),
+        F.expr(
+            "CAST(sum(CASE WHEN 10 * psq >= 9 * fsq THEN 1 ELSE 0 END)"
+            " AS DOUBLE) / count(*) AS share_ret90"
+        ),
+    )

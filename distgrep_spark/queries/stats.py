@@ -1457,3 +1457,130 @@ def q_stats_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         "             / CAST(nn * (nn - 1) AS DOUBLE)))) > 1.96"
         " AS reject_5pct",
     )
+
+
+_N_PERM = 16
+
+
+@query(
+    "stats_permutation_test_md5",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderkey,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+             CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS grp
+      FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+    ),
+    orig AS (
+      SELECT CAST(sum(CASE WHEN grp = 1 THEN cents ELSE 0 END) AS BIGINT) AS s,
+             CAST(sum(grp) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN grp = 0 THEN cents ELSE 0 END) AS BIGINT) AS t,
+             CAST(count(*) - sum(grp) AS BIGINT) AS m
+      FROM base
+    ),
+    reps AS (SELECT unnest(generate_series(0, {_N_PERM - 1})) AS rep),
+    relabeled AS (
+      SELECT rep, cents,
+             CASE WHEN substr(md5(CAST(o_orderkey AS VARCHAR) || '~'
+                              || CAST(rep AS VARCHAR)), 1, 1) < '8'
+                  THEN 1 ELSE 0 END AS g
+      FROM base CROSS JOIN reps
+    ),
+    per_rep AS (
+      SELECT rep,
+             CAST(sum(CASE WHEN g = 1 THEN cents ELSE 0 END) AS BIGINT) AS sb,
+             CAST(sum(g) AS BIGINT) AS nb
+      FROM relabeled GROUP BY rep
+    ),
+    judged AS (
+      SELECT rep,
+             CASE WHEN abs(CAST(sb AS HUGEINT) * (n + m - nb)
+                           - CAST(s + t - sb AS HUGEINT) * nb)
+                       * (CAST(n AS HUGEINT) * m)
+                    >= abs(CAST(s AS HUGEINT) * m
+                           - CAST(t AS HUGEINT) * n)
+                       * (CAST(nb AS HUGEINT) * (n + m - nb))
+                  THEN 1 ELSE 0 END AS ge
+      FROM per_rep, orig
+    )
+    SELECT n AS n_urgent, m AS n_low,
+           CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+             - CAST(t AS DOUBLE) / CAST(m AS DOUBLE) AS obs_diff_cents,
+           CAST(sum(ge) AS BIGINT) AS n_extreme,
+           CAST(1 + sum(ge) AS DOUBLE) / CAST(1 + {_N_PERM} AS DOUBLE)
+             AS p_value
+    FROM judged, orig
+    GROUP BY n, m, s, t
+    """,
+)
+def q_stats_permutation_test_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derandomized permutation (randomization) test for the
+    URGENT-vs-LOW mean order value difference — the assumption-free
+    complement to stats_ab_ztest (normal theory) and
+    stats_mannwhitney_u (ranks), and the permutation member of the
+    md5-derandomized resampling family next to
+    sample_poisson_bootstrap. Each of 16 replicates relabels every
+    order by one md5 hex-digit coin ('< 8' = group 1), recomputes the
+    mean difference, and the p-value is the add-one-smoothed share of
+    replicates at least as extreme as the observed difference.
+
+    Exactness: the per-replicate comparison |s_b/n_b - t_b/m_b| >=
+    |s/n - t/m| is cross-multiplied into INTEGER arithmetic —
+    DECIMAL(38,0) products on the Spark side, HUGEINT in DuckDB, peak
+    magnitude ~5e28 at x8 against 1e38 headroom — so every replicate's
+    extremeness bit is exact, never a float-tie coin flip. Group-0
+    sums/counts derive from the observed totals (t_b = (s+t) - s_b), so
+    each replicate costs only two conditional aggregates.
+
+    The 100-TB shape: the 16x expansion is map-side (broadcast
+    replicate spine) and combines before a 16-row exchange — the
+    one-pass bootstrap posture; nothing scales with B but map work."""
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.where(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    ).selectExpr(
+        "o_orderkey",
+        "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents",
+        "CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS grp",
+    )
+    orig = base.agg(
+        F.expr("CAST(sum(CASE WHEN grp = 1 THEN cents ELSE 0 END) AS BIGINT) AS s"),
+        F.expr("CAST(sum(grp) AS BIGINT) AS n"),
+        F.expr("CAST(sum(CASE WHEN grp = 0 THEN cents ELSE 0 END) AS BIGINT) AS t"),
+        F.expr("CAST(count(*) - sum(grp) AS BIGINT) AS m"),
+    )
+    reps = spark.range(_N_PERM).selectExpr("CAST(id AS BIGINT) AS rep")
+    relabeled = base.crossJoin(F.broadcast(reps)).selectExpr(
+        "rep",
+        "cents",
+        "CASE WHEN substr(md5(CAST(o_orderkey AS STRING) || '~'"
+        " || CAST(rep AS STRING)), 1, 1) < '8' THEN 1 ELSE 0 END AS g",
+    )
+    per_rep = relabeled.groupBy("rep").agg(
+        F.expr("CAST(sum(CASE WHEN g = 1 THEN cents ELSE 0 END) AS BIGINT) AS sb"),
+        F.expr("CAST(sum(g) AS BIGINT) AS nb"),
+    )
+    judged = per_rep.crossJoin(F.broadcast(orig)).selectExpr(
+        "n",
+        "m",
+        "s",
+        "t",
+        "CASE WHEN abs(CAST(sb AS DECIMAL(38,0)) * (n + m - nb)"
+        "              - CAST(s + t - sb AS DECIMAL(38,0)) * nb)"
+        "          * (CAST(n AS DECIMAL(38,0)) * m)"
+        "       >= abs(CAST(s AS DECIMAL(38,0)) * m"
+        "              - CAST(t AS DECIMAL(38,0)) * n)"
+        "          * (CAST(nb AS DECIMAL(38,0)) * (n + m - nb))"
+        "     THEN 1 ELSE 0 END AS ge",
+    )
+    return judged.groupBy("n", "m", "s", "t").agg(
+        F.expr("CAST(sum(ge) AS BIGINT) AS n_extreme"),
+    ).selectExpr(
+        "n AS n_urgent",
+        "m AS n_low",
+        "CAST(s AS DOUBLE) / CAST(n AS DOUBLE)"
+        " - CAST(t AS DOUBLE) / CAST(m AS DOUBLE) AS obs_diff_cents",
+        "n_extreme",
+        f"CAST(1 + n_extreme AS DOUBLE) / CAST(1 + {_N_PERM} AS DOUBLE)"
+        " AS p_value",
+    )

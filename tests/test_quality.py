@@ -4,6 +4,7 @@ parity is covered by tools/check_oracles.py)."""
 from __future__ import annotations
 
 import distgrep_spark.queries as q
+from pyspark.sql import functions as F
 from distgrep_spark.operators.text import remove_dup_sentences
 
 SF = "/root/testdata/sf0.001"
@@ -666,3 +667,39 @@ def test_scd2_point_in_time_preserves_rows_and_matches_replay(spark):
         want[(status, r["l_returnflag"])] += 1
     got = {(r["status_asof"], r["l_returnflag"]): r["n_items"] for r in rows}
     assert got == dict(want)
+
+
+def test_unimax_waterfill_matches_iterative_simulation(spark):
+    """The one-pass waterfilling criterion (cap_j*(n-j+1) <= budget -
+    cumsum(cap_<j) along ascending caps) must reproduce the obvious
+    iterative algorithm: repeatedly cap every source whose cap fits
+    under the current uniform share, recompute, until stable."""
+    from distgrep_spark.queries.llm import q_corpus_unimax_waterfill
+
+    sf = "/root/testdata/sf0.01"
+    got = {
+        r.source: (r.is_capped, r.alloc_tokens)
+        for r in q_corpus_unimax_waterfill(spark, sf).collect()
+    }
+
+    rows = (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .groupBy("source")
+        .agg(F.expr("CAST(sum(n_chars) AS BIGINT) AS chars"))
+        .collect()
+    )
+    caps = {r.source: 4 * r.chars for r in rows}
+    budget = (38 * sum(r.chars for r in rows)) // 10
+    capped: set[str] = set()
+    while True:
+        uncapped = [s for s in caps if s not in capped]
+        share = (budget - sum(caps[s] for s in capped)) // len(uncapped)
+        newly = {s for s in uncapped if caps[s] <= share}
+        if not newly:
+            break
+        capped |= newly
+    assert {s for s, (c, _) in got.items() if c} == capped
+    for s, (is_capped, alloc) in got.items():
+        assert alloc == (caps[s] if is_capped else share), (s, alloc, share)
+    # both regimes must actually be exercised on the fixture
+    assert 0 < len(capped) < len(caps)
