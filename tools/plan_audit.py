@@ -46,6 +46,7 @@ SP_WINDOW_ALLOWLIST = {
     "stats_benford_first_digit": "share window over the 9-row first-digit table",
     "drift_tv_stability": "TV-distance window over the ~25-row histogram bucket table",
     "orders_survival_empirical": "Kaplan-Meier running sum over distinct day durations (calendar-bounded)",
+    "corpus_unimax_waterfill": "waterfilling sort window over the source dimension (O(10^2) sources at any corpus size)",
 }
 
 
