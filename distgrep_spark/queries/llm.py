@@ -2151,3 +2151,274 @@ def q_embed_matryoshka_prefix_norms(spark: SparkSession, sf_dir: str) -> DataFra
             " AS DOUBLE) / count(*) AS share_ret90"
         ),
     )
+
+
+@query(
+    "dedup_url_canonical",
+    oracle=r"""
+    WITH pg AS (
+      SELECT doc_id, source, lang,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS page,
+             substr(md5(CAST(doc_id AS VARCHAR)), 2, 1) AS v_case,
+             substr(md5(CAST(doc_id AS VARCHAR)), 3, 1) AS v_port,
+             substr(md5(CAST(doc_id AS VARCHAR)), 4, 1) AS v_frag
+      FROM documents
+    ), raw AS (
+      SELECT doc_id,
+             (CASE WHEN v_case < '8' THEN 'https' ELSE 'HTTPS' END)
+             || '://'
+             || (CASE WHEN v_case < '8' THEN source || '.example.com'
+                      ELSE upper(source) || '.Example.COM' END)
+             || (CASE WHEN v_port < '6' THEN ':443' ELSE '' END)
+             || '/docs/p' || page
+             || '?'
+             || (CASE WHEN v_case < '8'
+                      THEN 'page=' || page || '&utm_lang=' || lang
+                      ELSE 'utm_lang=' || lang || '&utm_source=feed'
+                           || '&page=' || page END)
+             || (CASE WHEN v_frag < '4' THEN '#top' ELSE '' END) AS url
+      FROM pg
+    ), parsed AS (
+      SELECT doc_id, url,
+             lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+             regexp_replace(
+               lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)),
+               ':443$', '') AS host,
+             regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1) AS path,
+             array_to_string(
+               list_sort(
+                 list_filter(
+                   string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+                   x -> x NOT LIKE 'utm_%')),
+               '&') AS params
+      FROM raw
+    ), canon AS (
+      SELECT doc_id,
+             url,
+             scheme || '://' || host || path
+             || (CASE WHEN params <> '' THEN '?' || params ELSE '' END)
+               AS canonical_url
+      FROM parsed
+    )
+    SELECT canonical_url,
+           CAST(count(*) AS BIGINT) AS n_variants,
+           CAST(count(DISTINCT url) AS BIGINT) AS n_distinct_raw,
+           CAST(min(doc_id) AS BIGINT) AS survivor_doc
+    FROM canon GROUP BY 1
+    """,
+)
+def q_dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r"""URL canonicalization dedup — the first stage of every web-corpus
+    pipeline (Common Crawl / C4 / RefinedWeb): before any content hash
+    runs, collapse fetches of the SAME resource whose raw URLs differ
+    only in scheme/host case, an explicit default port, tracking
+    parameters, query-parameter order, or a fragment. The reference's
+    whole-line identity (worker.go:33-34) is the degenerate exact form;
+    this is the normalized-key generalization.
+
+    The fixture has no URL column, so raw URLs are synthesized
+    DETERMINISTICALLY from (doc_id, source, lang) with md5-hex-digit
+    messiness — mixed case, ':443', shuffled parameter order, injected
+    utm_* parameters, a '#top' fragment — and the logical page id is
+    an md5-content-addressed hex digit of doc_id (NEVER doc_id
+    adjacency, an absolute id bound, or a modulus: fixture sources are
+    round-robin in doc_id, so ``doc_id % k`` is CORRELATED with source
+    and degenerates the grouping — measured; md5 is the resharding-
+    stable uncorrelated key, the corpus_split_assign idiom), so docs
+    sharing (source, page)
+    MUST collapse, and only after real canonicalization work: the
+    variants differ in host case, port, utm_lang/utm_source noise,
+    parameter order, and fragments, so a byte-identity dedup finds
+    nothing (non-vacuity pinned in tests). The operator then
+    parses ONLY the url string: lowercase scheme+host, strip the
+    https default port, drop the fragment, remove utm_* parameters,
+    sort the survivors — split/filter/array_sort/array_join on the
+    Spark side, string_split/list_filter/list_sort/array_to_string in
+    DuckDB (regexes in the Java∩RE2 dialect; list lambdas carry no
+    index, so the 0/1-based trap never arises). Survivor election is
+    min(doc_id) — the same deterministic rule as dedup_hash.
+
+    The 100-TB shape: canonicalization is pure map-side string work;
+    the dedup shuffle carries (canonical_url, doc_id) pairs — narrow
+    keys, not documents — exactly the shuffle-digests-not-rows posture
+    of dedup_hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    pg = docs.selectExpr(
+        "doc_id",
+        "source",
+        "lang",
+        "substr(md5(CAST(doc_id AS STRING)), 1, 1) AS page",
+        "substr(md5(CAST(doc_id AS STRING)), 2, 1) AS v_case",
+        "substr(md5(CAST(doc_id AS STRING)), 3, 1) AS v_port",
+        "substr(md5(CAST(doc_id AS STRING)), 4, 1) AS v_frag",
+    )
+    raw = pg.selectExpr(
+        "doc_id",
+        "(CASE WHEN v_case < '8' THEN 'https' ELSE 'HTTPS' END)"
+        " || '://'"
+        " || (CASE WHEN v_case < '8' THEN source || '.example.com'"
+        "          ELSE upper(source) || '.Example.COM' END)"
+        " || (CASE WHEN v_port < '6' THEN ':443' ELSE '' END)"
+        " || '/docs/p' || page"
+        " || '?'"
+        " || (CASE WHEN v_case < '8'"
+        "          THEN 'page=' || page || '&utm_lang=' || lang"
+        "          ELSE 'utm_lang=' || lang || '&utm_source=feed'"
+        "               || '&page=' || page END)"
+        " || (CASE WHEN v_frag < '4' THEN '#top' ELSE '' END) AS url",
+    )
+    parsed = raw.selectExpr(
+        "doc_id",
+        "url",
+        "lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme",
+        "regexp_replace("
+        "  lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)),"
+        "  ':443$', '') AS host",
+        "regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1) AS path",
+        r"array_join("
+        r"  array_sort("
+        r"    filter("
+        r"      split(regexp_extract(url, '\\?([^#]*)', 1), '&'),"
+        r"      x -> x NOT LIKE 'utm_%')),"
+        r"  '&') AS params",
+    )
+    canon = parsed.selectExpr(
+        "doc_id",
+        "url",
+        "scheme || '://' || host || path"
+        " || (CASE WHEN params <> '' THEN '?' || params ELSE '' END)"
+        " AS canonical_url",
+    )
+    return canon.groupBy("canonical_url").agg(
+        F.expr("CAST(count(*) AS BIGINT) AS n_variants"),
+        F.expr("CAST(count(DISTINCT url) AS BIGINT) AS n_distinct_raw"),
+        F.expr("CAST(min(doc_id) AS BIGINT) AS survivor_doc"),
+    )
+
+
+@query(
+    "text_cdc_chunks",
+    oracle=r"""
+    WITH tk AS (
+      SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS t
+      FROM documents
+    ), toks AS (
+      SELECT doc_id, source, t[i] AS tok, i AS pos
+      FROM tk, LATERAL unnest(generate_series(1, len(t))) AS u(i)
+    ), flags AS (
+      SELECT doc_id, source, tok, pos,
+             CASE WHEN pos >= 3
+                   AND substr(md5(
+                         lag(tok, 2) OVER w || ' ' ||
+                         lag(tok, 1) OVER w || ' ' || tok), 1, 1) < '2'
+                  THEN 1 ELSE 0 END AS boundary
+      FROM toks
+      WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ), assigned AS (
+      SELECT doc_id, source, tok, pos,
+             sum(boundary) OVER (PARTITION BY doc_id ORDER BY pos)
+               AS chunk_idx
+      FROM flags
+    ), chunks AS (
+      SELECT doc_id, source, chunk_idx,
+             md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_hash,
+             count(*) AS n_toks
+      FROM assigned GROUP BY 1, 2, 3
+    ), by_hash AS (
+      SELECT source, chunk_hash,
+             count(*) AS n_occ,
+             count(DISTINCT doc_id) AS n_docs,
+             sum(n_toks) AS toks
+      FROM chunks GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(sum(n_occ) AS BIGINT) AS n_chunks,
+           CAST(count(*) AS BIGINT) AS n_distinct_chunks,
+           CAST(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shared_chunks,
+           CAST(sum(CASE WHEN n_docs > 1 THEN n_occ ELSE 0 END) AS BIGINT)
+             AS shared_occurrences,
+           CAST(sum(toks) AS BIGINT) AS sum_tokens
+    FROM by_hash GROUP BY 1
+    """,
+)
+def q_text_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r"""Content-defined chunking (CDC) + storage-dedup audit — the
+    LBFS/rsync/casync/restic shape: cut each document into chunks at
+    positions where a rolling hash of the last 3 tokens lands in a
+    1/8 band (first md5 hex digit < '2'), so chunk boundaries are a
+    function of CONTENT, not offsets. Insert one token at the front of
+    a near-duplicate and fixed-width blocks all shift (zero dedup);
+    content-defined cuts re-synchronize after the edit, so the planted
+    near-duplicate documents share most of their chunk hashes — the
+    audit's n_shared_chunks / shared_occurrences quantify exactly that
+    cross-document storage redundancy per source.
+
+    Mechanics: posexplode tokens -> the 3-gram rolling hash via two
+    lag() windows (never a per-position HOF fold — the nested-HOF
+    codegen cliff in CLAUDE.md), boundary flag -> running-sum chunk
+    index (the gaps-and-islands idiom, same window partitioning), then
+    chunk reassembly ordered by pos: Spark
+    transform(array_sort(collect_list(struct(pos,tok)))) vs DuckDB
+    string_agg(... ORDER BY pos) — both pure functions of the chunk's
+    token sequence. All three windows and both rollups ride ONE
+    doc_id-keyed exchange. Boundary probability 1/8 gives ~8-token
+    expected chunks against the fixture's ~54-token documents.
+
+    The 100-TB shape: everything before the final 4-row per-source
+    report is partitioned by doc_id / chunk_hash — map-side explode,
+    one doc exchange, one chunk-hash exchange carrying md5 digests
+    (16 bytes), never text. This is the storage-layer complement to
+    dedup_ngram_jaccard: Jaccard asks "are these documents near-dups",
+    CDC asks "how many bytes would a content-addressed store save"."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.selectExpr(
+        "doc_id",
+        "source",
+        r"posexplode(split(trim(text), '\\s+')) AS (pos0, tok)",
+    ).selectExpr("doc_id", "source", "tok", "pos0 + 1 AS pos")
+    flags = toks.selectExpr(
+        "doc_id",
+        "source",
+        "tok",
+        "pos",
+        "CASE WHEN pos >= 3"
+        " AND substr(md5("
+        "   lag(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos) || ' ' ||"
+        "   lag(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) || ' ' ||"
+        "   tok), 1, 1) < '2'"
+        " THEN 1 ELSE 0 END AS boundary",
+    )
+    assigned = flags.selectExpr(
+        "doc_id",
+        "source",
+        "tok",
+        "pos",
+        "sum(boundary) OVER (PARTITION BY doc_id ORDER BY pos) AS chunk_idx",
+    )
+    chunks = assigned.groupBy("doc_id", "source", "chunk_idx").agg(
+        F.expr(
+            "md5(concat_ws(' ',"
+            " transform(array_sort(collect_list(struct(pos, tok))),"
+            "           s -> s.tok))) AS chunk_hash"
+        ),
+        F.expr("count(*) AS n_toks"),
+    )
+    by_hash = chunks.groupBy("source", "chunk_hash").agg(
+        F.expr("count(*) AS n_occ"),
+        F.expr("count(DISTINCT doc_id) AS n_docs"),
+        F.expr("sum(n_toks) AS toks"),
+    )
+    return by_hash.groupBy("source").agg(
+        F.expr("CAST(sum(n_occ) AS BIGINT) AS n_chunks"),
+        F.expr("CAST(count(*) AS BIGINT) AS n_distinct_chunks"),
+        F.expr(
+            "CAST(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)"
+            " AS n_shared_chunks"
+        ),
+        F.expr(
+            "CAST(sum(CASE WHEN n_docs > 1 THEN n_occ ELSE 0 END) AS BIGINT)"
+            " AS shared_occurrences"
+        ),
+        F.expr("CAST(sum(toks) AS BIGINT) AS sum_tokens"),
+    )

@@ -2529,3 +2529,98 @@ def q_join_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy(
         F.coalesce("status_asof", F.lit("N/A")).alias("status_asof"), "l_returnflag"
     ).agg(F.count(F.lit(1)).cast("bigint").alias("n_items"))
+
+
+_ZORDER_INTERLEAVE = (
+    "(((xs >> 0) & 1) << 0) + (((ys >> 0) & 1) << 1) + (((xs >> 1) & 1) << 2) + (((ys >> 1) & 1) << 3) + (((xs >> 2) & 1) << 4) + (((ys >> 2) & 1) << 5) + (((xs >> 3) & 1) << 6) + (((ys >> 3) & 1) << 7) + (((xs >> 4) & 1) << 8) + (((ys >> 4) & 1) << 9) + (((xs >> 5) & 1) << 10) + (((ys >> 5) & 1) << 11) + (((xs >> 6) & 1) << 12) + (((ys >> 6) & 1) << 13) + (((xs >> 7) & 1) << 14) + (((ys >> 7) & 1) << 15)"
+)
+
+
+@query(
+    "layout_zorder_sort",
+    oracle="""
+    WITH pts AS (
+      SELECT CAST(user_id AS BIGINT) AS x,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
+      FROM events
+    ), mx AS (
+      SELECT CAST(max(x) AS BIGINT) AS x_max,
+             CAST(max(y) AS BIGINT) AS y_max
+      FROM pts
+    ), scaled AS (
+      SELECT x, y,
+             (x * 256) // (x_max + 1) AS xs,
+             (y * 256) // (y_max + 1) AS ys
+      FROM pts, mx
+    ), z AS (
+      SELECT x, y, xs, ys,
+             CAST(""" + _ZORDER_INTERLEAVE + """ AS BIGINT) AS zv
+      FROM scaled
+    )
+    SELECT zv // 4096 AS file_id,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(x) AS BIGINT) AS x_lo, CAST(max(x) AS BIGINT) AS x_hi,
+           CAST(min(y) AS BIGINT) AS y_lo, CAST(max(y) AS BIGINT) AS y_hi,
+           CAST(max(xs) - min(xs) + 1 AS BIGINT) AS xs_span,
+           CAST(max(ys) - min(ys) + 1 AS BIGINT) AS ys_span
+    FROM z GROUP BY 1
+    """,
+)
+def q_layout_zorder_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) multi-dimensional layout planner + file-
+    skipping audit — the OPTIMIZE ZORDER BY shape (Delta/Iceberg data
+    clustering): interleave the bits of two normalized dimensions so
+    that range-partitioning output files by ONE key (the z-value) gives
+    every file a TIGHT min/max envelope on BOTH dimensions, which is
+    what makes parquet column statistics prune point/range predicates
+    on either column. The one-dimensional sort it replaces gives
+    perfect spans on its sort key and full-range spans on the other.
+
+    Mechanics, all integer/exact on both engines: dimensions normalize
+    to an 8-bit grid via a data-derived max — ``(x * 256) DIV
+    (x_max + 1)`` (integer division, never float+cast: CLAUDE.md
+    rounds-vs-truncates) — from a 1-row broadcast aggregate, never a
+    fixture-bound literal; the 16-bit Morton code is a flat sum of
+    disjoint bit placements (bitwise shift/AND, sum of distinct powers
+    of two cannot overflow nor collide, ANSI-safe); files are the 16
+    equal-width z-ranges (``zv DIV 4096``). The audit emits per-file
+    row counts, raw min/max envelopes per dimension, and the
+    scaled-grid spans — z-order theory says a 4-bit z prefix pins 2
+    bits of each dimension, so xs_span/ys_span sit near 64 of 256
+    (verified on the fixture) where a 1-D layout would show 256 on the
+    non-sort dimension.
+
+    The 100-TB shape: the max rollup is one broadcast scalar row; the
+    z-value is pure map-side arithmetic; the audit rollup is 16 rows.
+    The production writer is ``repartitionByRange(z)`` + parquet write
+    (statistics come free); at cluster scale the normalization maxima
+    come from the same one-pass aggregate, and skewed dimensions swap
+    the equal-width grid for approx_percentile rank normalization --
+    the operators/distrank.py boundary pattern."""
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.selectExpr(
+        "CAST(user_id AS BIGINT) AS x",
+        "CAST(floor(value * 100 + 0.5) AS BIGINT) AS y",
+    )
+    mx = pts.agg(
+        F.expr("CAST(max(x) AS BIGINT) AS x_max"),
+        F.expr("CAST(max(y) AS BIGINT) AS y_max"),
+    )
+    scaled = pts.crossJoin(F.broadcast(mx)).selectExpr(
+        "x",
+        "y",
+        "(x * 256) DIV (x_max + 1) AS xs",
+        "(y * 256) DIV (y_max + 1) AS ys",
+    )
+    z = scaled.selectExpr(
+        "x", "y", "xs", "ys", f"CAST({_ZORDER_INTERLEAVE} AS BIGINT) AS zv"
+    )
+    return z.groupBy(F.expr("zv DIV 4096").alias("file_id")).agg(
+        F.expr("CAST(count(*) AS BIGINT) AS n"),
+        F.expr("CAST(min(x) AS BIGINT) AS x_lo"),
+        F.expr("CAST(max(x) AS BIGINT) AS x_hi"),
+        F.expr("CAST(min(y) AS BIGINT) AS y_lo"),
+        F.expr("CAST(max(y) AS BIGINT) AS y_hi"),
+        F.expr("CAST(max(xs) - min(xs) + 1 AS BIGINT) AS xs_span"),
+        F.expr("CAST(max(ys) - min(ys) + 1 AS BIGINT) AS ys_span"),
+    )

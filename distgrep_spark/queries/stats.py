@@ -1584,3 +1584,100 @@ def q_stats_permutation_test_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"CAST(1 + n_extreme AS DOUBLE) / CAST(1 + {_N_PERM} AS DOUBLE)"
         " AS p_value",
     )
+
+
+@query(
+    "stats_cusum_drift",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS c_d
+      FROM events GROUP BY 1, 2
+    ), tot AS (
+      SELECT event_type, d, c_d,
+             CAST(sum(c_d) OVER (PARTITION BY event_type) AS BIGINT) AS s_t,
+             CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS d_t
+      FROM daily
+    ), ps AS (
+      SELECT event_type, d, s_t,
+             CAST(sum(c_d * d_t - s_t)
+                    OVER (PARTITION BY event_type ORDER BY d) AS BIGINT) AS p
+      FROM tot
+    )
+    SELECT event_type, d,
+           CAST(p - min(p) OVER (PARTITION BY event_type ORDER BY d)
+                AS BIGINT) AS cusum_up,
+           CAST(max(p) OVER (PARTITION BY event_type ORDER BY d) - p
+                AS BIGINT) AS cusum_down,
+           p - min(p) OVER (PARTITION BY event_type ORDER BY d)
+             > 3 * s_t AS drift_up,
+           max(p) OVER (PARTITION BY event_type ORDER BY d) - p
+             > 3 * s_t AS drift_down
+    FROM ps
+    """,
+)
+def q_stats_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM change-point monitor over the per-type daily
+    revenue series — the SEQUENTIAL drift detector beside
+    ``drift_tv_stability``'s two-period snapshot comparison: TV distance
+    asks "do these two periods differ", CUSUM asks "WHEN did the level
+    shift", accumulating evidence day by day (Page 1954).
+
+    The recursion-free form: the textbook CUSUM S_i = max(0, S_{i-1} +
+    dev_i) is not a plain window aggregate, but classically S_i =
+    P_i - min_{j<=i} P_j where P is the plain prefix sum of deviations —
+    one running sum + one running min/max, both ordinary windows
+    PARTITIONED BY event_type (never single-partition; the lower-side
+    CUSUM is the mirrored running max). Exactness: the daily deviation
+    against the type's own mean daily total is cross-multiplied to a
+    CONSTANT denominator — dev_d = c_d * D_t - S_t (scaled by day count
+    D_t) — so prefix sums stay exact BIGINT (peak ~5e11 at sf0.1; the
+    100-TB form widens to DECIMAL(38,0) the way
+    stats_permutation_test_md5 does) and the breach booleans
+    (cumulative excess > 3 average days' mass, i.e. scaled > 3*S_t)
+    are integer compares, never float-tie coin flips.
+
+    The 100-TB shape: the only event-scale work is the map-side
+    combinable (type, day) rollup — one shuffle of ~|types|x|days|
+    rows; every window runs on that bounded rollup partitioned by
+    type. Missing days simply contribute no row (deviation 0 in the
+    prefix), so no dense spine is required for the detector."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.selectExpr(
+            "event_type",
+            "CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01') AS BIGINT) AS d",
+            "CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents",
+        )
+        .groupBy("event_type", "d")
+        .agg(F.expr("CAST(sum(cents) AS BIGINT) AS c_d"))
+    )
+    return (
+        daily.selectExpr(
+            "event_type",
+            "d",
+            "c_d",
+            "CAST(sum(c_d) OVER (PARTITION BY event_type) AS BIGINT) AS s_t",
+            "CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS d_t",
+        )
+        .selectExpr(
+            "event_type",
+            "d",
+            "s_t",
+            "CAST(sum(c_d * d_t - s_t)"
+            " OVER (PARTITION BY event_type ORDER BY d) AS BIGINT) AS p",
+        )
+        .selectExpr(
+            "event_type",
+            "d",
+            "CAST(p - min(p) OVER (PARTITION BY event_type ORDER BY d)"
+            " AS BIGINT) AS cusum_up",
+            "CAST(max(p) OVER (PARTITION BY event_type ORDER BY d) - p"
+            " AS BIGINT) AS cusum_down",
+            "p - min(p) OVER (PARTITION BY event_type ORDER BY d)"
+            " > 3 * s_t AS drift_up",
+            "max(p) OVER (PARTITION BY event_type ORDER BY d) - p"
+            " > 3 * s_t AS drift_down",
+        )
+    )
