@@ -285,3 +285,66 @@ def remove_dup_sentences(
         F.coalesce("n_kept", F.lit(0).cast("bigint")).alias("n_kept"),
         F.coalesce("clean_text", F.lit("")).alias("clean_text"),
     )
+
+
+def cdc_chunk_hashes(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_cols: tuple[str, ...] = ("source",),
+) -> DataFrame:
+    r"""Content-defined chunking: cut each document's token stream at
+    positions where the rolling 3-gram hash lands in a 1/8 band, and
+    return one row per chunk with its md5 content hash.
+
+    The defining CDC property (LBFS, Muthitacharoen et al. SOSP'01):
+    boundaries depend only on a LOCAL window of content, so an edit —
+    e.g. tokens inserted at the front — perturbs chunking only until
+    the next boundary, after which all chunks re-synchronize and hash
+    identically to the unedited document's. Fixed-width blocking loses
+    every block after the edit. ``tests/test_text_property.py`` pins
+    exactly that resynchronization invariant.
+
+    Plan shape: posexplode -> two lag() windows for the rolling hash
+    (never a per-position HOF fold — the nested-HOF codegen cliff) ->
+    boundary flag -> running-sum chunk index (gaps-and-islands) ->
+    chunk reassembly ordered by pos. All three windows and the rollup
+    ride ONE id_col-keyed exchange; the output carries 16-byte md5
+    digests plus token counts, never text.
+
+    Returns columns: ``(id_col, *keep_cols, chunk_idx, chunk_hash,
+    n_toks)``.
+    """
+    keep = list(keep_cols)
+    toks = df.selectExpr(
+        id_col,
+        *keep,
+        rf"posexplode(split(trim({text_col}), '\\s+')) AS (pos0, tok)",
+    ).selectExpr(id_col, *keep, "tok", "pos0 + 1 AS pos")
+    flags = toks.selectExpr(
+        id_col,
+        *keep,
+        "tok",
+        "pos",
+        "CASE WHEN pos >= 3"
+        " AND substr(md5("
+        f"   lag(tok, 2) OVER (PARTITION BY {id_col} ORDER BY pos) || ' ' ||"
+        f"   lag(tok, 1) OVER (PARTITION BY {id_col} ORDER BY pos) || ' ' ||"
+        "   tok), 1, 1) < '2'"
+        " THEN 1 ELSE 0 END AS boundary",
+    )
+    assigned = flags.selectExpr(
+        id_col,
+        *keep,
+        "tok",
+        "pos",
+        f"sum(boundary) OVER (PARTITION BY {id_col} ORDER BY pos) AS chunk_idx",
+    )
+    return assigned.groupBy(id_col, *keep, "chunk_idx").agg(
+        F.expr(
+            "md5(concat_ws(' ',"
+            " transform(array_sort(collect_list(struct(pos, tok))),"
+            "           s -> s.tok))) AS chunk_hash"
+        ),
+        F.expr("count(*) AS n_toks"),
+    )

@@ -3614,3 +3614,91 @@ def q_stats_standardized_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(x_tot AS DOUBLE) / CAST(n_cohort AS DOUBLE) AS crude_rate",
         "(((t1 + t2) + t3) + t4) + t5 AS standardized_rate",
     )
+
+
+@query(
+    "orders_cohort_ltv_curve",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey,
+             year(CAST(o_orderdate AS DATE)) * 12
+               + month(CAST(o_orderdate AS DATE)) AS mk,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    ), cohorts AS (
+      SELECT o_custkey, min(mk) AS cohort_mk FROM o GROUP BY 1
+    ), sized AS (
+      SELECT cohort_mk, CAST(count(*) AS BIGINT) AS cohort_size
+      FROM cohorts GROUP BY 1
+    ), cells AS (
+      SELECT c.cohort_mk, o.mk - c.cohort_mk AS age,
+             CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS n_active,
+             CAST(sum(o.cents) AS BIGINT) AS rev_cents
+      FROM o JOIN cohorts c ON o.o_custkey = c.o_custkey
+      GROUP BY 1, 2
+    )
+    SELECT cells.cohort_mk AS cohort_mk,
+           CAST(age AS BIGINT) AS age,
+           n_active, rev_cents,
+           CAST(sum(rev_cents)
+                  OVER (PARTITION BY cells.cohort_mk ORDER BY age)
+                AS BIGINT) AS cum_rev_cents,
+           cohort_size,
+           CAST(sum(rev_cents)
+                  OVER (PARTITION BY cells.cohort_mk ORDER BY age) AS DOUBLE)
+             / CAST(cohort_size AS DOUBLE) AS cum_ltv_cents
+    FROM cells JOIN sized ON cells.cohort_mk = sized.cohort_mk
+    """,
+)
+def q_orders_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve — the MONETARY twin of
+    events_user_retention's activity triangle: customers grouped by
+    first-order month, then cumulative revenue per cohort by month-age,
+    normalized per cohort member (including members inactive at that
+    age — the standard LTV denominator, which is why cohort_size comes
+    from the cohort roster, not the active-cell count). The readout
+    every acquisition-spend and data-retention decision reads.
+
+    Exactness: month keys are ``year*12 + month`` integers (never a
+    months_between float), revenue is integer cents, the running total
+    is a window over the per-cohort cell rollup partitioned by
+    cohort month (~decades x 12 rows per cohort — bounded by the
+    calendar, not the data), and the only DOUBLE is the final
+    per-member division of two exact BIGINTs.
+
+    The 100-TB shape: one custkey exchange builds the cohort roster,
+    the same partitioning serves the roster join (orders are already
+    custkey-keyed), and the window runs on the (cohort, age) rollup —
+    thousands of cells at any corpus size. n_active's count-distinct
+    is the one expensive aggregate; it rides the same cell rollup."""
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.selectExpr(
+        "o_custkey",
+        "year(CAST(o_orderdate AS DATE)) * 12"
+        " + month(CAST(o_orderdate AS DATE)) AS mk",
+        "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents",
+    )
+    cohorts = o.groupBy("o_custkey").agg(F.expr("min(mk) AS cohort_mk"))
+    sized = cohorts.groupBy("cohort_mk").agg(
+        F.expr("CAST(count(*) AS BIGINT) AS cohort_size")
+    )
+    cells = (
+        o.join(cohorts, "o_custkey")
+        .selectExpr("cohort_mk", "mk - cohort_mk AS age", "o_custkey", "cents")
+        .groupBy("cohort_mk", "age")
+        .agg(
+            F.expr("CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_active"),
+            F.expr("CAST(sum(cents) AS BIGINT) AS rev_cents"),
+        )
+    )
+    return cells.join(sized, "cohort_mk").selectExpr(
+        "cohort_mk",
+        "CAST(age AS BIGINT) AS age",
+        "n_active",
+        "rev_cents",
+        "CAST(sum(rev_cents) OVER (PARTITION BY cohort_mk ORDER BY age)"
+        " AS BIGINT) AS cum_rev_cents",
+        "cohort_size",
+        "CAST(sum(rev_cents) OVER (PARTITION BY cohort_mk ORDER BY age)"
+        " AS DOUBLE) / CAST(cohort_size AS DOUBLE) AS cum_ltv_cents",
+    )

@@ -2371,39 +2371,10 @@ def q_text_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     (16 bytes), never text. This is the storage-layer complement to
     dedup_ngram_jaccard: Jaccard asks "are these documents near-dups",
     CDC asks "how many bytes would a content-addressed store save"."""
+    from distgrep_spark.operators.text import cdc_chunk_hashes
+
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.selectExpr(
-        "doc_id",
-        "source",
-        r"posexplode(split(trim(text), '\\s+')) AS (pos0, tok)",
-    ).selectExpr("doc_id", "source", "tok", "pos0 + 1 AS pos")
-    flags = toks.selectExpr(
-        "doc_id",
-        "source",
-        "tok",
-        "pos",
-        "CASE WHEN pos >= 3"
-        " AND substr(md5("
-        "   lag(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos) || ' ' ||"
-        "   lag(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) || ' ' ||"
-        "   tok), 1, 1) < '2'"
-        " THEN 1 ELSE 0 END AS boundary",
-    )
-    assigned = flags.selectExpr(
-        "doc_id",
-        "source",
-        "tok",
-        "pos",
-        "sum(boundary) OVER (PARTITION BY doc_id ORDER BY pos) AS chunk_idx",
-    )
-    chunks = assigned.groupBy("doc_id", "source", "chunk_idx").agg(
-        F.expr(
-            "md5(concat_ws(' ',"
-            " transform(array_sort(collect_list(struct(pos, tok))),"
-            "           s -> s.tok))) AS chunk_hash"
-        ),
-        F.expr("count(*) AS n_toks"),
-    )
+    chunks = cdc_chunk_hashes(docs)
     by_hash = chunks.groupBy("source", "chunk_hash").agg(
         F.expr("count(*) AS n_occ"),
         F.expr("count(DISTINCT doc_id) AS n_docs"),
@@ -2421,4 +2392,96 @@ def q_text_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS shared_occurrences"
         ),
         F.expr("CAST(sum(toks) AS BIGINT) AS sum_tokens"),
+    )
+
+
+@query(
+    "text_ngram_novelty_decay",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS t
+      FROM documents
+    ), grams AS (
+      SELECT DISTINCT doc_id, source,
+             t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+      FROM toks, LATERAL unnest(generate_series(1, greatest(len(t) - 2, 0))) AS u(i)
+    ), firsts AS (
+      SELECT gram, arg_min(source, doc_id) AS first_source
+      FROM grams GROUP BY gram
+    ), intro AS (
+      SELECT first_source AS source, CAST(count(*) AS BIGINT) AS n_introduced
+      FROM firsts GROUP BY 1
+    ), per_source AS (
+      SELECT source,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             CAST(count(*) AS BIGINT) AS n_doc_grams,
+             CAST(count(DISTINCT gram) AS BIGINT) AS n_distinct_grams
+      FROM grams GROUP BY source
+    )
+    SELECT p.source, p.n_docs, p.n_doc_grams, p.n_distinct_grams,
+           CAST(coalesce(i.n_introduced, 0) AS BIGINT) AS n_introduced,
+           CAST(coalesce(i.n_introduced, 0) AS DOUBLE)
+             / CAST(p.n_distinct_grams AS DOUBLE) AS introduction_share
+    FROM per_source p LEFT JOIN intro i ON p.source = i.source
+    """,
+)
+def q_text_ngram_novelty_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r"""Per-source novel-n-gram contribution — the corpus-diversity
+    saturation report that decides whether ingesting MORE of a source
+    still adds information or only repeats existing content (the
+    data-mixing question behind mix_domain_weights, answered with
+    evidence instead of priors; complements text_source_overlap_matrix,
+    which is pairwise, with a sequential first-introduction
+    attribution).
+
+    Every distinct 3-gram is attributed to the source of the document
+    that would introduce it under doc_id ingestion order — an argmin
+    (``min_by``/``arg_min``, doc_id unique so tie-free) on the gram
+    rollup, NEVER a global order window; per-source novelty is then
+    ``n_introduced / n_distinct_grams`` (exact BIGINTs, one DOUBLE
+    division). A source whose share is high adds vocabulary; a source
+    near zero is re-treading grams others already contributed. Sources
+    that introduce nothing keep their report row (LEFT JOIN +
+    coalesce 0 — the oracle-universe empty-group-edge rule).
+
+    The 100-TB shape: one map-side distinct over (doc, gram), one
+    gram-keyed exchange for both the argmin and the distinct counts,
+    one 20-row join. At cluster scale the gram strings in the shuffle
+    become 64-bit hashes (equal grams always collide; the 2^-64
+    stray collision is absorbed by the count) — the
+    shuffle-digests-not-rows posture throughout."""
+    from distgrep_spark.functions.textfns import ngrams_of_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.selectExpr(
+        "doc_id", "source", r"split(trim(text), '\\s+') AS t"
+    )
+    grams = toks.select(
+        "doc_id",
+        "source",
+        F.explode(ngrams_of_tokens(F.col("t"), 3)).alias("gram"),
+    ).distinct()
+    firsts = grams.groupBy("gram").agg(
+        F.expr("min_by(source, doc_id) AS first_source")
+    )
+    intro = firsts.groupBy(F.col("first_source").alias("source")).agg(
+        F.expr("CAST(count(*) AS BIGINT) AS n_introduced")
+    )
+    per_source = grams.groupBy("source").agg(
+        F.expr("CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs"),
+        F.expr("CAST(count(*) AS BIGINT) AS n_doc_grams"),
+        F.expr("CAST(count(DISTINCT gram) AS BIGINT) AS n_distinct_grams"),
+    )
+    return (
+        per_source.alias("p")
+        .join(intro.alias("i"), "source", "left")
+        .selectExpr(
+            "source",
+            "n_docs",
+            "n_doc_grams",
+            "n_distinct_grams",
+            "CAST(coalesce(n_introduced, 0) AS BIGINT) AS n_introduced",
+            "CAST(coalesce(n_introduced, 0) AS DOUBLE)"
+            " / CAST(n_distinct_grams AS DOUBLE) AS introduction_share",
+        )
     )

@@ -925,3 +925,149 @@ def q_agg_log2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(max(cents) AS BIGINT) AS max_cents"),
         )
     )
+
+
+@query(
+    "agg_histogram_quantile_gate",
+    oracle="""
+    WITH c AS (
+      SELECT event_type,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events
+    ), vals AS (
+      SELECT event_type, cents, CAST(count(*) AS BIGINT) AS cnt
+      FROM c GROUP BY 1, 2
+    ), cum AS (
+      SELECT event_type, cents, cnt,
+             CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY cents)
+                  AS BIGINT) AS cum_n,
+             CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      FROM vals
+    ), exact AS (
+      SELECT event_type, max(n) AS n,
+             CAST(min(CASE WHEN cum_n * 2 >= n THEN cents END) AS BIGINT)
+               AS exact_p50,
+             CAST(min(CASE WHEN cum_n * 10 >= n * 9 THEN cents END) AS BIGINT)
+               AS exact_p90
+      FROM cum GROUP BY event_type
+    ), buckets AS (
+      SELECT event_type,
+             CAST(length(bin(cents)) AS BIGINT) AS bucket,
+             CAST(sum(cnt) AS BIGINT) AS bcnt
+      FROM vals GROUP BY 1, 2
+    ), bcum AS (
+      SELECT event_type, bucket, bcnt,
+             CAST(sum(bcnt) OVER (PARTITION BY event_type ORDER BY bucket)
+                  AS BIGINT) AS cum_n,
+             CAST(sum(bcnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      FROM buckets
+    ), est AS (
+      SELECT event_type,
+             CAST(min(CASE WHEN cum_n * 2 >= n THEN bucket END) AS BIGINT)
+               AS b50,
+             CAST(min(CASE WHEN cum_n * 10 >= n * 9 THEN bucket END) AS BIGINT)
+               AS b90
+      FROM bcum GROUP BY event_type
+    )
+    SELECT e.event_type, e.n, e.exact_p50, e.exact_p90,
+           CAST(1 << (b50 - 1) AS BIGINT) AS p50_lo,
+           CAST((1 << b50) - 1 AS BIGINT) AS p50_hi,
+           CAST(1 << (b90 - 1) AS BIGINT) AS p90_lo,
+           CAST((1 << b90) - 1 AS BIGINT) AS p90_hi,
+           e.exact_p50 BETWEEN (1 << (b50 - 1)) AND ((1 << b50) - 1)
+             AS p50_in_bucket,
+           e.exact_p90 BETWEEN (1 << (b90 - 1)) AND ((1 << b90) - 1)
+             AS p90_in_bucket
+    FROM exact e JOIN est USING (event_type)
+    """,
+)
+def q_agg_histogram_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-sketch quantile estimation with a containment
+    certificate — the DDSketch/HdrHistogram READ path on top of
+    ``agg_log2_histogram``'s power-of-two buckets: the p50/p90
+    estimate is the bucket range [2^(b-1), 2^b - 1] of the first
+    bucket whose cumulative count reaches the rank, giving a certified
+    factor-2 relative-error bound with NO logarithm and NO
+    interpolation anywhere.
+
+    Quantiles are DISCRETE order statistics picked by integer rank
+    cross-multiplication (``cum * 2 >= n``, ``cum * 10 >= 9 * n`` —
+    never a float fraction, which sidesteps the quantile_cont
+    interpolation-ulp trap entirely; CLAUDE.md). The gate booleans
+    certify the exact order statistic falls inside the estimated
+    bucket — a theorem when both derive from the same counts, so any
+    FALSE row is an implementation bug (bucketing, cumulation, or
+    rank-rounding), the same certificate discipline as
+    agg_countmin_gate's no-undercount row. The exact side doubles as
+    the percentile_disc surface the engine otherwise lacks.
+
+    The 100-TB shape: both paths are map-side-combinable rollups —
+    the distinct-cents rollup (bounded by the value domain, not the
+    row count) and the ~60-cell bucket rollup; all windows are
+    partitioned by event_type. At scale you ship ONLY the mergeable
+    bucket cells (this query's est path) and the factor-2 bound is
+    the price of never touching rows — exactly the DDSketch
+    contract."""
+    ev = load_table(spark, sf_dir, "events")
+    vals = (
+        ev.selectExpr(
+            "event_type",
+            "CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents",
+        )
+        .groupBy("event_type", "cents")
+        .agg(F.expr("CAST(count(*) AS BIGINT) AS cnt"))
+    )
+    cum = vals.selectExpr(
+        "event_type",
+        "cents",
+        "cnt",
+        "CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY cents)"
+        " AS BIGINT) AS cum_n",
+        "CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n",
+    )
+    exact = cum.groupBy("event_type").agg(
+        F.expr("max(n) AS n"),
+        F.expr(
+            "CAST(min(CASE WHEN cum_n * 2 >= n THEN cents END) AS BIGINT)"
+            " AS exact_p50"
+        ),
+        F.expr(
+            "CAST(min(CASE WHEN cum_n * 10 >= n * 9 THEN cents END) AS BIGINT)"
+            " AS exact_p90"
+        ),
+    )
+    buckets = vals.groupBy(
+        "event_type",
+        F.expr("CAST(length(conv(cents, 10, 2)) AS BIGINT)").alias("bucket"),
+    ).agg(F.expr("CAST(sum(cnt) AS BIGINT) AS bcnt"))
+    bcum = buckets.selectExpr(
+        "event_type",
+        "bucket",
+        "CAST(sum(bcnt) OVER (PARTITION BY event_type ORDER BY bucket)"
+        " AS BIGINT) AS cum_n",
+        "CAST(sum(bcnt) OVER (PARTITION BY event_type) AS BIGINT) AS n",
+    )
+    est = bcum.groupBy("event_type").agg(
+        F.expr(
+            "CAST(min(CASE WHEN cum_n * 2 >= n THEN bucket END) AS BIGINT)"
+            " AS b50"
+        ),
+        F.expr(
+            "CAST(min(CASE WHEN cum_n * 10 >= n * 9 THEN bucket END) AS BIGINT)"
+            " AS b90"
+        ),
+    )
+    return exact.join(est, "event_type").selectExpr(
+        "event_type",
+        "n",
+        "exact_p50",
+        "exact_p90",
+        "CAST(1 << (b50 - 1) AS BIGINT) AS p50_lo",
+        "CAST((1 << b50) - 1 AS BIGINT) AS p50_hi",
+        "CAST(1 << (b90 - 1) AS BIGINT) AS p90_lo",
+        "CAST((1 << b90) - 1 AS BIGINT) AS p90_hi",
+        "exact_p50 BETWEEN (1 << (b50 - 1)) AND ((1 << b50) - 1)"
+        " AS p50_in_bucket",
+        "exact_p90 BETWEEN (1 << (b90 - 1)) AND ((1 << b90) - 1)"
+        " AS p90_in_bucket",
+    )
