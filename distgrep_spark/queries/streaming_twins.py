@@ -15,6 +15,11 @@ from pyspark.sql import functions as F
 
 from distgrep_spark.queries.registry import query
 from distgrep_spark.sources.catalog import load_table
+from distgrep_spark.streaming.stateful import (
+    CUSUM_TARGET_CENTS as _CUSUM_TARGET,
+    CUSUM_THRESHOLD_CENTS as _CUSUM_THRESHOLD,
+    cusum_alerts,
+)
 from distgrep_spark.streaming.pipelines import (
     grep_event_counts,
     session_counts,
@@ -278,3 +283,48 @@ def q_stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").alias("err_value"),
     )
     return interval_join_clicks_errors(clicks, errors, how="left_outer")
+
+
+@query(
+    "stream_cusum_alerts",
+    oracle=f"""
+    WITH dev AS (
+      SELECT event_type, ts, event_id,
+             CAST(floor(value * 100 + 0.5) AS BIGINT)
+               - {_CUSUM_TARGET} AS dev
+      FROM events
+    ), scored AS (
+      SELECT event_type, ts, event_id, dev,
+             CAST(sum(dev) OVER (PARTITION BY event_type
+                                 ORDER BY ts, event_id) AS BIGINT) AS ps
+      FROM dev
+    ), c AS (
+      SELECT event_type, dev, ps,
+             ps - least(CAST(0 AS BIGINT),
+                        min(ps) OVER (PARTITION BY event_type
+                                      ORDER BY ts, event_id)) AS c
+      FROM scored
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_seen,
+           CAST(sum(dev) - least(CAST(0 AS BIGINT), min(ps))
+                AS BIGINT) AS cusum_now,
+           CAST(max(c) AS BIGINT) AS max_cusum,
+           max(c) > {_CUSUM_THRESHOLD} AS breach
+    FROM c GROUP BY event_type
+    """,
+)
+def q_stream_cusum_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CUSUM drift alarm (batch twin): the known-target
+    sequential change-point statistic per event type —
+    ``streaming/stateful.cusum_alerts`` run in batch mode, where the
+    state machine's fold is two partitioned windows (prefix sum +
+    leading-zero running min). pytest drives the REAL
+    applyInPandasWithState stream over time-split file batches and
+    asserts its final update per key equals these very rows — the
+    DuckDB oracle ⇔ batch twin ⇔ stream output loop, now for a
+    numeric monitoring state machine (the alerting complement of
+    stream_running_totals' additive state). Deviations are exact
+    integer cents; ordering is (ts, event_id) with event_id unique,
+    so the statistic is deterministic on every engine."""
+    return cusum_alerts(load_table(spark, sf_dir, "events"))

@@ -140,3 +140,119 @@ def sessionize_with_timeout(df: DataFrame, *, watermark: str = "10 minutes") -> 
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming CUSUM drift alert
+# ---------------------------------------------------------------------------
+
+# Known-target CUSUM (Page 1954): the streaming form monitors deviation
+# against a FIXED reference level (the batch twin stats_cusum_drift uses
+# the realized corpus mean instead — a luxury only batch has). 5000
+# cents sits at the fixture's per-type mean, so deviations are
+# near-zero-mean and the statistic genuinely wanders.
+CUSUM_TARGET_CENTS = 5000
+# breach when the cumulative excess tops $1000 (in cents).
+CUSUM_THRESHOLD_CENTS = 100_000
+
+CUSUM_OUTPUT_SCHEMA = (
+    "event_type string, n_seen bigint, cusum_now bigint,"
+    " max_cusum bigint, breach boolean"
+)
+CUSUM_STATE_SCHEMA = "ps bigint, min_ps bigint, max_cusum bigint, n bigint"
+
+
+def _update_cusum(key: tuple, pdfs, state: GroupState):
+    import numpy as np
+    import pandas as pd
+
+    ps, min_ps, max_cusum, n = state.get if state.exists else (0, 0, 0, 0)
+    for pdf in pdfs:
+        if not len(pdf):
+            continue
+        pdf = pdf.sort_values(["ts", "event_id"])
+        cents = np.floor(pdf["value"].to_numpy(dtype="float64") * 100 + 0.5)
+        dev = cents.astype("int64") - CUSUM_TARGET_CENTS
+        cum = ps + np.cumsum(dev)
+        # running min seeded with the carried min (which itself started
+        # at the classical leading-zero prefix): S_i = P_i - min(P_0..P_i)
+        run_min = np.minimum.accumulate(
+            np.concatenate([np.array([min_ps], dtype="int64"), cum])
+        )[1:]
+        batch_max = int((cum - run_min).max())
+        max_cusum = max(max_cusum, batch_max)
+        ps = int(cum[-1])
+        min_ps = int(run_min[-1])
+        n += len(pdf)
+    state.update((ps, min_ps, max_cusum, n))
+    yield pd.DataFrame(
+        {
+            "event_type": [key[0]],
+            "n_seen": [n],
+            "cusum_now": [ps - min_ps],
+            "max_cusum": [max_cusum],
+            "breach": [max_cusum > CUSUM_THRESHOLD_CENTS],
+        }
+    )
+
+
+def cusum_alerts(df: DataFrame) -> DataFrame:
+    """Per-type streaming CUSUM drift alarm — the sequential
+    change-point monitor as an applyInPandasWithState state machine:
+    state is four BIGINTs per key (prefix sum, running min prefix,
+    running max statistic, count), each micro-batch folds its
+    deviations vectorized in numpy, and every batch emits the
+    refreshed statistic + breach flag for the keys it touched
+    ("update" semantics — the alerting contract).
+
+    Batch twin: the identical statistic as two partitioned windows
+    (prefix sum, running min with the classical leading-zero seed) —
+    which is also the pytest oracle: after an availableNow run drains
+    time-ordered file batches, the LAST update per key must equal the
+    batch aggregate row for row.
+
+    The 100-TB/stream-forever shape: state is O(|event types|) and
+    constant per key — no buffered rows, no timers needed (the
+    statistic is a running fold, not a window), checkpoint size is
+    bounded; deviations fold map-side within each Arrow batch."""
+    if not df.isStreaming:
+        import pyspark.sql.functions as F
+
+        w = "PARTITION BY event_type ORDER BY ts, event_id"
+        dev = df.selectExpr(
+            "event_type",
+            "ts",
+            "event_id",
+            f"CAST(floor(value * 100 + 0.5) AS BIGINT)"
+            f" - {CUSUM_TARGET_CENTS} AS dev",
+        )
+        scored = dev.selectExpr(
+            "event_type",
+            "ts",
+            "event_id",
+            "dev",
+            f"CAST(sum(dev) OVER ({w}) AS BIGINT) AS ps",
+        ).selectExpr(
+            "event_type",
+            "dev",
+            "ps",
+            # S_i = P_i - min(P_0..P_i) with the classical P_0 = 0 seed;
+            # event_id is unique so the RANGE default frame == ROWS.
+            f"ps - least(CAST(0 AS BIGINT), min(ps) OVER ({w})) AS c",
+        )
+        return scored.groupBy("event_type").agg(
+            F.expr("CAST(count(*) AS BIGINT) AS n_seen"),
+            F.expr(
+                "CAST(sum(dev) - least(CAST(0 AS BIGINT), min(ps))"
+                " AS BIGINT) AS cusum_now"
+            ),
+            F.expr("CAST(max(c) AS BIGINT) AS max_cusum"),
+            F.expr(f"max(c) > {CUSUM_THRESHOLD_CENTS} AS breach"),
+        )
+    return df.groupBy("event_type").applyInPandasWithState(
+        _update_cusum,
+        outputStructType=CUSUM_OUTPUT_SCHEMA,
+        stateStructType=CUSUM_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -694,3 +694,64 @@ def test_stream_stream_left_outer_join_emits_padded_rows(spark, tmp_path):
         (2, 8, ts(600), None, None),
         (99, 999, ts(600 + 3 * 3600), ts(600 + 3 * 3600), 0.0),
     }
+
+
+def test_stream_cusum_matches_batch(spark, tmp_path):
+    """Streaming CUSUM state machine vs its batch twin: two
+    time-ordered file batches processed through the SAME checkpoint
+    (second availableNow run resumes the first run's state store), so
+    the statistic folds across a real state-carry boundary; the final
+    update per event type must equal the batch windows exactly —
+    CUSUM is order-sensitive, which is why the batches are split by
+    time and not round-robin."""
+    from distgrep_spark.streaming.stateful import cusum_alerts
+
+    src = load_table(spark, SF, "events")
+    tmin, tmax = src.agg(F.min("ts"), F.max("ts")).first()
+    cutoff = tmin + (tmax - tmin) / 2
+    early = src.where(F.col("ts") <= F.lit(cutoff))
+    late = src.where(F.col("ts") > F.lit(cutoff))
+    # the parity check below reads run 2's updates, which only cover
+    # keys present in the late half — require full coverage up front
+    assert late.select("event_type").distinct().count() == 5
+    assert early.count() > 0
+
+    d = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    early.coalesce(1).write.mode("append").parquet(d)
+
+    # the memory sink cannot resume from a checkpoint; foreachBatch can,
+    # and this test NEEDS the resume (run 2 must reload run 1's state)
+    updates: list = []
+
+    def drain():
+        q = (
+            cusum_alerts(read_event_stream(spark, d))
+            .writeStream.foreachBatch(
+                lambda bdf, bid: updates.append(bdf.collect())
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    n_run1 = len(updates)
+    late.coalesce(1).write.mode("append").parquet(d)
+    drain()
+    assert len(updates) > n_run1, "run 2 produced no update batch"
+
+    final = {}
+    for batch_rows in updates[n_run1:]:
+        for r in batch_rows:
+            final[r["event_type"]] = (
+                r["n_seen"], r["cusum_now"], r["max_cusum"], r["breach"]
+            )
+    batch = {
+        r["event_type"]: (r["n_seen"], r["cusum_now"], r["max_cusum"], r["breach"])
+        for r in cusum_alerts(src).collect()
+    }
+    assert set(final) == set(batch)
+    assert final == batch
