@@ -98,7 +98,11 @@ SCOREBOARD_PREFIX = [
     "text_stats",
     "text_tfidf_top_terms",
     "text_chunk_documents",
-    "text_curation_funnel",
+    # round 5: layout_zorder_sort takes the slot of text_curation_funnel
+    # (redundant beside the corpus_curation_pipeline flagship): the
+    # Z-order data-layout planner is a NEW scored category, not a
+    # variant. text_curation_funnel stays POST_PREFIX-front + oracled.
+    "layout_zorder_sort",
     # multimodal
     "multimodal_metadata",
     "multimodal_frame_sample",
@@ -120,6 +124,8 @@ SCOREBOARD_PREFIX = [
 # next entries it should spend rows on (distinct shapes before the
 # redundant grep/scalar/window variants that close the list).
 POST_PREFIX = [
+    # displaced round 5 by layout_zorder_sort; still oracle-checked
+    "text_curation_funnel",
     # demoted round 5: its slot went to orders_rfm_segments (distributed
     # exact global ntile); partitioned ntile/percent_rank stays covered
     "window_ntile_percent",

@@ -21,7 +21,12 @@ from __future__ import annotations
 
 from collections.abc import Iterator, Sequence
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import StructType
 
 _WORDS = (
@@ -75,3 +80,50 @@ class SyntheticDocs(DataSource):
 
     def reader(self, schema: StructType) -> DataSourceReader:
         return SyntheticDocsReader(schema, self.options)
+
+    def simpleStreamReader(self, schema: StructType) -> "SyntheticDocsStreamReader":
+        return SyntheticDocsStreamReader(self.options)
+
+
+class SyntheticDocsStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batch STREAMING reader over the same deterministic corpus —
+    the Spark 4 ``simpleStreamReader`` seam (python datasource streaming
+    API): offsets are plain doc_id watermarks ``{"next": k}``, each
+    micro-batch serves ``batch_docs`` ids, and because content is a pure
+    function of (seed, doc_id), ``readBetweenOffsets`` REPLAYS any
+    committed range bit-identically — the property that makes
+    checkpoint recovery exactly-once for this source (the contract a
+    production wrapper over a log/queue must honor; offsets here play
+    the role of Kafka offsets).
+
+    ``max_docs`` bounds the stream so availableNow triggers drain to a
+    fixed row count in tests; a production feed would leave it open.
+    """
+
+    def __init__(self, options: dict):
+        self.seed = int(options.get("seed", 42))
+        self.batch_docs = int(options.get("batch_docs", 100))
+        self.max_docs = int(options.get("max_docs", 1000))
+
+    def initialOffset(self) -> dict:
+        return {"next": 0}
+
+    def _rows(self, start: int, end: int):
+        # a LIST-iterator, not a generator: the prefetch wrapper both
+        # calls next() on it (empty-batch validation) AND pickles it
+        # into the driver-side cache for replay — list iterators
+        # satisfy both, generators cannot be pickled
+        return iter(
+            [
+                (doc_id, (t := _doc_text(self.seed, doc_id)), len(t))
+                for doc_id in range(start, end)
+            ]
+        )
+
+    def read(self, start: dict):
+        s = int(start["next"])
+        e = min(s + self.batch_docs, self.max_docs)
+        return self._rows(s, e), {"next": e}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return self._rows(int(start["next"]), int(end["next"]))
