@@ -3702,3 +3702,189 @@ def q_orders_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(sum(rev_cents) OVER (PARTITION BY cohort_mk ORDER BY age)"
         " AS DOUBLE) / CAST(cohort_size AS DOUBLE) AS cum_ltv_cents",
     )
+
+
+_IVFPQ_COARSE_K = 16  # coarse lists (vec_id < 16 as centroids, both engines)
+_IVFPQ_NPROBE = 4
+
+
+@query(
+    "sim_ann_ivfpq",
+    oracle=f"""
+    WITH q8 AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               v -> CAST(greatest(-127.0, least(127.0,
+                           floor(CAST(v AS DOUBLE) * 200 + 0.5))) AS BIGINT))
+               AS qv
+      FROM embeddings
+    ),
+    coarse AS (
+      SELECT vec_id AS ccid, qv AS cvec FROM q8
+      WHERE vec_id < {_IVFPQ_COARSE_K}
+    ),
+    cscored AS (
+      SELECT q.vec_id, c.ccid,
+             CAST(list_sum(list_transform(list_zip(q.qv, c.cvec),
+                    p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS cdist
+      FROM q8 q CROSS JOIN coarse c
+    ),
+    assign AS (
+      SELECT vec_id,
+             min(cdist * {_IVFPQ_COARSE_K} + ccid) % {_IVFPQ_COARSE_K}
+               AS list_id
+      FROM cscored GROUP BY vec_id
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, ccid AS list_id FROM (
+        SELECT vec_id, ccid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cdist, ccid) AS pr
+        FROM cscored WHERE vec_id < 5
+      ) WHERE pr <= {_IVFPQ_NPROBE}
+    ),
+    subs AS (
+      SELECT vec_id, m, qv[{_PQ_D}*m+1 : {_PQ_D}*m+{_PQ_D}] AS sub
+      FROM q8, (SELECT unnest(range({_PQ_M})) AS m)
+    ),
+    cents AS (
+      SELECT vec_id AS cid, m, sub AS cvec FROM subs WHERE vec_id < {_PQ_K}
+    ),
+    scored AS (
+      SELECT s.vec_id, s.m, c.cid,
+             CAST(list_sum(list_transform(list_zip(s.sub, c.cvec),
+                    p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS dist
+      FROM subs s JOIN cents c ON s.m = c.m
+    ),
+    codes AS (
+      SELECT vec_id, m, min(dist * {_PQ_K} + cid) % {_PQ_K} AS code
+      FROM scored GROUP BY vec_id, m
+    ),
+    lut AS (
+      SELECT vec_id AS query_id, m, cid, dist FROM scored WHERE vec_id < 5
+    ),
+    cand AS (
+      SELECT p.query_id, a.vec_id
+      FROM assign a JOIN probes p ON a.list_id = p.list_id
+      WHERE a.vec_id <> p.query_id
+    ),
+    adc AS (
+      SELECT n.query_id, n.vec_id, CAST(sum(l.dist) AS BIGINT) AS adc_dist
+      FROM cand n
+      JOIN codes c ON n.vec_id = c.vec_id
+      JOIN lut l ON l.query_id = n.query_id
+               AND l.m = c.m AND l.cid = c.code
+      GROUP BY n.query_id, n.vec_id
+    )
+    SELECT query_id, vec_id, adc_dist, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adc_dist, vec_id) AS rank
+      FROM adc
+    ) WHERE rank <= 10
+    """,
+)
+def q_sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composite ANN search — the canonical billion-scale index
+    (Jégou et al. 2011, FAISS IndexIVFPQ) assembled from this repo's
+    two oracled halves: the coarse quantizer bounds WHICH vectors get
+    scored (each corpus vector lives in the inverted list of its
+    nearest of 16 coarse centroids; a query probes only its nprobe=4
+    nearest lists), and PQ asymmetric distance decides their ORDER
+    (per-query integer LUT, M one-byte code lookups per candidate —
+    sim_ann_pq_adc's kernel verbatim). Candidate work per query drops
+    from |corpus| to ~nprobe/K of it while staying exact INTEGER
+    arithmetic end to end (int8 grid, integer argmin ``min(dist*K +
+    id)``, BIGINT LUT sums) — so unlike hash-sketch ANN, the ENTIRE
+    pruned ranking carries a full DuckDB oracle, probe selection
+    included. Production IVFPQ encodes residuals (v - coarse centroid)
+    for tighter cells; plain codes keep the composition of the two
+    certified kernels honest here — the plumbing is identical.
+
+    The 100-TB shape: coarse centroids and the per-query LUT are
+    broadcasts (16 rows / Q x M x k cells); list assignment is a
+    map-side bounded-16 argmin; the probe semi-join prunes map-side
+    against the broadcast probe list; the only shuffles are the code
+    rollup and the per-query top-k (TakeOrdered two-level merge). The
+    inverted-list layout IS the partitioning: at scale you
+    repartition codes by list_id so each probe touches nprobe
+    partitions — the layout_zorder_sort argument applied to ANN."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q8 = emb.selectExpr(
+        "vec_id",
+        "transform(embedding, v -> CAST(greatest(-127.0D, least(127.0D, "
+        "floor(CAST(v AS DOUBLE) * 200 + 0.5))) AS BIGINT)) AS qv",
+    )
+    coarse = q8.where(F.col("vec_id") < _IVFPQ_COARSE_K).selectExpr(
+        "vec_id AS ccid", "qv AS cvec"
+    )
+    cscored = q8.crossJoin(F.broadcast(coarse)).selectExpr(
+        "vec_id",
+        "ccid",
+        "aggregate(zip_with(qv, cvec, (a, b) -> (a - b) * (a - b)), "
+        "CAST(0 AS BIGINT), (acc, x) -> acc + x) AS cdist",
+    )
+    assign = cscored.groupBy("vec_id").agg(
+        F.expr(
+            f"min(cdist * {_IVFPQ_COARSE_K} + ccid) % {_IVFPQ_COARSE_K}"
+        ).alias("list_id")
+    )
+    wp = Window.partitionBy("vec_id").orderBy("cdist", "ccid")
+    probes = (
+        cscored.where(F.col("vec_id") < 5)
+        .withColumn("pr", F.row_number().over(wp))
+        .where(F.col("pr") <= _IVFPQ_NPROBE)
+        .selectExpr("vec_id AS query_id", "ccid AS list_id")
+    )
+    struct_items = ", ".join(
+        f"struct({m} AS m, slice(qv, {_PQ_D * m + 1}, {_PQ_D}) AS sub)"
+        for m in range(_PQ_M)
+    )
+    subs = q8.selectExpr(
+        "vec_id", f"explode(array({struct_items})) AS s"
+    ).selectExpr("vec_id", "s.m AS m", "s.sub AS sub")
+    cents = subs.where(F.col("vec_id") < _PQ_K).selectExpr(
+        "vec_id AS cid", "m", "sub AS cvec"
+    )
+    scored = subs.join(F.broadcast(cents), "m").selectExpr(
+        "vec_id",
+        "m",
+        "cid",
+        "aggregate(zip_with(sub, cvec, (a, b) -> (a - b) * (a - b)), "
+        "CAST(0 AS BIGINT), (acc, x) -> acc + x) AS dist",
+    )
+    # every frame below descends from q8: rename join keys per side so
+    # equi-joins bind across branches (the sim_ann_pq_adc convention)
+    codes = (
+        scored.groupBy("vec_id", "m")
+        .agg(F.expr(f"min(dist * {_PQ_K} + cid) % {_PQ_K}").alias("code"))
+        .selectExpr("vec_id AS code_vec", "m AS cm", "code")
+    )
+    lut = scored.where(F.col("vec_id") < 5).selectExpr(
+        "vec_id AS lut_query", "m AS lm", "cid", "dist"
+    )
+    cand = (
+        assign.selectExpr("vec_id AS cand_vec", "list_id AS cand_list")
+        .join(
+            F.broadcast(probes),
+            F.col("cand_list") == F.col("list_id"),
+        )
+        .where(F.col("cand_vec") != F.col("query_id"))
+        .select("query_id", "cand_vec")
+    )
+    adc = (
+        cand.join(codes, F.col("cand_vec") == F.col("code_vec"))
+        .join(
+            F.broadcast(lut),
+            (F.col("lut_query") == F.col("query_id"))
+            & (F.col("lm") == F.col("cm"))
+            & (F.col("cid") == F.col("code")),
+        )
+        .groupBy("query_id", F.col("cand_vec").alias("vec_id"))
+        .agg(F.sum("dist").cast("bigint").alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "vec_id")
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+        .select("query_id", "vec_id", "adc_dist", "rank")
+    )
