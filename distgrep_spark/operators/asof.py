@@ -35,6 +35,7 @@ def asof_join(
     right_ts: str,
     payload: list[str],
     direction: str = "backward",
+    tolerance_seconds: int | None = None,
 ) -> DataFrame:
     """As-of left join: backward (default), forward, or nearest.
 
@@ -53,6 +54,13 @@ def asof_join(
     otherwise, or which duplicate wins is engine-dependent on BOTH sides
     of any oracle comparison.
 
+    ``tolerance_seconds`` (pandas merge_asof semantics): a match whose
+    |left_ts - right_ts| exceeds the bound is nulled out AFTER the fill
+    — a pure map-side mask on the one-exchange plan, never a second
+    join. The gap is exact integer microseconds via
+    ``timestampdiff(MICROSECOND, ...)`` (the NTZ-safe form; CLAUDE.md
+    forbids unix_timestamp/epoch diffs).
+
     All three are the same ONE-exchange union + window-fill scan;
     forward flips the frame (current→following, first instead of last)
     and the equal-ts tag order so inclusivity is preserved, and nearest
@@ -63,6 +71,20 @@ def asof_join(
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(
             f"direction must be backward|forward|nearest, got {direction!r}"
+        )
+    if tolerance_seconds is not None and tolerance_seconds < 0:
+        raise ValueError(f"tolerance_seconds must be >= 0, got {tolerance_seconds}")
+
+    def _tol(res: DataFrame) -> DataFrame:
+        if tolerance_seconds is None:
+            return res
+        ok = F.expr(
+            f"abs(timestampdiff(MICROSECOND, {right_ts}, {left_ts}))"
+            f" <= CAST({tolerance_seconds} AS BIGINT) * 1000000"
+        )
+        masked = {c: F.when(ok, F.col(c)).alias(c) for c in [right_ts, *payload]}
+        return res.select(
+            *[masked.get(c, F.col(c)).alias(c) for c in res.columns]
         )
     for c in [right_ts, *payload]:
         if c in left.columns:
@@ -102,7 +124,7 @@ def asof_join(
                 for c in [right_ts, *payload]
             ],
         )
-        return filled.where(F.col("_is_left") == 1).drop("_is_left")
+        return _tol(filled.where(F.col("_is_left") == 1).drop("_is_left"))
     if direction == "backward":
         # right (_is_left=0) sorts before left at equal _t -> inclusive
         w = (
@@ -125,4 +147,4 @@ def asof_join(
         "_is_left",
         *[fill(c).alias(c) for c in [right_ts, *payload]],
     )
-    return filled.where(F.col("_is_left") == 1).drop("_is_left")
+    return _tol(filled.where(F.col("_is_left") == 1).drop("_is_left"))

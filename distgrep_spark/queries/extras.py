@@ -1394,3 +1394,65 @@ def q_sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(mass AS DOUBLE) / CAST(denom AS DOUBLE) AS neyman_share",
         "(1000 * mass) div denom AS alloc_n",
     )
+
+
+@query(
+    "join_asof_tolerance_events",
+    oracle="""
+    WITH clicks AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    errors AS (
+      SELECT user_id, ts AS err_ts, max(value) AS err_value
+      FROM events WHERE event_type = 'error' GROUP BY user_id, ts
+    ),
+    j AS (
+      SELECT c.event_id, c.user_id, c.ts, e.err_ts, e.err_value
+      FROM clicks c
+      ASOF LEFT JOIN errors e ON c.user_id = e.user_id AND c.ts >= e.err_ts
+    )
+    SELECT event_id, user_id, ts,
+           CASE WHEN err_ts IS NOT NULL
+                 AND epoch_us(ts) - epoch_us(err_ts)
+                     <= 3600000000::BIGINT
+                THEN err_ts END AS err_ts,
+           CASE WHEN err_ts IS NOT NULL
+                 AND epoch_us(ts) - epoch_us(err_ts)
+                     <= 3600000000::BIGINT
+                THEN err_value END AS err_value
+    FROM j
+    """,
+)
+def q_join_asof_tolerance_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOLERANCE-bounded as-of (pandas merge_asof's ``tolerance``,
+    completing the as-of family: backward / forward / nearest / now
+    bounded-staleness): each click takes the latest error at-or-before
+    it ONLY if that error is at most 1 hour stale, else NULL — "enrich
+    with recent context, refuse stale context", the semantics of every
+    feature-store point-in-time lookup with a freshness SLA. Measured
+    non-vacuous on the fixture: of 2006 clicks, 150 have no prior
+    error at all, 34 keep a within-1h match, 1822 are nulled as stale.
+
+    Plan: the same ONE-exchange union + window-fill as
+    join_asof_events; the tolerance is a post-fill map-side mask in
+    exact integer microseconds (timestampdiff vs DuckDB epoch_us — the
+    CLAUDE.md-safe tz-free pair), never a second join or a range
+    predicate that would push into the join and quadratic-ify it."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    errors = (
+        ev.where(F.col("event_type") == "error")
+        .groupBy("user_id", F.col("ts").alias("err_ts"))
+        .agg(F.max("value").alias("err_value"))
+    )
+    return asof_join(
+        clicks,
+        errors,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="err_ts",
+        payload=["err_value"],
+        tolerance_seconds=3600,
+    )

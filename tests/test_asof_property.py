@@ -141,3 +141,48 @@ def test_asof_nearest_matches_quadratic_reference(spark, left, right):
             assert got[i] == (BASE + timedelta(seconds=best), float(best)), (i, k, s)
         else:
             assert got[i] == (None, None), (i, k, s)
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(left=_LEFT, right=_RIGHT, tol=st.integers(0, 12))
+def test_asof_tolerance_matches_masked_reference(spark, left, right, tol):
+    """tolerance_seconds must equal the plain backward as-of with every
+    match whose gap exceeds the bound nulled out — pandas merge_asof
+    semantics, including the boundary (gap == tol is KEPT)."""
+    right_u = {(k, s) for k, s in right}
+    l_rows = [
+        (i, k, BASE + timedelta(seconds=s)) for i, (k, s) in enumerate(left)
+    ]
+    r_rows = [
+        (k, BASE + timedelta(seconds=s), float(s)) for k, s in sorted(right_u)
+    ]
+    ldf = spark.createDataFrame(l_rows, "id long, key long, t timestamp")
+    rdf = (
+        spark.createDataFrame(r_rows, "key long, rt timestamp, val double")
+        if r_rows
+        else spark.createDataFrame([], "key long, rt timestamp, val double")
+    )
+    got = {
+        r["id"]: (r["rt"], r["val"])
+        for r in asof_join(
+            ldf,
+            rdf,
+            on=["key"],
+            left_ts="t",
+            right_ts="rt",
+            payload=["val"],
+            tolerance_seconds=tol,
+        ).collect()
+    }
+    for i, (k, s) in enumerate(left):
+        cands = [rs for rk, rs in right_u if rk == k and rs <= s]
+        want = (None, None)
+        if cands:
+            best = max(cands)
+            if s - best <= tol:
+                want = (BASE + timedelta(seconds=best), float(best))
+        assert got[i] == want, (i, k, s, tol, got[i], want)
