@@ -1,0 +1,615 @@
+"""Round-5 batch 29: data-integration & serving kernels — time-weighted
+aggregation, probabilistic record-linkage scoring, hybrid rank fusion,
+cross-source quantile normalization, and incremental materialized-view
+maintenance.
+
+The 100-TB rationale per query:
+
+- ``events_twap``: time-weighted average (TWAP) of an irregularly
+  sampled metric — the piecewise-constant integral every market-data /
+  telemetry pipeline needs and plain ``avg()`` silently gets wrong
+  (sample-weighted, not time-weighted). Dwell intervals come from one
+  ``lead`` window partitioned by ``user_id`` (hash-distributed — the
+  entity-timeline shape, never a global sort); the integral is a
+  map-side-combinable exact DECIMAL(38,0)/HUGEINT sum of
+  ``milli_value × dwell_micros``, so the only shuffle after the window
+  carries three numbers per event type.
+- ``er_fellegi_sunter_score``: the probabilistic half of record linkage
+  (Fellegi & Sunter 1969; Splink's engine) on the same synthetic
+  directory as ``er_resolve_customers``: blocked candidate pairs are
+  scored by summing per-field agreement/disagreement log-odds weights
+  and banded into link / possible / non-link decisions. Weights are
+  fixed integer milli-bit literals (log-odds are model constants, not
+  data-derived floats), so the score — and therefore the decision
+  bands — is exact BIGINT arithmetic on both engines.
+- ``sim_rrf_fusion``: reciprocal-rank fusion (Cormack et al. 2009) of
+  two retrieval arms — the standard hybrid-search combiner (in
+  production: BM25 + dense vectors; here: the full-precision int8-grid
+  L2 ranking fused with the compressed-domain PQ-ADC ranking, both
+  fully DuckDB-oracled integer rankings). RRF contributions are
+  ``1e6 DIV (60 + rank)`` — integer division on both engines, so the
+  fused ranking carries a complete value oracle, which float-score
+  fusion (weighted-sum hybrid) could never do.
+- ``corpus_quantile_normalize``: cross-source quantile normalization
+  (the batch-effect / score-calibration transform): each document's
+  value is replaced by the pooled corpus value at the equivalent rank.
+  The within-source rank maps to a pooled rank by EXACT integer
+  cross-multiplication ``t = ((2r-1)·N) DIV (2·n_s) + 1`` — no float
+  percentile, no interpolation — and the pooled-side global rank runs
+  through ``operators/distrank.py`` (bucketed windows + driver-folded
+  offsets), so nothing funnels through one task as the pool grows.
+- ``mv_incremental_maintain``: incremental materialized-view
+  maintenance — merge a base aggregate snapshot with a delta batch's
+  partial aggregates (count/sum are additive, max is idempotent-
+  monotone) and CERTIFY the merged view equals the full recompute via
+  a full-outer reconciliation that must report zero mismatches. This
+  is the batch twin of the streaming foreachBatch-merge path and the
+  algebraic property (commutative-monoid partial aggs) that makes
+  incremental ETL sound at 100 TB: the delta scan is the only work
+  that scales with new data.
+
+No reference counterpart (the reference's only query is grep,
+worker.go:24-43); these extend the SURVEY §2.2 analytics /
+LLM-pipeline surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from distgrep_spark.queries.analytics import _ER_RECS_SQL
+from distgrep_spark.queries.registry import ORACLES, query
+from distgrep_spark.sources.catalog import load_table
+
+# ---------------------------------------------------------------------------
+# Time-weighted average (TWAP) per event type
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_twap",
+    oracle="""
+    WITH base AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+             CAST(floor(value * 1000 + 0.5) AS BIGINT) AS milli
+      FROM events
+    ),
+    d AS (
+      SELECT event_type, milli,
+             lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) - us
+               AS dwell
+      FROM base
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_intervals,
+           CAST(CAST(sum(dwell) AS HUGEINT) AS DOUBLE) AS dwell_us,
+           CAST(sum(CAST(milli AS HUGEINT) * dwell) AS DOUBLE)
+             / CAST(CAST(sum(dwell) AS HUGEINT) AS DOUBLE) AS twap_milli
+    FROM d WHERE dwell IS NOT NULL
+    GROUP BY event_type HAVING sum(dwell) > 0
+    """,
+)
+def q_events_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of ``value`` per event type: each event's
+    value holds until the user's next event (piecewise-constant), so
+    TWAP = Σ(value·dwell) / Σ(dwell) over the per-user timeline — the
+    irregular-sampling average ``avg()`` gets wrong whenever sampling
+    density correlates with level (it does: bursts oversample spikes).
+
+    Exactness: epoch micros via the tz-free ``timestampdiff`` idiom
+    (== DuckDB ``epoch_us``, CLAUDE.md), values quantized to milli
+    units with ``floor(x+0.5)``, and the integral accumulated in
+    DECIMAL(38,0)/HUGEINT (per-row products peak ~1e19 — past BIGINT at
+    x16). One final correctly-rounded DOUBLE division.
+
+    The 100-TB shape: the ``lead`` window partitions by ``user_id``
+    (hash-distributed entity timelines, the sessionize_events shape);
+    the aggregation is map-side combinable to |event_type| rows.
+    Same-timestamp ties get dwell 0 under the (us, event_id) order, so
+    their attribution is deterministic and value-free."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.selectExpr(
+        "user_id",
+        "event_id",
+        "event_type",
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
+        " AS us",
+        "CAST(floor(value * 1000 + 0.5) AS BIGINT) AS milli",
+    )
+    d = base.selectExpr(
+        "event_type",
+        "milli",
+        "lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) - us"
+        " AS dwell",
+    ).where("dwell IS NOT NULL")
+    agg = d.groupBy("event_type").agg(
+        F.expr("CAST(count(*) AS BIGINT) AS n_intervals"),
+        F.expr("sum(CAST(dwell AS DECIMAL(38,0))) AS den"),
+        F.expr("sum(CAST(milli AS DECIMAL(38,0)) * dwell) AS num"),
+    )
+    return agg.where("den > 0").selectExpr(
+        "event_type",
+        "n_intervals",
+        "CAST(den AS DOUBLE) AS dwell_us",
+        "CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS twap_milli",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fellegi–Sunter probabilistic record-linkage scoring
+# ---------------------------------------------------------------------------
+
+# Per-field agreement/disagreement weights in milli-bits (fixed model
+# constants — in production, log2(m/u)·1000 from an EM fit; literals here
+# so the score is pure BIGINT arithmetic on both engines).
+_FS_W = {
+    "mid": (9000, -1300),  # chars 7-12: broken by the substitution variant
+    "len": (1000, -4000),  # length: broken by the deletion variant
+    "tail": (6000, -2500),  # last 3 chars: survives BOTH corruption models
+}
+_FS_LINK = 8000
+_FS_POSSIBLE = 0
+
+
+def _fs_score_sql(a: str, b: str) -> str:
+    """The FS score as one flat CASE sum — identical text on both engines."""
+    wm_a, wm_d = _FS_W["mid"]
+    wl_a, wl_d = _FS_W["len"]
+    wt_a, wt_d = _FS_W["tail"]
+    return (
+        f"CAST((CASE WHEN substr({a}, 7, 6) = substr({b}, 7, 6)"
+        f" THEN {wm_a} ELSE {wm_d} END)"
+        f" + (CASE WHEN length({a}) = length({b})"
+        f" THEN {wl_a} ELSE {wl_d} END)"
+        f" + (CASE WHEN right({a}, 3) = right({b}, 3)"
+        f" THEN {wt_a} ELSE {wt_d} END) AS BIGINT)"
+    )
+
+
+@query(
+    "er_fellegi_sunter_score",
+    oracle=f"""
+    WITH recs AS ({_ER_RECS_SQL.format(str_t="VARCHAR", customer="customer")}),
+    b AS (SELECT rec_id, name, substr(name, 1, 6) AS blk FROM recs),
+    pairs AS (
+      SELECT {_fs_score_sql("a.name", "b2.name")} AS score
+      FROM b a JOIN b b2 ON a.blk = b2.blk AND a.rec_id < b2.rec_id
+    ),
+    banded AS (
+      SELECT CASE WHEN score >= {_FS_LINK} THEN 'link'
+                  WHEN score >= {_FS_POSSIBLE} THEN 'possible'
+                  ELSE 'non_link' END AS decision, score
+      FROM pairs
+    )
+    SELECT decision, CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(min(score) AS BIGINT) AS min_score,
+           CAST(max(score) AS BIGINT) AS max_score
+    FROM banded GROUP BY decision
+    """,
+)
+def q_er_fellegi_sunter_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi–Sunter probabilistic match scoring (the decision-theoretic
+    half of record linkage; er_resolve_customers is the clustering half):
+    blocked candidate pairs are scored by summing per-field agreement /
+    disagreement log-odds weights, then banded by the two FS thresholds
+    into link / possible (clerical review) / non-link.
+
+    Fields on the synthetic directory (``_ER_RECS_SQL``, analytics.py):
+    mid chars 7-12 (the substitution variant corrupts position 9),
+    length (the deletion variant drops one char), and the 3-char tail
+    (survives both corruption models — deletion shifts but the tail is
+    drawn from the same suffix). The bands then land exactly where FS
+    theory says: deletion variants score 11000 (link), substitution
+    variants 5700 (possible — one strong field lost), random block
+    collisions -2800 (non-link). Weights are integer milli-bit literals,
+    so scores and decisions are exact BIGINTs on both engines — no
+    float log-odds knife edge.
+
+    The 100-TB shape: identical to er_resolve_customers — candidates
+    come from the block-key equi-join (hash shuffle), scoring is a flat
+    codegen'd CASE sum per pair, and the rollup is map-side combinable
+    to three rows. Block-size capping (max_df) is the production
+    hardening for hub blocks. Reference: worker.go:31-42's predicate +
+    combine shape applied to pair classification."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    recs = spark.sql(
+        _ER_RECS_SQL.format(str_t="STRING", customer="customer")
+    )
+    b = recs.selectExpr("rec_id", "name", "substr(name, 1, 6) AS blk")
+    left = b.selectExpr("rec_id AS ra", "name AS na", "blk")
+    right = b.selectExpr("rec_id AS rb", "name AS nb", "blk")
+    pairs = (
+        left.join(right, "blk")
+        .where(F.col("ra") < F.col("rb"))
+        .selectExpr(f"{_fs_score_sql('na', 'nb')} AS score")
+    )
+    banded = pairs.selectExpr(
+        f"CASE WHEN score >= {_FS_LINK} THEN 'link'"
+        f" WHEN score >= {_FS_POSSIBLE} THEN 'possible'"
+        f" ELSE 'non_link' END AS decision",
+        "score",
+    )
+    return banded.groupBy("decision").agg(
+        F.expr("CAST(count(*) AS BIGINT) AS n_pairs"),
+        F.expr("CAST(min(score) AS BIGINT) AS min_score"),
+        F.expr("CAST(max(score) AS BIGINT) AS max_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal-rank fusion of two integer-exact retrieval arms
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60  # the standard RRF damping constant (Cormack et al. 2009)
+
+_GRID_SQL = (
+    "list_transform(embedding, v -> CAST(greatest(-127.0, least(127.0,"
+    " floor(CAST(v AS DOUBLE) * 200 + 0.5))) AS BIGINT))"
+)
+
+
+@query(
+    "sim_rrf_fusion",
+    oracle=None,  # composed at import below (needs sim_ann_pq_adc's oracle)
+)
+def q_sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of two retrieval arms — the hybrid-search
+    combiner (RRF, Cormack et al. 2009; what OpenSearch/Vespa use to
+    merge BM25 with dense retrieval). Arm 1: exact L2 top-10 on the
+    int8 grid (full precision). Arm 2: the PQ asymmetric-distance
+    top-10 (compressed domain, sim_ann_pq_adc reused verbatim). Fused
+    score = Σ 1e6 DIV (60 + rank) over the arms that returned the
+    candidate; missing-from-arm contributes 0 — RRF's robustness comes
+    precisely from ignoring the arms' incomparable score scales and
+    using only ranks.
+
+    Exactness: both arm rankings are pure integer distances with
+    (dist, vec_id) tie-breaks, and the RRF contribution is integer
+    division — so unlike weighted-sum score fusion, the ENTIRE fused
+    ranking carries a DuckDB value oracle (composed from the ADC arm's
+    own oracle as a CTE).
+
+    The 100-TB shape: each arm is already bounded (broadcast query set,
+    per-query top-k via partitioned row_number → TakeOrdered at scale);
+    fusion joins two k-row-per-query lists on (query, candidate) — a
+    shuffle of 2·k·Q id rows, independent of corpus size. The arms
+    disagree enough to matter here (ADC's nprobe/quantization price,
+    see sim_ann_ivfpq), which is exactly when RRF's rank blending
+    beats either arm alone."""
+    from distgrep_spark.queries.analytics import q_sim_ann_pq_adc
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q8 = emb.selectExpr(
+        "vec_id",
+        "transform(embedding, v -> CAST(greatest(-127.0D, least(127.0D,"
+        " floor(CAST(v AS DOUBLE) * 200 + 0.5))) AS BIGINT)) AS qv",
+    )
+    qs = q8.where(F.col("vec_id") < 5).selectExpr(
+        "vec_id AS query_id", "qv AS qqv"
+    )
+    scored = (
+        q8.join(F.broadcast(qs), F.col("vec_id") != F.col("query_id"))
+        .selectExpr(
+            "query_id",
+            "vec_id",
+            "aggregate(zip_with(qv, qqv, (a, b) -> (a - b) * (a - b)),"
+            " CAST(0 AS BIGINT), (acc, x) -> acc + x) AS dist",
+        )
+    )
+    arm_l2 = (
+        scored.selectExpr(
+            "query_id",
+            "vec_id",
+            "row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id)"
+            " AS r",
+        )
+        .where("r <= 10")
+        .selectExpr("query_id AS qa", "vec_id AS va", "r AS ra")
+    )
+    arm_adc = q_sim_ann_pq_adc(spark, sf_dir).selectExpr(
+        "query_id AS qb", "vec_id AS vb", "rank AS rb"
+    )
+    fused = (
+        arm_l2.join(
+            arm_adc,
+            (F.col("qa") == F.col("qb")) & (F.col("va") == F.col("vb")),
+            "full_outer",
+        )
+        .selectExpr(
+            "coalesce(qa, qb) AS query_id",
+            "coalesce(va, vb) AS vec_id",
+            f"coalesce(CAST(1000000 AS BIGINT) DIV ({_RRF_K} + ra), 0)"
+            f" + coalesce(CAST(1000000 AS BIGINT) DIV ({_RRF_K} + rb), 0)"
+            " AS rrf_score",
+        )
+    )
+    return (
+        fused.selectExpr(
+            "query_id",
+            "vec_id",
+            "rrf_score",
+            "row_number() OVER (PARTITION BY query_id"
+            " ORDER BY rrf_score DESC, vec_id) AS fused_rank",
+        )
+        .where("fused_rank <= 10")
+    )
+
+
+# The fused oracle reuses the ADC arm's registered oracle as a CTE so the
+# two stay in lockstep (queries/__init__.py imports analytics first).
+ORACLES["sim_rrf_fusion"] = f"""
+    WITH adc AS ({ORACLES["sim_ann_pq_adc"]}),
+    q8 AS (SELECT vec_id, {_GRID_SQL} AS qv FROM embeddings),
+    l2 AS (
+      SELECT q.vec_id AS query_id, c.vec_id,
+             CAST(list_sum(list_transform(list_zip(c.qv, q.qv),
+                    p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS dist
+      FROM q8 c JOIN q8 q ON q.vec_id < 5 AND c.vec_id <> q.vec_id
+    ),
+    arm_l2 AS (
+      SELECT query_id, vec_id, r FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY dist, vec_id) AS r
+        FROM l2
+      ) WHERE r <= 10
+    ),
+    fused AS (
+      SELECT coalesce(a.query_id, b.query_id) AS query_id,
+             coalesce(a.vec_id, b.vec_id) AS vec_id,
+             coalesce(CAST(1000000 AS BIGINT) // ({_RRF_K} + a.r), 0)
+               + coalesce(CAST(1000000 AS BIGINT) // ({_RRF_K} + b.rank), 0)
+               AS rrf_score
+      FROM arm_l2 a FULL JOIN adc b
+        ON a.query_id = b.query_id AND a.vec_id = b.vec_id
+    )
+    SELECT query_id, vec_id, rrf_score, fused_rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY rrf_score DESC, vec_id)
+               AS fused_rank
+      FROM fused
+    ) WHERE fused_rank <= 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# Cross-source quantile normalization
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "corpus_quantile_normalize",
+    oracle="""
+    WITH d AS (SELECT doc_id, source, CAST(n_chars AS BIGINT) AS v
+               FROM documents),
+    nn AS (SELECT count(*) AS n FROM d),
+    s AS (
+      SELECT doc_id, source, v,
+             row_number() OVER (PARTITION BY source ORDER BY v, doc_id) AS r,
+             count(*) OVER (PARTITION BY source) AS ns
+      FROM d
+    ),
+    p AS (
+      SELECT v AS pooled_val,
+             row_number() OVER (ORDER BY v, doc_id) AS t
+      FROM d
+    ),
+    m AS (
+      SELECT s.source, s.v, p.pooled_val
+      FROM s CROSS JOIN nn
+      JOIN p ON p.t = ((2 * s.r - 1) * nn.n) // (2 * s.ns) + 1
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(abs(pooled_val - v)) AS BIGINT) AS total_shift,
+           CAST(min(pooled_val) AS BIGINT) AS min_norm,
+           CAST(max(pooled_val) AS BIGINT) AS max_norm,
+           CAST(CAST(sum(pooled_val) AS HUGEINT) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS mean_norm
+    FROM m GROUP BY source
+    """,
+)
+def q_corpus_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source quantile normalization — replace each document's
+    value (n_chars as the stand-in quality score) with the POOLED
+    corpus value at the equivalent rank, so every source ends up with
+    the same marginal distribution (the batch-effect correction from
+    genomics, and the score-calibration step before cross-source
+    thresholding in corpus curation).
+
+    Exactness: the within-source midrank maps to a pooled rank by
+    integer cross-multiplication ``t = ((2r-1)·N) DIV (2·n_s) + 1`` —
+    never a float percentile, never interpolation — and the pooled
+    rank itself is exact, so the normalized value is a real corpus
+    value picked deterministically (ties broken by doc_id on both
+    sides). The audit output re-aggregates in exact BIGINTs.
+
+    The 100-TB shape: the pooled-side global rank — the term that grows
+    with the corpus — runs through ``operators/distrank.py`` (bucketed
+    hash-partitioned windows + driver-folded offsets; no Exchange
+    SinglePartition). The rank→value mapping is then an equi-join on
+    the pooled rank, hash-distributed. The within-source rank windows
+    hash-partition by source; a source that alone outgrows a task gets
+    the same distrank treatment keyed per source (boundaries from
+    approx_percentile grouped by source) — the machinery is
+    composition-ready, the shipped plan shows the pooled side."""
+    from distgrep_spark.operators.distrank import (
+        array_lit,
+        bucket_expr,
+        exclusive_prefixes,
+        percentile_boundaries,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .selectExpr("doc_id", "source", "CAST(n_chars AS BIGINT) AS v")
+        .localCheckpoint()
+    )
+    bs = percentile_boundaries(docs, "v", 64)
+    db = docs.selectExpr(
+        "doc_id", "source", "v", f"{bucket_expr('v', bs, 'bigint')} AS bk"
+    )
+    pre, tot = exclusive_prefixes(
+        db, "bk", {"cnt": "CAST(count(*) AS BIGINT)"}, {"cnt": "sum"}
+    )
+    n_total = int(tot["cnt"] or 0)
+    offs = array_lit(pre["cnt"], "bigint")
+    pooled = db.selectExpr(
+        "v AS pooled_val",
+        f"element_at({offs}, bk + 1) + row_number() OVER"
+        " (PARTITION BY bk ORDER BY v, doc_id) AS t",
+    )
+    src = docs.selectExpr(
+        "source",
+        "v",
+        "row_number() OVER (PARTITION BY source ORDER BY v, doc_id) AS r",
+        "count(*) OVER (PARTITION BY source) AS ns",
+    )
+    tgt = src.selectExpr(
+        "source",
+        "v",
+        f"((2 * r - 1) * CAST({n_total} AS BIGINT)) DIV (2 * ns) + 1 AS t",
+    )
+    m = tgt.join(pooled, "t")
+    return m.groupBy("source").agg(
+        F.expr("CAST(count(*) AS BIGINT) AS n_docs"),
+        F.expr("CAST(sum(abs(pooled_val - v)) AS BIGINT) AS total_shift"),
+        F.expr("CAST(min(pooled_val) AS BIGINT) AS min_norm"),
+        F.expr("CAST(max(pooled_val) AS BIGINT) AS max_norm"),
+        F.expr(
+            "CAST(sum(pooled_val) AS DOUBLE) / CAST(count(*) AS DOUBLE)"
+            " AS mean_norm"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental materialized-view maintenance with recompute certificate
+# ---------------------------------------------------------------------------
+
+_MV_CUTOFF = "1998-01-01"
+
+
+@query(
+    "mv_incremental_maintain",
+    oracle=f"""
+    WITH o AS (
+      SELECT o_custkey, o_orderdate,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+             date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               AS d
+      FROM orders
+    ),
+    mb AS (
+      SELECT o_custkey, CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum(cents) AS BIGINT) AS cents, max(d) AS last_d
+      FROM o WHERE o_orderdate < TIMESTAMP '{_MV_CUTOFF}' GROUP BY o_custkey
+    ),
+    md AS (
+      SELECT o_custkey, CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum(cents) AS BIGINT) AS cents, max(d) AS last_d
+      FROM o WHERE o_orderdate >= TIMESTAMP '{_MV_CUTOFF}' GROUP BY o_custkey
+    ),
+    merged AS (
+      SELECT coalesce(mb.o_custkey, md.o_custkey) AS k,
+             coalesce(mb.cnt, 0) + coalesce(md.cnt, 0) AS cnt,
+             coalesce(mb.cents, 0) + coalesce(md.cents, 0) AS cents,
+             greatest(coalesce(mb.last_d, -1), coalesce(md.last_d, -1))
+               AS last_d
+      FROM mb FULL JOIN md ON mb.o_custkey = md.o_custkey
+    ),
+    fullv AS (
+      SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum(cents) AS BIGINT) AS cents, max(d) AS last_d
+      FROM o GROUP BY o_custkey
+    ),
+    audit AS (
+      SELECT m.k,
+             CASE WHEN f.k IS NULL OR m.cnt <> f.cnt OR m.cents <> f.cents
+                       OR m.last_d <> f.last_d
+                  THEN 1 ELSE 0 END AS mismatch,
+             m.cnt, m.cents, m.last_d
+      FROM merged m FULL JOIN fullv f ON m.k = f.k
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(mismatch) AS BIGINT) AS n_mismatch,
+           CAST(sum(cnt) AS BIGINT) AS total_orders,
+           CAST(CAST(sum(cents) AS HUGEINT) AS DOUBLE) AS total_cents,
+           CAST(max(last_d) AS BIGINT) AS max_last_day
+    FROM audit
+    """,
+)
+def q_mv_incremental_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: the per-customer order
+    summary (count / cents / last-order day) maintained by merging the
+    pre-cutoff base snapshot with the post-cutoff delta batch's partial
+    aggregates — count and sum are additive, max is monotone, so the
+    merge is pure per-key arithmetic on two bounded aggregate tables,
+    never a re-scan of history. A full-outer reconciliation against the
+    full recompute CERTIFIES the merge (n_mismatch must be 0) — the
+    algebraic-soundness check you run once per pipeline change, while
+    production runs only base ⊕ delta.
+
+    This is the batch statement of the commutative-monoid property that
+    Spark's own partial aggregation (worker.go:31-42's combine in the
+    reference; HashAggregate partial/final here) relies on within one
+    query — lifted across BATCHES, it is exactly why foreachBatch MERGE
+    / streaming state updates are sound. At 100 TB: the base snapshot
+    is a per-key table read once, the delta scan is bounded by new
+    data, both sides hash-partition on the key, and AVG-class views
+    store (sum, count) pairs — never the ratio — to stay mergeable.
+
+    Exactness: money in integer cents, dates as epoch-day integers, the
+    one DOUBLE output cast from an exact DECIMAL(38,0)/HUGEINT total."""
+    o = load_table(spark, sf_dir, "orders").selectExpr(
+        "o_custkey",
+        "o_orderdate",
+        "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents",
+        "datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') AS d",
+    )
+    cutoff = F.lit(_MV_CUTOFF).cast("timestamp")
+
+    def _agg(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_custkey").agg(
+            F.expr("CAST(count(*) AS BIGINT) AS cnt"),
+            F.expr("CAST(sum(cents) AS BIGINT) AS cents"),
+            F.expr("max(d) AS last_d"),
+        )
+
+    mb = _agg(o.where(F.col("o_orderdate") < cutoff)).selectExpr(
+        "o_custkey AS kb", "cnt AS cnt_b", "cents AS cents_b",
+        "last_d AS last_b",
+    )
+    md = _agg(o.where(F.col("o_orderdate") >= cutoff)).selectExpr(
+        "o_custkey AS kd", "cnt AS cnt_d", "cents AS cents_d",
+        "last_d AS last_dd",
+    )
+    merged = mb.join(md, F.col("kb") == F.col("kd"), "full_outer").selectExpr(
+        "coalesce(kb, kd) AS k",
+        "coalesce(cnt_b, 0) + coalesce(cnt_d, 0) AS cnt",
+        "coalesce(cents_b, 0) + coalesce(cents_d, 0) AS cents",
+        "greatest(coalesce(last_b, -1), coalesce(last_dd, -1)) AS last_d",
+    )
+    fullv = _agg(o).selectExpr(
+        "o_custkey AS kf", "cnt AS cnt_f", "cents AS cents_f",
+        "last_d AS last_f",
+    )
+    audit = merged.join(
+        fullv, F.col("k") == F.col("kf"), "full_outer"
+    ).selectExpr(
+        "CASE WHEN kf IS NULL OR k IS NULL OR cnt <> cnt_f"
+        " OR cents <> cents_f OR last_d <> last_f THEN 1 ELSE 0 END"
+        " AS mismatch",
+        "cnt",
+        "cents",
+        "last_d",
+    )
+    return audit.agg(
+        F.expr("CAST(count(*) AS BIGINT) AS n_keys"),
+        F.expr("CAST(sum(mismatch) AS BIGINT) AS n_mismatch"),
+        F.expr("CAST(sum(cnt) AS BIGINT) AS total_orders"),
+        F.expr("CAST(sum(CAST(cents AS DECIMAL(38,0))) AS DOUBLE)"
+               " AS total_cents"),
+        F.expr("CAST(max(last_d) AS BIGINT) AS max_last_day"),
+    )
