@@ -2485,3 +2485,160 @@ def q_text_ngram_novelty_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / CAST(n_distinct_grams AS DOUBLE) AS introduction_share",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 lexical retrieval (rational-idf variant, fully value-oracled)
+# ---------------------------------------------------------------------------
+
+# Fixed query workload: two 2-term queries, one pairing a rare
+# discriminative term ('dup', df~5% — the planted near-dup marker) with a
+# common one, one pairing two common terms. Slots a/b let the per-query
+# rational sum pivot into fixed columns.
+_BM25_QT = [
+    (0, "dup", "a"),
+    (0, "scan", "b"),
+    (1, "join", "a"),
+    (1, "hash", "b"),
+]
+
+
+@query(
+    "text_bm25_topk",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
+    sc AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(dl) AS BIGINT) AS sumdl FROM dl),
+    tf AS (
+      SELECT doc_id, u AS tok, CAST(count(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest(t) AS u FROM toks)
+      WHERE u IN ('dup', 'scan', 'join', 'hash')
+      GROUP BY doc_id, u
+    ),
+    dfv AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+    qt (query_id, term, slot) AS (
+      VALUES (0, 'dup', 'a'), (0, 'scan', 'b'),
+             (1, 'join', 'a'), (1, 'hash', 'b')
+    ),
+    term AS (
+      SELECT qt.query_id, qt.slot, tf.doc_id,
+             44 * (sc.n - dfv.df + 1) * tf.tf * sc.sumdl AS n_t,
+             (dfv.df + 1) * (20 * sc.sumdl * tf.tf + 6 * sc.sumdl
+                             + 18 * dl.dl * sc.n) AS d_t
+      FROM tf
+      JOIN dfv USING (tok)
+      JOIN dl USING (doc_id)
+      JOIN qt ON qt.term = tf.tok
+      CROSS JOIN sc
+    ),
+    piv AS (
+      SELECT query_id, doc_id,
+             coalesce(max(CASE WHEN slot = 'a' THEN n_t END), 0) AS na,
+             coalesce(max(CASE WHEN slot = 'a' THEN d_t END), 1) AS da,
+             coalesce(max(CASE WHEN slot = 'b' THEN n_t END), 0) AS nb,
+             coalesce(max(CASE WHEN slot = 'b' THEN d_t END), 1) AS db
+      FROM term GROUP BY query_id, doc_id
+    ),
+    scored AS (
+      SELECT query_id, doc_id,
+             CAST(CAST(na AS HUGEINT) * db + CAST(nb AS HUGEINT) * da
+                  AS DOUBLE)
+               / CAST(CAST(da AS HUGEINT) * db AS DOUBLE) AS score
+      FROM piv
+    )
+    SELECT query_id, doc_id, score, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, doc_id) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval: top-10 documents per fixed 2-term query —
+    the sparse arm of hybrid search (what sim_rrf_fusion fuses with a
+    dense arm in production). k1 = 1.2, b = 0.75 (the Robertson
+    defaults), with ONE documented deviation: idf is the rational
+    (N - df + 1)/(df + 1) instead of its logarithm — a monotone
+    transform of the same quantity (single-term rankings are identical
+    to true BM25; multi-term rankings weight rare terms more sharply),
+    chosen because ln is not correctly rounded cross-engine
+    (CLAUDE.md transcendental rule) while this form keeps EVERY
+    ranking score an exact rational.
+
+    Exactness: with k1 = 6/5 and b = 3/4, the per-term score clears
+    denominators to n_t/d_t = 44·(N-df+1)·tf·sumdl /
+    [(df+1)·(20·sumdl·tf + 6·sumdl + 18·dl·N)] — all BIGINT (peaks
+    ~4e13 at x16). The 2-term sum cross-multiplies in DECIMAL(38,0)/
+    HUGEINT (~5e26, 11 orders inside the 128-bit range) and casts once
+    to DOUBLE: identical correctly-rounded division on both engines, so
+    the full ranking (not just recall) carries the DuckDB oracle.
+
+    The 100-TB shape: tf is the classic inverted-index rollup — the
+    token explode filters to the query vocabulary FIRST (predicate on
+    the generator output, map-side), so the shuffle carries only
+    query-term postings, never the corpus vocabulary; df and the
+    (N, sumdl) corpus scalars are bounded broadcasts; top-k per query
+    is the TakeOrdered shape. Adding BM25F fields or more queries
+    changes constants, not the plan. Reference: the reference's grep
+    predicate + combine (worker.go:33-42) is the df rollup's shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.selectExpr("doc_id", r"split(trim(text), '\\s+') AS t")
+    dl = toks.selectExpr("doc_id", "CAST(size(t) AS BIGINT) AS dl")
+    sc = dl.agg(
+        F.expr("CAST(count(*) AS BIGINT) AS n"),
+        F.expr("CAST(sum(dl) AS BIGINT) AS sumdl"),
+    )
+    terms = ", ".join(f"'{t}'" for _, t, _ in _BM25_QT)
+    tf = (
+        toks.selectExpr("doc_id", "explode(t) AS tok")
+        .where(f"tok IN ({terms})")
+        .groupBy("doc_id", "tok")
+        .agg(F.expr("CAST(count(*) AS BIGINT) AS tf"))
+    )
+    dfv = tf.groupBy("tok").agg(F.expr("CAST(count(*) AS BIGINT) AS df"))
+    qt_rows = ", ".join(
+        f"({qid}, '{t}', '{s}')" for qid, t, s in _BM25_QT
+    )
+    qt = spark.sql(
+        f"SELECT * FROM VALUES {qt_rows} AS t(query_id, term, slot)"
+    )
+    term = (
+        tf.join(F.broadcast(dfv), "tok")
+        .join(dl, "doc_id")
+        .join(F.broadcast(qt), F.col("tok") == F.col("term"))
+        .crossJoin(F.broadcast(sc))
+        .selectExpr(
+            "query_id",
+            "slot",
+            "doc_id",
+            "44 * (n - df + 1) * tf * sumdl AS n_t",
+            "(df + 1) * (20 * sumdl * tf + 6 * sumdl + 18 * dl * n) AS d_t",
+        )
+    )
+    piv = term.groupBy("query_id", "doc_id").agg(
+        F.expr("coalesce(max(CASE WHEN slot = 'a' THEN n_t END), 0) AS na"),
+        F.expr("coalesce(max(CASE WHEN slot = 'a' THEN d_t END), 1) AS da"),
+        F.expr("coalesce(max(CASE WHEN slot = 'b' THEN n_t END), 0) AS nb"),
+        F.expr("coalesce(max(CASE WHEN slot = 'b' THEN d_t END), 1) AS db"),
+    )
+    scored = piv.selectExpr(
+        "query_id",
+        "doc_id",
+        "CAST(CAST(na AS DECIMAL(38,0)) * db + CAST(nb AS DECIMAL(38,0)) * da"
+        " AS DOUBLE) / CAST(CAST(da AS DECIMAL(38,0)) * db AS DOUBLE)"
+        " AS score",
+    )
+    return (
+        scored.selectExpr(
+            "query_id",
+            "doc_id",
+            "score",
+            "row_number() OVER (PARTITION BY query_id"
+            " ORDER BY score DESC, doc_id) AS rank",
+        )
+        .where("rank <= 10")
+    )

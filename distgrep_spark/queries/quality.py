@@ -2624,3 +2624,79 @@ def q_layout_zorder_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(max(xs) - min(xs) + 1 AS BIGINT) AS xs_span"),
         F.expr("CAST(max(ys) - min(ys) + 1 AS BIGINT) AS ys_span"),
     )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit over quasi-identifiers
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dq_k_anonymity",
+    oracle="""
+    WITH g AS (
+      SELECT c_nationkey, c_mktsegment,
+             (CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) + 100000)
+               // 100000 AS bal_band,
+             CAST(count(*) AS BIGINT) AS sz
+      FROM customer GROUP BY 1, 2, 3
+    ),
+    e AS (SELECT sz, unnest([2, 5, 10]) AS k FROM g)
+    SELECT CAST(k AS BIGINT) AS k,
+           CAST(sum(CASE WHEN sz < k THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_groups_at_risk,
+           CAST(sum(CASE WHEN sz < k THEN sz ELSE 0 END) AS BIGINT)
+             AS n_rows_at_risk,
+           CAST(sum(CASE WHEN sz < k THEN sz ELSE 0 END) AS DOUBLE)
+             / CAST(sum(sz) AS DOUBLE) AS suppress_frac
+    FROM e GROUP BY k
+    """,
+)
+def q_dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (Sweeney 2002) — the privacy-hygiene screen a
+    training-data pipeline runs before releasing or joining
+    PII-adjacent tables: group the population by its quasi-identifiers
+    (nation x market segment x $1000 balance band — the attribute
+    combination an adversary can link externally), then report, for
+    each candidate k, how many equivalence classes fall below k members
+    and what fraction of ROWS would need suppression or coarser
+    generalization to reach k-anonymity.
+
+    Exactness: the balance band shifts cents positive BEFORE the
+    integer division (+100000 covers TPC-H's -999.99 floor) because
+    Spark's DIV truncates toward zero while negative-operand floor
+    semantics differ — the shift makes both engines see the same
+    positive lattice (the CAST/DIV gotcha, CLAUDE.md). Group sizes,
+    risk counts, and the suppression numerator are exact BIGINTs; the
+    fraction is one correctly-rounded division.
+
+    The 100-TB shape: one map-side-combinable rollup over the
+    population (the equivalence-class table is bounded by the QID
+    domain, not the row count), then a 3x explode of that rollup for
+    the k-sweep — no scalar-subquery second scan, no join. At scale
+    the same rollup feeds l-diversity (add a sensitive-value
+    count-distinct per class) without a new shuffle."""
+    cust = load_table(spark, sf_dir, "customer")
+    g = cust.selectExpr(
+        "c_nationkey",
+        "c_mktsegment",
+        "(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) + 100000)"
+        " DIV 100000 AS bal_band",
+    ).groupBy("c_nationkey", "c_mktsegment", "bal_band").agg(
+        F.expr("CAST(count(*) AS BIGINT) AS sz")
+    )
+    e = g.selectExpr("sz", "explode(array(2, 5, 10)) AS k")
+    return e.groupBy(F.expr("CAST(k AS BIGINT)").alias("k")).agg(
+        F.expr(
+            "CAST(sum(CASE WHEN sz < k THEN 1 ELSE 0 END) AS BIGINT)"
+            " AS n_groups_at_risk"
+        ),
+        F.expr(
+            "CAST(sum(CASE WHEN sz < k THEN sz ELSE 0 END) AS BIGINT)"
+            " AS n_rows_at_risk"
+        ),
+        F.expr(
+            "CAST(sum(CASE WHEN sz < k THEN sz ELSE 0 END) AS DOUBLE)"
+            " / CAST(sum(sz) AS DOUBLE) AS suppress_frac"
+        ),
+    )

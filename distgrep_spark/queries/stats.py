@@ -1681,3 +1681,87 @@ def q_stats_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             " > 3 * s_t AS drift_down",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Theil–Sen robust trend (median of pairwise slopes)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stats_theil_sen",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT a.event_type, a.d AS d1, b.d AS d2,
+             CAST(b.c - a.c AS DOUBLE) / CAST(b.d - a.d AS DOUBLE) AS slope
+      FROM daily a JOIN daily b
+        ON a.event_type = b.event_type AND a.d < b.d
+    ),
+    r AS (
+      SELECT event_type, slope,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY slope, d1, d2) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS np
+      FROM pairs
+    )
+    SELECT event_type, CAST(np AS BIGINT) AS n_pairs,
+           slope AS median_slope
+    FROM r WHERE rn = (np + 1) // 2
+    """,
+)
+def q_stats_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend per event type: the median of all
+    pairwise slopes of the daily-count series — the slope estimator
+    with a 29% breakdown point that one outlier day cannot move, the
+    robust complement to stats_ols_trend's least-squares fit (which a
+    single corrupted day drags arbitrarily).
+
+    Determinism: each slope is ONE correctly-rounded IEEE division of
+    exact BIGINTs (count delta / day delta), so both engines hold
+    bit-identical slope sets; the median is picked by rank under the
+    total order (slope, d1, d2) — the lower median at rank
+    (n+1) DIV 2, a real pair's slope, never an interpolated midpoint
+    (interpolation would reopen the float-formula divergence,
+    CLAUDE.md quantile gotcha).
+
+    The 100-TB shape: the O(rows) work is the one map-side-combinable
+    (type, day) rollup; the O(days²) pair join runs on that rollup,
+    whose size is CALENDAR-bounded (30 days here; 3650 for a decade →
+    ≤6.7M pairs per type), not data-bounded — the same
+    rollup-then-quadratic-on-the-rollup design as
+    events_autocorr_hourly. For series where the spine itself is huge
+    (per-entity trends), production Theil–Sen samples pairs; the
+    estimator is defined on any pair subset."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.selectExpr(
+        "event_type",
+        "datediff(CAST(ts AS DATE), DATE '1970-01-01') AS d",
+    ).groupBy("event_type", "d").agg(
+        F.expr("CAST(count(*) AS BIGINT) AS c")
+    )
+    a = daily.selectExpr("event_type AS et_a", "d AS d1", "c AS c1")
+    b = daily.selectExpr("event_type AS et_b", "d AS d2", "c AS c2")
+    pairs = a.join(
+        b, (F.col("et_a") == F.col("et_b")) & (F.col("d1") < F.col("d2"))
+    ).selectExpr(
+        "et_a AS event_type",
+        "d1",
+        "d2",
+        "CAST(c2 - c1 AS DOUBLE) / CAST(d2 - d1 AS DOUBLE) AS slope",
+    )
+    r = pairs.selectExpr(
+        "event_type",
+        "slope",
+        "row_number() OVER (PARTITION BY event_type"
+        " ORDER BY slope, d1, d2) AS rn",
+        "count(*) OVER (PARTITION BY event_type) AS np",
+    )
+    return r.where("rn = (np + 1) DIV 2").selectExpr(
+        "event_type", "CAST(np AS BIGINT) AS n_pairs", "slope AS median_slope"
+    )
