@@ -703,3 +703,27 @@ def test_unimax_waterfill_matches_iterative_simulation(spark):
         assert alloc == (caps[s] if is_capped else share), (s, alloc, share)
     # both regimes must actually be exercised on the fixture
     assert 0 < len(capped) < len(caps)
+
+
+def test_dp_laplace_margins_and_mechanism(spark):
+    """Pin the privacy_dp_count_laplace claims: (1) every ln draw's
+    1e4-scaled value sits >= 0.1 from a rounding boundary (the
+    cross-engine determinism precondition — libm disagreement is
+    ~4e-15); (2) the released value equals true + the Python-computed
+    Laplace(b=2) noise at 1e-4 granularity; (3) the noise is nonzero
+    (the mechanism isn't vacuously the identity)."""
+    import hashlib
+    import math
+
+    rows = q.QUERIES["privacy_dp_count_laplace"](spark, SF).collect()
+    assert rows, "no segments"
+    for r in rows:
+        h = hashlib.md5(f"dp1:{r['segment']}".encode()).hexdigest()
+        u52 = int(h[:13], 16)
+        t_num = max(2**52 - abs(2 * (u52 + 1) - 2**52), 1)
+        v = math.log(t_num / 2**52) * 10000
+        assert abs(abs(v - round(v)) - 0.5) >= 0.1, (r["segment"], v)
+        sgn = 1 if 2 * (u52 + 1) - 2**52 > 0 else -1
+        expect = (r["n_true"] * 10000 - sgn * 2 * round(v)) / 10000.0
+        assert r["noisy_count"] == expect, r
+        assert r["abs_noise"] > 0, r
