@@ -77,8 +77,10 @@ SCOREBOARD_PREFIX = [
     "orders_rfm_segments",
     # dedup (round 4: the scored exact-Jaccard row is the max_df-capped
     # production plan; the uncapped ground-truth baseline moved to the
-    # POST_PREFIX front and keeps its oracle)
-    "dedup_exact",
+    # POST_PREFIX front and keeps its oracle. Round 5: dedup_exact
+    # demoted — its machinery is a scored stage INSIDE
+    # corpus_curation_pipeline — freeing a slot for the incremental-MV
+    # family)
     "dedup_ngram_jaccard_capped",
     "dedup_minhash_recall",
     "dedup_simhash_exactdup",
@@ -86,10 +88,14 @@ SCOREBOARD_PREFIX = [
     "corpus_curation_pipeline",
     "dedup_embedding_cosine",
     "dedup_cross_corpus",
-    # similarity / clustering
+    # similarity / clustering (round 5: sim_ann_ivf_recall demoted —
+    # the LSH gate keeps a recall row scored, and the fusion row
+    # value-oracles BOTH the exact-L2 arm and the PQ-ADC compressed
+    # arm end to end, a strictly stronger certificate than a second
+    # recall boolean)
     "sim_cosine_topk",
     "sim_ann_lsh_recall",
-    "sim_ann_ivf_recall",
+    "sim_rrf_fusion",
     "kmeans_assign_step",
     "embedding_index_pipeline",
     "embed_pca_power_step",
@@ -103,9 +109,11 @@ SCOREBOARD_PREFIX = [
     # Z-order data-layout planner is a NEW scored category, not a
     # variant. text_curation_funnel stays POST_PREFIX-front + oracled.
     "layout_zorder_sort",
-    # multimodal
+    # multimodal (frame_sample demoted round 5: metadata keeps the
+    # family's scored row; the slot gives the NEW privacy family —
+    # DP release mechanism, derandomized transcendental — a scored row)
     "multimodal_metadata",
-    "multimodal_frame_sample",
+    "privacy_dp_count_laplace",
     # streaming batch twins
     "stream_tumbling_counts",
     "stream_session_counts",
@@ -116,6 +124,10 @@ SCOREBOARD_PREFIX = [
     # merge_upsert; the slot goes to FLAGSHIP 3, the one-exchange
     # behavioral pipeline)
     "merge_upsert_snapshot",
+    # round 5: incremental materialized-view maintenance — the
+    # base-plus-delta merge with a recompute-equality certificate
+    # (dedup_exact's former slot)
+    "mv_incremental_maintain",
     "events_behavior_pipeline",
 ]
 
@@ -124,6 +136,20 @@ SCOREBOARD_PREFIX = [
 # next entries it should spend rows on (distinct shapes before the
 # redundant grep/scalar/window variants that close the list).
 POST_PREFIX = [
+    # demoted round 5 (slots went to sim_rrf_fusion /
+    # mv_incremental_maintain / privacy_dp_count_laplace); all still
+    # fully oracle-checked
+    "sim_ann_ivf_recall",
+    "dedup_exact",
+    "multimodal_frame_sample",
+    # round-5 batches 29-31, strongest-first if the window ever widens
+    "text_bm25_topk",
+    "er_fellegi_sunter_score",
+    "events_twap",
+    "corpus_quantile_normalize",
+    "dq_k_anonymity",
+    "stats_theil_sen",
+    "graph_label_prop_step",
     # displaced round 5 by layout_zorder_sort; still oracle-checked
     "text_curation_funnel",
     # demoted round 5: its slot went to orders_rfm_segments (distributed
