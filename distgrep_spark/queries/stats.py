@@ -1765,3 +1765,218 @@ def q_stats_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.where("rn = (np + 1) DIV 2").selectExpr(
         "event_type", "CAST(np AS BIGINT) AS n_pairs", "slope AS median_slope"
     )
+
+
+# ---------------------------------------------------------------------------
+# CUPED variance-reduced experiment readout
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stats_cuped_adjustment",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id,
+             CAST(user_id % 2 AS BIGINT) AS arm,
+             date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+             CAST(floor(value * 1000 + 0.5) AS BIGINT) AS milli
+      FROM events
+    ),
+    u AS (
+      SELECT user_id, arm,
+             CAST(sum(CASE WHEN d < 15 THEN milli ELSE 0 END) AS BIGINT)
+               AS x,
+             CAST(sum(CASE WHEN d >= 15 THEN milli ELSE 0 END) AS BIGINT)
+               AS y
+      FROM ev GROUP BY user_id, arm
+    ),
+    pool AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+             CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+      FROM u
+    ),
+    th AS (
+      SELECT CAST(n AS HUGEINT) AS n, sx, sy,
+             CAST(CAST(n AS HUGEINT) * sxy
+                  - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+               / CAST(CAST(n AS HUGEINT) * sxx
+                      - CAST(sx AS HUGEINT) * sx AS DOUBLE) AS theta,
+             CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS xbar
+      FROM pool
+    ),
+    a AS (
+      SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(x) AS BIGINT) AS asx, CAST(sum(y) AS BIGINT) AS asy
+      FROM u GROUP BY arm
+    )
+    SELECT a.arm, a.n_users,
+           CAST(a.asy AS DOUBLE) / CAST(a.n_users AS DOUBLE) AS mean_y,
+           CAST(a.asy AS DOUBLE) / CAST(a.n_users AS DOUBLE)
+             - th.theta * (CAST(a.asx AS DOUBLE) / CAST(a.n_users AS DOUBLE)
+                           - th.xbar) AS mean_y_adj,
+           th.theta AS theta
+    FROM a CROSS JOIN th
+    """,
+)
+def q_stats_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng et al. 2013) — the experimentation
+    workhorse beside stats_ab_ztest / stats_diff_in_diff: adjust each
+    arm's post-period metric by theta x (pre-period covariate deviation
+    from the pooled mean), where theta = cov(X,Y)/var(X) over the
+    pooled population. Pre-period behavior is unaffected by treatment,
+    so the adjustment removes covariate variance without biasing the
+    arm contrast — the same readout with tighter error bars.
+
+    Exactness: per-user pre/post milli sums are exact BIGINTs; the
+    pooled moments widen through DECIMAL(38,0)/HUGEINT (x*y peaks
+    ~1e13 per user; the n*sxy product needs 128-bit); theta, the
+    pooled mean, and each arm's adjusted mean are a FIXED tree of
+    correctly-rounded IEEE div/mul/sub over those exact integers —
+    identical text on both engines, no rounding margin needed
+    (CLAUDE.md sqrt/div rule). Day boundaries are integer epoch-day
+    offsets from the fixture anchor, never timezone-touched.
+
+    The 100-TB shape: ONE user_id shuffle builds the per-user
+    covariate/metric rollup; the pooled moments and each arm's sums
+    are map-side-combinable aggregates of that rollup; theta is a
+    1-row broadcast (the scalar crossJoin idiom). Nothing beyond the
+    first rollup scales with events."""
+    ev = load_table(spark, sf_dir, "events").selectExpr(
+        "user_id",
+        "CAST(user_id % 2 AS BIGINT) AS arm",
+        "datediff(CAST(ts AS DATE), DATE '2024-01-01') AS d",
+        "CAST(floor(value * 1000 + 0.5) AS BIGINT) AS milli",
+    )
+    u = ev.groupBy("user_id", "arm").agg(
+        F.expr(
+            "CAST(sum(CASE WHEN d < 15 THEN milli ELSE 0 END) AS BIGINT)"
+            " AS x"
+        ),
+        F.expr(
+            "CAST(sum(CASE WHEN d >= 15 THEN milli ELSE 0 END) AS BIGINT)"
+            " AS y"
+        ),
+    )
+    pool = u.agg(
+        F.expr("CAST(count(*) AS BIGINT) AS n"),
+        F.expr("CAST(sum(x) AS BIGINT) AS sx"),
+        F.expr("CAST(sum(y) AS BIGINT) AS sy"),
+        F.expr("sum(CAST(x AS DECIMAL(38,0)) * x) AS sxx"),
+        F.expr("sum(CAST(x AS DECIMAL(38,0)) * y) AS sxy"),
+    )
+    th = pool.selectExpr(
+        "CAST(CAST(n AS DECIMAL(38,0)) * sxy"
+        " - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)"
+        " / CAST(CAST(n AS DECIMAL(38,0)) * sxx"
+        " - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE) AS theta",
+        "CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS xbar",
+    )
+    a = u.groupBy("arm").agg(
+        F.expr("CAST(count(*) AS BIGINT) AS n_users"),
+        F.expr("CAST(sum(x) AS BIGINT) AS asx"),
+        F.expr("CAST(sum(y) AS BIGINT) AS asy"),
+    )
+    return a.crossJoin(F.broadcast(th)).selectExpr(
+        "arm",
+        "n_users",
+        "CAST(asy AS DOUBLE) / CAST(n_users AS DOUBLE) AS mean_y",
+        "CAST(asy AS DOUBLE) / CAST(n_users AS DOUBLE)"
+        " - theta * (CAST(asx AS DOUBLE) / CAST(n_users AS DOUBLE)"
+        " - xbar) AS mean_y_adj",
+        "theta",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Additive seasonal decomposition (weekday indexes over the daily series)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_seasonal_decompose",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    tr AS (
+      SELECT event_type, d, c,
+             CAST(sum(c) OVER (PARTITION BY event_type ORDER BY d
+                               RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+                  AS BIGINT) AS t7,
+             CAST(count(*) OVER (PARTITION BY event_type ORDER BY d
+                                 RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+                  AS BIGINT) AS w7
+      FROM daily
+    ),
+    resid AS (
+      SELECT event_type, (d + 4) % 7 AS weekday,
+             7 * c - t7 AS rnum
+      FROM tr WHERE w7 = 7
+    )
+    SELECT event_type, CAST(weekday AS BIGINT) AS weekday,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(CAST(sum(rnum) AS HUGEINT) AS DOUBLE)
+             / CAST(7 * count(*) AS DOUBLE) AS seasonal
+    FROM resid GROUP BY 1, 2
+    """,
+)
+def q_events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition, the weekday half: per
+    event type, detrend the daily-count series with a centered 7-day
+    moving average and average the residuals by weekday — the seasonal
+    index that tells every downstream monitor (z-score windows, CUSUM
+    thresholds, capacity plans) how much of Monday-vs-Sunday is
+    structure rather than signal. Complements events_autocorr_hourly
+    (which detects seasonality; this one MEASURES its shape).
+
+    Exactness: the trend is kept as the 7-day SUM (exact BIGINT) and
+    the residual as 7*c - t7 — multiplying through by 7 instead of
+    dividing keeps every intermediate an integer; the single division
+    by 7*n happens once at the end (correctly rounded, identical both
+    engines). Incomplete edge windows are excluded by the exact window
+    COUNT (w7 = 7), not by date arithmetic. Weekday is (epoch_day+4)%7
+    — pure integer, immune to locale/DOW-convention differences
+    between engines. RANGE frames use integer day keys (the
+    window_range_frame lesson: float RANGE bounds are driver-hash
+    poison; integers are exact).
+
+    The 100-TB shape: the O(rows) stage is the one map-side-combinable
+    (type, day) rollup; both windows ride one hash partition by type
+    over the calendar-bounded rollup, and the weekday rollup is 7 rows
+    per type. The multiplicative variant swaps the residual for a
+    cross-multiplied ratio — same plan."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.selectExpr(
+        "event_type",
+        "datediff(CAST(ts AS DATE), DATE '1970-01-01') AS d",
+    ).groupBy("event_type", "d").agg(
+        F.expr("CAST(count(*) AS BIGINT) AS c")
+    )
+    tr = daily.selectExpr(
+        "event_type",
+        "d",
+        "c",
+        "CAST(sum(c) OVER (PARTITION BY event_type ORDER BY d"
+        " RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS t7",
+        "CAST(count(*) OVER (PARTITION BY event_type ORDER BY d"
+        " RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS w7",
+    )
+    resid = tr.where("w7 = 7").selectExpr(
+        "event_type",
+        "(d + 4) % 7 AS weekday",
+        "7 * c - t7 AS rnum",
+    )
+    return resid.groupBy(
+        "event_type", F.expr("CAST(weekday AS BIGINT)").alias("weekday")
+    ).agg(
+        F.expr("CAST(count(*) AS BIGINT) AS n_days"),
+        F.expr(
+            "CAST(sum(CAST(rnum AS DECIMAL(38,0))) AS DOUBLE)"
+            " / CAST(7 * count(*) AS DOUBLE) AS seasonal"
+        ),
+    )
