@@ -3888,3 +3888,144 @@ def q_sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 10)
         .select("query_id", "vec_id", "adc_dist", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Residual vector quantization (two-stage additive codebook)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "embed_rvq_assign",
+    oracle=f"""
+    WITH q8 AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               v -> CAST(greatest(-127.0, least(127.0,
+                           floor(CAST(v AS DOUBLE) * 200 + 0.5))) AS BIGINT))
+               AS qv
+      FROM embeddings
+    ),
+    cb1 AS (SELECT vec_id AS cid1, qv AS cvec1 FROM q8 WHERE vec_id < 8),
+    s1 AS (
+      SELECT q.vec_id, c.cid1, q.qv, c.cvec1,
+             CAST(list_sum(list_transform(list_zip(q.qv, c.cvec1),
+                    p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS d1
+      FROM q8 q CROSS JOIN cb1 c
+    ),
+    win1 AS (
+      SELECT vec_id, cid1 AS c1, d1 AS e1,
+             list_transform(list_zip(qv, cvec1), p -> p[1] - p[2]) AS r
+      FROM (SELECT *, min(d1 * 8 + cid1) OVER (PARTITION BY vec_id) AS m
+            FROM s1)
+      WHERE d1 * 8 + cid1 = m
+    ),
+    cb2 AS (SELECT vec_id - 8 AS cid2, r AS cvec2
+            FROM win1 WHERE vec_id >= 8 AND vec_id < 16),
+    s2 AS (
+      SELECT w.vec_id, w.c1, w.e1, c.cid2,
+             CAST(list_sum(list_transform(list_zip(w.r, c.cvec2),
+                    p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS d2
+      FROM win1 w CROSS JOIN cb2 c
+    ),
+    enc AS (
+      SELECT vec_id, c1, e1, min(d2 * 8 + cid2) AS enc2
+      FROM s2 GROUP BY 1, 2, 3
+    )
+    SELECT CAST(c1 AS BIGINT) AS c1, CAST(enc2 % 8 AS BIGINT) AS c2,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(e1) AS BIGINT) AS e1_sum,
+           CAST(sum(enc2 // 8) AS BIGINT) AS e2_sum,
+           CAST(sum(e1) - sum(enc2 // 8) AS DOUBLE)
+             / CAST(greatest(sum(e1), 1) AS DOUBLE) AS reduction
+    FROM enc GROUP BY 1, 2
+    """,
+)
+def q_embed_rvq_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual vector quantization (two-stage additive codebook — the
+    RVQ used by modern retrieval/codec stacks, e.g. SoundStream and
+    additive-quantizer ANN): stage 1 snaps each vector to the nearest
+    of 8 FULL-vector codewords; stage 2 quantizes the RESIDUAL against
+    a second 8-codeword book, so the reconstruction c1 + c2 refines
+    additively. Complements embed_pq_assign, which decomposes the
+    SPACE into subvectors — RVQ decomposes the ERROR into stages; IVF
+    is exactly stage 1 of this construction.
+
+    Exactness: the int8 grid makes every distance, residual component,
+    and the two argmins (``min(dist*8 + cid)`` — tie-break embedded in
+    the encoding, the embed_pq_assign discipline) pure BIGINT; the
+    winning codeword row is selected by an equality filter against a
+    per-vector window MIN, so the residual is taken against exactly
+    the argmin codeword on both engines. Output: per (c1, c2) cell
+    counts and the stage-2 error reduction as one exact-integer
+    division (greatest(·,1) guards the all-codeword cell where stage-1
+    error is already 0).
+
+    The 100-TB shape: both codebooks are bounded broadcasts (8 rows;
+    the stage-2 book derives from 8 designated training rows — the
+    codebook-pull pattern of operators/clustering.py); both scoring
+    passes are map-side broadcast joins; the per-vector argmin windows
+    hash-partition by vec_id; the report rollup is <= 64 cells. A
+    trained RVQ swaps the codebook selection predicates for k-means
+    iterates (kmeans_assign_step) — the assignment plan is unchanged."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q8 = emb.selectExpr(
+        "vec_id",
+        "transform(embedding, v -> CAST(greatest(-127.0D, least(127.0D,"
+        " floor(CAST(v AS DOUBLE) * 200 + 0.5))) AS BIGINT)) AS qv",
+    )
+    cb1 = q8.where(F.col("vec_id") < 8).selectExpr(
+        "vec_id AS cid1", "qv AS cvec1"
+    )
+    s1 = q8.crossJoin(F.broadcast(cb1)).selectExpr(
+        "vec_id",
+        "cid1",
+        "qv",
+        "cvec1",
+        "aggregate(zip_with(qv, cvec1, (a, b) -> (a - b) * (a - b)),"
+        " CAST(0 AS BIGINT), (acc, x) -> acc + x) AS d1",
+    )
+    win1 = (
+        s1.selectExpr(
+            "vec_id",
+            "cid1",
+            "d1",
+            "qv",
+            "cvec1",
+            "min(d1 * 8 + cid1) OVER (PARTITION BY vec_id) AS m",
+        )
+        .where("d1 * 8 + cid1 = m")
+        .selectExpr(
+            "vec_id",
+            "cid1 AS c1",
+            "d1 AS e1",
+            "zip_with(qv, cvec1, (a, b) -> a - b) AS r",
+        )
+        .localCheckpoint()
+    )
+    cb2 = win1.where("vec_id >= 8 AND vec_id < 16").selectExpr(
+        "vec_id - 8 AS cid2", "r AS cvec2"
+    )
+    s2 = win1.crossJoin(F.broadcast(cb2)).selectExpr(
+        "vec_id",
+        "c1",
+        "e1",
+        "cid2",
+        "aggregate(zip_with(r, cvec2, (a, b) -> (a - b) * (a - b)),"
+        " CAST(0 AS BIGINT), (acc, x) -> acc + x) AS d2",
+    )
+    enc = s2.groupBy("vec_id", "c1", "e1").agg(
+        F.expr("min(d2 * 8 + cid2) AS enc2")
+    )
+    return enc.groupBy(
+        F.expr("CAST(c1 AS BIGINT)").alias("c1"),
+        F.expr("CAST(enc2 % 8 AS BIGINT)").alias("c2"),
+    ).agg(
+        F.expr("CAST(count(*) AS BIGINT) AS n"),
+        F.expr("CAST(sum(e1) AS BIGINT) AS e1_sum"),
+        F.expr("CAST(sum(enc2 DIV 8) AS BIGINT) AS e2_sum"),
+        F.expr(
+            "CAST(sum(e1) - sum(enc2 DIV 8) AS DOUBLE)"
+            " / CAST(greatest(sum(e1), 1) AS DOUBLE) AS reduction"
+        ),
+    )

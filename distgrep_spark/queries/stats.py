@@ -1980,3 +1980,117 @@ def q_events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / CAST(7 * count(*) AS DOUBLE) AS seasonal"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# A/B power analysis: required sample size and minimum detectable effect
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stats_ab_power_mde",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             CASE WHEN CAST(sum(CASE WHEN event_type = 'purchase'
+                                THEN CAST(floor(value * 1000 + 0.5) AS BIGINT)
+                                ELSE 0 END) AS BIGINT) >= 600000
+                  THEN 1 ELSE 0 END AS conv
+      FROM events GROUP BY user_id
+    ),
+    a AS (
+      SELECT CAST(user_id % 2 AS BIGINT) AS arm,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(conv) AS BIGINT) AS c
+      FROM u GROUP BY 1
+    ),
+    w AS (
+      SELECT max(CASE WHEN arm = 0 THEN n END) AS n0,
+             max(CASE WHEN arm = 0 THEN c END) AS c0,
+             max(CASE WHEN arm = 1 THEN n END) AS n1,
+             max(CASE WHEN arm = 1 THEN c END) AS c1
+      FROM a
+    ),
+    p AS (
+      SELECT n0, c0, n1, c1,
+             CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS p0,
+             CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS p1,
+             CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE) AS pbar
+      FROM w
+    )
+    SELECT n0, n1, p0, p1, p1 - p0 AS delta,
+           CASE WHEN p1 = p0 THEN NULL ELSE
+           (1.96 * sqrt(2.0 * pbar * (1.0 - pbar))
+            + 0.84 * sqrt(p0 * (1.0 - p0) + p1 * (1.0 - p1)))
+           * (1.96 * sqrt(2.0 * pbar * (1.0 - pbar))
+              + 0.84 * sqrt(p0 * (1.0 - p0) + p1 * (1.0 - p1)))
+           / ((p1 - p0) * (p1 - p0)) END AS n_required_per_arm,
+           (1.96 + 0.84) * sqrt(2.0 * pbar * (1.0 - pbar)
+                                / CAST(least(n0, n1) AS DOUBLE)) AS mde
+    FROM p
+    """,
+)
+def q_stats_ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B test power planning — the third leg of the experimentation
+    kit (stats_ab_ztest decides, stats_cuped_adjustment tightens, this
+    one SIZES): from the observed per-arm conversion rates, the
+    classical two-proportion formula gives (a) the per-arm sample size
+    required to detect the observed delta at alpha = 0.05 two-sided
+    with 80% power (z_alpha/2 = 1.96, z_beta = 0.84), and (b) the
+    minimum detectable effect at the CURRENT sample size — the two
+    numbers every experiment review asks for.
+
+    Determinism: conversion is a per-user exact-integer event (total
+    purchase milli-value >= 600000 — the fixture's per-user median, so
+    rates sit near 0.5 and the observed delta is nonzero at every
+    fixture scale, measured sf0.001 through x16; a saturated
+    "any purchase" definition was p0 = p1 = 1 and degenerate);
+    rates are single correctly-rounded divisions; the p1 = p0 guard
+    returns NULL rather than tripping ANSI divide-by-zero on a truly
+    zero observed effect; the formula
+    is a FIXED tree of div/sub/mul/sqrt — all correctly rounded per
+    IEEE 754 (the stats_ab_ztest precedent: sqrt is safe, unlike
+    ln/exp), written as the same expression text on both engines, so
+    even the last ulp matches. The z constants are literals (model
+    parameters, not data).
+
+    The 100-TB shape: one user_id shuffle to the conversion rollup;
+    everything after is arithmetic on a 2-row table pivoted to one
+    row. Power analysis is cheap — the point of registering it is that
+    the pipeline can compute it ON the full population rather than a
+    staleness-prone sample extract."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.expr(
+            "CASE WHEN CAST(sum(CASE WHEN event_type = 'purchase'"
+            " THEN CAST(floor(value * 1000 + 0.5) AS BIGINT)"
+            " ELSE 0 END) AS BIGINT) >= 600000 THEN 1 ELSE 0 END AS conv"
+        )
+    ).selectExpr("CAST(user_id % 2 AS BIGINT) AS arm", "conv")
+    a = u.groupBy("arm").agg(
+        F.expr("CAST(count(*) AS BIGINT) AS n"),
+        F.expr("CAST(sum(conv) AS BIGINT) AS c"),
+    )
+    w = a.agg(
+        F.expr("max(CASE WHEN arm = 0 THEN n END) AS n0"),
+        F.expr("max(CASE WHEN arm = 0 THEN c END) AS c0"),
+        F.expr("max(CASE WHEN arm = 1 THEN n END) AS n1"),
+        F.expr("max(CASE WHEN arm = 1 THEN c END) AS c1"),
+    )
+    p = w.selectExpr(
+        "n0", "c0", "n1", "c1",
+        "CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS p0",
+        "CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS p1",
+        "CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE) AS pbar",
+    )
+    return p.selectExpr(
+        "n0", "n1", "p0", "p1", "p1 - p0 AS delta",
+        "CASE WHEN p1 = p0 THEN NULL ELSE"
+        " (1.96 * sqrt(2.0 * pbar * (1.0 - pbar))"
+        " + 0.84 * sqrt(p0 * (1.0 - p0) + p1 * (1.0 - p1)))"
+        " * (1.96 * sqrt(2.0 * pbar * (1.0 - pbar))"
+        " + 0.84 * sqrt(p0 * (1.0 - p0) + p1 * (1.0 - p1)))"
+        " / ((p1 - p0) * (p1 - p0)) END AS n_required_per_arm",
+        "(1.96 + 0.84) * sqrt(2.0 * pbar * (1.0 - pbar)"
+        " / CAST(least(n0, n1) AS DOUBLE)) AS mde",
+    )
