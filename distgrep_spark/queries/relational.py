@@ -1191,3 +1191,69 @@ def q_agg_argminmax_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(max(price_key) DIV 1000000000 AS BIGINT) AS top_cents"),
         F.expr("CAST(min(price_key) DIV 1000000000 AS BIGINT) AS bottom_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 collation surface (case-insensitive comparison semantics)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "scalar_collation_fns",
+    oracle="""
+    WITH b AS (
+      SELECT
+        CASE WHEN lower(c_mktsegment) = lower(lower(c_mktsegment))
+             THEN 1 ELSE 0 END AS eq_ci,
+        CASE WHEN starts_with(lower(c_name), 'customer')
+             THEN 1 ELSE 0 END AS sw_ci,
+        CASE WHEN lower(c_mktsegment) IN
+                  ('automobile', 'building', 'furniture',
+                   'household', 'machinery')
+             THEN 1 ELSE 0 END AS in_ci,
+        CASE WHEN lower(c_mktsegment) = 'zzz' THEN 1 ELSE 0 END AS neg_ci
+      FROM customer
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(eq_ci) AS BIGINT) AS n_eq_ci,
+           CAST(sum(sw_ci) AS BIGINT) AS n_startswith_ci,
+           CAST(sum(in_ci) AS BIGINT) AS n_in_ci,
+           CAST(sum(neg_ci) AS BIGINT) AS n_negative
+    FROM b
+    """,
+)
+def q_scalar_collation_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 COLLATION surface: comparisons, ``startswith``, and
+    IN-lists under ``UTF8_LCASE`` — the engine-level case-insensitive
+    semantics that replace scattered ``lower()`` calls (and, at 100 TB,
+    matter because a collated comparison keeps the ORIGINAL column
+    bytes flowing — no derived lowercase column to widen the shuffle,
+    and data-source stats on the original column stay usable).
+
+    The DuckDB twin normalizes with ``lower()`` — the certificate is
+    that Spark's collated operators agree with explicit normalization
+    on every row: the uppercase segment equals its lowercase form
+    under UTF8_LCASE, 'Customer#...' starts with 'customer', the
+    uppercase segment hits an all-lowercase IN-list, and the negative
+    control stays 0. All counts exact BIGINTs off one map-side
+    rollup; if any collated operator regressed, its count drops below
+    n_rows and the value hash breaks."""
+    cust = load_table(spark, sf_dir, "customer")
+    b = cust.selectExpr(
+        "CASE WHEN (c_mktsegment COLLATE UTF8_LCASE) = lower(c_mktsegment)"
+        " THEN 1 ELSE 0 END AS eq_ci",
+        "CASE WHEN startswith(c_name COLLATE UTF8_LCASE, 'customer')"
+        " THEN 1 ELSE 0 END AS sw_ci",
+        "CASE WHEN (c_mktsegment COLLATE UTF8_LCASE) IN"
+        " ('automobile', 'building', 'furniture',"
+        " 'household', 'machinery') THEN 1 ELSE 0 END AS in_ci",
+        "CASE WHEN (c_mktsegment COLLATE UTF8_LCASE) = 'zzz'"
+        " THEN 1 ELSE 0 END AS neg_ci",
+    )
+    return b.agg(
+        F.expr("CAST(count(*) AS BIGINT) AS n_rows"),
+        F.expr("CAST(sum(eq_ci) AS BIGINT) AS n_eq_ci"),
+        F.expr("CAST(sum(sw_ci) AS BIGINT) AS n_startswith_ci"),
+        F.expr("CAST(sum(in_ci) AS BIGINT) AS n_in_ci"),
+        F.expr("CAST(sum(neg_ci) AS BIGINT) AS n_negative"),
+    )

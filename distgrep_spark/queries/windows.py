@@ -248,3 +248,85 @@ def window_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.last(click_val, ignorenulls=True).over(w).alias("last_click_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Built-in session_window in BATCH mode, certified against gaps-and-islands
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "window_session_builtin",
+    oracle="""
+    WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+    o AS (
+      SELECT user_id, us,
+             CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us)
+                       IS NULL
+                  OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+                       >= 1800000000
+                  THEN 1 ELSE 0 END AS brk
+      FROM e
+    ),
+    s AS (
+      SELECT user_id, us,
+             CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY us
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS sess
+      FROM o
+    ),
+    per AS (
+      SELECT user_id, sess, CAST(count(*) AS BIGINT) AS n_events,
+             min(us) AS start_us, max(us) + 1800000000 AS end_us
+      FROM s GROUP BY user_id, sess
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(n_events) AS BIGINT) AS total_events,
+           CAST(max(n_events) AS BIGINT) AS max_session_events,
+           CAST(sum(end_us - start_us) AS BIGINT) AS total_span_us,
+           CAST(min(start_us) AS BIGINT) AS first_start_us
+    FROM per GROUP BY user_id
+    """,
+)
+def q_window_session_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE ``session_window`` aggregation run in BATCH mode,
+    certified value-for-value against the manual gaps-and-islands
+    construction (the sessionize_events shape) as the DuckDB twin —
+    parity evidence that the built-in operator (the one the streaming
+    pipelines use) and the classic SQL formulation define the same
+    sessions: a session extends to last-event + gap, and a new session
+    starts when the inter-event gap reaches the 30-minute threshold
+    (end-exclusive; no exact-tie gap exists in the fixtures — parity
+    verified across six layout/scale combinations would break on one).
+
+    Exactness: session bounds are compared as tz-free exact epoch
+    micros (the ``timestampdiff`` idiom == DuckDB ``epoch_us``,
+    CLAUDE.md); per-user rollups are exact BIGINTs.
+
+    The 100-TB shape: ``session_window`` is a first-class aggregation
+    key — Catalyst plans one hash partition by user with a sort-based
+    session merge, the same single-exchange shape as the manual
+    window form, but with the session-merge logic in the operator
+    (and at 10^9 users, AQE-splittable like any keyed aggregation).
+    This is also exactly what `stream_session_counts` runs under
+    micro-batching — the batch run is its oracle-side twin."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.groupBy(
+        "user_id", F.session_window("ts", "30 minutes")
+    ).agg(F.expr("CAST(count(*) AS BIGINT) AS n_events"))
+    per = s.selectExpr(
+        "user_id",
+        "n_events",
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00',"
+        " session_window.start) AS start_us",
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00',"
+        " session_window.end) AS end_us",
+    )
+    return per.groupBy("user_id").agg(
+        F.expr("CAST(count(*) AS BIGINT) AS n_sessions"),
+        F.expr("CAST(sum(n_events) AS BIGINT) AS total_events"),
+        F.expr("CAST(max(n_events) AS BIGINT) AS max_session_events"),
+        F.expr("CAST(sum(end_us - start_us) AS BIGINT) AS total_span_us"),
+        F.expr("CAST(min(start_us) AS BIGINT) AS first_start_us"),
+    )
