@@ -328,3 +328,35 @@ def q_stream_cusum_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer cents; ordering is (ts, event_id) with event_id unique,
     so the statistic is deterministic on every engine."""
     return cusum_alerts(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "stream_topk_windows",
+    oracle="""
+    WITH w AS (
+      SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
+             event_type, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT window_start, event_type, n, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY window_start
+                                   ORDER BY n DESC, event_type) AS rank
+      FROM w
+    ) WHERE rank <= 3
+    """,
+)
+def q_stream_topk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-window top-3 event types (batch twin): tumbling counts +
+    the windowed_topk rank. The streaming variant cannot rank
+    incrementally — tests/test_streaming.py streams the counts in
+    update mode, merges micro-batch updates into a keyed store from
+    foreachBatch across a REAL checkpoint resume, runs this very
+    ranking over the merged store, and asserts equality with this
+    twin (the foreachBatch-merge production shape; see
+    streaming/pipelines.windowed_topk)."""
+    from distgrep_spark.streaming.pipelines import windowed_topk
+
+    counts = tumbling_counts(
+        load_table(spark, sf_dir, "events"), watermark=None
+    ).select("window_start", "event_type", "n")
+    return windowed_topk(counts, k=3)

@@ -207,3 +207,33 @@ def interval_join_clicks_errors(
     return c.join(e, cond, how).select(
         "event_id", "user_id", "ts", "err_ts", "err_value"
     )
+
+
+def windowed_topk(counts: DataFrame, k: int = 3) -> DataFrame:
+    """Per-window top-k heavy hitters over a tumbling-counts table
+    (``window_start``, ``event_type``, ``n``): rank by (n DESC,
+    event_type) and keep ``rank <= k``.
+
+    Rank is NOT a streaming aggregation — Structured Streaming cannot
+    emit a consistent per-window ranking incrementally. The production
+    shape (and the pytest's) is therefore: stream ``tumbling_counts``
+    in update mode, MERGE each micro-batch's updated counts into a
+    keyed store from ``foreachBatch`` (last update per key wins — the
+    counts are cumulative), and run THIS function over the store —
+    the same commutative-monoid argument as mv_incremental_maintain,
+    with the ranking applied to the merged result. In batch mode the
+    store is just the counts table, so the twin below runs the
+    identical code path end to end.
+
+    The 100-TB / high-cardinality view: the rank window hash-partitions
+    by window_start (thousands of concurrent windows → thousands of
+    partitions), and a per-partition pre-prune (top-k within each map
+    partition before the exchange) bounds the shuffle at k rows per
+    window per partition — the TakeOrdered generalization."""
+    return counts.selectExpr(
+        "window_start",
+        "event_type",
+        "n",
+        f"row_number() OVER (PARTITION BY window_start"
+        f" ORDER BY n DESC, event_type) AS rank",
+    ).where(f"rank <= {k}")

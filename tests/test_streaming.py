@@ -14,6 +14,7 @@ import time
 import pytest
 from pyspark.sql import functions as F
 
+import distgrep_spark.queries as q
 from distgrep_spark.sources.catalog import load_table
 from distgrep_spark.streaming.pipelines import (
     grep_event_counts,
@@ -755,3 +756,64 @@ def test_stream_cusum_matches_batch(spark, tmp_path):
     }
     assert set(final) == set(batch)
     assert final == batch
+
+
+def test_stream_topk_merge_resumes_checkpoint(spark, tmp_path):
+    """Windowed top-k via the foreachBatch-merge shape: tumbling counts
+    stream in update mode across TWO availableNow runs sharing one
+    checkpoint (run 2 resumes run 1's state store); each micro-batch's
+    updated (window, type) counts upsert into a keyed store
+    (last-update-wins — streaming update mode emits cumulative counts),
+    and windowed_topk over the merged store must equal the batch twin
+    exactly. Splitting by time (not round-robin) makes the resume
+    real: run 2 must reload run 1's window state to emit correct
+    cumulative counts for windows spanning the cut."""
+    from distgrep_spark.streaming.pipelines import tumbling_counts, windowed_topk
+
+    src = load_table(spark, SF, "events")
+    tmin, tmax = src.agg(F.min("ts"), F.max("ts")).first()
+    cutoff = tmin + (tmax - tmin) / 2
+    early = src.where(F.col("ts") <= F.lit(cutoff))
+    late = src.where(F.col("ts") > F.lit(cutoff))
+    assert early.count() > 0 and late.count() > 0
+
+    d = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    early.coalesce(1).write.mode("append").parquet(d)
+
+    store: dict = {}
+
+    def handle(bdf, _bid):
+        for r in bdf.collect():
+            store[(r["window_start"], r["event_type"])] = r["n"]
+
+    def drain():
+        q = (
+            tumbling_counts(read_event_stream(spark, d))
+            .writeStream.foreachBatch(handle)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    n_after_run1 = len(store)
+    assert n_after_run1 > 0
+    late.coalesce(1).write.mode("append").parquet(d)
+    drain()
+
+    merged = spark.createDataFrame(
+        [(w, t, int(n)) for (w, t), n in store.items()],
+        "window_start timestamp_ntz, event_type string, n long",
+    )
+    got = {
+        (r["window_start"], r["event_type"], r["n"], r["rank"])
+        for r in windowed_topk(merged, k=3).collect()
+    }
+    want = {
+        (r["window_start"], r["event_type"], r["n"], r["rank"])
+        for r in q.QUERIES["stream_topk_windows"](spark, SF).collect()
+    }
+    assert got == want
