@@ -2793,3 +2793,163 @@ def q_privacy_dp_count_laplace(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(abs(2 * ln4) AS DOUBLE) / 10000.0 AS abs_noise",
         "CAST(0.5 AS DOUBLE) AS epsilon",
     )
+
+
+# ---------------------------------------------------------------------------
+# Theta-sketch set algebra gate (intersection / difference estimates)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_theta_intersection_gate",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             CAST(sum(CASE WHEN event_type = 'click'
+                    THEN CAST(floor(value * 1000 + 0.5) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS cm,
+             CAST(sum(CASE WHEN event_type = 'purchase'
+                    THEN CAST(floor(value * 1000 + 0.5) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS pm
+      FROM events GROUP BY user_id
+    ),
+    a AS (SELECT user_id FROM u WHERE cm >= 3200000),
+    b AS (SELECT user_id FROM u WHERE pm >= 3200000)
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM a) AS n_a,
+           (SELECT CAST(count(*) AS BIGINT) FROM b) AS n_b,
+           (SELECT CAST(count(*) AS BIGINT)
+              FROM a JOIN b USING (user_id)) AS n_inter,
+           (SELECT CAST(count(*) AS BIGINT) FROM a
+             WHERE user_id NOT IN (SELECT user_id FROM b)) AS n_diff,
+           TRUE AS inter_ok, TRUE AS diff_ok
+    """,
+)
+def q_agg_theta_intersection_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch SET ALGEBRA gate — the capability HLL structurally
+    lacks: Datasketches theta sketches keep the k smallest hashes of
+    the SET, so two sketches built independently (per segment, per
+    day, per source) support intersection and difference estimates
+    after the fact — the audience-overlap / decontamination-overlap
+    query at sketch cost. HLL (agg_hll_union_gate) only unions.
+
+    Cohorts: heavy clickers vs heavy purchasers (per-user milli-value
+    >= 3200000, near the per-user median so both sides and their
+    overlap are non-degenerate at every fixture scale). The gate
+    certifies |estimate - exact| <= 5% + 1 for BOTH the intersection
+    and the difference; below 2^lgK = 4096 distinct keys the sketch is
+    in exact mode (estimate == exact — sf0.001-0.1), above it (x8/x16:
+    12k/24k users) the k-smallest-hash estimator's ~1.6% relative
+    error sits far inside the bound. Layout-independence: the sketch
+    state is a pure function of the key SET (k smallest hashes —
+    order-free, like HLL register maxima), so estimates are identical
+    under any partitioning; estimates still stay OUT of the hashed
+    output (booleans + exact counts only), the sketch-gate discipline.
+
+    The 100-TB shape: per-side sketches are mergeable aggregates
+    (map-side combined, bytes per partition); the exact sides here are
+    one user rollup + a key join, and at scale you'd keep ONLY the
+    sketches — that being the point."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.expr(
+            "CAST(sum(CASE WHEN event_type = 'click'"
+            " THEN CAST(floor(value * 1000 + 0.5) AS BIGINT)"
+            " ELSE 0 END) AS BIGINT) AS cm"
+        ),
+        F.expr(
+            "CAST(sum(CASE WHEN event_type = 'purchase'"
+            " THEN CAST(floor(value * 1000 + 0.5) AS BIGINT)"
+            " ELSE 0 END) AS BIGINT) AS pm"
+        ),
+    ).localCheckpoint()
+    a = u.where("cm >= 3200000").select("user_id")
+    b = u.where("pm >= 3200000").select("user_id")
+    sa = a.agg(
+        F.expr("theta_sketch_agg(CAST(user_id AS STRING)) AS sa"),
+        F.expr("CAST(count(*) AS BIGINT) AS n_a"),
+    )
+    sb = b.agg(
+        F.expr("theta_sketch_agg(CAST(user_id AS STRING)) AS sb"),
+        F.expr("CAST(count(*) AS BIGINT) AS n_b"),
+    )
+    exact = (
+        a.join(b.selectExpr("user_id AS ub"), F.col("user_id") == F.col("ub"), "left")
+        .agg(
+            F.expr("CAST(count(ub) AS BIGINT) AS n_inter"),
+            F.expr("CAST(count(*) - count(ub) AS BIGINT) AS n_diff"),
+        )
+    )
+    return (
+        sa.crossJoin(sb)
+        .crossJoin(exact)
+        .selectExpr(
+            "n_a",
+            "n_b",
+            "n_inter",
+            "n_diff",
+            "abs(theta_sketch_estimate(theta_intersection(sa, sb))"
+            " - CAST(n_inter AS DOUBLE))"
+            " <= CAST(n_inter AS DOUBLE) * 0.05 + 1.0 AS inter_ok",
+            "abs(theta_sketch_estimate(theta_difference(sa, sb))"
+            " - CAST(n_diff AS DOUBLE))"
+            " <= CAST(n_diff AS DOUBLE) * 0.05 + 1.0 AS diff_ok",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# KLL quantile-sketch gate (rank-error certificate)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_kll_quantile_gate",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           quantile_cont(value, 0.5) AS exact_p50,
+           TRUE AS rank_ok
+    FROM events GROUP BY event_type
+    """,
+)
+def q_agg_kll_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL quantile-sketch gate — the MERGEABLE quantile path beside
+    approx_percentile (agg_approx_percentile_gate): KLL sketches
+    combine across partitions, days, or sources and re-answer any
+    quantile afterwards, which approx_percentile's one-shot API cannot.
+    Certified by a RANK-error certificate, the guarantee KLL actually
+    makes: the exact rank of the sketch's p50 answer — computed as an
+    exact conditional count against the data — must sit within
+    0.5 +/- 0.05 (k = 200 gives ~1.33% rank error at 99% confidence;
+    the 5% bound is 3+ sigma of headroom, and the fixture's observed
+    error is ~0.5%). The estimate itself stays OUT of the hashed
+    output (KLL compaction is randomized, so the VALUE is not a
+    layout-deterministic quantity — only the certificate is stable);
+    the exact p50 at the dyadic 0.5 fraction anchors the row.
+
+    The 100-TB shape: one map-side-combinable sketch per group
+    (hundreds of bytes each), one broadcast of the 5 per-type answers
+    back over the scan for the exact-rank count — and at scale you
+    skip the verification pass and keep the sketch, which is the
+    point. quantile_cont == Spark percentile at dyadic fractions
+    (CLAUDE.md)."""
+    ev = load_table(spark, sf_dir, "events")
+    est = ev.groupBy("event_type").agg(
+        F.expr(
+            "kll_sketch_get_quantile_double("
+            "kll_sketch_agg_double(value), 0.5) AS kq"
+        )
+    ).selectExpr("event_type AS et", "kq")
+    return (
+        ev.join(F.broadcast(est), F.col("event_type") == F.col("et"))
+        .groupBy("event_type")
+        .agg(
+            F.expr("CAST(count(*) AS BIGINT) AS n"),
+            F.expr("percentile(value, 0.5D) AS exact_p50"),
+            F.expr(
+                "abs(CAST(sum(CASE WHEN value <= kq THEN 1 ELSE 0 END)"
+                " AS DOUBLE) / CAST(count(*) AS DOUBLE) - 0.5) <= 0.05"
+                " AS rank_ok"
+            ),
+        )
+    )
