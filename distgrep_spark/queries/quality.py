@@ -2953,3 +2953,112 @@ def q_agg_kll_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Dataset card: the one-row corpus datasheet
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "profile_dataset_card",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, source, lang, CAST(n_chars AS BIGINT) AS n_chars,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+               AS n_tokens,
+             md5(text) AS h
+      FROM documents
+    ),
+    base AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+             CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+             CAST(count(DISTINCT h) AS BIGINT) AS n_distinct_texts,
+             CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+             CAST(sum(n_chars) AS BIGINT) AS total_chars,
+             quantile_cont(n_tokens, 0.5) AS p50_tokens
+      FROM d
+    ),
+    toplang AS (
+      SELECT CAST(max(c) AS BIGINT) AS top_lang_docs
+      FROM (SELECT count(*) AS c FROM d GROUP BY lang)
+    )
+    SELECT n_docs, n_sources, n_langs, total_tokens,
+           CAST(total_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE)
+             AS mean_doc_tokens,
+           p50_tokens,
+           CAST(total_chars AS DOUBLE) / CAST(n_docs AS DOUBLE)
+             AS mean_doc_chars,
+           CAST(n_docs - n_distinct_texts AS BIGINT) AS n_exact_dup_docs,
+           CAST(n_docs - n_distinct_texts AS DOUBLE)
+             / CAST(n_docs AS DOUBLE) AS exact_dup_rate,
+           CAST(top_lang_docs AS DOUBLE) / CAST(n_docs AS DOUBLE)
+             AS top_lang_share
+    FROM base CROSS JOIN toplang
+    """,
+)
+def q_profile_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAGSHIP composition 4 — the dataset card: the one-row datasheet
+    (Gebru et al. 2021's "Datasheets for Datasets", and what every
+    pretraining-corpus release publishes) computed in one pass over
+    the corpus: scale (docs / sources / languages / tokens), central
+    tendency (mean and exact-dyadic-median tokens, mean chars),
+    contamination (exact-duplicate count and rate via the
+    content-address rollup — the fixture plants exact-dup text groups
+    only at sf0.1, so the rate is honestly 0 below that and nonzero
+    there), and concentration (top-language share — the
+    mixture-skew warning light).
+
+    Exactness: counts/sums are BIGINTs; ratios are single
+    correctly-rounded divisions; the median token count is dyadic-0.5
+    over integers (engine-exact); md5 is the cross-engine content
+    address. The per-doc feature projection (tokens, hash) is computed
+    ONCE (localCheckpoint) and every card statistic aggregates that
+    narrow frame — never a second text scan.
+
+    The 100-TB shape: one corpus scan into a narrow per-doc feature
+    frame; the card is a handful of map-side-combinable aggregates
+    plus two small distinct rollups (hash-keyed, AQE-splittable). At
+    catalog scale the distinct-text count becomes the mergeable-HLL
+    variant (agg_hll_union_gate) with its documented error bar — the
+    plan is otherwise unchanged."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.selectExpr(
+        "doc_id",
+        "source",
+        "lang",
+        "CAST(n_chars AS BIGINT) AS n_chars",
+        r"CAST(size(split(trim(text), '\\s+')) AS BIGINT) AS n_tokens",
+        "md5(text) AS h",
+    ).localCheckpoint()
+    base = d.agg(
+        F.expr("CAST(count(*) AS BIGINT) AS n_docs"),
+        F.expr("CAST(count(DISTINCT source) AS BIGINT) AS n_sources"),
+        F.expr("CAST(count(DISTINCT lang) AS BIGINT) AS n_langs"),
+        F.expr("CAST(count(DISTINCT h) AS BIGINT) AS n_distinct_texts"),
+        F.expr("CAST(sum(n_tokens) AS BIGINT) AS total_tokens"),
+        F.expr("CAST(sum(n_chars) AS BIGINT) AS total_chars"),
+        F.expr("percentile(n_tokens, 0.5D) AS p50_tokens"),
+    )
+    toplang = (
+        d.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.expr("CAST(max(c) AS BIGINT) AS top_lang_docs"))
+    )
+    return base.crossJoin(F.broadcast(toplang)).selectExpr(
+        "n_docs",
+        "n_sources",
+        "n_langs",
+        "total_tokens",
+        "CAST(total_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE)"
+        " AS mean_doc_tokens",
+        "p50_tokens",
+        "CAST(total_chars AS DOUBLE) / CAST(n_docs AS DOUBLE)"
+        " AS mean_doc_chars",
+        "CAST(n_docs - n_distinct_texts AS BIGINT) AS n_exact_dup_docs",
+        "CAST(n_docs - n_distinct_texts AS DOUBLE) / CAST(n_docs AS DOUBLE)"
+        " AS exact_dup_rate",
+        "CAST(top_lang_docs AS DOUBLE) / CAST(n_docs AS DOUBLE)"
+        " AS top_lang_share",
+    )
