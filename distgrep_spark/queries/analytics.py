@@ -4029,3 +4029,143 @@ def q_embed_rvq_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / CAST(greatest(sum(e1), 1) AS DOUBLE) AS reduction"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# ABC segment migration matrix (period-over-period, distributed exact rank)
+# ---------------------------------------------------------------------------
+
+_ABC_P1 = ("1995-01-01", "1998-01-01")
+_ABC_P2 = ("1998-01-01", "2002-01-01")
+
+
+def _abc_class_sql(table: str) -> str:
+    """Oracle-side ABC classes from a (o_custkey, cents) rollup via the
+    classic cumulative-revenue cut: A carries the top 80% of revenue,
+    B to 95%, C the tail. Cross-multiplied integers — no float shares."""
+    return f"""
+      SELECT o_custkey,
+             CASE WHEN cum * 100 <= total * 80 THEN 'A'
+                  WHEN cum * 100 <= total * 95 THEN 'B'
+                  ELSE 'C' END AS cls
+      FROM (
+        SELECT o_custkey, cents,
+               CAST(sum(cents) OVER (ORDER BY cents DESC, o_custkey
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                 AS cum,
+               CAST(sum(cents) OVER () AS BIGINT) AS total
+        FROM {table}
+      )
+    """
+
+
+@query(
+    "orders_abc_migration",
+    oracle=f"""
+    WITH o AS (
+      SELECT o_custkey, o_orderdate,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    ),
+    r1 AS (
+      SELECT o_custkey, CAST(sum(cents) AS BIGINT) AS cents FROM o
+      WHERE o_orderdate >= TIMESTAMP '{_ABC_P1[0]}'
+        AND o_orderdate <  TIMESTAMP '{_ABC_P1[1]}'
+      GROUP BY o_custkey
+    ),
+    r2 AS (
+      SELECT o_custkey, CAST(sum(cents) AS BIGINT) AS cents FROM o
+      WHERE o_orderdate >= TIMESTAMP '{_ABC_P2[0]}'
+        AND o_orderdate <  TIMESTAMP '{_ABC_P2[1]}'
+      GROUP BY o_custkey
+    ),
+    c1 AS ({_abc_class_sql("r1")}),
+    c2 AS ({_abc_class_sql("r2")})
+    SELECT coalesce(c1.cls, 'NEW') AS class_p1,
+           coalesce(c2.cls, 'GONE') AS class_p2,
+           CAST(count(*) AS BIGINT) AS n_customers
+    FROM c1 FULL JOIN c2 ON c1.o_custkey = c2.o_custkey
+    GROUP BY 1, 2
+    """,
+)
+def q_orders_abc_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC segment MIGRATION matrix — which revenue class each customer
+    occupied in 1995-97 vs 1998-2001, with NEW (no early history) and
+    GONE (no late orders) as first-class states: the
+    period-over-period twin of part_abc_xyz_classification's snapshot,
+    and the report behind retention/upsell targeting (an A→C cell is
+    the churn-risk list).
+
+    Class cuts are the classic cumulative-revenue thresholds (A = top
+    80% of revenue, B to 95%) applied per period, compared by exact
+    integer cross-multiplication (cum·100 vs total·80 — no float
+    shares). The cumulative revenue itself is a DESCENDING global
+    order statistic over each period's customer rollup — in the
+    engine it runs through ``operators/distrank.py`` (descending
+    boundaries, per-bucket exclusive cents prefixes, windows
+    hash-partitioned by bucket; no Exchange SinglePartition over the
+    rollup), while the oracle keeps the plain global window. Total
+    order (cents DESC, custkey) makes tied revenues deterministic.
+
+    The 100-TB shape: two period rollups off one scan lineage (the
+    date filters push to the same parquet scan), distrank's bounded
+    driver passes per period, and a key-partitioned full-outer join —
+    nothing funnels through one task as customers grow."""
+    from distgrep_spark.operators.distrank import (
+        array_lit,
+        bucket_expr,
+        exclusive_prefixes,
+        percentile_boundaries,
+    )
+
+    o = load_table(spark, sf_dir, "orders").selectExpr(
+        "o_custkey",
+        "o_orderdate",
+        "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents",
+    )
+
+    def classes(lo: str, hi: str, out_key: str, out_cls: str) -> DataFrame:
+        r = (
+            o.where(
+                (F.col("o_orderdate") >= F.lit(lo).cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit(hi).cast("timestamp"))
+            )
+            .groupBy("o_custkey")
+            .agg(F.expr("CAST(sum(cents) AS BIGINT) AS cents"))
+            .localCheckpoint()
+        )
+        bs = percentile_boundaries(r, "cents", 64, descending=True)
+        rb = r.selectExpr(
+            "o_custkey",
+            "cents",
+            f"{bucket_expr('cents', bs, 'bigint', descending=True)} AS bk",
+        )
+        pre, tot = exclusive_prefixes(
+            rb, "bk", {"c": "CAST(sum(cents) AS BIGINT)"}, {"c": "sum"}
+        )
+        offs = array_lit(pre["c"], "bigint")
+        total = int(tot["c"] or 0)
+        return rb.selectExpr(
+            f"o_custkey AS {out_key}",
+            f"CASE WHEN (element_at({offs}, bk + 1)"
+            " + sum(cents) OVER (PARTITION BY bk ORDER BY cents DESC,"
+            " o_custkey ROWS UNBOUNDED PRECEDING)) * 100"
+            f" <= CAST({total} AS BIGINT) * 80 THEN 'A'"
+            f" WHEN (element_at({offs}, bk + 1)"
+            " + sum(cents) OVER (PARTITION BY bk ORDER BY cents DESC,"
+            " o_custkey ROWS UNBOUNDED PRECEDING)) * 100"
+            f" <= CAST({total} AS BIGINT) * 95 THEN 'B'"
+            f" ELSE 'C' END AS {out_cls}",
+        )
+
+    c1 = classes(_ABC_P1[0], _ABC_P1[1], "k1", "cls1")
+    c2 = classes(_ABC_P2[0], _ABC_P2[1], "k2", "cls2")
+    return (
+        c1.join(c2, F.col("k1") == F.col("k2"), "full_outer")
+        .selectExpr(
+            "coalesce(cls1, 'NEW') AS class_p1",
+            "coalesce(cls2, 'GONE') AS class_p2",
+        )
+        .groupBy("class_p1", "class_p2")
+        .agg(F.expr("CAST(count(*) AS BIGINT) AS n_customers"))
+    )
