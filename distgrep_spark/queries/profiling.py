@@ -1182,3 +1182,94 @@ def q_graph_label_prop_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS n_kept"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic type inference (data-catalog column classification)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dq_semantic_type_infer",
+    oracle="""
+    WITH agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(count(DISTINCT o_orderkey) AS BIGINT) AS d_key,
+             CAST(count(DISTINCT o_custkey) AS BIGINT) AS d_cust,
+             CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS d_status,
+             CAST(count(DISTINCT o_totalprice) AS BIGINT) AS d_price,
+             CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS d_prio
+      FROM orders
+    ),
+    cols AS (
+      SELECT 'o_orderkey' AS column_name, n, d_key AS n_distinct FROM agg
+      UNION ALL
+      SELECT 'o_custkey', n, d_cust FROM agg
+      UNION ALL
+      SELECT 'o_orderstatus', n, d_status FROM agg
+      UNION ALL
+      SELECT 'o_totalprice', n, d_price FROM agg
+      UNION ALL
+      SELECT 'o_orderpriority', n, d_prio FROM agg
+    )
+    SELECT column_name, n AS n_rows, n_distinct,
+           CAST(n_distinct AS DOUBLE) / CAST(n AS DOUBLE) AS distinct_ratio,
+           CASE WHEN n_distinct = n THEN 'unique_id'
+                WHEN n_distinct <= 25 THEN 'categorical'
+                WHEN n_distinct * 10 >= n * 5 THEN 'high_cardinality'
+                ELSE 'foreign_key_or_dimension' END AS inferred_type
+    FROM cols
+    """,
+)
+def q_dq_semantic_type_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic type inference — the data-catalog classifier that tags
+    each column as unique id / categorical / high-cardinality value /
+    foreign-key-like from its cardinality profile, the first pass every
+    auto-profiling catalog (and every schema-matching pipeline) runs
+    before suggesting keys, encodings, or join paths.
+
+    One scan computes every distinct count (Catalyst expands the
+    multi-distinct aggregate; each is map-side partially deduped), the
+    5-row column table is stacked from the single aggregate row, and
+    the decision rules are exact integer comparisons —
+    ``n_distinct = n`` for key-ness, a 25-value categorical ceiling,
+    and a cross-multiplied 50% ratio cut (never a float threshold on
+    the knife edge). On the fixture this lands exactly where the schema
+    says it should: orderkey → unique_id, status/priority →
+    categorical, totalprice → high_cardinality, custkey →
+    foreign_key_or_dimension.
+
+    The 100-TB shape: the exact multi-distinct is the honest small-N
+    form; at catalog scale each count swaps to approx_count_distinct
+    or the mergeable HLL sketch (agg_hll_union_gate) with identical
+    rule structure — cardinality-class decisions tolerate sketch error
+    by construction (the classes are decades apart)."""
+    o = load_table(spark, sf_dir, "orders")
+    agg = o.agg(
+        F.expr("CAST(count(*) AS BIGINT) AS n"),
+        F.expr("CAST(count(DISTINCT o_orderkey) AS BIGINT) AS d_key"),
+        F.expr("CAST(count(DISTINCT o_custkey) AS BIGINT) AS d_cust"),
+        F.expr("CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS d_status"),
+        F.expr("CAST(count(DISTINCT o_totalprice) AS BIGINT) AS d_price"),
+        F.expr("CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS d_prio"),
+    )
+    cols = agg.selectExpr(
+        "n",
+        "explode(array("
+        " struct('o_orderkey' AS column_name, d_key AS n_distinct),"
+        " struct('o_custkey' AS column_name, d_cust AS n_distinct),"
+        " struct('o_orderstatus' AS column_name, d_status AS n_distinct),"
+        " struct('o_totalprice' AS column_name, d_price AS n_distinct),"
+        " struct('o_orderpriority' AS column_name, d_prio AS n_distinct)))"
+        " AS c",
+    ).selectExpr("c.column_name", "n", "c.n_distinct")
+    return cols.selectExpr(
+        "column_name",
+        "n AS n_rows",
+        "n_distinct",
+        "CAST(n_distinct AS DOUBLE) / CAST(n AS DOUBLE) AS distinct_ratio",
+        "CASE WHEN n_distinct = n THEN 'unique_id'"
+        " WHEN n_distinct <= 25 THEN 'categorical'"
+        " WHEN n_distinct * 10 >= n * 5 THEN 'high_cardinality'"
+        " ELSE 'foreign_key_or_dimension' END AS inferred_type",
+    )

@@ -2094,3 +2094,147 @@ def q_stats_ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(1.96 + 0.84) * sqrt(2.0 * pbar * (1.0 - pbar)"
         " / CAST(least(n0, n1) AS DOUBLE)) AS mde",
     )
+
+
+# ---------------------------------------------------------------------------
+# Mann–Kendall trend test (tie-corrected)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stats_mann_kendall",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT a.event_type,
+             CAST(sum(CASE WHEN b.c > a.c THEN 1
+                           WHEN b.c < a.c THEN -1 ELSE 0 END) AS BIGINT)
+               AS s_stat
+      FROM daily a JOIN daily b
+        ON a.event_type = b.event_type AND a.d < b.d
+      GROUP BY a.event_type
+    ),
+    nn AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM daily
+      GROUP BY event_type
+    ),
+    ties AS (
+      SELECT event_type,
+             CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+               AS tie_term
+      FROM (SELECT event_type, CAST(count(*) AS BIGINT) AS t
+            FROM daily GROUP BY event_type, c)
+      WHERE t > 1 GROUP BY event_type
+    ),
+    v AS (
+      SELECT nn.event_type, nn.n, s.s_stat,
+             CAST(nn.n * (nn.n - 1) * (2 * nn.n + 5)
+                  - coalesce(ties.tie_term, 0) AS BIGINT) AS var18
+      FROM nn JOIN s ON nn.event_type = s.event_type
+      LEFT JOIN ties ON nn.event_type = ties.event_type
+    )
+    SELECT event_type, n AS n_days, s_stat, var18,
+           CASE WHEN s_stat > 0 THEN
+                  (CAST(s_stat AS DOUBLE) - 1.0)
+                    / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+                WHEN s_stat < 0 THEN
+                  (CAST(s_stat AS DOUBLE) + 1.0)
+                    / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+                ELSE 0.0 END AS z,
+           abs(CASE WHEN s_stat > 0 THEN
+                  (CAST(s_stat AS DOUBLE) - 1.0)
+                    / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+                WHEN s_stat < 0 THEN
+                  (CAST(s_stat AS DOUBLE) + 1.0)
+                    / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+                ELSE 0.0 END) > 1.96 AS trend_detected
+    FROM v
+    """,
+)
+def q_stats_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Kendall nonparametric trend TEST per event type — the
+    significance half beside stats_theil_sen's slope ESTIMATE (the
+    standard pairing in environmental/ops monitoring): S = Σ sign(c_j -
+    c_i) over time-ordered day pairs, tie-corrected variance
+    18·Var(S) = n(n-1)(2n+5) - Σ_t t(t-1)(2t+5), and the
+    continuity-corrected z with the 1.96 two-sided gate.
+
+    Exactness: S, the tie term, and 18·Var(S) are pure BIGINTs off the
+    calendar-bounded daily rollup; z is a fixed div/sub/sqrt IEEE tree
+    over those integers (sqrt is correctly rounded — the stats_ab_ztest
+    rule), so even the rejection boolean is engine-exact with no
+    rounding margin. The sign kernel needs no value magnitudes at all —
+    the reason MK is the robust default when the series distribution is
+    unknown.
+
+    The 100-TB shape: identical to stats_theil_sen — O(rows) is the
+    one map-side (type, day) rollup; the O(days²) pair join runs on
+    the 30-row-per-type rollup and stays calendar-bounded forever."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.selectExpr(
+        "event_type",
+        "datediff(CAST(ts AS DATE), DATE '1970-01-01') AS d",
+    ).groupBy("event_type", "d").agg(
+        F.expr("CAST(count(*) AS BIGINT) AS c")
+    ).localCheckpoint()
+    a = daily.selectExpr("event_type AS et_a", "d AS d1", "c AS c1")
+    b = daily.selectExpr("event_type AS et_b", "d AS d2", "c AS c2")
+    s = (
+        a.join(b, (F.col("et_a") == F.col("et_b")) & (F.col("d1") < F.col("d2")))
+        .groupBy(F.col("et_a").alias("event_type"))
+        .agg(
+            F.expr(
+                "CAST(sum(CASE WHEN c2 > c1 THEN 1"
+                " WHEN c2 < c1 THEN -1 ELSE 0 END) AS BIGINT) AS s_stat"
+            )
+        )
+    )
+    nn = daily.groupBy("event_type").agg(
+        F.expr("CAST(count(*) AS BIGINT) AS n")
+    )
+    ties = (
+        daily.groupBy("event_type", "c")
+        .agg(F.expr("CAST(count(*) AS BIGINT) AS t"))
+        .where("t > 1")
+        .groupBy("event_type")
+        .agg(
+            F.expr(
+                "CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)"
+                " AS tie_term"
+            )
+        )
+        .selectExpr("event_type AS et_t", "tie_term")
+    )
+    v = (
+        nn.join(s, "event_type")
+        .join(ties, F.col("event_type") == F.col("et_t"), "left")
+        .selectExpr(
+            "event_type",
+            "n",
+            "s_stat",
+            "CAST(n * (n - 1) * (2 * n + 5)"
+            " - coalesce(tie_term, 0) AS BIGINT) AS var18",
+        )
+    )
+    zexpr = (
+        "CASE WHEN s_stat > 0 THEN"
+        " (CAST(s_stat AS DOUBLE) - 1.0)"
+        " / sqrt(CAST(var18 AS DOUBLE) / 18.0)"
+        " WHEN s_stat < 0 THEN"
+        " (CAST(s_stat AS DOUBLE) + 1.0)"
+        " / sqrt(CAST(var18 AS DOUBLE) / 18.0)"
+        " ELSE 0.0 END"
+    )
+    return v.selectExpr(
+        "event_type",
+        "n AS n_days",
+        "s_stat",
+        "var18",
+        f"{zexpr} AS z",
+        f"abs({zexpr}) > 1.96 AS trend_detected",
+    )
