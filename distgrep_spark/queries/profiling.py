@@ -1273,3 +1273,117 @@ def q_dq_semantic_type_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
         " WHEN n_distinct * 10 >= n * 5 THEN 'high_cardinality'"
         " ELSE 'foreign_key_or_dimension' END AS inferred_type",
     )
+
+
+# ---------------------------------------------------------------------------
+# k-hop reachability profile (bounded BFS over the co-purchase graph)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "graph_khop_reach",
+    oracle="""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS (
+      SELECT a.l_partkey AS src, b.l_partkey AS dst
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    seeds AS (SELECT DISTINCT src AS seed FROM edges WHERE src % 97 = 0),
+    h1 AS (
+      SELECT DISTINCT s.seed, e.dst AS node
+      FROM seeds s JOIN edges e ON e.src = s.seed
+    ),
+    h2 AS (
+      SELECT DISTINCT h1.seed, e.dst AS node
+      FROM h1 JOIN edges e ON e.src = h1.node
+      WHERE e.dst <> h1.seed
+      UNION
+      SELECT seed, node FROM h1
+    ),
+    h3 AS (
+      SELECT DISTINCT h2.seed, e.dst AS node
+      FROM h2 JOIN edges e ON e.src = h2.node
+      WHERE e.dst <> h2.seed
+      UNION
+      SELECT seed, node FROM h2
+    )
+    SELECT s.seed,
+           coalesce((SELECT CAST(count(*) AS BIGINT) FROM h1
+                     WHERE h1.seed = s.seed), 0) AS n_reach_1,
+           coalesce((SELECT CAST(count(*) AS BIGINT) FROM h2
+                     WHERE h2.seed = s.seed), 0) AS n_reach_2,
+           coalesce((SELECT CAST(count(*) AS BIGINT) FROM h3
+                     WHERE h3.seed = s.seed), 0) AS n_reach_3
+    FROM seeds s
+    """,
+)
+def q_graph_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-hop reachability profile (bounded BFS): for a deterministic
+    seed sample (part keys ≡ 0 mod 97 that appear as edge sources),
+    the number of DISTINCT parts reachable within 1, 2, and 3 hops of
+    the co-purchase graph — the neighborhood-growth curve behind
+    recommendation-diversity and influence-radius analyses, and the
+    bounded-depth form of graph traversal (the unbounded form is
+    recursive_order_chain's WITH RECURSIVE surface; fixed k compiles
+    to k plain self-joins, which Catalyst plans and AQE sizes like any
+    join — the reason production k-hop queries prefer unrolling).
+
+    Exactness: reachable sets are exact DISTINCT key sets (BFS
+    frontier ∪ previous level each hop, seed excluded); counts are
+    BIGINTs. No floats anywhere.
+
+    The 100-TB shape: each hop is one hash equi-join of the current
+    (seed, node) frontier against the edge list, co-partitioned on the
+    join key; the frontier is bounded by seeds x neighborhood size and
+    deduped per hop so the exponential blowup of repeated paths never
+    materializes. Hub-degree capping (degree_orient / max_df) is the
+    production hardening for power-law graphs."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.selectExpr("l_orderkey AS ok", "l_partkey AS src")
+    b = items.selectExpr("l_orderkey AS ok2", "l_partkey AS dst")
+    edges = (
+        a.join(b, (F.col("ok") == F.col("ok2")) & (F.col("src") != F.col("dst")))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .where("w >= 2")
+        .select("src", "dst")
+        .localCheckpoint()
+    )
+    seeds = edges.where("src % 97 = 0").selectExpr("src AS seed").distinct()
+    h1 = (
+        seeds.join(edges, F.col("seed") == F.col("src"))
+        .selectExpr("seed", "dst AS node")
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def expand(front: DataFrame) -> DataFrame:
+        nxt = (
+            front.join(edges, front["node"] == edges["src"])
+            .where(F.col("dst") != F.col("seed"))
+            .selectExpr("seed", "dst AS node")
+        )
+        return nxt.unionByName(front).distinct().localCheckpoint()
+
+    h2 = expand(h1)
+    h3 = expand(h2)
+
+    def counts(df: DataFrame, name: str) -> DataFrame:
+        return df.groupBy("seed").agg(
+            F.expr(f"CAST(count(*) AS BIGINT) AS {name}")
+        )
+
+    return (
+        seeds.join(counts(h1, "n_reach_1"), "seed", "left")
+        .join(counts(h2, "n_reach_2"), "seed", "left")
+        .join(counts(h3, "n_reach_3"), "seed", "left")
+        .selectExpr(
+            "seed",
+            "coalesce(n_reach_1, 0) AS n_reach_1",
+            "coalesce(n_reach_2, 0) AS n_reach_2",
+            "coalesce(n_reach_3, 0) AS n_reach_3",
+        )
+    )
