@@ -2642,3 +2642,82 @@ def q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where("rank <= 10")
     )
+
+
+# ---------------------------------------------------------------------------
+# Binary content-address storage dedup (the multimodal dedup entry)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "multimodal_dedup_bytes",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, md5(text) AS h,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+      FROM documents
+    ),
+    g AS (
+      SELECT h, CAST(count(*) AS BIGINT) AS cnt,
+             CAST(max(n_bytes) AS BIGINT) AS n_bytes
+      FROM p GROUP BY h
+    )
+    SELECT CAST(sum(cnt) AS BIGINT) AS n_payloads,
+           CAST(count(*) AS BIGINT) AS n_distinct_payloads,
+           CAST(sum(cnt - 1) AS BIGINT) AS n_duplicate_copies,
+           CAST(sum(cnt * n_bytes) AS BIGINT) AS bytes_total,
+           CAST(sum((cnt - 1) * n_bytes) AS BIGINT) AS bytes_reclaimed,
+           CAST(sum((cnt - 1) * n_bytes) AS DOUBLE)
+             / CAST(sum(cnt * n_bytes) AS DOUBLE) AS reclaim_rate
+    FROM g
+    """,
+)
+def q_multimodal_dedup_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed storage dedup over BINARY payloads — the
+    object-store/CAS report (what S3-dedup layers, container
+    registries, and webdataset repacking compute): digest every
+    payload, group by content address, and price the reclaimable
+    bytes if each distinct payload is stored once. This is the
+    multimodal family's dedup entry — the same min-survivor discipline
+    as dedup_hash, applied to the media column instead of text, and
+    the economics report that decides whether a repack pass is worth
+    scheduling.
+
+    Exactness: the digest runs JVM-side on the BINARY column
+    (``md5(payload)`` — the DuckDB twin digests the text the payload
+    attacher encodes, since DuckDB's md5 takes VARCHAR not BLOB,
+    CLAUDE.md); byte counts and the reclaim arithmetic are exact
+    BIGINTs; the rate is one correctly-rounded division. The fixture
+    plants exact-duplicate payloads only at sf0.1+ (same groups as the
+    text dups), so the reclaim numbers are honestly 0 below that and
+    nonzero there — the non-vacuity is scale-dependent by fixture
+    design, like profile_dataset_card's dup rate.
+
+    The 100-TB shape: digests are computed map-side in one scan
+    (payloads never shuffle — the 16-byte digest does, the dedup_hash
+    lesson measured round 2); the group table is bounded by distinct
+    content; the report is a 1-row rollup of it."""
+    from distgrep_spark.operators.multimodal import (
+        attach_fake_payload,
+        payload_metadata,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    p = payload_metadata(attach_fake_payload(docs)).select(
+        "doc_id", "payload_md5", "n_bytes"
+    )
+    g = p.groupBy("payload_md5").agg(
+        F.expr("CAST(count(*) AS BIGINT) AS cnt"),
+        F.expr("CAST(max(n_bytes) AS BIGINT) AS nb"),
+    )
+    return g.agg(
+        F.expr("CAST(sum(cnt) AS BIGINT) AS n_payloads"),
+        F.expr("CAST(count(*) AS BIGINT) AS n_distinct_payloads"),
+        F.expr("CAST(sum(cnt - 1) AS BIGINT) AS n_duplicate_copies"),
+        F.expr("CAST(sum(cnt * nb) AS BIGINT) AS bytes_total"),
+        F.expr("CAST(sum((cnt - 1) * nb) AS BIGINT) AS bytes_reclaimed"),
+        F.expr(
+            "CAST(sum((cnt - 1) * nb) AS DOUBLE)"
+            " / CAST(sum(cnt * nb) AS DOUBLE) AS reclaim_rate"
+        ),
+    )
