@@ -1257,3 +1257,57 @@ def q_scalar_collation_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(sum(in_ci) AS BIGINT) AS n_in_ci"),
         F.expr("CAST(sum(neg_ci) AS BIGINT) AS n_negative"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 SQL-surface battery: pipe syntax, IDENTIFIER, parameter markers
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sql_pipe_syntax_battery",
+    oracle=f"""
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           {sql_dsum("o_totalprice", "revenue")}
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_totalprice > 150000
+    GROUP BY c_mktsegment
+    """,
+)
+def q_sql_pipe_syntax_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL-surface battery in ONE statement: pipe syntax
+    (``FROM ... |> WHERE |> JOIN |> AGGREGATE`` — SQL written in
+    dataflow order, the 4.0 surface), the ``IDENTIFIER()`` clause
+    (parameterized table names — the injection-safe dynamic-SQL seam),
+    and named parameter markers (``:threshold`` bound via
+    ``spark.sql(args=...)`` — plan-cacheable constants instead of
+    string splicing). The oracle is the equivalent classic SELECT, so
+    the certificate is that the new syntax surface is pure sugar over
+    identical semantics (same rows, same exact-decimal revenue).
+
+    The 100-TB relevance is operational, not physical: Catalyst
+    compiles the pipe form to exactly the plan of the classic form
+    (broadcast dim join + partial/final aggregate here), while
+    IDENTIFIER + parameter markers are what make templated production
+    SQL safe to generate — no quoting bugs, no plan-cache misses from
+    inlined literals."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "pipe_orders_v"
+    )
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "pipe_customer_v"
+    )
+    return spark.sql(
+        """
+        FROM IDENTIFIER(:ord)
+        |> WHERE o_totalprice > :lo
+        |> JOIN IDENTIFIER(:cust) ON o_custkey = c_custkey
+        |> AGGREGATE CAST(count(*) AS BIGINT) AS n_orders,
+                     CAST(sum(CAST(o_totalprice AS DECIMAL(25,6)))
+                          AS DOUBLE) AS revenue
+           GROUP BY c_mktsegment
+        |> SELECT c_mktsegment, n_orders, revenue
+        """,
+        args={"ord": "pipe_orders_v", "cust": "pipe_customer_v", "lo": 150000},
+    )
