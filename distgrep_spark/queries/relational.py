@@ -1311,3 +1311,62 @@ def q_sql_pipe_syntax_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"ord": "pipe_orders_v", "cust": "pipe_customer_v", "lo": 150000},
     )
+
+
+# ---------------------------------------------------------------------------
+# Declarative SQL UDFs (scalar + table-valued), certified pure sugar
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sql_udf_battery",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS revenue_cents
+    FROM orders WHERE o_totalprice > 150000
+    GROUP BY o_orderstatus
+    """,
+)
+def q_sql_udf_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 DECLARATIVE SQL UDFs — both kinds in one query: a scalar
+    SQL UDF (``sqludf_cents`` — the exact-cents idiom captured once as
+    a named function instead of a copy-pasted expression) and a
+    TABLE-VALUED SQL UDF (``sqludf_big_orders(lo)`` — a parameterized
+    relation), composed and certified pure sugar against the
+    inlined-expression oracle. Unlike Python UDFs/UDTFs (the slow
+    seam, functions/udtfs.py), SQL UDFs are INLINED by the analyzer
+    into the calling plan — whole-stage codegen, predicate pushdown,
+    and column pruning all still apply, which is why they are the
+    first packaging choice for shared logic at 100 TB; the Python
+    seams exist for logic SQL cannot express.
+
+    The function bodies reference the fixture through a temp view and
+    take the threshold as a typed parameter — the same
+    template-safety story as sql_pipe_syntax_battery's parameter
+    markers, one level up."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "sqludf_orders_v"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION sqludf_cents(x DOUBLE)"
+        " RETURNS BIGINT RETURN CAST(floor(x * 100 + 0.5) AS BIGINT)"
+    )
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION sqludf_big_orders(lo DOUBLE)
+        RETURNS TABLE(o_orderstatus STRING, cents BIGINT)
+        RETURN SELECT o_orderstatus, sqludf_cents(o_totalprice)
+               FROM sqludf_orders_v WHERE o_totalprice > lo
+        """
+    )
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(cents) AS BIGINT) AS revenue_cents
+        FROM sqludf_big_orders(150000.0)
+        GROUP BY o_orderstatus
+        """
+    )
