@@ -1370,3 +1370,53 @@ def q_sql_udf_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderstatus
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# SQL reshape clauses: PIVOT / UNPIVOT / GROUP BY ALL (roundtrip certificate)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sql_reshape_clauses_battery",
+    oracle="""
+    SELECT o_orderpriority, lower(o_orderstatus) AS status_code,
+           CAST(count(*) AS BIGINT) AS n
+    FROM orders WHERE o_orderstatus IN ('F', 'O', 'P')
+    GROUP BY 1, 2
+    """,
+)
+def q_sql_reshape_clauses_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-standard reshape CLAUSES (vs the DataFrame pivot/unpivot
+    API already covered by pivot_status_totals /
+    unpivot_lineitem_metrics): the relational PIVOT clause turns
+    status counts into columns, the UNPIVOT clause melts them back,
+    and GROUP BY ALL infers the grouping keys on the final rollup —
+    three Spark 4 SQL surfaces in one statement whose ROUNDTRIP is the
+    certificate: pivot-then-unpivot of the count matrix must equal the
+    plain GROUP BY the oracle states (UNPIVOT drops NULL cells by
+    default, exactly matching GROUP BY's absent combinations).
+
+    At 100 TB the clause forms compile to the same partial/final
+    aggregate + projection plans as the API forms — the surface matters
+    because generated BI SQL arrives in clause form and an engine
+    claiming SQL compatibility must run it unchanged."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "reshape_orders_v"
+    )
+    return spark.sql(
+        """
+        WITH piv AS (
+          SELECT * FROM (SELECT o_orderstatus, o_orderpriority
+                         FROM reshape_orders_v)
+          PIVOT (CAST(count(*) AS BIGINT)
+                 FOR o_orderstatus IN ('F' AS f, 'O' AS o, 'P' AS p))
+        ),
+        unp AS (
+          SELECT o_orderpriority, status_code, n
+          FROM piv UNPIVOT (n FOR status_code IN (f, o, p))
+        )
+        SELECT o_orderpriority, status_code, CAST(sum(n) AS BIGINT) AS n
+        FROM unp GROUP BY ALL
+        """
+    )
