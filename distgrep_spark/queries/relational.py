@@ -1420,3 +1420,75 @@ def q_sql_reshape_clauses_battery(spark: SparkSession, sf_dir: str) -> DataFrame
         FROM unp GROUP BY ALL
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Correlated scalar subqueries (decorrelation surface)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "scalar_subquery_correlated",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CASE WHEN n_items IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_empty_orders,
+           CAST(sum(coalesce(n_items, 0)) AS BIGINT) AS total_items,
+           CAST(max(max_qty) AS BIGINT) AS max_line_qty
+    FROM (
+      SELECT o.o_orderpriority,
+             (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey) AS n_items_raw,
+             (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+              HAVING count(*) > 0) AS n_items,
+             (SELECT CAST(max(l_quantity) AS BIGINT) FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey) AS max_qty
+      FROM orders o
+    )
+    GROUP BY o_orderpriority
+    """,
+)
+def q_scalar_subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORRELATED SCALAR subqueries — the third decorrelation surface
+    beside EXISTS (tpch_q4's semi join) and LATERAL (join_lateral_topn):
+    each order row carries per-order aggregates written as inline
+    scalar subqueries against the fact table. Catalyst must
+    decorrelate these into a grouped aggregate LEFT-joined back on the
+    correlation key — the naive per-row re-execution would be O(orders
+    x lineitem) and is exactly what an engine claiming SQL support
+    must never do (plan shows hash aggregate + outer join, no nested
+    loop; orders with no lineitem get NULL scalars, counted here as
+    the empty-order class via the HAVING-guarded variant — the
+    count-vs-NULL subtlety every decorrelation test suite pins).
+
+    The rollup output keeps the result bounded while the per-row
+    scalar semantics are fully exercised; exact BIGINTs throughout."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "css_orders_v"
+    )
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "css_lineitem_v"
+    )
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CASE WHEN n_items IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_empty_orders,
+               CAST(sum(coalesce(n_items, 0)) AS BIGINT) AS total_items,
+               CAST(max(max_qty) AS BIGINT) AS max_line_qty
+        FROM (
+          SELECT o.o_orderpriority,
+                 (SELECT CAST(count(*) AS BIGINT) FROM css_lineitem_v l
+                  WHERE l.l_orderkey = o.o_orderkey
+                  HAVING count(*) > 0) AS n_items,
+                 (SELECT CAST(max(l_quantity) AS BIGINT)
+                  FROM css_lineitem_v l
+                  WHERE l.l_orderkey = o.o_orderkey) AS max_qty
+          FROM css_orders_v o
+        )
+        GROUP BY o_orderpriority
+        """
+    )
