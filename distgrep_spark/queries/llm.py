@@ -2721,3 +2721,171 @@ def q_multimodal_dedup_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / CAST(sum(cnt * nb) AS DOUBLE) AS reclaim_rate"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# k-NN label vote over content similarity (weak-supervision labeling)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_knn_label_vote",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+      FROM toks, LATERAL unnest(generate_series(1, greatest(len(t) - 2, 0)))
+           AS u(i)
+    ),
+    rare AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) <= 8),
+    capped AS (SELECT g.doc_id, g.gram FROM grams g JOIN rare USING (gram)),
+    sizes AS (SELECT doc_id, count(*) AS n_grams FROM capped GROUP BY doc_id),
+    pairs AS (
+      SELECT q.doc_id AS qid, l.doc_id AS nid, count(*) AS c
+      FROM capped q JOIN capped l ON q.gram = l.gram
+      WHERE q.doc_id % 2 = 0 AND l.doc_id % 2 = 1
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT p.qid, p.nid,
+             CAST(p.c AS DOUBLE)
+               / CAST(sq.n_grams + sn.n_grams - p.c AS DOUBLE) AS j
+      FROM pairs p
+      JOIN sizes sq ON p.qid = sq.doc_id
+      JOIN sizes sn ON p.nid = sn.doc_id
+    ),
+    top3 AS (
+      SELECT qid, nid FROM (
+        SELECT qid, nid,
+               row_number() OVER (PARTITION BY qid ORDER BY j DESC, nid)
+                 AS r
+        FROM scored
+      ) WHERE r <= 3
+    ),
+    votes AS (
+      SELECT t.qid, d.lang AS voted,
+             CAST(count(*) AS BIGINT) AS v
+      FROM top3 t JOIN documents d ON t.nid = d.doc_id
+      GROUP BY 1, 2
+    ),
+    pred AS (
+      SELECT qid, voted FROM (
+        SELECT qid, voted,
+               row_number() OVER (PARTITION BY qid ORDER BY v DESC, voted)
+                 AS r
+        FROM votes
+      ) WHERE r = 1
+    ),
+    eval AS (
+      SELECT d.lang AS true_lang, p.voted
+      FROM documents d LEFT JOIN pred p ON d.doc_id = p.qid
+      WHERE d.doc_id % 2 = 0
+    )
+    SELECT true_lang,
+           CAST(count(*) AS BIGINT) AS n_eval,
+           CAST(sum(CASE WHEN voted IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_classified,
+           CAST(sum(CASE WHEN voted = true_lang THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct
+    FROM eval GROUP BY true_lang
+    """,
+)
+def q_text_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN label vote over content similarity — the weak-supervision
+    labeler (and the evaluation harness for it): even-id documents are
+    the unlabeled holdout, odd-id documents keep their lang label, each
+    holdout doc takes the majority lang of its 3 nearest labeled
+    neighbors by exact Jaccard over the df-capped shingle vocabulary
+    (the dedup_ngram_jaccard_capped engine reused as a retrieval
+    kernel), and the report scores predictions against the held-out
+    truth — the pipeline that bootstraps labels from a seed set before
+    any model training.
+
+    Determinism: similarities are single correctly-rounded divisions of
+    exact integers, neighbor and vote ranks carry (value, id) total
+    orders, unclassified docs (no shared rare shingle) are counted
+    honestly rather than dropped. The fixture's langs are assigned
+    independently of content, so the measured accuracy ~ the majority
+    share — the harness reports that honestly (the INTERESTING output
+    is n_classified, which measures retrieval coverage of the capped
+    vocabulary).
+
+    The 100-TB shape: identical to the capped dedup engine — rare-first
+    vocabulary rollup, bounded in-list pair explode, per-query top-k —
+    plus two bounded rank windows; labels ride a broadcast."""
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("knn_docs_v")
+    return spark.sql(
+        r"""
+        WITH toks AS (
+          SELECT doc_id, lang, split(trim(text), '\\s+') AS t
+          FROM knn_docs_v
+        ),
+        grams AS (
+          SELECT DISTINCT doc_id,
+                 concat_ws(' ', t[i], t[i+1], t[i+2]) AS gram
+          FROM toks
+          -- guard: sequence(0, -1) would step DOWNWARD in Spark, so
+          -- short docs need an explicit empty array, not a clamp
+          LATERAL VIEW explode(CASE WHEN size(t) >= 3
+                                    THEN sequence(0, size(t) - 3)
+                                    ELSE array() END) AS i
+        ),
+        rare AS (SELECT gram FROM grams GROUP BY gram
+                 HAVING count(*) <= 8),
+        capped AS (SELECT g.doc_id, g.gram FROM grams g
+                   JOIN rare USING (gram)),
+        sizes AS (SELECT doc_id, count(*) AS n_grams FROM capped
+                  GROUP BY doc_id),
+        pairs AS (
+          SELECT q.doc_id AS qid, l.doc_id AS nid, count(*) AS c
+          FROM capped q JOIN capped l ON q.gram = l.gram
+          WHERE q.doc_id % 2 = 0 AND l.doc_id % 2 = 1
+          GROUP BY 1, 2
+        ),
+        scored AS (
+          SELECT p.qid, p.nid,
+                 CAST(p.c AS DOUBLE)
+                   / CAST(sq.n_grams + sn.n_grams - p.c AS DOUBLE) AS j
+          FROM pairs p
+          JOIN sizes sq ON p.qid = sq.doc_id
+          JOIN sizes sn ON p.nid = sn.doc_id
+        ),
+        top3 AS (
+          SELECT qid, nid FROM (
+            SELECT qid, nid,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY j DESC, nid) AS r
+            FROM scored
+          ) WHERE r <= 3
+        ),
+        votes AS (
+          SELECT t.qid, d.lang AS voted, CAST(count(*) AS BIGINT) AS v
+          FROM top3 t JOIN knn_docs_v d ON t.nid = d.doc_id
+          GROUP BY 1, 2
+        ),
+        pred AS (
+          SELECT qid, voted FROM (
+            SELECT qid, voted,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY v DESC, voted) AS r
+            FROM votes
+          ) WHERE r = 1
+        ),
+        eval AS (
+          SELECT d.lang AS true_lang, p.voted
+          FROM knn_docs_v d LEFT JOIN pred p ON d.doc_id = p.qid
+          WHERE d.doc_id % 2 = 0
+        )
+        SELECT true_lang,
+               CAST(count(*) AS BIGINT) AS n_eval,
+               CAST(sum(CASE WHEN voted IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_classified,
+               CAST(sum(CASE WHEN voted = true_lang THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_correct
+        FROM eval GROUP BY true_lang
+        """
+    )
