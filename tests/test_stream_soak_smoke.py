@@ -13,9 +13,11 @@ from tools.soak_streaming import PIPELINES, soak
 
 def test_tumbling_soak_reports_metrics(spark):
     # condition-driven: poll until one completed-batch tick exists
-    # (hard deadline 4x40s inside soak) — a fixed window judged the
+    # (hard deadline 4x inside soak) — a fixed window judged the
     # box's scheduler latency, not the harness (measured flake under
-    # full-suite load)
+    # full-suite load). Ticks come from recentProgress, not sampled
+    # lastProgress — periodic sampling phase-locked onto update-mode's
+    # no-data batches (the second measured flake; see soak docstring)
     r = soak(spark, "tumbling", 50_000, 10, min_ticks=1)
     assert "error" not in r, r
     assert r["batches"] >= 1

@@ -106,7 +106,16 @@ def soak(spark, name: str, rate: int, seconds: int, min_ticks: int = 0) -> dict:
     wall window (min_ticks=0); the pytest smoke wants "did the harness
     produce a real measurement", which on a saturated box can take
     longer than any fixed window — judging the harness by the box's
-    scheduler latency was a measured flake (round 5)."""
+    scheduler latency was a measured flake (round 5).
+
+    Ticks come from ``recentProgress`` (the complete ~100-entry
+    buffer), NOT sampled ``lastProgress``: update-mode pipelines
+    alternate data batches with watermark-advancing NO-DATA batches
+    (numInputRows 0, processedRowsPerSecond 0.0), and a fixed-period
+    lastProgress sampler can phase-lock onto the empty ones when the
+    batch cadence aliases the poll period — measured as a
+    deterministic full-suite failure (79 batches completed, every 2 s
+    sample an empty batch, proc_rows_per_s 0)."""
     fn, mode = PIPELINES[name]
     df = fn(rate_events(spark, rate))
     q = (
@@ -120,14 +129,12 @@ def soak(spark, name: str, rate: int, seconds: int, min_ticks: int = 0) -> dict:
     try:
         while True:
             elapsed = time.time() - t0
+            ticks = list(q.recentProgress or [])
             if elapsed >= seconds:
                 done = len([p for p in ticks if p.get("processedRowsPerSecond")])
                 if done >= min_ticks or elapsed >= 4 * seconds:
                     break
             time.sleep(2)
-            p = q.lastProgress
-            if p:
-                ticks.append(p)
     finally:
         q.stop()
     if not ticks:
