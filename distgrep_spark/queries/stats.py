@@ -2238,3 +2238,151 @@ def q_stats_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{zexpr} AS z",
         f"abs({zexpr}) > 1.96 AS trend_detected",
     )
+
+
+# ---------------------------------------------------------------------------
+# Wald SPRT: sequential probability ratio test (exact-integer random walk)
+# ---------------------------------------------------------------------------
+
+# Model constants (micro-nats, fixed literals — ln of model parameters,
+# never of data): H0 p=0.4 vs H1 p=0.6 makes the per-observation LLR
+# symmetric, ln(0.6/0.4) = -ln(0.4/0.6) = 0.405465... -> 405465.
+# Thresholds at alpha=0.05, beta=0.2: A = ln((1-b)/a) = ln(16) ->
+# 2772589; B = ln(b/(1-a)) = ln(0.2/0.95) -> -1558145.
+_SPRT_STEP = 405465
+_SPRT_A = 2772589
+_SPRT_B = -1558145
+
+
+@query(
+    "stats_sprt_sequential",
+    oracle=f"""
+    WITH u AS (
+      SELECT user_id,
+             CASE WHEN CAST(sum(CASE WHEN event_type = 'purchase'
+                        THEN CAST(floor(value * 1000 + 0.5) AS BIGINT)
+                        ELSE 0 END) AS BIGINT) >= 600000
+                  THEN 1 ELSE 0 END AS conv
+      FROM events WHERE user_id % 2 = 1 GROUP BY user_id
+    ),
+    w AS (
+      SELECT user_id, conv,
+             CAST(row_number() OVER (ORDER BY user_id) AS BIGINT) AS t,
+             CAST(sum(conv) OVER (ORDER BY user_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s
+      FROM u
+    ),
+    llr AS (
+      SELECT t, {_SPRT_STEP} * (2 * s - t) AS l FROM w
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_obs,
+           CAST(min(CASE WHEN l >= {_SPRT_A} THEN t END) AS BIGINT)
+             AS first_accept_t,
+           CAST(min(CASE WHEN l <= {_SPRT_B} THEN t END) AS BIGINT)
+             AS first_reject_t,
+           CASE WHEN coalesce(min(CASE WHEN l >= {_SPRT_A} THEN t END),
+                              9223372036854775807)
+                     < coalesce(min(CASE WHEN l <= {_SPRT_B} THEN t END),
+                                9223372036854775807)
+                THEN 'accept_h1'
+                WHEN min(CASE WHEN l <= {_SPRT_B} THEN t END) IS NOT NULL
+                THEN 'accept_h0'
+                ELSE 'continue' END AS decision,
+           CAST(max(CASE WHEN t = (SELECT max(t) FROM llr) THEN l END)
+                AS BIGINT) AS llr_final_micro
+    FROM llr
+    """,
+)
+def q_stats_sprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's SPRT — the SEQUENTIAL hypothesis test that completes the
+    testing kit (fixed-horizon: stats_ab_ztest; drift: stats_cusum;
+    sizing: stats_ab_power_mde): observations arrive in order
+    (user_id as the deterministic arrival proxy), the log-likelihood
+    ratio walks up on conversions and down on misses, and the test
+    STOPS at the first threshold crossing — on average far earlier
+    than the fixed-horizon test with the same error rates, which is
+    why every modern experimentation platform runs a sequential
+    variant.
+
+    Exactness: the only transcendentals are ln of MODEL CONSTANTS
+    (p0 = 0.4 vs p1 = 0.6 — chosen symmetric so the walk is
+    step·(2S_t - t)), pre-rounded to micro-nat literals at build time —
+    the walk, both thresholds, and the first-crossing argmins are pure
+    BIGINT arithmetic, so the decision is engine-exact with no margin
+    analysis. Conversion reuses stats_ab_power_mde's median-threshold
+    definition (non-degenerate at every fixture scale).
+
+    The 100-TB shape: the running sum is the textbook distrank job —
+    in the engine it runs through ``operators/distrank.py``'s bucketed
+    prefix sums (boundaries on user_id, per-bucket offsets; no
+    Exchange SinglePartition over the user rollup), while the oracle
+    keeps the plain global window. The crossing scan is one
+    map-side-combinable conditional-min aggregate — sequential
+    semantics without a sequential executor."""
+    from distgrep_spark.operators.distrank import (
+        array_lit,
+        bucket_expr,
+        exclusive_prefixes,
+        percentile_boundaries,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    u = (
+        ev.where("user_id % 2 = 1")
+        .groupBy("user_id")
+        .agg(
+            F.expr(
+                "CASE WHEN CAST(sum(CASE WHEN event_type = 'purchase'"
+                " THEN CAST(floor(value * 1000 + 0.5) AS BIGINT)"
+                " ELSE 0 END) AS BIGINT) >= 600000 THEN 1 ELSE 0 END"
+                " AS conv"
+            )
+        )
+        .localCheckpoint()
+    )
+    bs = percentile_boundaries(u, "user_id", 64)
+    ub = u.selectExpr(
+        "user_id", "conv", f"{bucket_expr('user_id', bs, 'bigint')} AS bk"
+    )
+    pre, _tot = exclusive_prefixes(
+        ub,
+        "bk",
+        {"cnt": "CAST(count(*) AS BIGINT)", "sc": "CAST(sum(conv) AS BIGINT)"},
+        {"cnt": "sum", "sc": "sum"},
+    )
+    offs_t = array_lit(pre["cnt"], "bigint")
+    offs_s = array_lit(pre["sc"], "bigint")
+    w = ub.selectExpr(
+        "conv",
+        f"element_at({offs_t}, bk + 1) + row_number() OVER"
+        " (PARTITION BY bk ORDER BY user_id) AS t",
+        f"element_at({offs_s}, bk + 1) + sum(conv) OVER"
+        " (PARTITION BY bk ORDER BY user_id ROWS UNBOUNDED PRECEDING) AS s",
+    )
+    llr = w.selectExpr("t", f"{_SPRT_STEP} * (2 * s - t) AS l").localCheckpoint()
+    n_obs = llr.count()
+    return llr.agg(
+        F.expr("CAST(count(*) AS BIGINT) AS n_obs"),
+        F.expr(
+            f"CAST(min(CASE WHEN l >= {_SPRT_A} THEN t END) AS BIGINT)"
+            " AS first_accept_t"
+        ),
+        F.expr(
+            f"CAST(min(CASE WHEN l <= {_SPRT_B} THEN t END) AS BIGINT)"
+            " AS first_reject_t"
+        ),
+        F.expr(
+            f"CASE WHEN coalesce(min(CASE WHEN l >= {_SPRT_A} THEN t END),"
+            " 9223372036854775807)"
+            f" < coalesce(min(CASE WHEN l <= {_SPRT_B} THEN t END),"
+            " 9223372036854775807)"
+            " THEN 'accept_h1'"
+            f" WHEN min(CASE WHEN l <= {_SPRT_B} THEN t END) IS NOT NULL"
+            " THEN 'accept_h0'"
+            " ELSE 'continue' END AS decision"
+        ),
+        F.expr(
+            f"CAST(max(CASE WHEN t = {n_obs} THEN l END) AS BIGINT)"
+            " AS llr_final_micro"
+        ),
+    )
