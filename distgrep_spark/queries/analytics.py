@@ -4169,3 +4169,144 @@ def q_orders_abc_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("class_p1", "class_p2")
         .agg(F.expr("CAST(count(*) AS BIGINT) AS n_customers"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Shapley-value channel attribution (2 channels, closed form, exact)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_shapley_attribution_2ch",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+               AS first_buy,
+             CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS conv
+      FROM events GROUP BY user_id
+    ),
+    ex AS (
+      SELECT u.user_id, u.conv,
+             CAST(max(CASE WHEN e.event_type = 'click'
+                       AND (u.first_buy IS NULL
+                            OR epoch_us(e.ts) < u.first_buy)
+                      THEN 1 ELSE 0 END) AS BIGINT) AS ec,
+             CAST(max(CASE WHEN e.event_type = 'view'
+                       AND (u.first_buy IS NULL
+                            OR epoch_us(e.ts) < u.first_buy)
+                      THEN 1 ELSE 0 END) AS BIGINT) AS ev
+      FROM u JOIN events e ON u.user_id = e.user_id
+      GROUP BY u.user_id, u.conv
+    ),
+    v AS (
+      SELECT
+        CAST(sum(CASE WHEN ec = 0 AND ev = 0 THEN conv ELSE 0 END)
+             AS BIGINT) AS v_none,
+        CAST(sum(CASE WHEN ev = 0 THEN conv ELSE 0 END) AS BIGINT) AS v_c,
+        CAST(sum(CASE WHEN ec = 0 THEN conv ELSE 0 END) AS BIGINT) AS v_v,
+        CAST(sum(conv) AS BIGINT) AS v_full
+      FROM ex
+    )
+    SELECT channel, marginal_alone, marginal_joint, shapley_x2,
+           CAST(shapley_x2 AS DOUBLE) / 2.0 AS shapley
+    FROM (
+      SELECT 'click' AS channel,
+             v_c - v_none AS marginal_alone,
+             v_full - v_v AS marginal_joint,
+             (v_c - v_none) + (v_full - v_v) AS shapley_x2
+      FROM v
+      UNION ALL
+      SELECT 'view', v_v - v_none, v_full - v_c,
+             (v_v - v_none) + (v_full - v_c)
+      FROM v
+    )
+    """,
+)
+def q_events_shapley_attribution_2ch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shapley-value channel attribution, exact closed form for two
+    channels — the game-theoretic alternative to
+    events_attribution_last_touch (last-touch gives the final click
+    everything; Shapley splits each conversion over the channels whose
+    PRESENCE actually moved it, averaging marginal contributions over
+    both arrival orders): phi_ch = ½[v({ch}) − v(∅)] + ½[v(both) −
+    v(other)], with the coalition value v(S) = conversions among users
+    whose pre-first-purchase exposure set ⊆ S. Two channels make the
+    permutation average a CLOSED FORM — no sampling, no factorial
+    blowup — which is exactly the regime where exact Shapley is the
+    production method (3-4 channels enumerate the same way; beyond
+    that, production samples permutations).
+
+    Exactness: exposures are exact epoch-micros comparisons against
+    the user's first purchase (tz-free idiom), coalition values are
+    integer conversion counts, marginals are integer differences, and
+    the ½ weights make shapley_x2 the exact integer with the DOUBLE a
+    lossless /2 (dyadic — no rounding anywhere). Efficiency axiom
+    holds by construction: Σ shapley = v(full) − v(∅).
+
+    The 100-TB shape: one user rollup for first-purchase, one
+    co-partitioned join back for exposure bits (both on user_id — a
+    single exchange lineage), then a 1-row coalition table; the
+    channel rows unpivot from it. 2^k coalition columns for k
+    channels, all in the same two passes."""
+    ev = load_table(spark, sf_dir, "events")
+    us = "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
+    u = ev.groupBy("user_id").agg(
+        F.expr(
+            f"min(CASE WHEN event_type = 'purchase' THEN {us} END)"
+            " AS first_buy"
+        ),
+        F.expr(
+            "CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)"
+            " AS BIGINT) AS conv"
+        ),
+    ).selectExpr("user_id AS uk", "first_buy", "conv")
+    us_e = (
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
+    )
+    ex = (
+        u.join(ev, F.col("uk") == F.col("user_id"))
+        .groupBy("uk", "conv")
+        .agg(
+            F.expr(
+                f"CAST(max(CASE WHEN event_type = 'click'"
+                f" AND (first_buy IS NULL OR {us_e} < first_buy)"
+                " THEN 1 ELSE 0 END) AS BIGINT) AS ec"
+            ),
+            F.expr(
+                f"CAST(max(CASE WHEN event_type = 'view'"
+                f" AND (first_buy IS NULL OR {us_e} < first_buy)"
+                " THEN 1 ELSE 0 END) AS BIGINT) AS ev"
+            ),
+        )
+    )
+    v = ex.agg(
+        F.expr(
+            "CAST(sum(CASE WHEN ec = 0 AND ev = 0 THEN conv ELSE 0 END)"
+            " AS BIGINT) AS v_none"
+        ),
+        F.expr("CAST(sum(CASE WHEN ev = 0 THEN conv ELSE 0 END) AS BIGINT)"
+               " AS v_c"),
+        F.expr("CAST(sum(CASE WHEN ec = 0 THEN conv ELSE 0 END) AS BIGINT)"
+               " AS v_v"),
+        F.expr("CAST(sum(conv) AS BIGINT) AS v_full"),
+    )
+    return v.selectExpr(
+        "explode(array("
+        " struct('click' AS channel,"
+        "        v_c - v_none AS marginal_alone,"
+        "        v_full - v_v AS marginal_joint,"
+        "        (v_c - v_none) + (v_full - v_v) AS shapley_x2),"
+        " struct('view' AS channel,"
+        "        v_v - v_none AS marginal_alone,"
+        "        v_full - v_c AS marginal_joint,"
+        "        (v_v - v_none) + (v_full - v_c) AS shapley_x2)"
+        ")) AS r"
+    ).selectExpr(
+        "r.channel",
+        "r.marginal_alone",
+        "r.marginal_joint",
+        "r.shapley_x2",
+        "CAST(r.shapley_x2 AS DOUBLE) / 2.0 AS shapley",
+    )
