@@ -3348,7 +3348,12 @@ def q_kmeans_pp_seed_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid (embed_pq_assign discipline): distances are exact BIGINTs,
     the argmax carries a (min_d2 DESC, vec_id) total order, and the
     broadcast seed set keeps the scan map-side — per round at 100 TB:
-    one pass, k×dim broadcast, no shuffle but the 1-row argmax."""
+    one pass, k×dim broadcast, no shuffle but the 1-row argmax. The
+    argmax itself is orderBy+limit(1) — TakeOrderedAndProject keeps a
+    1-row heap per map partition and merges ≤#partitions rows on the
+    driver side of the exchange; the round-6 lint caught the previous
+    global row_number() form, whose unpartitioned WindowExec would
+    sort the full per-vector table on one task at scale."""
     emb = load_table(spark, sf_dir, "embeddings")
     q_df = emb.selectExpr("vec_id", f"{_QUANT} AS qv")
     seeds = q_df.where("vec_id < 2").selectExpr("vec_id AS sid", "qv AS sv")
@@ -3365,12 +3370,8 @@ def q_kmeans_pp_seed_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.expr("CAST(min(d2) AS BIGINT) AS min_d2"))
     )
     return (
-        dmin.selectExpr(
-            "vec_id",
-            "min_d2",
-            "row_number() OVER (ORDER BY min_d2 DESC, vec_id) AS rn",
-        )
-        .where("rn = 1")
+        dmin.orderBy(F.desc("min_d2"), "vec_id")
+        .limit(1)
         .selectExpr("vec_id AS next_seed", "min_d2")
     )
 

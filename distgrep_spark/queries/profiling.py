@@ -520,9 +520,17 @@ def q_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     never fired). Pair blowup is bounded by the per-order item count k
     (~7 here): k(k-1)/2 rows per order, never quadratic in the table.
     The n_pair >= 2 support floor prunes the long tail BEFORE the
-    margin windows (at 100 TB it's the difference between a report and
-    a firehose). Lift is an exact integer ratio times 1.0 —
-    bit-identical across engines."""
+    margins attach (at 100 TB it's the difference between a report and
+    a firehose). Margins attach by BROADCAST JOIN of the per-item
+    support table sliced out of the localCheckpointed rollup (round-6
+    de-allowlisting: the previous margin windows included a
+    partitionBy(lit(1)) order-total window whose input grew with the
+    floored pair report — the one SP_WINDOW_ALLOWLIST entry whose
+    bound scaled with catalog size; the checkpoint truncates lineage
+    so the four slices don't re-execute the explode, and the support
+    table is items-with-suppport-sized, the natural broadcast dim).
+    Lift is an exact integer ratio times 1.0 — bit-identical across
+    engines."""
     li = load_table(spark, sf_dir, "lineitem")
     baskets = (
         li.select("l_orderkey", "l_partkey")
@@ -549,35 +557,35 @@ def q_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("n_pair"))
         # Keep margin/marker rows; floor only the real pairs. The floor
-        # runs BEFORE the windows so they reduce the pruned table.
+        # runs BEFORE the margins attach so only the report survives.
         .where(
             F.col("part_a").isNull()
             | F.col("part_b").isNull()
             | (F.col("n_pair") >= 2)
         )
+        # Report-sized (floored pairs + per-item margins + 1 marker).
+        # The checkpoint lets the four slices below read materialized
+        # blocks instead of re-running the explode per branch (the
+        # graph_pagerank_step shared-lineage lesson).
+        .localCheckpoint()
     )
-    na = F.max(F.when(F.col("part_b").isNull(), F.col("n_pair"))).over(
-        Window.partitionBy("part_a")
+    pairs = counts.where(
+        F.col("part_a").isNotNull() & F.col("part_b").isNotNull()
     )
-    nb = F.max(F.when(F.col("part_a").isNull(), F.col("n_pair"))).over(
-        Window.partitionBy("part_b")
+    support = counts.where(
+        F.col("part_a").isNotNull() & F.col("part_b").isNull()
     )
-    # The order-total marker is resolved LAST, after singleton margin
-    # rows are dropped, so the single-partition window only ever sees
-    # the floored pair report plus one marker row — report-sized by the
-    # support floor's own argument, never catalog- or fact-sized.
-    n_orders = F.max(
-        F.when(F.col("part_a").isNull() & F.col("part_b").isNull(), F.col("n_pair"))
-    ).over(Window.partitionBy(F.lit(1)))
+    n_orders = counts.where(
+        F.col("part_a").isNull() & F.col("part_b").isNull()
+    ).selectExpr("n_pair AS _no")
+    # Same-lineage equi-join keys renamed apart (CLAUDE.md gotcha):
+    # every branch descends from the one checkpointed rollup.
+    sup_a = support.selectExpr("part_a AS _ka", "n_pair AS _na")
+    sup_b = support.selectExpr("part_a AS _kb", "n_pair AS _nb")
     return (
-        counts.withColumn("_na", na)
-        .withColumn("_nb", nb)
-        .where(
-            (F.col("part_a").isNull() & F.col("part_b").isNull())
-            | (F.col("part_a").isNotNull() & F.col("part_b").isNotNull())
-        )
-        .withColumn("_no", n_orders)
-        .where(F.col("part_a").isNotNull() & F.col("part_b").isNotNull())
+        pairs.join(F.broadcast(sup_a), F.col("part_a") == F.col("_ka"))
+        .join(F.broadcast(sup_b), F.col("part_b") == F.col("_kb"))
+        .crossJoin(F.broadcast(n_orders))
         .select(
             "part_a",
             "part_b",

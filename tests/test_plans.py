@@ -429,3 +429,58 @@ def test_behavior_pipeline_single_user_exchange(spark):
     # sessionization windows AND the session rollup on the clean
     # branch. Anything >3 means a window or rollup re-shuffled.
     assert plan.count("Exchange hashpartitioning(user_id") == 3
+
+
+def test_sp_window_lint_catches_seeded_violations(spark):
+    """Seeded-violation proof that tools/plan_audit's single-partition
+    window detector fails RED on both hazard shapes (round-5 verdict:
+    the old Exchange-pattern heuristic silently missed windows whose
+    input lineage was already single-partition), and stays green on the
+    partitioned shapes — including the partitioned-UNORDERED window
+    (``sum() OVER (PARTITION BY k)``) whose plan line also prints only
+    two bracket groups and false-positived a count-based draft."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from tools.plan_audit import single_partition_windows
+
+    orders = spark.read.parquet(f"{SF_ORACLE}/orders.parquet")
+
+    def plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    # shape 1: empty partition spec — Catalyst needs no Exchange when
+    # the lineage is already single-partition, but WindowExec still
+    # serializes on one task; the lint must count it
+    bad_global = orders.coalesce(1).selectExpr(
+        "o_orderkey",
+        "row_number() OVER (ORDER BY o_totalprice DESC) AS rn",
+    )
+    assert single_partition_windows(plan(bad_global)) >= 1
+
+    # shape 2: constant partition key — non-empty spec, so shape 1
+    # misses it; the Exchange SinglePartition beneath the Window is
+    # the tell
+    bad_const = orders.select(
+        "o_orderkey",
+        F.sum("o_totalprice")
+        .over(Window.partitionBy(F.lit(1)).orderBy("o_orderkey"))
+        .alias("cum"),
+    )
+    assert single_partition_windows(plan(bad_const)) >= 1
+
+    # green: partitioned-and-ordered
+    ok_ranked = orders.select(
+        "o_orderkey",
+        F.row_number()
+        .over(Window.partitionBy("o_custkey").orderBy("o_orderkey"))
+        .alias("rn"),
+    )
+    assert single_partition_windows(plan(ok_ranked)) == 0
+
+    # green: partitioned-unordered (two bracket groups, no sort tokens)
+    ok_total = orders.select(
+        "o_orderkey",
+        F.sum("o_totalprice").over(Window.partitionBy("o_custkey")).alias("tot"),
+    )
+    assert single_partition_windows(plan(ok_total)) == 0

@@ -41,29 +41,93 @@ SP_WINDOW_ALLOWLIST = {
     "corpus_token_budget_allocation": "largest-remainder window over the source dimension (handful of rows)",
     "timeseries_monthly_dense": "lag over the generated calendar-month spine (fixture span, bounded)",
     "embed_pca_power_step": "normalization windows over the 16-row spectral S table",
-    "market_basket_lift": "margin window over the support-floor-pruned pair table (documented prune-first design)",
     "stats_chi2_independence": "margin windows over the |segments|x|priorities| cell table (dozens of rows)",
     "stats_benford_first_digit": "share window over the 9-row first-digit table",
     "drift_tv_stability": "TV-distance window over the ~25-row histogram bucket table",
     "orders_survival_empirical": "Kaplan-Meier running sum over distinct day durations (calendar-bounded)",
     "corpus_unimax_waterfill": "waterfilling sort window over the source dimension (O(10^2) sources at any corpus size)",
+    # Entries below were surfaced by the round-6 lint sharpening (empty-
+    # partition-spec Window operators counted directly from the plan
+    # string — the round-5 verdict's blind spot: already-single-partition
+    # lineages insert no Exchange, so the old Exchange-pattern heuristic
+    # reported 0 while WindowExec logged 'No Partition Defined').
+    "window_linear_interpolate": "four spine windows whose input explodes from a 1-row bounds aggregate (calendar-bounded, ~2,400 rows at any fact scale)",
+    "events_haar_energy": "energy-share window over the 5-row per-scale spectrum table",
+    "events_path_counts": "rank window over the 20 survivors of TakeOrderedAndProject (limit runs FIRST; window input is 20 rows by construction)",
+    "text_bpe_merge_step": "merge_rank window over the top-20 TakeOrderedAndProject survivors (same bounded-limit-first shape)",
 }
 
 
+def _window_is_unpartitioned(line: str) -> bool:
+    """True when a ``Window`` plan-tree line has an EMPTY partition spec.
+
+    The operator prints its top-level ``[...]`` groups as
+    ``Window [exprs], [partCols], [orderCols]`` — but BOTH trailing
+    groups are optional: a partitioned-unordered window (``sum() OVER
+    (PARTITION BY k)``) prints ``[exprs], [partCols]`` and a global
+    ordered window prints ``[exprs], [orderCols]``, so the group COUNT
+    alone cannot distinguish them (the round-6 false-positive sweep:
+    agg_weighted_median's per-brand total tripped a count-based check).
+    The discriminator is the content: order specs always carry ``ASC``
+    / ``DESC`` sort-direction tokens, partition columns never do
+    (verified against executed plans of window_rank_orders /
+    agg_weighted_median / window_linear_interpolate)."""
+    i = line.find("Window [")
+    if i < 0:
+        return False
+    depth = 0
+    groups: list[list[str]] = []
+    for ch in line[i + len("Window ") :]:
+        if ch == "[":
+            if depth == 0:
+                groups.append([])
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+        elif depth >= 1 and groups:
+            groups[-1].append(ch)
+    if len(groups) >= 3:
+        return False  # exprs + partition + order
+    if len(groups) <= 1:
+        return True  # exprs only: OVER () — global unordered frame
+    tail = "".join(groups[1])
+    return " ASC" in tail or " DESC" in tail
+
+
 def single_partition_windows(plan: str) -> int:
-    """Count ``Window`` operators fed by an ``Exchange SinglePartition``
-    — the global-order-statistic scale-killer class (round-4 verdict
-    "What's wrong #1"). A Window's required child distribution puts the
-    exchange (and an interposed Sort) directly beneath it in the tree
-    string, so "Exchange SinglePartition with a Window within the 3
-    lines above" is the shape; scalar one-row aggregates also produce
-    SinglePartition exchanges but never under a Window, and stay
-    uncounted."""
+    """Count ``Window`` operators that execute on a single partition —
+    the global-order-statistic scale-killer class (round-4 verdict
+    "What's wrong #1"). Two shapes, both counted:
+
+    1. A window whose partition spec is EMPTY (plan line has two
+       top-level bracket groups instead of three). This catches the
+       round-5 blind spot: when the window's input lineage is *already*
+       single-partition (e.g. a spine exploded from a 1-row bounds
+       aggregate) Catalyst inserts no Exchange at all, yet the executor
+       still logs ``WindowExec: No Partition Defined`` and the operator
+       serializes on one task (window_linear_interpolate — nine such
+       warnings per run while the old Exchange-pattern heuristic
+       reported 0).
+    2. A window partitioned by a CONSTANT (e.g. ``partitionBy(lit(1))``)
+       — the partition spec is non-empty so shape 1 misses it, but the
+       required child distribution materializes as an ``Exchange
+       SinglePartition`` directly beneath the Window (within the Sort
+       interposed between them). Scalar one-row aggregates also produce
+       SinglePartition exchanges but never under a Window, and stay
+       uncounted."""
     lines = plan.splitlines()
     bad = 0
     for i, ln in enumerate(lines):
-        if "Exchange SinglePartition" in ln and any(
-            "Window" in prev for prev in lines[max(0, i - 3) : i]
+        # operator name must be exactly Window (WindowGroupLimit prints
+        # bare bracket groups too but is a pushed-down top-k, not a sort
+        # barrier; WindowInPandas would be a different hazard class)
+        stripped = ln.lstrip(" :+-*(0123456789)")
+        if not stripped.startswith("Window ["):
+            continue
+        if _window_is_unpartitioned(ln):
+            bad += 1
+        elif any(
+            "Exchange SinglePartition" in nxt for nxt in lines[i + 1 : i + 5]
         ):
             bad += 1
     return bad
