@@ -140,6 +140,19 @@ POST_PREFIX = [
     # mv_incremental_maintain / privacy_dp_count_laplace); all still
     # fully oracle-checked
     "sim_ann_ivf_recall",
+    # Round 6 (verdict ask #7): the sketch-certifying GATES lead the
+    # post-prefix order — each is the SQL-oracled companion that keeps a
+    # rows-only sketch honest, so a time-boxed or interrupted oracle
+    # sweep covers them before anything redundant. check_oracles' default
+    # sweep order follows this list.
+    "agg_countmin_gate",
+    "agg_hll_union_gate",
+    "agg_approx_topk_merge_gate",
+    "agg_freq_items_gate",
+    "agg_approx_percentile_gate",
+    "agg_theta_intersection_gate",
+    "agg_kll_quantile_gate",
+    "agg_histogram_quantile_gate",
     "dedup_exact",
     "multimodal_frame_sample",
     # round-5 batches 29-31, strongest-first if the window ever widens
@@ -229,14 +242,12 @@ POST_PREFIX = [
     "text_gopher_rules",
     "text_remove_dup_sentences",
     "events_user_retention",
-    "agg_approx_percentile_gate",
     "layout_compaction_bins",
     "market_basket_lift",
     "events_value_outliers",
     "events_rolling_7d_actives",
     "scd2_customer_status",
     "agg_mode_per_group",
-    "agg_freq_items_gate",
     "funnel_conversion_latency",
     "scalar_regex_fns",
     "agg_string_agg_ordered",
@@ -265,14 +276,11 @@ POST_PREFIX = [
     "corpus_source_cap",
     "events_active_coverage",
     "sample_weighted_priority",
-    "agg_countmin_gate",
     "events_mad_outliers",
     "graph_triangle_count",
     "text_max_token_run",
     "text_bpe_merge_step",
     "events_path_counts",
-    "agg_hll_union_gate",
-    "agg_approx_topk_merge_gate",
     "events_peak_concurrency",
     "join_asof_nearest_events",
     "window_cumulative_distinct",

@@ -171,3 +171,123 @@ def test_topk_gate_preconditions():
     ).fetchone()
     assert n_hits == 0
     assert n_langs < 64, f"{n_langs} langs reach the estimate's k=64 truncation"
+
+
+# Queries registered before the per-query SCALE.md convention (round-5
+# batches introduced "batch-N addition: <name> sf0.1 ... / x8 ..."
+# entries; earlier rounds recorded scaling at the suite level). This set
+# is SHRINK-ONLY: names may be removed as they gain SCALE.md entries,
+# never added — so every NEW registration must document its measured
+# scaling (the round-5 verdict ask #7 convention, enforced).
+_SCALE_GRANDFATHERED = {
+    "agg_approx_distinct", "agg_approx_distinct_error",
+    "agg_approx_topk_merge_gate", "agg_argminmax_fns",
+    "agg_boolean_fns", "agg_corr_covar", "agg_count_distinct",
+    "agg_cube", "agg_freq_items_gate", "agg_grouping_sets",
+    "agg_histogram_equiwidth", "agg_histogram_quantile_gate",
+    "agg_hll_union_gate", "agg_log2_histogram", "agg_mode_per_group",
+    "agg_percentiles", "agg_rollup", "agg_rollup_grouping_id",
+    "agg_skewness_kurtosis", "agg_string_agg_ordered",
+    "agg_variance_exact", "agg_weighted_median", "conditional_case",
+    "corpus_split_assign", "corpus_token_budget_allocation",
+    "corpus_unimax_waterfill", "dedup_bloom_decontaminate",
+    "dedup_clusters_cc", "dedup_hash", "dedup_materialize",
+    "dedup_minhash_lsh", "dedup_semdedup", "dedup_url_canonical",
+    "dq_constraint_checks", "dq_duplicate_payment_screen",
+    "dq_order_total_reconciliation", "drift_tv_stability",
+    "embed_centroids_by_label", "embed_feature_norm_stats",
+    "embed_jl_projection_audit", "embed_mahalanobis_screen",
+    "embed_matryoshka_prefix_norms", "embed_pq_assign",
+    "embed_quantize_int8", "events_autocorr_hourly",
+    "events_bot_score_panel", "events_funnel_pattern_regex",
+    "events_haar_energy", "events_markov_transition",
+    "events_pareto_concentration", "events_peak_concurrency",
+    "events_rolling_7d_actives", "events_watermark_lateness_audit",
+    "filter_predicates", "from_json_struct", "funnel_view_click",
+    "graph_assortativity_degree", "graph_kcore_peel",
+    "graph_link_prediction", "graph_modularity_by_brand",
+    "grep_by_lang", "grep_filter_only", "grep_highlight", "grep_regex",
+    "grep_zero_matches", "join_anti", "join_asof_events",
+    "join_asof_forward_events", "join_asof_nearest_events",
+    "join_asof_tolerance_events", "join_bloom_prefilter",
+    "join_broadcast_dim", "join_lateral_topn", "join_multiway",
+    "join_null_safe", "join_outer", "join_scd2_point_in_time",
+    "json_extract_events", "json_variant_extract",
+    "kmeans_assign_step", "kmeans_clusters", "kmeans_pp_seed_step",
+    "lateral_explode_outer_urls", "lateral_explode_tokens",
+    "latest_event_per_user", "layout_zorder_locality",
+    "layout_zorder_sort", "merge_upsert_snapshot",
+    "multimodal_aspect_buckets", "multimodal_audio_segments",
+    "multimodal_metadata", "multimodal_patch_grid",
+    "multimodal_resize_dims", "orders_churn_labels",
+    "orders_cohort_ltv", "orders_cohort_ltv_curve",
+    "orders_gini_spend", "orders_interpurchase_gaps",
+    "orders_price_volume_decomposition", "orders_rfm_quartiles",
+    "orders_seasonal_naive_mae", "orders_survival_empirical",
+    "pack_token_budget", "part_abc_xyz_classification",
+    "part_skyline_pareto", "pivot_status_totals",
+    "profile_column_stats", "profile_key_skew",
+    "sample_neyman_allocation", "sample_reservoir_per_key",
+    "sample_stratified", "scalar_array_fns", "scalar_bitwise_fns",
+    "scalar_date_fns", "scalar_map_fns", "scalar_math_fns",
+    "scalar_null_fns", "scalar_regex_fns", "scalar_string_fns",
+    "scalar_subquery_correlated", "scalar_try_arithmetic",
+    "scalar_url_parse", "scd2_customer_status",
+    "set_ops_bag_semantics", "set_union_by_name", "sim_ann_ivfpq",
+    "sim_ann_lsh", "sim_ann_lsh_recall", "sim_cosine_topk_pandas",
+    "sim_negative_sampling", "snapshot_diff_classify", "sort_global",
+    "sql_pipe_syntax_battery", "sql_reshape_clauses_battery",
+    "sql_udf_battery", "stats_ab_ztest", "stats_benford_first_digit",
+    "stats_chi2_independence", "stats_cusum_drift",
+    "stats_diff_in_diff", "stats_ks_two_sample",
+    "stats_permutation_test_md5", "stats_standardized_rate",
+    "stream_cusum_alerts", "stream_dedup", "stream_dim_enrich",
+    "stream_grep_counts", "stream_interval_join",
+    "stream_interval_join_outer", "stream_running_totals",
+    "stream_session_counts", "stream_sliding_counts",
+    "stream_tumbling_counts", "supplier_concentration_hhi",
+    "text_batch_padding_plan", "text_cdc_chunks",
+    "text_chunk_documents", "text_edit_distance", "text_fingerprints",
+    "text_lang_confusion", "text_lang_guess",
+    "text_ngram_novelty_decay", "text_normalize", "text_pii_flags",
+    "text_quality", "text_quality_linear", "text_rake_keywords",
+    "text_repetition_score", "text_source_overlap_matrix",
+    "text_stats", "text_token_counts", "text_token_entropy",
+    "text_unigram_surprisal", "timeseries_monthly_dense",
+    "topk_customers", "tpch_q10_returned_items",
+    "tpch_q13_customer_distribution", "tpch_q14_promo_revenue",
+    "tpch_q17_small_quantity", "tpch_q18_large_orders",
+    "tpch_q19_disjunctive_predicates", "tpch_q21_waiting_suppliers",
+    "tpch_q22_idle_customers", "tpch_q3_shipping_priority",
+    "tpch_q4_priority_exists", "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue", "tpch_q7_volume_shipping",
+    "tpch_q8_market_share", "udaf_length_quantiles",
+    "udf_pandas_scalar", "udtf_analyze_dynamic_pivot",
+    "udtf_split_sentences", "udtf_table_arg_sessions",
+    "unpivot_lineitem_metrics", "window_cumulative_distinct",
+    "window_forward_fill", "window_lag_lead",
+    "window_linear_interpolate", "window_max_drawdown",
+    "window_range_frame", "window_running_sum",
+    "window_share_of_group", "window_topk_per_group",
+    "window_zscore_rolling",
+}
+
+
+def test_new_queries_carry_scale_md_entries():
+    """Every query registered after the convention started must be
+    named in SCALE.md (its x8/x16 or suite-sweep entry); the
+    grandfathered set may only shrink."""
+    scale = open(__file__.replace("tests/test_registry.py", "SCALE.md")).read()
+    undocumented = sorted(
+        n for n in q.QUERIES if n not in _SCALE_GRANDFATHERED and n not in scale
+    )
+    assert not undocumented, (
+        f"new queries missing a SCALE.md entry: {undocumented}; measure "
+        "sf0.1 + a scaled corpus and record the ratio + model"
+    )
+    graduated = sorted(n for n in _SCALE_GRANDFATHERED if n in scale)
+    assert not graduated, (
+        f"grandfathered names now documented - remove from the set: {graduated}"
+    )
+    stale = sorted(set(_SCALE_GRANDFATHERED) - set(q.QUERIES))
+    assert not stale, f"grandfathered names not in registry: {stale}"

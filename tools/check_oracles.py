@@ -203,7 +203,17 @@ def main(names=None):
             path = f"{path}/*.parquet"
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
 
-    targets = names or sorted(q.QUERIES)
+    if names:
+        targets = list(names)
+    else:
+        # Scoreboard order, not alphabetical: the scored prefix first,
+        # then POST_PREFIX (the curated strongest-first list, which
+        # leads with the sketch-certifying gates), then the remainder —
+        # so an interrupted or time-boxed sweep has already covered the
+        # most load-bearing queries (round-5 verdict ask #7).
+        import __spark_entry__ as entry
+
+        targets = list(entry.queries())
     failures = 0
     for name in targets:
         fn = q.QUERIES[name]
