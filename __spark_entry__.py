@@ -86,7 +86,10 @@ SCOREBOARD_PREFIX = [
     "dedup_simhash_exactdup",
     "dedup_clusters_cc",
     "corpus_curation_pipeline",
-    "dedup_embedding_cosine",
+    # round 6: dedup_embedding_cosine demoted (cosine machinery keeps
+    # three scored similarity rows — sim_cosine_topk / sim_ann_lsh_recall
+    # / sim_rrf_fusion — and the dedup family still holds six); the slot
+    # gives streaming its THIRD canonical stateful shape (see below)
     "dedup_cross_corpus",
     # similarity / clustering (round 5: sim_ann_ivf_recall demoted —
     # the LSH gate keeps a recall row scored, and the fusion row
@@ -114,9 +117,14 @@ SCOREBOARD_PREFIX = [
     # DP release mechanism, derandomized transcendental — a scored row)
     "multimodal_metadata",
     "privacy_dp_count_laplace",
-    # streaming batch twins
+    # streaming batch twins — the three canonical stateful shapes the
+    # throughput soak ladders (windowed agg, session windows, bounded-
+    # state TTL dedup; round 6 added the dedup row: verdict ask #4's
+    # shipped answer, full oracle + stream==batch pytest + checkpoint
+    # resume)
     "stream_tumbling_counts",
     "stream_session_counts",
+    "stream_dedup_within_watermark",
     # UDTF / UDAF
     "udtf_split_sentences",
     "udaf_length_quantiles",
@@ -153,6 +161,9 @@ POST_PREFIX = [
     "agg_theta_intersection_gate",
     "agg_kll_quantile_gate",
     "agg_histogram_quantile_gate",
+    # demoted round 6: slot went to stream_dedup_within_watermark; the
+    # embedding-cosine dedup stays fully oracle-checked here
+    "dedup_embedding_cosine",
     "dedup_exact",
     "multimodal_frame_sample",
     # round-5 batches 29-31, strongest-first if the window ever widens

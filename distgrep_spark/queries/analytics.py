@@ -1501,18 +1501,32 @@ _GRID_R = 2  # L-infinity radius in grid units; cell edge == radius
 
 @query(
     "join_spatial_grid",
+    # Round 6 (verdict ask #3): the oracle is now the cell decomposition
+    # itself — each point probes its cell and the 8 neighbors (cell size
+    # = radius, so |cell delta| <= 1 whenever |coord delta| <= R; a pair
+    # matches at exactly ONE offset, so no dedup is needed). Linear in
+    # points x 9 plus per-cell products ~ output size, where the previous
+    # honest-quadratic form was ~5e10 comparisons at x16 (DuckDB pinned a
+    # core >30 min). Equality vs the brute-force SQL is pinned at sf0.01
+    # by tests/test_oracle_twins.py.
     oracle=f"""
     WITH pts AS (
       SELECT p_partkey AS k, CAST(p_size AS BIGINT) AS x,
              CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) // 10 AS y
       FROM part
+    ),
+    g AS (SELECT k, x, y, x // {_GRID_R} AS cx, y // {_GRID_R} AS cy FROM pts),
+    probe AS (
+      SELECT k, x, y, cx + ox AS ncx, cy + oy AS ncy
+      FROM g, LATERAL unnest([-1, 0, 1]) AS t1(ox),
+              LATERAL unnest([-1, 0, 1]) AS t2(oy)
     )
     SELECT a.k AS key_a, b.k AS key_b,
            b.x - a.x AS dx, b.y - a.y AS dy
-    FROM pts a JOIN pts b
-      ON a.k < b.k
-     AND abs(a.x - b.x) <= {_GRID_R}
-     AND abs(a.y - b.y) <= {_GRID_R}
+    FROM probe a JOIN g b ON a.ncx = b.cx AND a.ncy = b.cy
+    WHERE a.k < b.k
+      AND abs(a.x - b.x) <= {_GRID_R}
+      AND abs(a.y - b.y) <= {_GRID_R}
     """,
 )
 def q_join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -101,24 +101,43 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), n=3, threshold=0.5)
 
 
-@query(
-    "dedup_ngram_jaccard_capped",
-    oracle=r"""
+# Round 6 (verdict ask #3): the capped-Jaccard oracles' pair step is a
+# POSTING-LIST expansion (group each df<=8 gram's doc list, emit its
+# C(df,2) pairs via correlated unnest), not a two-sided posting self-
+# join — the join form materialized a spill-heavy hash-join intermediate
+# at x16 (DuckDB ran out of temp disk after tens of GB); the list form
+# streams pairs straight into the rollup. Output identical; equality vs
+# the brute-force SQL is pinned at sf0.01 by tests/test_oracle_twins.py.
+_CAPPED_POSTING_CORE = r"""
     WITH toks AS (
       SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
     ),
-    grams AS (
+    allgrams AS (
       SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
       FROM toks, LATERAL unnest(generate_series(1, greatest(len(t) - 2, 0))) AS u(i)
     ),
-    rare AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) <= 8),
-    capped AS (SELECT g.doc_id, g.gram FROM grams g JOIN rare USING (gram)),
-    sizes AS (SELECT doc_id, count(*) AS n_grams FROM capped GROUP BY doc_id),
+    posting AS (
+      SELECT gram, list(doc_id ORDER BY doc_id) AS ds
+      FROM allgrams GROUP BY gram HAVING count(*) <= 8
+    ),
+    sizes AS (
+      SELECT doc_id, count(*) AS n_grams
+      FROM allgrams JOIN posting USING (gram) GROUP BY doc_id
+    ),
     common AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
-      FROM capped a JOIN capped b ON a.gram = b.gram AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
+      SELECT pa AS doc_a, pb AS doc_b, count(*) AS c FROM (
+        SELECT ds[i] AS pa, ds[j] AS pb FROM posting,
+          LATERAL unnest(generate_series(1, len(ds) - 1)) AS u(i),
+          LATERAL unnest(generate_series(i + 1, len(ds))) AS v(j)
+      ) GROUP BY 1, 2
     )
+"""
+
+
+@query(
+    "dedup_ngram_jaccard_capped",
+    oracle=_CAPPED_POSTING_CORE
+    + """
     SELECT doc_a, doc_b, c * 1.0 / (sa.n_grams + sb.n_grams - c) AS jaccard
     FROM common
       JOIN sizes sa ON doc_a = sa.doc_id
@@ -159,6 +178,21 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_minhash_recall",
+    # Round 6 (verdict ask #3): the uncapped exact-Jaccard oracle is now
+    # its own 100-TB algorithm instead of the all-pairs posting self-join
+    # (quadratic in duplicate multiplicity — unrunnable at x16):
+    # 1. collapse docs to DISTINCT gram-set PROFILES (coincident copies —
+    #    the densified corpus's whole blowup — share one profile);
+    # 2. AllPairs/PPJoin prefix filter over profiles: under a global
+    #    rarest-first gram order, two sets with J >= t must share a gram
+    #    in their first |x| - ceil(t|x|) + 1 grams (Bayardo et al. 2007,
+    #    Property 1) — candidates, then exact verify via list_intersect;
+    # 3. re-expand profile pairs to doc pairs (same-profile members are
+    #    J = 1.0 by construction; cross-profile pairs inherit the
+    #    verified c/na/nb).
+    # Identical output by construction and pinned vs the brute-force SQL
+    # at sf0.01 in tests/test_oracle_twins.py; runs the x16 corpus in
+    # ~26 s / 665,536 exact pairs where the old form pinned a core >9 min.
     oracle=r"""
     WITH toks AS (
       SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
@@ -167,17 +201,49 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
       FROM toks, LATERAL unnest(generate_series(1, greatest(len(t) - 2, 0))) AS u(i)
     ),
-    sizes AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id),
-    common AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
-      FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
+    lists AS (SELECT doc_id, list(gram ORDER BY gram) AS gs FROM grams GROUP BY doc_id),
+    prof AS (
+      SELECT gs, list(doc_id ORDER BY doc_id) AS members,
+             min(doc_id) AS pid, CAST(len(gs) AS BIGINT) AS n
+      FROM lists GROUP BY gs
+    ),
+    pgram AS (SELECT pid, n, unnest(gs) AS gram FROM prof),
+    pdf AS (SELECT gram, count(*) AS df FROM pgram GROUP BY gram),
+    pranked AS (
+      SELECT p.pid, p.gram, p.n,
+             row_number() OVER (PARTITION BY p.pid ORDER BY d.df, p.gram) AS rnk
+      FROM pgram p JOIN pdf d USING (gram)
+    ),
+    pprefix AS (
+      SELECT pid, gram FROM pranked
+      WHERE rnk <= n - CAST(ceil(0.5 * n) AS BIGINT) + 1
+    ),
+    pcand AS (
+      SELECT DISTINCT a.pid AS pa, b.pid AS pb
+      FROM pprefix a JOIN pprefix b ON a.gram = b.gram AND a.pid < b.pid
+    ),
+    pver AS (
+      SELECT pa, pb, c, na, nb, ma, mb FROM (
+        SELECT pa, pb,
+               CAST(len(list_intersect(la.gs, lb.gs)) AS BIGINT) AS c,
+               la.n AS na, lb.n AS nb, la.members AS ma, lb.members AS mb
+        FROM pcand
+          JOIN prof la ON pa = la.pid
+          JOIN prof lb ON pb = lb.pid
+      ) WHERE c * 1.0 / (na + nb - c) >= 0.5
+    ),
+    cross_pairs AS (
+      SELECT least(x, y) AS doc_a, greatest(x, y) AS doc_b, c, na, nb
+      FROM pver, LATERAL unnest(ma) AS ux(x), LATERAL unnest(mb) AS uy(y)
+    ),
+    same_pairs AS (
+      SELECT m[i] AS doc_a, m[j] AS doc_b, n AS c, n AS na, n AS nb
+      FROM (SELECT members AS m, n FROM prof WHERE len(members) >= 2),
+        LATERAL unnest(generate_series(1, len(m) - 1)) AS u(i),
+        LATERAL unnest(generate_series(i + 1, len(m))) AS v(j)
     )
-    SELECT doc_a, doc_b, c * 1.0 / (sa.n_grams + sb.n_grams - c) AS jaccard
-    FROM common
-      JOIN sizes sa ON doc_a = sa.doc_id
-      JOIN sizes sb ON doc_b = sb.doc_id
-    WHERE c * 1.0 / (sa.n_grams + sb.n_grams - c) >= 0.5
+    SELECT doc_a, doc_b, c * 1.0 / (na + nb - c) AS jaccard
+    FROM (SELECT * FROM cross_pairs UNION ALL SELECT * FROM same_pairs)
     """,
 )
 def q_dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -204,23 +270,9 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_cross_corpus",
-    oracle=r"""
-    WITH toks AS (
-      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
-    ),
-    allgrams AS (
-      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
-      FROM toks, LATERAL unnest(generate_series(1, greatest(len(t) - 2, 0))) AS u(i)
-    ),
-    rare AS (SELECT gram FROM allgrams GROUP BY gram HAVING count(*) <= 8),
-    grams AS (SELECT g.doc_id, g.gram FROM allgrams g JOIN rare USING (gram)),
-    sizes AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id),
-    common AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
-      FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
-    ),
-    pairs AS (
+    oracle=_CAPPED_POSTING_CORE
+    + """
+    , pairs AS (
       SELECT doc_a, doc_b, c * 1.0 / (sa.n_grams + sb.n_grams - c) AS jaccard
       FROM common
         JOIN sizes sa ON doc_a = sa.doc_id

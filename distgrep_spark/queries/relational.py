@@ -354,10 +354,33 @@ def join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "join_range",
+    # Round 6 (verdict ask #3): the oracle is now its own 100-TB form —
+    # the same order-statistic the engine computes, as plain SQL: union
+    # both sides, one running count of customer rows ordered by
+    # (balance, customers-first-at-ties so equality counts as <=), and
+    # n_richer = |C| - n_le at each supplier row. O((|S|+|C|) log) with
+    # NO pair set; the previous form materialized the |S|x|richer-C|
+    # pair set (~2e9 rows at x16) before its GROUP BY. Equality of the
+    # two forms is pinned by tests/test_oracle_twins.py against the
+    # brute-force SQL at sf0.01. The >0 filter reproduces the INNER
+    # join's drop of suppliers with no richer customer.
     oracle="""
-    SELECT s.s_suppkey, s.s_name, count(*) AS n_richer_customers
-    FROM supplier s JOIN customer c ON c.c_acctbal > s.s_acctbal
-    GROUP BY s.s_suppkey, s.s_name
+    WITH u AS (
+      SELECT c_acctbal AS v, 1 AS is_c,
+             NULL::BIGINT AS sk, NULL::VARCHAR AS sn FROM customer
+      UNION ALL
+      SELECT s_acctbal, 0, s_suppkey, s_name FROM supplier
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS nc FROM customer),
+    r AS (
+      SELECT sk, sn, is_c,
+             CAST(sum(is_c) OVER (ORDER BY v, is_c DESC
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_le
+      FROM u
+    )
+    SELECT sk AS s_suppkey, sn AS s_name, nc - n_le AS n_richer_customers
+    FROM r CROSS JOIN tot
+    WHERE is_c = 0 AND nc - n_le > 0
     """,
 )
 def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -256,3 +256,144 @@ def cusum_alerts(df: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# TTL-keyed suppression dedup ("throttle dedup")
+# ---------------------------------------------------------------------------
+
+# Emit a key's event only when NO same-key event occurred in the
+# preceding TTL — the alert/notification dedup semantics (at most one
+# emission per quiet period), and the round-5 verdict's "TTL'd keys"
+# production answer to the unbounded streaming-dedup state ceiling:
+# state is ONE timestamp per key, refreshed by every arrival and
+# expirable once the watermark passes last_seen + TTL (after which the
+# next arrival would be emitted anyway, so dropping the key is
+# semantics-preserving — unlike dropDuplicates, whose per-event-id state
+# grows with the stream). Suppression anchors on the previous RAW event
+# (not the previous EMITTED one), which is exactly a lag() window in
+# batch — so the twin carries a full DuckDB oracle, where
+# first-occurrence-per-epoch semantics would need recursion.
+THROTTLE_TTL_MINUTES = 120
+_THROTTLE_TTL_US = THROTTLE_TTL_MINUTES * 60 * 1_000_000
+
+THROTTLE_OUTPUT_SCHEMA = (
+    "event_id bigint, user_id bigint, event_type string, ts timestamp"
+)
+# Bucketed state: the machine groups on a 256-way key HASH, not the key
+# itself, and each bucket's state holds parallel (key, last_us) arrays.
+# Rationale (measured): applyInPandasWithState pays per-GROUP pandas +
+# Arrow overhead, so at 50k live keys x tiny per-key batches the naive
+# per-key machine managed ~37k rows/s with 2 batches in 40 s; 256
+# buckets cut the group count 200x and let the emit rule vectorize.
+THROTTLE_STATE_SCHEMA = "ks array<string>, last_us array<long>"
+
+_THROTTLE_BUCKETS = 256
+_KEY_SEP = "\x1f"
+
+
+def _throttle_bucketed(key, pdfs, state: GroupState):
+    """Vectorized TTL-suppression for one key bucket.
+
+    The emit rule vectorizes BECAUSE suppression anchors on the previous
+    RAW same-key event: sorted by (key, ts, event_id), each row's anchor
+    is its shift-predecessor when that is the same key, else the state's
+    last_us — one shift + compare, no sequential fold (an
+    emitted-anchored rule would need the loop back)."""
+    import pandas as pd
+
+    ks, last = state.get if state.exists else ([], [])
+    d = dict(zip(ks, last))
+    rows = None
+    if not state.hasTimedOut:
+        chunks = list(pdfs)
+        rows = pd.concat(chunks) if chunks else None
+    if rows is not None and len(rows):
+        rows = rows.sort_values(["user_id", "event_type", "ts", "event_id"])
+        us = pd.to_datetime(rows["ts"]).astype("int64") // 1000
+        kser = rows["user_id"].astype(str) + _KEY_SEP + rows["event_type"]
+        prev_us = us.shift(1)
+        same_key = kser.eq(kser.shift(1))
+        anchor = prev_us.where(same_key, kser.map(d))
+        emit = anchor.isna() | ((us - anchor) > _THROTTLE_TTL_US)
+        out = rows.loc[
+            emit.values, ["event_id", "user_id", "event_type", "ts"]
+        ]
+        for k, u in us.groupby(kser.values).max().items():
+            prev = d.get(k)
+            d[k] = int(u) if prev is None or u > prev else prev
+    else:
+        out = pd.DataFrame(
+            columns=["event_id", "user_id", "event_type", "ts"]
+        )
+    # TTL expiry: a key whose last event is TTL past the watermark can
+    # never suppress again (the next arrival emits regardless), so
+    # dropping it is semantics-preserving. The bucket re-arms its timer
+    # at the earliest future expiry so idle buckets still shed state.
+    wm_us = state.getCurrentWatermarkMs() * 1000
+    if wm_us > 0:
+        d = {k: v for k, v in d.items() if v + _THROTTLE_TTL_US >= wm_us}
+    if d:
+        state.update((list(d.keys()), list(d.values())))
+        state.setTimeoutTimestamp(
+            min(d.values()) // 1000 + THROTTLE_TTL_MINUTES * 60_000
+        )
+    elif state.exists:
+        state.remove()
+    yield out
+
+
+def throttle_dedup(df: DataFrame, *, watermark: str = "30 minutes") -> DataFrame:
+    """TTL-keyed suppression dedup on (user_id, event_type).
+
+    Batch/stream polymorphic: the streaming path is an
+    ``applyInPandasWithState`` state machine holding one last-seen
+    timestamp per key with an EventTimeTimeout at last_seen + TTL; the
+    batch path is the equivalent ``lag()`` window (previous same-key
+    event farther than TTL back, or none). Exact integer microseconds
+    on both paths (``timestampdiff`` — events.ts is TIMESTAMP_NTZ, a
+    tz-interpreting cast would be vanilla-session fragile).
+
+    The 100-TB view: this is the bounded-state answer to streaming
+    dedup — state rows == live keys inside the TTL horizon, independent
+    of stream length; with RocksDB as the state store (the session
+    default here) the per-key row lives off-heap. Contrast
+    ``stateful_dedup`` (dropDuplicatesWithinWatermark): exact
+    per-event-id dedup, state == distinct ids in the watermark horizon,
+    which at 800k rows/s was the round-5 measured ceiling."""
+    if df.isStreaming:
+        from pyspark.sql import functions as F
+
+        return (
+            df.withColumn(
+                "_bucket",
+                F.pmod(
+                    F.xxhash64("user_id", "event_type"),
+                    F.lit(_THROTTLE_BUCKETS),
+                ),
+            )
+            .withWatermark("ts", watermark)
+            .groupBy("_bucket")
+            .applyInPandasWithState(
+                _throttle_bucketed,
+                outputStructType=THROTTLE_OUTPUT_SCHEMA,
+                stateStructType=THROTTLE_STATE_SCHEMA,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.EventTimeTimeout,
+            )
+        )
+    return (
+        df.selectExpr(
+            "event_id",
+            "user_id",
+            "event_type",
+            "ts",
+            "lag(ts) OVER (PARTITION BY user_id, event_type"
+            " ORDER BY ts, event_id) AS _prev",
+        )
+        .where(
+            "_prev IS NULL OR timestampdiff(MICROSECOND, _prev, ts)"
+            f" > {_THROTTLE_TTL_US}"
+        )
+        .drop("_prev")
+    )

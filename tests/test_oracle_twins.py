@@ -1,0 +1,154 @@
+"""Brute-force certification of the scalable oracle forms.
+
+Round 6 replaced four quadratic oracle queries with exact scalable
+algorithms so the x16 key-shifted sweep runs with ZERO exclusions
+(round-5 verdict ask #3):
+
+- ``join_range``: union running-count order statistic instead of the
+  |S|x|richer-C| pair set;
+- ``join_spatial_grid``: cell-bucketed 9-neighbor join instead of the
+  all-pairs L-inf predicate;
+- ``dedup_ngram_jaccard_capped`` / ``dedup_cross_corpus``: posting-list
+  C(df,2) expansion instead of the spill-heavy two-sided posting join;
+- ``dedup_minhash_recall``: profile collapse + AllPairs prefix filter +
+  exact verify instead of the all-pairs posting self-join.
+
+A scalable oracle is only as trustworthy as its equivalence proof, so
+the RETIRED brute-force SQL lives on HERE and every pair is re-proved
+equal (values, order-insensitively, and DESCRIBE dtypes) in DuckDB at
+sf0.01 on every pytest run. DuckDB-only: no Spark session, ~seconds.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+import distgrep_spark.queries as q
+from tests.conftest import SF_ORACLE
+
+_JACCARD_BRUTE_TAIL = """
+    SELECT doc_a, doc_b, c * 1.0 / (sa.n_grams + sb.n_grams - c) AS jaccard
+    FROM common
+      JOIN sizes sa ON doc_a = sa.doc_id
+      JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE c * 1.0 / (sa.n_grams + sb.n_grams - c) >= 0.5
+"""
+
+# The pre-round-6 quadratic forms, verbatim.
+BRUTE = {
+    "join_range": """
+    SELECT s.s_suppkey, s.s_name, count(*) AS n_richer_customers
+    FROM supplier s JOIN customer c ON c.c_acctbal > s.s_acctbal
+    GROUP BY s.s_suppkey, s.s_name
+    """,
+    "join_spatial_grid": """
+    WITH pts AS (
+      SELECT p_partkey AS k, CAST(p_size AS BIGINT) AS x,
+             CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) // 10 AS y
+      FROM part
+    )
+    SELECT a.k AS key_a, b.k AS key_b,
+           b.x - a.x AS dx, b.y - a.y AS dy
+    FROM pts a JOIN pts b
+      ON a.k < b.k
+     AND abs(a.x - b.x) <= 2
+     AND abs(a.y - b.y) <= 2
+    """,
+    "dedup_ngram_jaccard_capped": r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+      FROM toks, LATERAL unnest(generate_series(1, greatest(len(t) - 2, 0))) AS u(i)
+    ),
+    rare AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) <= 8),
+    capped AS (SELECT g.doc_id, g.gram FROM grams g JOIN rare USING (gram)),
+    sizes AS (SELECT doc_id, count(*) AS n_grams FROM capped GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+      FROM capped a JOIN capped b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    """
+    + _JACCARD_BRUTE_TAIL,
+    "dedup_cross_corpus": r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+    ),
+    allgrams AS (
+      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+      FROM toks, LATERAL unnest(generate_series(1, greatest(len(t) - 2, 0))) AS u(i)
+    ),
+    rare AS (SELECT gram FROM allgrams GROUP BY gram HAVING count(*) <= 8),
+    grams AS (SELECT g.doc_id, g.gram FROM allgrams g JOIN rare USING (gram)),
+    sizes AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+      FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b, c * 1.0 / (sa.n_grams + sb.n_grams - c) AS jaccard
+      FROM common
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+      WHERE c * 1.0 / (sa.n_grams + sb.n_grams - c) >= 0.5
+    )
+    SELECT doc_a, doc_b, da.source AS source_a, db.source AS source_b, jaccard
+    FROM pairs
+      JOIN documents da ON doc_a = da.doc_id
+      JOIN documents db ON doc_b = db.doc_id
+    WHERE da.source <> db.source
+    """,
+    "dedup_minhash_recall": r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+      FROM toks, LATERAL unnest(generate_series(1, greatest(len(t) - 2, 0))) AS u(i)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+      FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    """
+    + _JACCARD_BRUTE_TAIL,
+}
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_ORACLE}/{t}.parquet'")
+    return c
+
+
+@pytest.mark.parametrize("name", sorted(BRUTE))
+def test_scalable_oracle_equals_brute_force(con, name):
+    """The registered (scalable) oracle and the retired brute-force form
+    must produce identical result sets AND identical DESCRIBE dtypes.
+    NOTE for dedup_minhash_recall: the recall gate's engine side is a
+    semi-join against LSH candidates, so the oracle equals the exact
+    pair set only because LSH recall is 100% on the fixture — this test
+    certifies the two ORACLE forms against each other, which is the part
+    round 6 changed."""
+    new = con.execute(
+        f"SELECT * FROM ({q.ORACLES[name]}) ORDER BY ALL"
+    ).fetchall()
+    old = con.execute(f"SELECT * FROM ({BRUTE[name]}) ORDER BY ALL").fetchall()
+    assert len(new) > 0, "vacuous equivalence proves nothing"
+    assert new == old
+    ndt = [d[1] for d in con.execute("DESCRIBE " + q.ORACLES[name]).fetchall()]
+    odt = [d[1] for d in con.execute("DESCRIBE " + BRUTE[name]).fetchall()]
+    assert ndt == odt

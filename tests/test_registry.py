@@ -241,7 +241,7 @@ _SCALE_GRANDFATHERED = {
     "stats_chi2_independence", "stats_cusum_drift",
     "stats_diff_in_diff", "stats_ks_two_sample",
     "stats_permutation_test_md5", "stats_standardized_rate",
-    "stream_cusum_alerts", "stream_dedup", "stream_dim_enrich",
+    "stream_cusum_alerts", "stream_dim_enrich",
     "stream_grep_counts", "stream_interval_join",
     "stream_interval_join_outer", "stream_running_totals",
     "stream_session_counts", "stream_sliding_counts",

@@ -31,6 +31,6 @@ def test_tumbling_soak_reports_metrics(spark):
 
 
 def test_pipeline_table_is_complete():
-    assert set(PIPELINES) == {"tumbling", "session", "dedup"}
+    assert set(PIPELINES) == {"tumbling", "session", "dedup", "dedup_ttl"}
     for fn, mode in PIPELINES.values():
         assert mode in {"update", "append", "complete"}

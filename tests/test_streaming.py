@@ -817,3 +817,100 @@ def test_stream_topk_merge_resumes_checkpoint(spark, tmp_path):
         for r in q.QUERIES["stream_topk_windows"](spark, SF).collect()
     }
     assert got == want
+
+
+def _throttle_events(spark):
+    """Synthetic corpus with same-key gaps straddling the 2 h TTL:
+    key (7,'x'): 0 min (emit), 60 (suppress), 130 (suppress: 70 min
+    from the previous RAW event — distinguishes raw- from emitted-
+    anchoring), 260 (emit: 130 min gap); key (8,'y'): 0 (emit),
+    121 (emit)."""
+    from datetime import datetime, timedelta
+
+    base = datetime(2024, 1, 1, 0, 0, 0)
+
+    def ev(eid, uid, etype, minutes):
+        return (eid, uid, etype, base + timedelta(minutes=minutes))
+
+    schema = "event_id bigint, user_id bigint, event_type string, ts timestamp"
+    rows = [
+        ev(1, 7, "x", 0), ev(2, 8, "y", 0),
+        ev(3, 7, "x", 60), ev(4, 8, "y", 121),
+        ev(5, 7, "x", 130), ev(6, 7, "x", 260),
+    ]
+    return spark.createDataFrame(rows, schema), schema
+
+
+def test_throttle_dedup_stream_matches_batch(spark, tmp_path):
+    """The TTL-suppression dedup's streaming state machine must emit
+    exactly the batch lag-window twin's rows (the oracle-checked form),
+    across micro-batch boundaries that split a suppression chain."""
+    from distgrep_spark.streaming.stateful import throttle_dedup
+
+    df, schema = _throttle_events(spark)
+    d = tmp_path / "in"
+    # three files -> three triggers; the (7,'x') chain spans all three
+    for i, ids in enumerate([(1, 2), (3, 4), (5, 6)]):
+        df.where(df.event_id.isin(*ids)).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(d / f"f{i}"))
+
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(d / "*"))
+    q = (
+        throttle_dedup(stream)
+        .writeStream.format("memory").queryName("throttle_t")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["event_id"] for r in spark.sql("select * from throttle_t").collect()
+    }
+    want = {r["event_id"] for r in throttle_dedup(df).collect()}
+    assert want == {1, 2, 4, 6}  # the designed emissions
+    assert got == want
+
+
+def test_throttle_dedup_checkpoint_resume(spark, tmp_path):
+    """Kill the throttle-dedup stream mid-input, restart from the same
+    checkpoint: the resumed run must restore per-key last-seen state
+    (suppressions that depend on batch-1 events still happen) and the
+    union of outputs must equal the batch twin exactly once."""
+    from distgrep_spark.streaming.stateful import throttle_dedup
+
+    df, schema = _throttle_events(spark)
+    d, ckpt, out = tmp_path / "in", tmp_path / "ckpt", tmp_path / "out"
+    for i, ids in enumerate([(1, 2), (3, 4), (5, 6)]):
+        df.where(df.event_id.isin(*ids)).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(d / f"f{i}"))
+
+    def start():
+        stream = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", 1
+        ).parquet(str(d / "*"))
+        return (
+            throttle_dedup(stream)
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = start()
+    deadline = time.time() + 60
+    while time.time() < deadline and not q.recentProgress:
+        time.sleep(0.2)
+    q.stop()
+    q.awaitTermination(60)
+
+    q2 = start()
+    q2.awaitTermination(120)
+
+    got = [r["event_id"] for r in spark.read.parquet(str(out)).collect()]
+    want = {r["event_id"] for r in throttle_dedup(df).collect()}
+    assert len(got) == len(want), "duplicated or lost rows across restart"
+    assert set(got) == want

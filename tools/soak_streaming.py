@@ -48,6 +48,7 @@ from distgrep_spark.streaming.pipelines import (  # noqa: E402
     stateful_dedup,
     tumbling_counts,
 )
+from distgrep_spark.streaming.stateful import throttle_dedup  # noqa: E402
 
 RATES = [100_000, 800_000, 1_600_000]
 
@@ -93,6 +94,19 @@ PIPELINES = {
         # tiny sink-side reduce so the noop sink pulls every row
         lambda df: stateful_dedup(df, watermark="10 seconds").groupBy().count(),
         "complete",
+    ),
+    # Round 6: the SHIPPED bounded-state dedup (verdict ask #4) — TTL
+    # suppression keyed on (user_id, event_type): state is one
+    # timestamp per key (<=50k rows at this corpus's key cardinality)
+    # with EventTimeTimeout expiry, vs stateful_dedup's per-event-id
+    # rows that made 800k rows/s the round-5 ceiling. Emitted rows go
+    # straight to the noop sink in append mode: a downstream streaming
+    # aggregate after an arbitrary stateful operator trips Spark's
+    # global-watermark correctness check (late-row discard hazard) —
+    # and the noop sink pulls every emitted row anyway.
+    "dedup_ttl": (
+        lambda df: throttle_dedup(df, watermark="10 seconds"),
+        "append",
     ),
 }
 
@@ -181,28 +195,13 @@ def soak(spark, name: str, rate: int, seconds: int, min_ticks: int = 0) -> dict:
 
 def main() -> None:
     seconds = int(sys.argv[1]) if len(sys.argv) > 1 else 40
-    # SPARK_GRAFT_STATE_STORE=rocksdb swaps in the RocksDB provider —
-    # the 100-TB state backend (off-heap, incremental checkpoints).
-    # Measured round 5 on the dedup pipeline: 8.6x less state memory at
-    # the same rate and a higher sustainable ceiling; see SCALE.md.
-    if os.environ.get("SPARK_GRAFT_STATE_STORE") == "rocksdb":
-        from pyspark.sql import SparkSession
-
-        spark = (
-            SparkSession.builder.master(
-                f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
-            )
-            .appName("stream-soak-rocksdb")
-            .config("spark.sql.shuffle.partitions", "32")
-            .config(
-                "spark.sql.streaming.stateStore.providerClass",
-                "org.apache.spark.sql.execution.streaming.state."
-                "RocksDBStateStoreProvider",
-            )
-            .getOrCreate()
-        )
-    else:
-        spark = get_spark("stream-soak")
+    # RocksDB is now the session DEFAULT state store (session.get_spark,
+    # round-6 verdict ask #4) — the 100-TB backend (off-heap,
+    # incremental checkpoints; round-5 A/B: 8.6x less state memory at
+    # the same rate and a higher sustainable ceiling, see SCALE.md).
+    # SPARK_GRAFT_STATE_STORE=hdfs restores the JVM-heap provider for
+    # A/B runs of this ladder.
+    spark = get_spark("stream-soak")
     spark.sparkContext.setLogLevel("ERROR")
     print(f"# {seconds}s per (pipeline, rate); rates {RATES}")
     for name in PIPELINES:
