@@ -68,9 +68,15 @@ def q_dedup_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_by_hash(load_table(spark, sf_dir, "documents"))
 
 
-@query(
-    "dedup_ngram_jaccard",
-    oracle=r"""
+# Round 6: the EXACT uncapped trigram-Jaccard oracle in its scalable
+# form — profile collapse (docs grouped by identical gram SET) +
+# AllPairs/PPJoin prefix filter over distinct profiles + exact
+# list_intersect verify + member re-expansion. Shared by every query
+# whose ground truth is the exact >=0.5 pair set; equality vs the
+# retired all-pairs posting self-join is pinned per-pytest-run in
+# tests/test_oracle_twins.py, and the full rationale + x16 measurements
+# live on dedup_minhash_recall's registration below.
+_EXACT_JACCARD_PROFILE_SQL = r"""
     WITH toks AS (
       SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
     ),
@@ -78,18 +84,55 @@ def q_dedup_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
       FROM toks, LATERAL unnest(generate_series(1, greatest(len(t) - 2, 0))) AS u(i)
     ),
-    sizes AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id),
-    common AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
-      FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
+    lists AS (SELECT doc_id, list(gram ORDER BY gram) AS gs FROM grams GROUP BY doc_id),
+    prof AS (
+      SELECT gs, list(doc_id ORDER BY doc_id) AS members,
+             min(doc_id) AS pid, CAST(len(gs) AS BIGINT) AS n
+      FROM lists GROUP BY gs
+    ),
+    pgram AS (SELECT pid, n, unnest(gs) AS gram FROM prof),
+    pdf AS (SELECT gram, count(*) AS df FROM pgram GROUP BY gram),
+    pranked AS (
+      SELECT p.pid, p.gram, p.n,
+             row_number() OVER (PARTITION BY p.pid ORDER BY d.df, p.gram) AS rnk
+      FROM pgram p JOIN pdf d USING (gram)
+    ),
+    pprefix AS (
+      SELECT pid, gram FROM pranked
+      WHERE rnk <= n - CAST(ceil(0.5 * n) AS BIGINT) + 1
+    ),
+    pcand AS (
+      SELECT DISTINCT a.pid AS pa, b.pid AS pb
+      FROM pprefix a JOIN pprefix b ON a.gram = b.gram AND a.pid < b.pid
+    ),
+    pver AS (
+      SELECT pa, pb, c, na, nb, ma, mb FROM (
+        SELECT pa, pb,
+               CAST(len(list_intersect(la.gs, lb.gs)) AS BIGINT) AS c,
+               la.n AS na, lb.n AS nb, la.members AS ma, lb.members AS mb
+        FROM pcand
+          JOIN prof la ON pa = la.pid
+          JOIN prof lb ON pb = lb.pid
+      ) WHERE c * 1.0 / (na + nb - c) >= 0.5
+    ),
+    cross_pairs AS (
+      SELECT least(x, y) AS doc_a, greatest(x, y) AS doc_b, c, na, nb
+      FROM pver, LATERAL unnest(ma) AS ux(x), LATERAL unnest(mb) AS uy(y)
+    ),
+    same_pairs AS (
+      SELECT m[i] AS doc_a, m[j] AS doc_b, n AS c, n AS na, n AS nb
+      FROM (SELECT members AS m, n FROM prof WHERE len(members) >= 2),
+        LATERAL unnest(generate_series(1, len(m) - 1)) AS u(i),
+        LATERAL unnest(generate_series(i + 1, len(m))) AS v(j)
     )
-    SELECT doc_a, doc_b, c * 1.0 / (sa.n_grams + sb.n_grams - c) AS jaccard
-    FROM common
-      JOIN sizes sa ON doc_a = sa.doc_id
-      JOIN sizes sb ON doc_b = sb.doc_id
-    WHERE c * 1.0 / (sa.n_grams + sb.n_grams - c) >= 0.5
-    """,
+    SELECT doc_a, doc_b, c * 1.0 / (na + nb - c) AS jaccard
+    FROM (SELECT * FROM cross_pairs UNION ALL SELECT * FROM same_pairs)
+"""
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=_EXACT_JACCARD_PROFILE_SQL,
 )
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact trigram-Jaccard near-dup pairs (threshold 0.5) via shingle
@@ -193,58 +236,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Identical output by construction and pinned vs the brute-force SQL
     # at sf0.01 in tests/test_oracle_twins.py; runs the x16 corpus in
     # ~26 s / 665,536 exact pairs where the old form pinned a core >9 min.
-    oracle=r"""
-    WITH toks AS (
-      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
-    ),
-    grams AS (
-      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
-      FROM toks, LATERAL unnest(generate_series(1, greatest(len(t) - 2, 0))) AS u(i)
-    ),
-    lists AS (SELECT doc_id, list(gram ORDER BY gram) AS gs FROM grams GROUP BY doc_id),
-    prof AS (
-      SELECT gs, list(doc_id ORDER BY doc_id) AS members,
-             min(doc_id) AS pid, CAST(len(gs) AS BIGINT) AS n
-      FROM lists GROUP BY gs
-    ),
-    pgram AS (SELECT pid, n, unnest(gs) AS gram FROM prof),
-    pdf AS (SELECT gram, count(*) AS df FROM pgram GROUP BY gram),
-    pranked AS (
-      SELECT p.pid, p.gram, p.n,
-             row_number() OVER (PARTITION BY p.pid ORDER BY d.df, p.gram) AS rnk
-      FROM pgram p JOIN pdf d USING (gram)
-    ),
-    pprefix AS (
-      SELECT pid, gram FROM pranked
-      WHERE rnk <= n - CAST(ceil(0.5 * n) AS BIGINT) + 1
-    ),
-    pcand AS (
-      SELECT DISTINCT a.pid AS pa, b.pid AS pb
-      FROM pprefix a JOIN pprefix b ON a.gram = b.gram AND a.pid < b.pid
-    ),
-    pver AS (
-      SELECT pa, pb, c, na, nb, ma, mb FROM (
-        SELECT pa, pb,
-               CAST(len(list_intersect(la.gs, lb.gs)) AS BIGINT) AS c,
-               la.n AS na, lb.n AS nb, la.members AS ma, lb.members AS mb
-        FROM pcand
-          JOIN prof la ON pa = la.pid
-          JOIN prof lb ON pb = lb.pid
-      ) WHERE c * 1.0 / (na + nb - c) >= 0.5
-    ),
-    cross_pairs AS (
-      SELECT least(x, y) AS doc_a, greatest(x, y) AS doc_b, c, na, nb
-      FROM pver, LATERAL unnest(ma) AS ux(x), LATERAL unnest(mb) AS uy(y)
-    ),
-    same_pairs AS (
-      SELECT m[i] AS doc_a, m[j] AS doc_b, n AS c, n AS na, n AS nb
-      FROM (SELECT members AS m, n FROM prof WHERE len(members) >= 2),
-        LATERAL unnest(generate_series(1, len(m) - 1)) AS u(i),
-        LATERAL unnest(generate_series(i + 1, len(m))) AS v(j)
-    )
-    SELECT doc_a, doc_b, c * 1.0 / (na + nb - c) AS jaccard
-    FROM (SELECT * FROM cross_pairs UNION ALL SELECT * FROM same_pairs)
-    """,
+    oracle=_EXACT_JACCARD_PROFILE_SQL,
 )
 def q_dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL-oracled recall gate for the MinHash-LSH sketch: the exact
@@ -314,29 +306,9 @@ def q_dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_cross_corpus_exact",
-    oracle=r"""
-    WITH toks AS (
-      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
-    ),
-    grams AS (
-      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
-      FROM toks, LATERAL unnest(generate_series(1, greatest(len(t) - 2, 0))) AS u(i)
-    ),
-    sizes AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id),
-    common AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
-      FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
-    ),
-    pairs AS (
-      SELECT doc_a, doc_b, c * 1.0 / (sa.n_grams + sb.n_grams - c) AS jaccard
-      FROM common
-        JOIN sizes sa ON doc_a = sa.doc_id
-        JOIN sizes sb ON doc_b = sb.doc_id
-      WHERE c * 1.0 / (sa.n_grams + sb.n_grams - c) >= 0.5
-    )
+    oracle=f"""
     SELECT doc_a, doc_b, da.source AS source_a, db.source AS source_b, jaccard
-    FROM pairs
+    FROM ({_EXACT_JACCARD_PROFILE_SQL}) pairs
       JOIN documents da ON doc_a = da.doc_id
       JOIN documents db ON doc_b = db.doc_id
     WHERE da.source <> db.source

@@ -120,6 +120,18 @@ BRUTE = {
     + _JACCARD_BRUTE_TAIL,
 }
 
+# dedup_ngram_jaccard shares dedup_minhash_recall's exact-pair oracle
+# (both certify the >=0.5 trigram-Jaccard pair set); cross_corpus_exact
+# wraps the same brute pair set with the source annotation.
+BRUTE["dedup_ngram_jaccard"] = BRUTE["dedup_minhash_recall"]
+BRUTE["dedup_cross_corpus_exact"] = f"""
+    SELECT doc_a, doc_b, da.source AS source_a, db.source AS source_b, jaccard
+    FROM ({BRUTE["dedup_minhash_recall"]}) pairs
+      JOIN documents da ON doc_a = da.doc_id
+      JOIN documents db ON doc_b = db.doc_id
+    WHERE da.source <> db.source
+"""
+
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
