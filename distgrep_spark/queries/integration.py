@@ -613,3 +613,159 @@ def q_mv_incremental_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
                " AS total_cents"),
         F.expr("CAST(max(last_d) AS BIGINT) AS max_last_day"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-6 batch 49: preference aggregation — one Bradley-Terry MM step
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_bradley_terry_step",
+    oracle="""
+    WITH bq AS (
+      SELECT l_orderkey AS ok, p_brand AS b,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY 1, 2
+    ),
+    matches AS (
+      SELECT a.b AS bi, c.b AS bj,
+             CASE WHEN a.q > c.q THEN 1 ELSE 0 END AS wi
+      FROM bq a JOIN bq c ON a.ok = c.ok AND a.b < c.b
+      WHERE a.q <> c.q
+    ),
+    pair AS (
+      SELECT bi, bj, CAST(count(*) AS BIGINT) AS n_ij,
+             CAST(sum(wi) AS BIGINT) AS w_ij
+      FROM matches GROUP BY 1, 2
+    ),
+    dir AS (
+      SELECT bi AS b, bj AS o, n_ij, w_ij AS w FROM pair
+      UNION ALL
+      SELECT bj AS b, bi AS o, n_ij, n_ij - w_ij AS w FROM pair
+    ),
+    tot AS (
+      SELECT b, CAST(sum(n_ij) AS BIGINT) AS n_i,
+             CAST(sum(w) AS BIGINT) AS wins_i
+      FROM dir GROUP BY b
+    ),
+    w0 AS (
+      SELECT b, n_i, wins_i,
+             CAST(wins_i AS DOUBLE) / CAST(n_i AS DOUBLE) AS r0
+      FROM tot
+    ),
+    terms AS (
+      SELECT d.b,
+             CAST(floor(CAST(d.n_ij AS DOUBLE) / (wi.r0 + wj.r0) * 1048576
+                        + 0.5) AS BIGINT) AS t
+      FROM dir d JOIN w0 wi ON d.b = wi.b JOIN w0 wj ON d.o = wj.b
+    ),
+    denom AS (SELECT b, CAST(sum(t) AS BIGINT) AS den FROM terms GROUP BY b)
+    SELECT w0.b AS brand, w0.n_i AS n_comparisons, w0.wins_i AS wins,
+           round(w0.r0, 6) AS win_rate,
+           round(CAST(w0.wins_i AS DOUBLE) * 1048576 / CAST(d.den AS DOUBLE), 6)
+             AS bt_strength
+    FROM w0 JOIN denom d ON w0.b = d.b
+    """,
+)
+def q_orders_bradley_terry_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Bradley-Terry minorization (MM) step over brand 'matches' —
+    the preference-aggregation kernel behind ranking from pairwise
+    comparisons (RLHF reward-model data curation, tournament seeding,
+    search interleaving): within each order, of two brands the one with
+    the larger total quantity wins the match (ties skipped); win rates
+    seed w0 and one Hunter-2004 MM update gives
+    w1_i = wins_i / sum_j n_ij / (w0_i + w0_j). The fixpoint loop
+    repeats with w0 = w1 (the graph_pagerank_step discipline: the
+    oracle certifies one iteration's relational body).
+
+    Cross-engine float discipline (the events_ewma lesson, applied to
+    DIVISION instead of dyadic folds): every per-term value is a chain
+    of IEEE-correctly-rounded ops on identical operands (one int/int
+    divide, one add, one divide, one EXACT multiply by 2^20), so both
+    engines compute bit-identical doubles; each term is floored to
+    integer 2^-20 units and the per-brand denominator crosses engines
+    as an exact BIGINT sum — float summation ORDER (the engine's
+    choice) never touches a float accumulator. w0_i + w0_j > 0 by
+    theorem (every counted match has a winner, so two brands that met
+    cannot both have zero total wins) — no DIVIDE_BY_ZERO guard needed,
+    unlike stats_ab_power_mde's data-dependent denominator.
+
+    The 100-TB shape: ONE fact shuffle builds per-order brand baskets
+    (groupBy + collect_list — the market_basket_lift pattern; pairing
+    is map-side k(k-1)/2 per order, never a same-lineage self-join,
+    which re-executes its input twice); everything after the
+    (brand, brand) rollup lives on the |brands|^2-bounded match matrix
+    — broadcast-sized at any fact scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    bq = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_orderkey", "p_brand")
+        .agg(F.expr("CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q"))
+    )
+    baskets = bq.groupBy("l_orderkey").agg(
+        F.expr("sort_array(collect_list(struct(p_brand AS b, q))) AS bs")
+    )
+    pair = (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(bs, (x, i) ->"
+                    " transform(slice(bs, i + 2, size(bs)), y ->"
+                    "   struct(x.b AS bi, y.b AS bj,"
+                    "          x.q AS qi, y.q AS qj))))"
+                )
+            ).alias("m")
+        )
+        .where("m.qi <> m.qj")
+        .groupBy("m.bi", "m.bj")
+        .agg(
+            F.expr("CAST(count(*) AS BIGINT) AS n_ij"),
+            F.expr("CAST(sum(CASE WHEN m.qi > m.qj THEN 1 ELSE 0 END)"
+                   " AS BIGINT) AS w_ij"),
+        )
+        # |brands|^2-bounded match matrix: checkpoint so the w0 / term /
+        # denominator branches below read ~300 materialized rows instead
+        # of re-executing the fact-scan + basket explode once per branch
+        # (first audit of this plan counted 28 shuffles; 4 after)
+        .localCheckpoint()
+    )
+    dirs = pair.selectExpr(
+        "bi AS b", "bj AS o", "n_ij", "w_ij AS w"
+    ).unionByName(
+        pair.selectExpr("bj AS b", "bi AS o", "n_ij", "n_ij - w_ij AS w")
+    )
+    w0 = dirs.groupBy("b").agg(
+        F.expr("CAST(sum(n_ij) AS BIGINT) AS n_i"),
+        F.expr("CAST(sum(w) AS BIGINT) AS wins_i"),
+    ).selectExpr(
+        "b", "n_i", "wins_i",
+        "CAST(wins_i AS DOUBLE) / CAST(n_i AS DOUBLE) AS r0",
+    )
+    wi = w0.selectExpr("b AS _bi", "r0 AS _ri")
+    wj = w0.selectExpr("b AS _bj", "r0 AS _rj")
+    denom = (
+        dirs.join(F.broadcast(wi), F.col("b") == F.col("_bi"))
+        .join(F.broadcast(wj), F.col("o") == F.col("_bj"))
+        .selectExpr(
+            "b",
+            "CAST(floor(CAST(n_ij AS DOUBLE) / (_ri + _rj) * 1048576 + 0.5)"
+            " AS BIGINT) AS t",
+        )
+        .groupBy("b")
+        .agg(F.expr("CAST(sum(t) AS BIGINT) AS den"))
+        .selectExpr("b AS _bd", "den")
+    )
+    return (
+        w0.join(F.broadcast(denom), F.col("b") == F.col("_bd"))
+        .selectExpr(
+            "b AS brand",
+            "n_i AS n_comparisons",
+            "wins_i AS wins",
+            "round(r0, 6) AS win_rate",
+            "round(CAST(wins_i AS DOUBLE) * 1048576 / CAST(den AS DOUBLE), 6)"
+            " AS bt_strength",
+        )
+    )

@@ -2386,3 +2386,205 @@ def q_stats_sprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS llr_final_micro"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-6 batch 49: split-conformal calibration + SRM bucket audit
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stats_conformal_calibration",
+    oracle="""
+    WITH ev AS (
+      SELECT event_type,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+             substring(md5(CAST(event_id AS VARCHAR)), 1, 1) < '8' AS is_cal
+      FROM events
+    ),
+    med AS (
+      SELECT event_type, quantile_cont(cents, 0.5) AS med
+      FROM ev WHERE is_cal GROUP BY event_type
+    ),
+    sc AS (
+      SELECT e.event_type, e.is_cal,
+             abs(CAST(e.cents AS DOUBLE) - m.med) AS score
+      FROM ev e JOIN med m USING (event_type)
+    ),
+    n AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_cal
+      FROM sc WHERE is_cal GROUP BY event_type
+    ),
+    q AS (
+      SELECT event_type, n_cal, score AS q_radius FROM (
+        SELECT c.event_type, c.score, n.n_cal,
+               row_number() OVER (PARTITION BY c.event_type
+                                  ORDER BY c.score) AS rk
+        FROM sc c JOIN n USING (event_type) WHERE c.is_cal
+      ) WHERE rk = (9 * (n_cal + 1) + 9) // 10
+    ),
+    test AS (
+      SELECT s.event_type,
+             CAST(count(*) AS BIGINT) AS n_test,
+             CAST(count(*) FILTER (s.score <= q.q_radius) AS BIGINT)
+               AS n_covered
+      FROM sc s JOIN q USING (event_type)
+      WHERE NOT s.is_cal
+      GROUP BY 1
+    )
+    SELECT q.event_type, q.n_cal, q.q_radius, t.n_test, t.n_covered,
+           round(CAST(t.n_covered AS DOUBLE) / CAST(t.n_test AS DOUBLE), 4)
+             AS coverage,
+           CAST(t.n_covered AS DOUBLE) / CAST(t.n_test AS DOUBLE) >= 0.85
+             AS coverage_ok
+    FROM q JOIN test t USING (event_type)
+    """,
+)
+def q_stats_conformal_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal calibration per event type — the
+    distribution-free uncertainty-quantification kernel (Vovk et al.;
+    the finite-sample coverage guarantee behind conformal prediction
+    sets for ML serving): a deterministic md5 split assigns ~half the
+    events to CALIBRATION; nonconformity = |cents - calibration
+    median|; the conformal radius is the ceil(0.9 * (n_cal + 1))-th
+    smallest calibration score (an exact ORDER STATISTIC — computed
+    with integer ceil-division, never a float quantile interpolation,
+    so rank selection cannot straddle an engine difference); the held-
+    out half then audits the >= 90% marginal-coverage guarantee (gate
+    at 0.85 slack).
+
+    Exactness: cents are exact integers; the calibration median is
+    quantile at the DYADIC 0.5 fraction (binary interpolation weights
+    — the only fraction class both engines interpolate identically,
+    per the funnel_conversion_latency p90 lesson), so every score is
+    an exact multiple of 0.5; the k-th value is well-defined under
+    score ties (any tie order yields the same k-th VALUE); coverage is
+    one correctly-rounded division.
+
+    The 100-TB shape: scores need one broadcast join of the 5-row
+    median table back onto the scan (no event shuffle); the rank
+    window partitions by event_type (hash-distributed); at larger type
+    cardinality the per-type order statistic moves to
+    operators/distrank.py unchanged in semantics."""
+    ev = load_table(spark, sf_dir, "events").selectExpr(
+        "event_type",
+        "CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents",
+        "substring(md5(CAST(event_id AS STRING)), 1, 1) < '8' AS is_cal",
+    )
+    med = (
+        ev.where("is_cal")
+        .groupBy("event_type")
+        .agg(F.expr("percentile(cents, 0.5) AS med"))
+        # 5 rows; checkpointed so the three passes below (calibration
+        # count, rank order statistic, test coverage) don't re-run the
+        # median aggregation inside each branch's lineage
+        .localCheckpoint()
+    )
+    sc = ev.join(F.broadcast(med), "event_type").selectExpr(
+        "event_type", "is_cal", "abs(CAST(cents AS DOUBLE) - med) AS score"
+    )
+    n = (
+        sc.where("is_cal")
+        .groupBy("event_type")
+        .agg(F.expr("CAST(count(*) AS BIGINT) AS n_cal"))
+    )
+    q = (
+        sc.where("is_cal")
+        .join(F.broadcast(n), "event_type")
+        .selectExpr(
+            "event_type",
+            "n_cal",
+            "score",
+            "row_number() OVER (PARTITION BY event_type ORDER BY score)"
+            " AS rk",
+        )
+        .where("rk = (9 * (n_cal + 1) + 9) DIV 10")
+        .selectExpr("event_type", "n_cal", "score AS q_radius")
+        .localCheckpoint()  # 5 rows: one radius per event type
+    )
+    test = (
+        sc.where("NOT is_cal")
+        .join(F.broadcast(q.select("event_type", "q_radius")), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.expr("CAST(count(*) AS BIGINT) AS n_test"),
+            F.expr("CAST(sum(CASE WHEN score <= q_radius THEN 1 ELSE 0 END)"
+                   " AS BIGINT) AS n_covered"),
+        )
+    )
+    return (
+        q.join(test, "event_type")
+        .selectExpr(
+            "event_type",
+            "n_cal",
+            "q_radius",
+            "n_test",
+            "n_covered",
+            "round(CAST(n_covered AS DOUBLE) / CAST(n_test AS DOUBLE), 4)"
+            " AS coverage",
+            "CAST(n_covered AS DOUBLE) / CAST(n_test AS DOUBLE) >= 0.85"
+            " AS coverage_ok",
+        )
+    )
+
+
+@query(
+    "stats_ab_srm_check",
+    oracle="""
+    WITH b AS (
+      SELECT c_mktsegment AS segment,
+             CASE WHEN substring(md5(CAST(c_custkey AS VARCHAR)), 1, 1) < '8'
+                  THEN 0 ELSE 1 END AS bucket
+      FROM customer
+    ),
+    cnt AS (
+      SELECT segment,
+             CAST(sum(CASE WHEN bucket = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+             CAST(sum(CASE WHEN bucket = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+      FROM b GROUP BY segment
+    )
+    SELECT segment, n0, n1,
+           CAST(n0 - n1 AS DOUBLE) / sqrt(CAST(n0 + n1 AS DOUBLE)) AS z,
+           abs(CAST(n0 - n1 AS DOUBLE) / sqrt(CAST(n0 + n1 AS DOUBLE))) < 3
+             AS srm_ok
+    FROM cnt
+    """,
+)
+def q_stats_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch audit of deterministic hash bucketing —
+    the experiment-infrastructure gate that runs BEFORE any A/B
+    metric is trusted (a biased splitter invalidates every downstream
+    z-test): customers hash into two 50/50 buckets via the first md5
+    hex nibble (the cross-engine rank-by-hash trick — md5 of the key's
+    decimal string is identical in both engines, and nibble < '8' is
+    an exact 1/2 split of the hash space), and per-segment bucket
+    counts feed the binomial z = (n0 - n1) / sqrt(n) with the |z| < 3
+    SRM gate. Pure integers + one sqrt + one division — sqrt is
+    IEEE-correctly-rounded in both engines (the stats_ab_ztest
+    precedent), so both z and the gate boolean cross engines
+    bit-identically with no rounding margin.
+
+    The 100-TB shape: bucketing is map-side (a hash of the key — no
+    data motion); the audit is one map-side-combinable rollup to
+    |segments| x 2 cells. This is also the assignment mechanism
+    corpus_split_assign uses for train/eval splits — the SRM gate is
+    what certifies such splits at scale."""
+    c = load_table(spark, sf_dir, "customer").selectExpr(
+        "c_mktsegment AS segment",
+        "CASE WHEN substring(md5(CAST(c_custkey AS STRING)), 1, 1) < '8'"
+        " THEN 0 ELSE 1 END AS bucket",
+    )
+    cnt = c.groupBy("segment").agg(
+        F.expr("CAST(sum(CASE WHEN bucket = 0 THEN 1 ELSE 0 END) AS BIGINT)"
+               " AS n0"),
+        F.expr("CAST(sum(CASE WHEN bucket = 1 THEN 1 ELSE 0 END) AS BIGINT)"
+               " AS n1"),
+    )
+    return cnt.selectExpr(
+        "segment",
+        "n0",
+        "n1",
+        "CAST(n0 - n1 AS DOUBLE) / sqrt(CAST(n0 + n1 AS DOUBLE)) AS z",
+        "abs(CAST(n0 - n1 AS DOUBLE) / sqrt(CAST(n0 + n1 AS DOUBLE))) < 3"
+        " AS srm_ok",
+    )
