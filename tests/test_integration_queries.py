@@ -128,3 +128,60 @@ def test_bm25_rare_term_dominates(spark):
     # scores strictly ordered (ties impossible on this fixture's top-10)
     scores = [r["score"] for r in q0]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_bradley_terry_conservation_and_signal(spark):
+    """Match-count conservation (every counted match contributes one
+    win and appears in exactly two brands' totals) and the MM step's
+    signal: strengths are positive and the strongest brand by win rate
+    is not inverted into the weakest by one update."""
+    rows = q.QUERIES["orders_bradley_terry_step"](spark, SF).collect()
+    assert rows
+    total_wins = sum(r["wins"] for r in rows)
+    total_comp = sum(r["n_comparisons"] for r in rows)
+    assert total_comp == 2 * total_wins  # each match: 1 win, 2 participants
+    assert all(0 <= r["wins"] <= r["n_comparisons"] for r in rows)
+    assert all(r["bt_strength"] > 0 for r in rows)
+    by_rate = sorted(rows, key=lambda r: r["win_rate"])
+    by_bt = sorted(rows, key=lambda r: r["bt_strength"])
+    assert by_rate[-1]["brand"] != by_bt[0]["brand"]
+
+
+def test_conformal_radius_is_a_score_and_coverage_holds(spark):
+    """The conformal radius must be an achievable calibration score
+    (a multiple of 0.5 cents by construction) and held-out coverage
+    must sit in [0.85, 1] — the finite-sample guarantee the operator
+    gates on, realized on the fixture."""
+    rows = q.QUERIES["stats_conformal_calibration"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["q_radius"] >= 0 and (r["q_radius"] * 2) == int(r["q_radius"] * 2)
+        assert 0.85 <= r["coverage"] <= 1.0
+        assert r["coverage_ok"]
+        assert r["n_covered"] <= r["n_test"]
+
+
+def test_srm_gate_green_on_honest_split(spark):
+    """The md5 bucketing is a fair coin: every segment must pass the
+    |z| < 3 SRM gate on the fixture (a failing gate here would mean the
+    assignment hash itself is biased)."""
+    rows = q.QUERIES["stats_ab_srm_check"](spark, SF).collect()
+    assert rows
+    assert all(r["srm_ok"] for r in rows)
+    assert all(r["n0"] > 0 and r["n1"] > 0 for r in rows)
+
+
+def test_dsir_top_selection_is_target_enriched(spark):
+    """The operator-level non-vacuity check: the top-100 importance
+    selection must be ENRICHED in the target language relative to the
+    corpus base rate — if scoring carried no signal, the 'en' fraction
+    of the selection would match the base rate."""
+    sel = q.QUERIES["text_dsir_importance"](spark, SF).collect()
+    assert sel
+    docs = load_table(spark, SF, "documents").collect()
+    base = sum(1 for d in docs if d["lang"] == "en") / len(docs)
+    top = sum(1 for r in sel if r["lang"] == "en") / len(sel)
+    assert top > base, (top, base)
+    # scores are strictly ordered under the deterministic tie-break
+    scores = [r["score_num"] for r in sel]
+    assert scores == sorted(scores, reverse=True)
