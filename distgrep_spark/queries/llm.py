@@ -2842,7 +2842,11 @@ def q_text_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     plus two bounded rank windows; labels ride a broadcast."""
     docs = load_table(spark, sf_dir, "documents")
     docs.createOrReplaceTempView("knn_docs_v")
-    return spark.sql(
+    # Spark INLINES CTEs, so the capped posting table referenced by
+    # sizes + both pair sides re-executed the tokenize/rollup lineage
+    # per branch (plan audit: 10 documents scans, 18 shuffles).
+    # Materialize it once — it is the df<=8 slice, posting-list-sized.
+    capped = spark.sql(
         r"""
         WITH toks AS (
           SELECT doc_id, lang, split(trim(text), '\\s+') AS t
@@ -2859,9 +2863,14 @@ def q_text_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     ELSE array() END) AS i
         ),
         rare AS (SELECT gram FROM grams GROUP BY gram
-                 HAVING count(*) <= 8),
-        capped AS (SELECT g.doc_id, g.gram FROM grams g
-                   JOIN rare USING (gram)),
+                 HAVING count(*) <= 8)
+        SELECT g.doc_id, g.gram FROM grams g JOIN rare USING (gram)
+        """
+    ).localCheckpoint()
+    capped.createOrReplaceTempView("knn_capped_v")
+    return spark.sql(
+        r"""
+        WITH capped AS (SELECT * FROM knn_capped_v),
         sizes AS (SELECT doc_id, count(*) AS n_grams FROM capped
                   GROUP BY doc_id),
         pairs AS (
