@@ -1015,19 +1015,24 @@ def q_window_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT seg, d, rev,
              CAST(count(*) OVER win AS BIGINT)        AS n,
              CAST(sum(rev) OVER win AS BIGINT)        AS s1,
-             CAST(sum(rev * rev) OVER win AS BIGINT)  AS s2
+             -- rev*rev in BIGINT overflowed at the x8 corpus's daily
+             -- revenues (caught by the round-6 full-registry x8 sweep):
+             -- sum the squares in HUGEINT (Spark twin: DECIMAL(38,0)),
+             -- exact, then ONE correctly-rounded cast to DOUBLE
+             CAST(sum(CAST(rev AS HUGEINT) * rev) OVER win AS DOUBLE)
+               AS s2d
       FROM daily
       WINDOW win AS (PARTITION BY seg ORDER BY d
                      ROWS BETWEEN 28 PRECEDING AND 1 PRECEDING)
     )
     SELECT seg AS c_mktsegment, d, rev, n AS n_baseline,
            (CAST(rev AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
-             / sqrt((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+             / sqrt((CAST(n AS DOUBLE) * s2d
                      - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
                     / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))
              AS z_score,
            abs((CAST(rev AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
-             / sqrt((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+             / sqrt((CAST(n AS DOUBLE) * s2d
                      - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
                     / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))) > 3.0
              AS anomaly_flag
@@ -1068,11 +1073,16 @@ def q_window_zscore_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rev",
         f"CAST(count(*) {frame} AS BIGINT)       AS n",
         f"CAST(sum(rev) {frame} AS BIGINT)       AS s1",
-        f"CAST(sum(rev * rev) {frame} AS BIGINT) AS s2",
+        # rev*rev overflowed BIGINT at the x8 corpus's daily revenues
+        # (round-6 full-registry x8 sweep catch): square and sum in
+        # DECIMAL(19,0)xDECIMAL(19,0) -> DECIMAL(38,0) (exact; DuckDB
+        # twin sums HUGEINT), then ONE correctly-rounded cast to DOUBLE
+        f"CAST(sum(CAST(rev AS DECIMAL(19,0)) * CAST(rev AS DECIMAL(19,0)))"
+        f" {frame} AS DOUBLE) AS s2d",
     )
     z = (
         "(CAST(rev AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))"
-        " / sqrt((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)"
+        " / sqrt((CAST(n AS DOUBLE) * s2d"
         "         - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))"
         "        / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))"
     )
