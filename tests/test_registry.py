@@ -269,7 +269,7 @@ _SCALE_GRANDFATHERED = {
     "window_linear_interpolate", "window_max_drawdown",
     "window_range_frame", "window_running_sum",
     "window_share_of_group", "window_topk_per_group",
-    "window_zscore_rolling",
+    
 }
 
 
