@@ -39,6 +39,7 @@ HEADLINE = [
     "sim_cosine_topk",
     "text_stats",
     "stream_tumbling_counts",
+    "stream_dedup_within_watermark",
     "corpus_curation_pipeline",
     "agg_countmin_gate",
     "embed_pca_power_step",
