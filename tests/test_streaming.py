@@ -914,3 +914,11 @@ def test_throttle_dedup_checkpoint_resume(spark, tmp_path):
     want = {r["event_id"] for r in throttle_dedup(df).collect()}
     assert len(got) == len(want), "duplicated or lost rows across restart"
     assert set(got) == want
+
+
+def test_rocksdb_is_default_state_store(spark):
+    """Round-6 ask #4's 'RocksDB by default' must be real session
+    config, not prose — and stay overridable for A/Bs."""
+    assert "RocksDBStateStoreProvider" in spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass"
+    )
