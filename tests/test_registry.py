@@ -213,7 +213,7 @@ _SCALE_GRANDFATHERED = {
     "join_broadcast_dim", "join_lateral_topn", "join_multiway",
     "join_null_safe", "join_outer", "join_scd2_point_in_time",
     "json_extract_events", "json_variant_extract",
-    "kmeans_assign_step", "kmeans_clusters", "kmeans_pp_seed_step",
+    "kmeans_assign_step", "kmeans_clusters", 
     "lateral_explode_outer_urls", "lateral_explode_tokens",
     "latest_event_per_user", "layout_zorder_locality",
     "layout_zorder_sort", "merge_upsert_snapshot",
