@@ -73,11 +73,14 @@ def main() -> None:
         for b in batches:
             yield b
 
-    spark.range(
-        64, numPartitions=spark.sparkContext.defaultParallelism
-    ).mapInPandas(_warm_arrow, "id long").write.format("noop").mode(
-        "overwrite"
-    ).save()
+    # One row per partition, one partition per core: a fixed row count
+    # (the old 64) leaves empty partitions on >64-core hosts, those
+    # Python worker slots never spawn, and the import cost lands back in
+    # the first timed Pandas-UDF rep (round-6 advice).
+    _slots = spark.sparkContext.defaultParallelism
+    spark.range(_slots, numPartitions=_slots).mapInPandas(
+        _warm_arrow, "id long"
+    ).write.format("noop").mode("overwrite").save()
 
     names = [n for n in HEADLINE if n in q.QUERIES]
     names += [n for n in sorted(q.QUERIES) if n not in names]

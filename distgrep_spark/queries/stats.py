@@ -2431,7 +2431,7 @@ def q_stats_sprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
                row_number() OVER (PARTITION BY c.event_type
                                   ORDER BY c.score) AS rk
         FROM sc c JOIN n USING (event_type) WHERE c.is_cal
-      ) WHERE rk = (9 * (n_cal + 1) + 9) // 10
+      ) WHERE rk = least((9 * (n_cal + 1) + 9) // 10, n_cal)
     ),
     test AS (
       SELECT s.event_type,
@@ -2459,9 +2459,16 @@ def q_stats_conformal_calibration(spark: SparkSession, sf_dir: str) -> DataFrame
     median|; the conformal radius is the ceil(0.9 * (n_cal + 1))-th
     smallest calibration score (an exact ORDER STATISTIC — computed
     with integer ceil-division, never a float quantile interpolation,
-    so rank selection cannot straddle an engine difference); the held-
-    out half then audits the >= 90% marginal-coverage guarantee (gate
-    at 0.85 slack).
+    so rank selection cannot straddle an engine difference), CLAMPED
+    to n_cal (round-6 advice: for n_cal < 9 the conformal rank is
+    n_cal + 1, whose strict convention is an infinite radius /
+    coverage 1.0 — the standard finite-sample fallback is radius =
+    max calibration score, which the clamp selects; without it the
+    inner join silently dropped such a group. A no-op at every
+    fixture SF — measured min n_cal is 89 at sf0.001 — but small or
+    skewed types stay in the report now); the held-out half then
+    audits the >= 90% marginal-coverage guarantee (gate at 0.85
+    slack).
 
     Exactness: cents are exact integers; the calibration median is
     quantile at the DYADIC 0.5 fraction (binary interpolation weights
@@ -2508,7 +2515,7 @@ def q_stats_conformal_calibration(spark: SparkSession, sf_dir: str) -> DataFrame
             "row_number() OVER (PARTITION BY event_type ORDER BY score)"
             " AS rk",
         )
-        .where("rk = (9 * (n_cal + 1) + 9) DIV 10")
+        .where("rk = least((9 * (n_cal + 1) + 9) DIV 10, n_cal)")
         .selectExpr("event_type", "n_cal", "score AS q_radius")
         .localCheckpoint()  # 5 rows: one radius per event type
     )

@@ -385,7 +385,14 @@ def q_stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFra
     state that set the round-5 800k rows/s ceiling). Batch twin of
     streaming/stateful.throttle_dedup; the streaming path (same emit
     rule as an applyInPandasWithState machine) is pinned equal in
-    tests/test_streaming.py including a checkpoint-resume run.
+    tests/test_streaming.py — including a checkpoint-resume run — FOR
+    EVENT-TIME-ORDERED ARRIVAL ACROSS MICRO-BATCHES. Under cross-batch
+    disorder the streaming machine anchors on max-seen state (decide at
+    delivery, never retract), so the emitted representative of a quiet
+    period can differ from this twin's event-time-ordered pick; that
+    divergence is deliberate and pinned by
+    test_throttle_dedup_out_of_order_across_batches (see
+    streaming/stateful.throttle_dedup's contract paragraph).
     Non-vacuous at every SF (suppressed rows measured: 30 / 366 / 3,532
     at sf0.001/0.01/0.1). Exact integer microsecond gaps on both
     engines (timestampdiff vs epoch_us on NTZ — bit-identical)."""

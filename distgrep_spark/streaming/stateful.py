@@ -354,6 +354,23 @@ def throttle_dedup(df: DataFrame, *, watermark: str = "30 minutes") -> DataFrame
     on both paths (``timestampdiff`` — events.ts is TIMESTAMP_NTZ, a
     tz-interpreting cast would be vanilla-session fragile).
 
+    Cross-batch ordering contract: the streaming machine decides
+    emission at ARRIVAL, anchoring each row on its within-batch
+    same-key predecessor or, across batches, on the MAX-seen per-key
+    timestamp in state. Equality with the batch lag-window twin
+    therefore holds exactly when arrival order is event-time-ordered
+    across micro-batches (within a batch the machine sorts, so any
+    within-batch disorder is repaired). A late-but-within-watermark
+    event arriving AFTER a later-timestamped same-key event in a prior
+    batch is judged against that max — the intended alert-throttle
+    semantics (at most one emission per quiet period, decided at
+    delivery time; an alert system cannot retract a notification it
+    already sent). Pinned by
+    tests/test_streaming.py::test_throttle_dedup_out_of_order_across_batches,
+    which shows the one-emission invariant holds while the EMITTED
+    representative differs from the batch twin's under cross-batch
+    disorder.
+
     The 100-TB view: this is the bounded-state answer to streaming
     dedup — state rows == live keys inside the TTL horizon, independent
     of stream length; with RocksDB as the state store (the session

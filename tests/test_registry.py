@@ -276,16 +276,26 @@ _SCALE_GRANDFATHERED = {
 def test_new_queries_carry_scale_md_entries():
     """Every query registered after the convention started must be
     named in SCALE.md (its x8/x16 or suite-sweep entry); the
-    grandfathered set may only shrink."""
+    grandfathered set may only shrink. Word-boundary match (round-6
+    advice): plain substring containment let a name that prefixes an
+    already-documented query pass vacuously, and could mark a
+    grandfathered name 'graduated' off an incidental mention."""
+    import re
+
     scale = open(__file__.replace("tests/test_registry.py", "SCALE.md")).read()
+
+    def documented(name):
+        return re.search(rf"\b{re.escape(name)}\b", scale) is not None
+
     undocumented = sorted(
-        n for n in q.QUERIES if n not in _SCALE_GRANDFATHERED and n not in scale
+        n for n in q.QUERIES
+        if n not in _SCALE_GRANDFATHERED and not documented(n)
     )
     assert not undocumented, (
         f"new queries missing a SCALE.md entry: {undocumented}; measure "
         "sf0.1 + a scaled corpus and record the ratio + model"
     )
-    graduated = sorted(n for n in _SCALE_GRANDFATHERED if n in scale)
+    graduated = sorted(n for n in _SCALE_GRANDFATHERED if documented(n))
     assert not graduated, (
         f"grandfathered names now documented - remove from the set: {graduated}"
     )

@@ -872,6 +872,57 @@ def test_throttle_dedup_stream_matches_batch(spark, tmp_path):
     assert got == want
 
 
+def test_throttle_dedup_out_of_order_across_batches(spark, tmp_path):
+    """Pin the cross-batch ordering contract (round-6 advice): the
+    streaming machine decides at ARRIVAL against max-seen per-key
+    state, so a late-but-within-watermark event delivered AFTER a
+    later-timestamped same-key event in a prior batch is suppressed —
+    the alert-throttle semantics (a sent notification can't be
+    retracted) — while the batch lag-window twin, which sorts by event
+    time, emits the EARLIER event and suppresses the later one. Both
+    keep the one-emission-per-quiet-period invariant; the emitted
+    representative differs, deliberately."""
+    from datetime import datetime, timedelta
+
+    from distgrep_spark.streaming.stateful import throttle_dedup
+
+    base = datetime(2024, 1, 1, 0, 0, 0)
+    schema = "event_id bigint, user_id bigint, event_type string, ts timestamp"
+    # One key, one quiet period: t=100 min arrives in batch 1, t=30 min
+    # arrives late in batch 2 (watermark widened to 3 h so it is NOT
+    # dropped as late — the interesting case is in-watermark disorder).
+    early = spark.createDataFrame(
+        [(12, 7, "x", base + timedelta(minutes=30))], schema
+    )
+    late_first = spark.createDataFrame(
+        [(11, 7, "x", base + timedelta(minutes=100))], schema
+    )
+    d = tmp_path / "in"
+    late_first.coalesce(1).write.parquet(str(d / "f0"))
+    early.coalesce(1).write.parquet(str(d / "f1"))
+
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(d / "*"))
+    q = (
+        throttle_dedup(stream, watermark="3 hours")
+        .writeStream.format("memory").queryName("throttle_ooo")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["event_id"]
+        for r in spark.sql("select * from throttle_ooo").collect()
+    }
+    batch = {
+        r["event_id"]
+        for r in throttle_dedup(late_first.union(early)).collect()
+    }
+    assert got == {11}, "stream emits the first ARRIVAL, suppresses the late one"
+    assert batch == {12}, "batch twin emits the first EVENT-TIME row"
+    assert len(got) == len(batch) == 1  # the shared invariant
+
+
 def test_throttle_dedup_checkpoint_resume(spark, tmp_path):
     """Kill the throttle-dedup stream mid-input, restart from the same
     checkpoint: the resumed run must restore per-key last-seen state
