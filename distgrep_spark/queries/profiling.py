@@ -747,6 +747,164 @@ def q_graph_pagerank_step(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# PageRank to CONVERGENCE (round-7: multi-step certification)
+# ---------------------------------------------------------------------------
+
+_PR_SCALE = 10**12  # pr mass in exact integer "micro" units (1.0 == SCALE)
+_PR_ITERS = 4
+
+
+def _pagerank_oracle(k: int) -> str:
+    """Unrolled-CTE DuckDB twin of k power iterations. Every iteration
+    is pure BIGINT arithmetic (// floors, operands non-negative, so it
+    matches Spark's DIV truncation) — no float ever crosses an
+    iteration boundary, which is what makes a MULTI-step oracle
+    possible at all: a double fold's last-ulp error would compound
+    per step and diverge between engines."""
+    head = f"""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS (
+      SELECT a.l_partkey AS src, b.l_partkey AS dst
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    ew AS (
+      SELECT src, dst,
+             CAST(count(*) OVER (PARTITION BY src) AS BIGINT) AS deg_src
+      FROM edges
+    ),
+    nodes AS (SELECT DISTINCT src FROM edges),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+    pr0 AS (
+      SELECT src AS part, CAST({_PR_SCALE} // n AS BIGINT) AS pr
+      FROM nodes CROSS JOIN nn
+    )"""
+    steps = "".join(
+        f""",
+    pr{t} AS (
+      SELECT e.dst AS part,
+             CAST({15 * _PR_SCALE} // (100 * nn.n)
+                  + (85 * CAST(sum(p.pr // e.deg_src) AS BIGINT)) // 100
+                  AS BIGINT) AS pr
+      FROM ew e JOIN pr{t - 1} p ON p.part = e.src CROSS JOIN nn
+      GROUP BY e.dst, nn.n
+    )"""
+        for t in range(1, k + 1)
+    )
+    tail = f"""
+    SELECT a.part, b.pr AS pr_prev_micro, a.pr AS pr_micro,
+           CAST(a.pr - b.pr AS BIGINT) AS delta_micro
+    FROM pr{k} a JOIN pr{k - 1} b USING (part)"""
+    return head + steps + tail
+
+
+def _pagerank_iters(spark: SparkSession, sf_dir: str, k: int):
+    """Run k integer power iterations; return (pr_k, pr_{k-1}).
+
+    Loop discipline (the 100-TB iteration driver): the edge table with
+    out-degrees is localCheckpoint-materialized ONCE; each iteration is
+    exactly one src-keyed join plus one dst-keyed rollup, then a
+    localCheckpoint that CUTS the lineage — so the executed plan of
+    iteration t is identical in shape to iteration 1 regardless of t
+    (no lineage growth, constant shuffle count; asserted by
+    tests/test_plans.py::test_pagerank_constant_plan_per_iteration).
+    On a real cluster the edges would be bucketed by src so the
+    per-iteration join co-locates; here the checkpoint pins the same
+    property at local[] scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = (
+        li.select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+    )
+    edges = (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, x ->"
+                    " transform(filter(ps, y -> y != x),"
+                    "           y -> struct(x AS src, y AS dst))))"
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .where(F.col("w") >= 2)
+    )
+    ew = (
+        edges.withColumn(
+            "deg_src",
+            F.count(F.lit(1)).over(Window.partitionBy("src")).cast("bigint"),
+        )
+        .select("src", "dst", "deg_src")
+        .localCheckpoint()
+    )
+    nodes = ew.select("src").distinct().localCheckpoint()
+    n_nodes = nodes.count()  # bounded scalar pull off the checkpointed rollup
+    base = (15 * _PR_SCALE) // (100 * n_nodes)
+    pr = nodes.selectExpr(
+        "src AS part", f"CAST({_PR_SCALE // n_nodes} AS BIGINT) AS pr"
+    ).localCheckpoint()
+    prev = pr
+    for _ in range(k):
+        prev = pr
+        pr = (
+            ew.join(pr.withColumnRenamed("part", "src"), "src")
+            .groupBy(F.col("dst").alias("part"))
+            .agg(
+                F.expr(
+                    f"CAST({base} + (85 * sum(pr DIV deg_src)) DIV 100"
+                    " AS BIGINT) AS pr"
+                )
+            )
+            .localCheckpoint()
+        )
+    return pr, prev
+
+
+@query("graph_pagerank_converged", oracle=_pagerank_oracle(_PR_ITERS))
+def q_graph_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank run to (near-)convergence — k=4 full power iterations
+    over the part co-purchase graph, certifying the LOOP, not one step
+    (round-6 verdict ask #2: `graph_pagerank_step` oracles a single
+    iteration; at 100x scale the iteration DRIVER — checkpoint cadence,
+    per-iteration shuffle count, lineage growth — is where iterative
+    kernels die, and it was untested beyond connected components).
+
+    Exactness across iterations: pr mass lives in integer units of
+    1e-12 (BIGINT); each step is pr'(v) = BASE + (85 * sum_{u->v}
+    (pr(u) DIV deg(u))) DIV 100 with BASE = 15*SCALE DIV (100*N) — all
+    non-negative integer division, where Spark's truncating DIV and
+    DuckDB's flooring // agree (CLAUDE.md: never integer-divide a
+    possibly-negative value). A float formulation could not be oracled
+    multi-step: last-ulp fold error compounds per iteration. The
+    truncation IS the algorithm on both engines, so the twin matches
+    bit-for-bit at any k. The co-purchase graph is symmetric by
+    construction (ordered pairs both ways, symmetric support floor),
+    so every node has both in- and out-edges — no dangling-mass term.
+
+    Output: per-node pr at k-1 and k plus the signed per-node delta —
+    a real convergence certificate (deltas shrink ~0.85x/step; the
+    driver hash covers all three columns). Reference: the loop surface
+    the static MapReduce pipeline (server.go:95-229) cannot express;
+    companion single-step query keeps the relational body oracled at
+    finer grain."""
+    pr, prev = _pagerank_iters(spark, sf_dir, _PR_ITERS)
+    return (
+        pr.withColumnRenamed("pr", "pr_micro")
+        .join(prev.selectExpr("part", "pr AS pr_prev_micro"), "part")
+        .selectExpr(
+            "part",
+            "pr_prev_micro",
+            "pr_micro",
+            "CAST(pr_micro - pr_prev_micro AS BIGINT) AS delta_micro",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Triangle count / global clustering coefficient
 # ---------------------------------------------------------------------------
 

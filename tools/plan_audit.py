@@ -17,6 +17,7 @@ produced for the batch plan.
 from __future__ import annotations
 
 import json
+import re
 import os
 import sys
 
@@ -56,6 +57,134 @@ SP_WINDOW_ALLOWLIST = {
     "events_path_counts": "rank window over the 20 survivors of TakeOrderedAndProject (limit runs FIRST; window input is 20 rows by construction)",
     "text_bpe_merge_step": "merge_rank window over the top-20 TakeOrderedAndProject survivors (same bounded-limit-first shape)",
 }
+
+
+# Queries allowed to keep a BroadcastNestedLoopJoin whose BUILD side the
+# boundedness walker below cannot prove bounded from the plan alone.
+# Every entry must state WHY the broadcast side is small by construction
+# (a literal-filtered probe set, a fixed-cardinality rollup) — the
+# round-6 verdict's "48 BNLJ plans rest on prose" ask, mechanized the
+# way SP_WINDOW_ALLOWLIST was. tests/test_registry.py enforces this set
+# against PLAN_AUDIT.json's `bnlj_unbounded` metric and
+# tests/test_plans.py proves the detector red on a seeded violation.
+BNLJ_ALLOWLIST: dict[str, str] = {
+    # --- literal probe-set broadcasts: the build side is a FileScan
+    # under `Filter vec_id < k` where vec_id is the fixture's unique
+    # key, so the broadcast is <= k rows at ANY corpus scale. Unsound
+    # to auto-prove (a literal `<` on a non-unique column bounds
+    # nothing), hence named here.
+    "sim_cosine_topk": "5-query probe set (vec_id < 5, unique key) broadcast against the corpus — the brute-force ANN baseline by design",
+    "sim_cosine_topk_pandas": "same 5-query probe broadcast; Pandas-UDF scoring variant",
+    "sim_ann_lsh_recall": "two 5-query probe broadcasts (LSH candidates + exact baseline the recall gate compares)",
+    "sim_ann_ivf_recall": "two 5-query probe broadcasts (IVF candidates + exact baseline)",
+    "sim_ann_ivfpq": "two 16-row coarse-centroid broadcasts (vec_id < 16 codebook) for assignment + ADC tables",
+    "sim_negative_sampling": "5-anchor probe broadcast (vec_id < 5) against the corpus for label-mismatched negatives",
+    "sim_rrf_fusion": "5-query probe broadcast scored twice (cosine + int8 dot) then rank-fused",
+    "kmeans_pp_seed_step": "2-seed broadcast (vec_id < 2) for the D^2 distance scan of the k-means++ step",
+    "dedup_embedding_cosine": "500-row candidate block (vec_id < 500, unique key) broadcast for within-block cosine near-dup",
+    "embed_jl_projection_audit": "20-vector audit sample (vec_id < 20) broadcast for pairwise JL distortion check",
+    "embed_rvq_assign": "8-row stage-2 codebook (vec_id in [8,16) of the checkpointed codebook RDD) broadcast for residual assignment",
+    # --- fixed-cardinality rollup broadcasts the walker cannot see
+    # through (grouping keys non-empty, or a sentinel-row selector):
+    "stats_ab_ztest": "2-row per-arm (grp in {0,1}) conversion aggregate broadcast into the z-statistic projection",
+    "market_basket_lift": "1-row grand-total selector (isnull(part_a) AND isnull(part_b) sentinel of the checkpointed margins table)",
+    # --- deliberate demo of the strategy itself:
+    "join_range_theta": "bounded theta-join DEMO (c_acctbal > s_acctbal vs the supplier dim): exhibits Spark's BNLJ strategy; the scalable form of this answer is join_range via operators/distrank.py (pair-free running counts), which the docstring cross-references",
+}
+
+
+_GLYPHS = (":-", "+-")
+
+# Operators that cannot INCREASE their child's row count (so a bounded
+# input stays bounded through them) and have exactly one child.
+_BNLJ_PASS = (
+    "BroadcastExchange", "Project", "Filter", "Sort ", "Coalesce",
+    "ColumnarToRow", "InputAdapter", "Exchange", "AQEShuffleRead",
+    "ShuffleQueryStage", "BroadcastQueryStage", "ResultQueryStage",
+    "TableCacheQueryStage", "InMemoryTableScan", "LocalLimit",
+    "WholeStageCodegen", "Window ", "WindowGroupLimit",
+    # a LITERAL-array explode multiplies cardinality by the fixed array
+    # length — bounded factor. Column explodes print `explode(col#id)`
+    # and do NOT match this prefix, so they stay non-pass (unsound).
+    "Generate explode([",
+)
+
+# Subtree roots that PROVE bounded output: a grouping-key-free aggregate
+# (exactly one row), an explicit literal limit, or a literal local table.
+_BNLJ_BOUNDED = re.compile(
+    r"^(HashAggregate\(keys=\[\]"
+    r"|SortAggregate\(key=\[\]"
+    r"|ObjectHashAggregate\(keys=\[\]"
+    r"|TakeOrderedAndProject"
+    r"|GlobalLimit"
+    r"|CollectLimit"
+    r"|LocalTableScan"
+    r"|Range \("  # literal start/end — bounded by construction
+    r"|Scan OneRowRelation)"
+)
+
+_CODEGEN_STAR = re.compile(r"^\*\(\d+\) ")
+
+
+def _subtree_children(lines: list[str], i: int, tcol: int) -> list[tuple[int, int]]:
+    """Direct children of the operator whose TEXT starts at lines[i][tcol].
+
+    Spark's tree format places a child's ``:-``/``+-`` glyph exactly at
+    the parent's text column; deeper descendants' glyphs sit further
+    right, and the first glyph LEFT of the text column means the subtree
+    ended (a sibling/uncle). Continuation pipes (``:`` followed by a
+    space) are not glyphs, so they never terminate the scan."""
+    kids: list[tuple[int, int]] = []
+    for j in range(i + 1, len(lines)):
+        ln = lines[j]
+        if any(ln[c : c + 2] in _GLYPHS for c in range(0, min(tcol, len(ln) - 1))):
+            break
+        if ln[tcol : tcol + 2] in _GLYPHS:
+            kids.append((j, tcol + 3))
+    return kids
+
+
+def _side_is_bounded(lines: list[str], i: int, tcol: int) -> bool:
+    """Walk a join child's single-child pass-through chain; True when it
+    bottoms out at a provably-bounded operator before anything that
+    could carry table-scale cardinality."""
+    while True:
+        op = _CODEGEN_STAR.sub("", lines[i][tcol:])
+        if _BNLJ_BOUNDED.match(op):
+            return True
+        if not op.startswith(_BNLJ_PASS):
+            return False
+        kids = _subtree_children(lines, i, tcol)
+        if len(kids) != 1:
+            return False
+        i, tcol = kids[0]
+
+
+def unbounded_bnlj(plan: str) -> int:
+    """Count BroadcastNestedLoopJoin operators whose BUILD (broadcast)
+    side is not provably bounded from the plan — the class that OOMs
+    the broadcast and goes quadratic at scale. The dominant safe shape
+    (a grouping-key-free aggregate broadcast back onto the scan — the
+    1-row scalar-subquery pattern) passes automatically; anything else
+    needs a named BNLJ_ALLOWLIST justification.
+
+    The build side is read from the join line's BuildLeft/BuildRight
+    tag (children print left first). A BNLJ whose children the tree
+    walk cannot locate counts as unbounded — fail closed."""
+    lines = plan.splitlines()
+    bad = 0
+    for i, ln in enumerate(lines):
+        k = ln.find("BroadcastNestedLoopJoin")
+        if k < 0:
+            continue
+        kids = _subtree_children(lines, i, k)
+        if len(kids) < 2:
+            bad += 1
+            continue
+        build = kids[0] if "BuildLeft" in ln else kids[1]
+        if not _side_is_bounded(lines, *build):
+            bad += 1
+    return bad
 
 
 def _window_is_unpartitioned(line: str) -> bool:
@@ -141,6 +270,7 @@ def audit(plan: str) -> dict:
         "smj": plan.count("SortMergeJoin"),
         "bhj": plan.count("BroadcastHashJoin"),
         "bnlj": plan.count("BroadcastNestedLoopJoin"),
+        "bnlj_unbounded": unbounded_bnlj(plan),
         "cartesian": "CartesianProduct" in plan,
         # Re-scan pathology detector: a plan scanning one fixture table
         # many more times than its logic needs usually means branches of
@@ -182,6 +312,12 @@ def main() -> None:
         if v.get("sp_windows", 0) and k not in SP_WINDOW_ALLOWLIST
     )
     print(f"single-partition windows outside allowlist: {spw or 'NONE'}")
+    bnlj = sorted(
+        k
+        for k, v in out.items()
+        if v.get("bnlj_unbounded", 0) and k not in BNLJ_ALLOWLIST
+    )
+    print(f"unproven-build BNLJs outside allowlist: {bnlj or 'NONE'}")
 
 
 if __name__ == "__main__":
