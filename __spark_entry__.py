@@ -37,9 +37,14 @@ SCOREBOARD_PREFIX = [
     "grep_highlight",
     # aggregation (percentiles demoted late round 3: the quantile family
     # keeps funnel_conversion_latency/agg_approx_percentile_gate coverage
-    # post-prefix; the slot buys the regression kernel a scored row)
+    # post-prefix; the slot buys the regression kernel a scored row.
+    # Round 7: agg_cube demoted — the grouping-sets variant beside
+    # agg_pricing_summary was the prefix's one redundant agg row; the
+    # slot gives the round-6 preference-aggregation family its scored
+    # representative: orders_bradley_terry_step (map-side basket pairing,
+    # |brands|²-bounded matrix, 4-shuffle plan))
     "agg_pricing_summary",
-    "agg_cube",
+    "orders_bradley_terry_step",
     "stats_ols_trend",
     "agg_approx_distinct_error",
     # joins (outer demoted late round 3 for the spatial grid join —
@@ -66,7 +71,14 @@ SCOREBOARD_PREFIX = [
     # the oracle checker and window_linear_interpolate generalizes it;
     # the slot certifies the Spark 4 recursive-CTE surface)
     "window_rank_orders",
-    "window_range_frame",
+    # round 7: window_range_frame demoted (frame-spec variant beside
+    # window_rank_orders; stays POST_PREFIX-front + oracle-checked) —
+    # the slot certifies the ITERATIVE-KERNEL-TO-CONVERGENCE surface:
+    # graph_pagerank_converged runs k=4 power iterations in exact BIGINT
+    # units with localCheckpoint per step and constant per-step plan
+    # shape (verdict ask #2: a driver CORRECTNESS entry for a multi-step
+    # result, not a single unrolled step)
+    "graph_pagerank_converged",
     "recursive_order_chain",
     # round 5: the scored ntile row is the distrank flagship — three
     # EXACT global quintiles with hash-partitioned windows
@@ -102,10 +114,15 @@ SCOREBOARD_PREFIX = [
     "kmeans_assign_step",
     "embedding_index_pipeline",
     "embed_pca_power_step",
-    # text analysis
+    # text analysis (round 7: text_tfidf_top_terms demoted — the text
+    # family kept four rows and tf-idf's machinery is a scored stage
+    # inside text_bm25_topk's oracle coverage post-prefix; the slot goes
+    # to FLAGSHIP 5, the RLHF-data curation composition: dedup -> DSIR
+    # importance -> Bradley-Terry source strengths -> split-conformal
+    # gate -> MMR-diversified selection, full DuckDB oracle)
     "text_fingerprint_gate",
     "text_stats",
-    "text_tfidf_top_terms",
+    "rlhf_preference_curation",
     "text_chunk_documents",
     # round 5: layout_zorder_sort takes the slot of text_curation_funnel
     # (redundant beside the corpus_curation_pipeline flagship): the
@@ -144,6 +161,12 @@ SCOREBOARD_PREFIX = [
 # next entries it should spend rows on (distinct shapes before the
 # redundant grep/scalar/window variants that close the list).
 POST_PREFIX = [
+    # demoted round 7 (slots went to orders_bradley_terry_step /
+    # graph_pagerank_converged / rlhf_preference_curation); all keep
+    # full oracles and x8 coverage
+    "agg_cube",
+    "window_range_frame",
+    "text_tfidf_top_terms",
     # demoted round 5 (slots went to sim_rrf_fusion /
     # mv_incremental_maintain / privacy_dp_count_laplace); all still
     # fully oracle-checked

@@ -769,20 +769,20 @@ def _pagerank_oracle(k: int) -> str:
         ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
       GROUP BY 1, 2 HAVING count(*) >= 2
     ),
-    ew AS (
+    ew AS MATERIALIZED (
       SELECT src, dst,
              CAST(count(*) OVER (PARTITION BY src) AS BIGINT) AS deg_src
       FROM edges
     ),
     nodes AS (SELECT DISTINCT src FROM edges),
-    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
-    pr0 AS (
+    nn AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+    pr0 AS MATERIALIZED (
       SELECT src AS part, CAST({_PR_SCALE} // n AS BIGINT) AS pr
       FROM nodes CROSS JOIN nn
     )"""
     steps = "".join(
         f""",
-    pr{t} AS (
+    pr{t} AS MATERIALIZED (
       SELECT e.dst AS part,
              CAST({15 * _PR_SCALE} // (100 * nn.n)
                   + (85 * CAST(sum(p.pr // e.deg_src) AS BIGINT)) // 100
@@ -843,6 +843,11 @@ def _pagerank_iters(spark: SparkSession, sf_dir: str, k: int):
     )
     nodes = ew.select("src").distinct().localCheckpoint()
     n_nodes = nodes.count()  # bounded scalar pull off the checkpointed rollup
+    if n_nodes == 0:
+        # empty graph (empty/degenerate input): no nodes, no iterations —
+        # return the empty pr table rather than dividing by zero below
+        empty = nodes.selectExpr("src AS part", "CAST(0 AS BIGINT) AS pr")
+        return empty, empty
     base = (15 * _PR_SCALE) // (100 * n_nodes)
     pr = nodes.selectExpr(
         "src AS part", f"CAST({_PR_SCALE // n_nodes} AS BIGINT) AS pr"

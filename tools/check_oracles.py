@@ -32,6 +32,7 @@ Usage: python tools/check_oracles.py [query ...]
 
 from __future__ import annotations
 
+import gc
 import math
 import os
 import sys
@@ -195,6 +196,12 @@ def main(names=None):
 
         spark = get_spark("oracle-check")
     con = duckdb.connect()
+    # In-memory DuckDB spills to ./.tmp by default; two concurrent
+    # checker processes then collide on the same temp file names
+    # (measured round 7: an x16 sweep's spilling oracle read a temp
+    # block another process had truncated — IO Error mid-query).
+    # Give each process its own spill dir.
+    con.execute(f"SET temp_directory='.tmp/duck_{os.getpid()}'")
     for t in TABLES:
         # driver fixtures are single files; Spark-written corpora (the
         # x8/x16 soak builds) are directories of part files — glob them
@@ -216,6 +223,11 @@ def main(names=None):
         targets = list(entry.queries())
     failures = 0
     for name in targets:
+        # free py4j refs so the ContextCleaner can drop earlier queries'
+        # localCheckpoint blocks — without this a long sweep on a big
+        # corpus (x16) OOMs on pinned storage memory (same guard as
+        # bench.py / soak_prefix.py, measured round 4).
+        gc.collect()
         fn = q.QUERIES[name]
         try:
             sdf = fn(spark, SF_DIR)
