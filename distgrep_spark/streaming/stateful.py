@@ -292,58 +292,78 @@ _THROTTLE_BUCKETS = 256
 _KEY_SEP = "\x1f"
 
 
-def _throttle_bucketed(key, pdfs, state: GroupState):
-    """Vectorized TTL-suppression for one key bucket.
+def _make_throttle_bucketed(ttl_us: int):
+    """Build the bucketed TTL state machine for a given TTL (µs).
 
-    The emit rule vectorizes BECAUSE suppression anchors on the previous
-    RAW same-key event: sorted by (key, ts, event_id), each row's anchor
-    is its shift-predecessor when that is the same key, else the state's
-    last_us — one shift + compare, no sequential fold (an
-    emitted-anchored rule would need the loop back)."""
-    import pandas as pd
+    A closure (not a module global) so short-horizon soaks — the churn
+    ladder needs seconds-scale expiry — and the production 2 h default
+    share one code path; applyInPandasWithState pickles the closure
+    with its captured ttl_us."""
 
-    ks, last = state.get if state.exists else ([], [])
-    d = dict(zip(ks, last))
-    rows = None
-    if not state.hasTimedOut:
-        chunks = list(pdfs)
-        rows = pd.concat(chunks) if chunks else None
-    if rows is not None and len(rows):
-        rows = rows.sort_values(["user_id", "event_type", "ts", "event_id"])
-        us = pd.to_datetime(rows["ts"]).astype("int64") // 1000
-        kser = rows["user_id"].astype(str) + _KEY_SEP + rows["event_type"]
-        prev_us = us.shift(1)
-        same_key = kser.eq(kser.shift(1))
-        anchor = prev_us.where(same_key, kser.map(d))
-        emit = anchor.isna() | ((us - anchor) > _THROTTLE_TTL_US)
-        out = rows.loc[
-            emit.values, ["event_id", "user_id", "event_type", "ts"]
-        ]
-        for k, u in us.groupby(kser.values).max().items():
-            prev = d.get(k)
-            d[k] = int(u) if prev is None or u > prev else prev
-    else:
-        out = pd.DataFrame(
-            columns=["event_id", "user_id", "event_type", "ts"]
-        )
-    # TTL expiry: a key whose last event is TTL past the watermark can
-    # never suppress again (the next arrival emits regardless), so
-    # dropping it is semantics-preserving. The bucket re-arms its timer
-    # at the earliest future expiry so idle buckets still shed state.
-    wm_us = state.getCurrentWatermarkMs() * 1000
-    if wm_us > 0:
-        d = {k: v for k, v in d.items() if v + _THROTTLE_TTL_US >= wm_us}
-    if d:
-        state.update((list(d.keys()), list(d.values())))
-        state.setTimeoutTimestamp(
-            min(d.values()) // 1000 + THROTTLE_TTL_MINUTES * 60_000
-        )
-    elif state.exists:
-        state.remove()
-    yield out
+    def _throttle_bucketed(key, pdfs, state: GroupState):
+        """Vectorized TTL-suppression for one key bucket.
+
+        The emit rule vectorizes BECAUSE suppression anchors on the
+        previous RAW same-key event: sorted by (key, ts, event_id),
+        each row's anchor is its shift-predecessor when that is the
+        same key, else the state's last_us — one shift + compare, no
+        sequential fold (an emitted-anchored rule would need the loop
+        back)."""
+        import pandas as pd
+
+        ks, last = state.get if state.exists else ([], [])
+        d = dict(zip(ks, last))
+        rows = None
+        if not state.hasTimedOut:
+            chunks = list(pdfs)
+            rows = pd.concat(chunks) if chunks else None
+        if rows is not None and len(rows):
+            rows = rows.sort_values(
+                ["user_id", "event_type", "ts", "event_id"]
+            )
+            us = pd.to_datetime(rows["ts"]).astype("int64") // 1000
+            kser = rows["user_id"].astype(str) + _KEY_SEP + rows["event_type"]
+            prev_us = us.shift(1)
+            same_key = kser.eq(kser.shift(1))
+            anchor = prev_us.where(same_key, kser.map(d))
+            emit = anchor.isna() | ((us - anchor) > ttl_us)
+            out = rows.loc[
+                emit.values, ["event_id", "user_id", "event_type", "ts"]
+            ]
+            for k, u in us.groupby(kser.values).max().items():
+                prev = d.get(k)
+                d[k] = int(u) if prev is None or u > prev else prev
+        else:
+            out = pd.DataFrame(
+                columns=["event_id", "user_id", "event_type", "ts"]
+            )
+        # TTL expiry: a key whose last event is TTL past the watermark
+        # can never suppress again (the next arrival emits regardless),
+        # so dropping it is semantics-preserving. The bucket re-arms its
+        # timer at the earliest future expiry so idle buckets still shed
+        # state.
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        if wm_us > 0:
+            d = {k: v for k, v in d.items() if v + ttl_us >= wm_us}
+        if d:
+            state.update((list(d.keys()), list(d.values())))
+            state.setTimeoutTimestamp(min(d.values()) // 1000 + ttl_us // 1000)
+        elif state.exists:
+            state.remove()
+        yield out
+
+    return _throttle_bucketed
 
 
-def throttle_dedup(df: DataFrame, *, watermark: str = "30 minutes") -> DataFrame:
+_throttle_bucketed = _make_throttle_bucketed(_THROTTLE_TTL_US)
+
+
+def throttle_dedup(
+    df: DataFrame,
+    *,
+    watermark: str = "30 minutes",
+    ttl_seconds: int | None = None,
+) -> DataFrame:
     """TTL-keyed suppression dedup on (user_id, event_type).
 
     Batch/stream polymorphic: the streaming path is an
@@ -378,9 +398,17 @@ def throttle_dedup(df: DataFrame, *, watermark: str = "30 minutes") -> DataFrame
     ``stateful_dedup`` (dropDuplicatesWithinWatermark): exact
     per-event-id dedup, state == distinct ids in the watermark horizon,
     which at 800k rows/s was the round-5 measured ceiling."""
+    ttl_us = (
+        _THROTTLE_TTL_US if ttl_seconds is None else ttl_seconds * 1_000_000
+    )
     if df.isStreaming:
         from pyspark.sql import functions as F
 
+        fn = (
+            _throttle_bucketed
+            if ttl_us == _THROTTLE_TTL_US
+            else _make_throttle_bucketed(ttl_us)
+        )
         return (
             df.withColumn(
                 "_bucket",
@@ -392,7 +420,7 @@ def throttle_dedup(df: DataFrame, *, watermark: str = "30 minutes") -> DataFrame
             .withWatermark("ts", watermark)
             .groupBy("_bucket")
             .applyInPandasWithState(
-                _throttle_bucketed,
+                fn,
                 outputStructType=THROTTLE_OUTPUT_SCHEMA,
                 stateStructType=THROTTLE_STATE_SCHEMA,
                 outputMode="append",
@@ -410,7 +438,7 @@ def throttle_dedup(df: DataFrame, *, watermark: str = "30 minutes") -> DataFrame
         )
         .where(
             "_prev IS NULL OR timestampdiff(MICROSECOND, _prev, ts)"
-            f" > {_THROTTLE_TTL_US}"
+            f" > {ttl_us}"
         )
         .drop("_prev")
     )

@@ -193,7 +193,118 @@ def soak(spark, name: str, rate: int, seconds: int, min_ticks: int = 0) -> dict:
     }
 
 
+def rate_events_churn(spark, rows_per_second: int, gen_seconds: int):
+    """Rate-source stream with a ROTATING key population: every
+    `gen_seconds` the generator retires the whole user cohort and mints
+    a fresh one (generation id folded into user_id), so old keys go
+    silent and — once the watermark passes their last_seen + TTL — the
+    throttle state machine's pruning branch must actually delete them.
+    The static-population ladder could never show this: its keys
+    re-arm forever and state plateaus at the live-key count."""
+    return (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second)
+        .option("numPartitions", 8)
+        .load()
+        .selectExpr(
+            "value AS event_id",
+            "timestamp AS ts",
+            # generation = wall-clock cohort (value counts rows, so
+            # value DIV (rate*gen_seconds) ticks once per gen_seconds);
+            # 10k fresh keys per generation
+            f"(value DIV {rows_per_second * gen_seconds}) * 1000000"
+            " + pmod(xxhash64(value, 13), 10000) AS user_id",
+            "CASE pmod(xxhash64(value, 17), 5) WHEN 0 THEN 'view'"
+            " WHEN 1 THEN 'click' WHEN 2 THEN 'purchase'"
+            " WHEN 3 THEN 'error' ELSE 'scroll' END AS event_type",
+            "CAST(pmod(xxhash64(value, 19), 1000) AS DOUBLE) / 10 AS value",
+            "'{}' AS props",
+        )
+    )
+
+
+def soak_churn(
+    spark,
+    rate: int,
+    seconds: int,
+    gen_seconds: int = 20,
+    ttl_seconds: int = 15,
+) -> list[dict]:
+    """Churn soak for throttle_dedup (round-6 verdict ask #4): rotate
+    the key population every `gen_seconds` with a `ttl_seconds` TTL and
+    a short watermark, and report the PER-TICK state curve — the
+    capacity-planning evidence is state bytes FALLING after each
+    cohort's last_seen + TTL passes the watermark, i.e. a non-monotone
+    curve, not a plateau."""
+    df = throttle_dedup(
+        rate_events_churn(spark, rate, gen_seconds),
+        watermark="5 seconds",
+        ttl_seconds=ttl_seconds,
+    )
+    q = (
+        df.writeStream.format("noop")
+        .outputMode("append")
+        .option(
+            "checkpointLocation",
+            f"/tmp/soak_stream_ckpt/churn_{rate}_{time.time_ns()}",
+        )
+        .start()
+    )
+    t0 = time.time()
+    try:
+        while time.time() - t0 < seconds:
+            time.sleep(2)
+        ticks = list(q.recentProgress or [])
+    finally:
+        q.stop()
+    series = []
+    for p in ticks:
+        ops = p.get("stateOperators") or []
+        if not ops:
+            continue
+        proc = p.get("processedRowsPerSecond") or 0.0
+        series.append(
+            {
+                "batch": p["batchId"],
+                "t_s": round(time.mktime(time.strptime(
+                    p["timestamp"][:19], "%Y-%m-%dT%H:%M:%S")) - t0, 0),
+                "rows_per_s": round(proc),
+                "state_rows": sum(o.get("numRowsTotal", 0) for o in ops),
+                "state_removed": sum(o.get("numRowsRemoved", 0) for o in ops),
+                "state_mb": round(
+                    sum(o.get("memoryUsedBytes", 0) for o in ops) / 1e6, 2
+                ),
+            }
+        )
+    return series
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "churn":
+        seconds = int(sys.argv[2]) if len(sys.argv) > 2 else 120
+        rate = int(sys.argv[3]) if len(sys.argv) > 3 else 800_000
+        spark = get_spark("stream-churn-soak")
+        spark.sparkContext.setLogLevel("ERROR")
+        series = soak_churn(spark, rate, seconds)
+        peak = max((s["state_mb"] for s in series), default=0)
+        last = series[-1]["state_mb"] if series else 0
+        falls = sum(
+            1
+            for a, b in zip(series, series[1:])
+            if b["state_mb"] < a["state_mb"] * 0.9
+        )
+        for s in series:
+            print(s, flush=True)
+        print(
+            f"# peak_state_mb={peak} last_state_mb={last} "
+            f"falls(>10%)={falls} non_monotone={falls > 0}"
+        )
+        spark.stop()
+        return
+    _main_ladder()
+
+
+def _main_ladder() -> None:
     seconds = int(sys.argv[1]) if len(sys.argv) > 1 else 40
     # RocksDB is now the session DEFAULT state store (session.get_spark,
     # round-6 verdict ask #4) — the 100-TB backend (off-heap,
