@@ -45,6 +45,11 @@ HEADLINE = [
     "embed_pca_power_step",
     "events_behavior_pipeline",
     "stats_ols_trend",
+    # round 7: the RLHF-curation flagship, the preference kernel, and
+    # the to-convergence iterative kernel — the three new scored rows
+    "rlhf_preference_curation",
+    "orders_bradley_terry_step",
+    "graph_pagerank_converged",
 ]
 
 
