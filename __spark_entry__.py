@@ -205,6 +205,12 @@ POST_PREFIX = [
     # demoted round 5: slot went to er_resolve_customers (entity
     # resolution — block/verify/cluster/canonicalize, full oracle)
     "join_semi",
+    # round-7 batch 54 (calibration/causal/robust-agg/ablation), all
+    # full oracles, 6-combo certified (3 SFs + x8 + x16 + alt/vanilla)
+    "stats_calibration_bins",
+    "stats_stratified_ate",
+    "corpus_loo_source_deltas",
+    "agg_trimmed_mean",
     # round-5 additions, strongest-first if the window ever widens
     "sim_ann_pq_adc",
     "mix_temperature_sampling",

@@ -1456,3 +1456,76 @@ def q_join_asof_tolerance_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         payload=["err_value"],
         tolerance_seconds=3600,
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 batch 54: exact trimmed mean per group
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_trimmed_mean",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderpriority AS priority,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+             o_orderkey,
+             CAST(row_number() OVER (PARTITION BY o_orderpriority
+                                     ORDER BY o_totalprice, o_orderkey)
+                  AS BIGINT) AS r,
+             CAST(count(*) OVER (PARTITION BY o_orderpriority)
+                  AS BIGINT) AS n
+      FROM orders
+    )
+    SELECT priority,
+           CAST(max(n) AS BIGINT) AS n,
+           CAST(max(n) // 10 AS BIGINT) AS k_trimmed_each_side,
+           CAST(sum(cents) AS DOUBLE) / count(*) AS mean_cents,
+           CAST(sum(CASE WHEN r > n // 10 AND r <= n - n // 10
+                         THEN cents ELSE 0 END) AS DOUBLE)
+             / CAST(sum(CASE WHEN r > n // 10 AND r <= n - n // 10
+                             THEN 1 ELSE 0 END) AS BIGINT)
+             AS trimmed_mean_cents
+    FROM o GROUP BY priority
+    """,
+)
+def q_agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10%-trimmed mean per group — the robust location estimate
+    monitoring dashboards want when a handful of whale orders drag the
+    plain mean (the outlier-resistant sibling of agg_weighted_median).
+    Rank and group-size come from ONE partitioned window pass (ordered
+    by the raw price with o_orderkey tie-break, so the trim boundary is
+    deterministic); the trim keeps ranks in (k, n-k] with k = n DIV 10
+    — non-negative integer division, where Spark DIV and DuckDB //
+    agree. Both means are single correctly-rounded divisions of exact
+    BIGINT cent sums.
+
+    The 100-TB shape: the window partitions by the group key (hash-
+    partitioned, never a single-partition sort), and the follow-up
+    aggregate groups by the SAME key — co-partitioned, so the whole
+    query is one exchange plus a map-side aggregate. An unbounded-
+    cardinality trim (per-customer) would route the rank through
+    operators/distrank.py instead."""
+    o = load_table(spark, sf_dir, "orders").selectExpr(
+        "o_orderpriority AS priority",
+        "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents",
+        "o_totalprice",
+        "o_orderkey",
+    ).selectExpr(
+        "priority",
+        "cents",
+        "CAST(row_number() OVER (PARTITION BY priority"
+        " ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS r",
+        "CAST(count(*) OVER (PARTITION BY priority) AS BIGINT) AS n",
+    )
+    return o.groupBy("priority").agg(
+        F.expr("CAST(max(n) AS BIGINT) AS n"),
+        F.expr("CAST(max(n) DIV 10 AS BIGINT) AS k_trimmed_each_side"),
+        F.expr("CAST(sum(cents) AS DOUBLE) / count(*) AS mean_cents"),
+        F.expr(
+            "CAST(sum(CASE WHEN r > n DIV 10 AND r <= n - n DIV 10"
+            " THEN cents ELSE 0 END) AS DOUBLE)"
+            " / CAST(sum(CASE WHEN r > n DIV 10 AND r <= n - n DIV 10"
+            " THEN 1 ELSE 0 END) AS BIGINT) AS trimmed_mean_cents"
+        ),
+    )

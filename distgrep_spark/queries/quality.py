@@ -3062,3 +3062,96 @@ def q_profile_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(top_lang_docs AS DOUBLE) / CAST(n_docs AS DOUBLE)"
         " AS top_lang_share",
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 batch 54: leave-one-source-out corpus ablation bookkeeping
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "corpus_loo_source_deltas",
+    oracle=r"""
+    WITH per_doc AS (
+      SELECT source,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+               AS n_tokens,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_en
+      FROM documents
+    ),
+    per_src AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+             CAST(sum(is_en) AS BIGINT) AS n_en
+      FROM per_doc GROUP BY source
+    ),
+    tot AS (
+      SELECT CAST(sum(n_docs) AS BIGINT) AS all_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS all_tokens,
+             CAST(sum(n_en) AS BIGINT) AS all_en
+      FROM per_src
+    )
+    SELECT s.source,
+           s.n_docs, s.n_tokens,
+           t.all_docs - s.n_docs AS docs_without,
+           t.all_tokens - s.n_tokens AS tokens_without,
+           CASE WHEN t.all_docs - s.n_docs > 0
+                THEN CAST(t.all_en - s.n_en AS DOUBLE)
+                     / (t.all_docs - s.n_docs) END AS en_share_without,
+           CASE WHEN t.all_docs - s.n_docs > 0
+                THEN CAST(t.all_en - s.n_en AS DOUBLE)
+                     / (t.all_docs - s.n_docs)
+                     - CAST(t.all_en AS DOUBLE) / t.all_docs
+                END AS en_share_delta
+    FROM per_src s CROSS JOIN tot t
+    """,
+)
+def q_corpus_loo_source_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-source-out ablation bookkeeping — the first question a
+    data-mixture owner asks before an expensive ablation train ('what
+    does the corpus look like WITHOUT source X?'), answered for every
+    source at once via the ADDITIVITY of the metrics: corpus-minus-s =
+    total - s for any map-side-combinable statistic, so N sources cost
+    one rollup + a 1-row broadcast total, never N scans (the naive
+    formulation at 100 TB) and never a source x source matrix.
+
+    Exactness: token counts via the cross-engine len(split) convention
+    (text_stats precedent); the en-share projections are single
+    correctly-rounded divisions of exact BIGINTs with a CASE NULL-guard
+    on the single-source edge (the ANSI DIVIDE_BY_ZERO lesson — a
+    one-source corpus makes docs_without = 0)."""
+    from distgrep_spark.functions.textfns import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = (
+        docs.select(
+            "source",
+            token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+            F.expr("CASE WHEN lang = 'en' THEN 1 ELSE 0 END").alias("is_en"),
+        )
+        .groupBy("source")
+        .agg(
+            F.expr("CAST(count(*) AS BIGINT) AS n_docs"),
+            F.expr("CAST(sum(n_tokens) AS BIGINT) AS n_tokens"),
+            F.expr("CAST(sum(is_en) AS BIGINT) AS n_en"),
+        )
+    )
+    tot = per_src.agg(
+        F.expr("CAST(sum(n_docs) AS BIGINT) AS all_docs"),
+        F.expr("CAST(sum(n_tokens) AS BIGINT) AS all_tokens"),
+        F.expr("CAST(sum(n_en) AS BIGINT) AS all_en"),
+    )
+    return per_src.crossJoin(F.broadcast(tot)).selectExpr(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "all_docs - n_docs AS docs_without",
+        "all_tokens - n_tokens AS tokens_without",
+        "CASE WHEN all_docs - n_docs > 0 THEN"
+        " CAST(all_en - n_en AS DOUBLE) / (all_docs - n_docs)"
+        " END AS en_share_without",
+        "CASE WHEN all_docs - n_docs > 0 THEN"
+        " CAST(all_en - n_en AS DOUBLE) / (all_docs - n_docs)"
+        " - CAST(all_en AS DOUBLE) / all_docs END AS en_share_delta",
+    )

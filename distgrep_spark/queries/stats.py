@@ -2605,3 +2605,142 @@ def q_stats_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         "abs(CAST(n0 - n1 AS DOUBLE) / sqrt(CAST(n0 + n1 AS DOUBLE))) < 3"
         " AS srm_ok",
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 batch 54: model-calibration reliability bins
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stats_calibration_bins",
+    oracle="""
+    WITH scored AS (
+      SELECT ((event_id % 1048576) * 2654435761) % 65536 AS units,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events
+    )
+    SELECT (units * 10) // 65536 AS bin,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(y) AS BIGINT) AS positives,
+           CAST(sum(units) AS DOUBLE) / count(*) / 65536 AS mean_pred,
+           CAST(sum(y) AS DOUBLE) / count(*) AS emp_rate,
+           abs(CAST(sum(units) AS DOUBLE) / count(*) / 65536
+               - CAST(sum(y) AS DOUBLE) / count(*)) AS abs_gap
+    FROM scored GROUP BY 1
+    """,
+)
+def q_stats_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram (calibration bins) — the eval every scored
+    model (quality classifier, reward model, toxicity filter) gets
+    before its threshold is trusted: bucket predictions into 10 equal
+    probability bins and compare mean predicted score vs empirical
+    positive rate per bin (the per-bin |gap| is the ECE integrand).
+
+    The 'model score' is a deterministic Knuth multiplicative hash of
+    event_id in 1/65536 units — integer on both engines (operands
+    bounded: (2^20-1) * 2654435761 < 2^52, no overflow; % and // on
+    non-negative BIGINTs agree across Spark and DuckDB). Label =
+    purchase events. mean_pred and emp_rate are single correctly-
+    rounded divisions of exact BIGINT sums, then an exact 2^-16 scale —
+    bit-identical cross-engine (the stats_ols_trend discipline), so no
+    rounding margin is needed even on the abs_gap subtraction.
+
+    The 100-TB shape: one map-side-combinable rollup to 10 cells; the
+    scan is the entire cost. Reference: worker.go:31-42 (map-side
+    partial aggregation) — same shape, richer payload."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.selectExpr(
+            "((event_id % 1048576) * 2654435761) % 65536 AS units",
+            "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y",
+        )
+        .groupBy(F.expr("(units * 10) DIV 65536").alias("bin"))
+        .agg(
+            F.expr("CAST(count(*) AS BIGINT) AS n"),
+            F.expr("CAST(sum(y) AS BIGINT) AS positives"),
+            F.expr(
+                "CAST(sum(units) AS DOUBLE) / count(*) / 65536 AS mean_pred"
+            ),
+            F.expr("CAST(sum(y) AS DOUBLE) / count(*) AS emp_rate"),
+            F.expr(
+                "abs(CAST(sum(units) AS DOUBLE) / count(*) / 65536"
+                " - CAST(sum(y) AS DOUBLE) / count(*)) AS abs_gap"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 batch 54: stratified treatment-effect estimate (exact per stratum)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stats_stratified_ate",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderpriority AS stratum,
+             CASE WHEN substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) < '8'
+                  THEN 1 ELSE 0 END AS t,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    )
+    SELECT stratum,
+           CAST(sum(t) AS BIGINT) AS n_t,
+           CAST(count(*) - sum(t) AS BIGINT) AS n_c,
+           CAST(sum(CASE WHEN t = 1 THEN cents ELSE 0 END) AS DOUBLE)
+             / sum(t) AS mean_t,
+           CAST(sum(CASE WHEN t = 0 THEN cents ELSE 0 END) AS DOUBLE)
+             / (count(*) - sum(t)) AS mean_c,
+           CAST(sum(CASE WHEN t = 1 THEN cents ELSE 0 END) AS DOUBLE)
+             / sum(t)
+           - CAST(sum(CASE WHEN t = 0 THEN cents ELSE 0 END) AS DOUBLE)
+             / (count(*) - sum(t)) AS ate_cents
+    FROM o GROUP BY stratum
+    """,
+)
+def q_stats_stratified_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified average-treatment-effect readout — the causal-
+    inference kernel behind every holdback experiment on a data
+    pipeline (did the new curation recipe raise downstream value?):
+    deterministic md5-bucket treatment assignment (the stats_ab_srm
+    convention), order priority as the stratification confounder,
+    outcome in exact integer cents.
+
+    Per-stratum means are single correctly-rounded divisions of exact
+    BIGINT sums, and the output is ONE ROW PER STRATUM on purpose: a
+    global weighted ATE would sum per-stratum doubles in engine
+    partition order (non-deterministic) or need a BIGINT cross-
+    multiplication that overflows at x16 scale (sum_y * n_c ~ 8.6e19 >
+    2^63) — the per-stratum report is both the honest estimand
+    decomposition and the hash-stable form; the consumer combines the
+    5 rows with whatever weights its estimator wants.
+
+    The 100-TB shape: one map-side-combinable rollup to |strata| cells
+    carrying 4 integers each. Assignment hashes the key map-side — no
+    data motion before the single exchange."""
+    o = load_table(spark, sf_dir, "orders").selectExpr(
+        "o_orderpriority AS stratum",
+        "CASE WHEN substring(md5(CAST(o_orderkey AS STRING)), 1, 1) < '8'"
+        " THEN 1 ELSE 0 END AS t",
+        "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents",
+    )
+    return o.groupBy("stratum").agg(
+        F.expr("CAST(sum(t) AS BIGINT) AS n_t"),
+        F.expr("CAST(count(*) - sum(t) AS BIGINT) AS n_c"),
+        F.expr(
+            "CAST(sum(CASE WHEN t = 1 THEN cents ELSE 0 END) AS DOUBLE)"
+            " / sum(t) AS mean_t"
+        ),
+        F.expr(
+            "CAST(sum(CASE WHEN t = 0 THEN cents ELSE 0 END) AS DOUBLE)"
+            " / (count(*) - sum(t)) AS mean_c"
+        ),
+        F.expr(
+            "CAST(sum(CASE WHEN t = 1 THEN cents ELSE 0 END) AS DOUBLE)"
+            " / sum(t)"
+            " - CAST(sum(CASE WHEN t = 0 THEN cents ELSE 0 END) AS DOUBLE)"
+            " / (count(*) - sum(t)) AS ate_cents"
+        ),
+    )
