@@ -211,6 +211,7 @@ POST_PREFIX = [
     "stats_stratified_ate",
     "corpus_loo_source_deltas",
     "agg_trimmed_mean",
+    "source_orc_roundtrip",
     # round-5 additions, strongest-first if the window ever widens
     "sim_ann_pq_adc",
     "mix_temperature_sampling",

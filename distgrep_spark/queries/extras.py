@@ -1529,3 +1529,51 @@ def q_agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             " THEN 1 ELSE 0 END) AS BIGINT) AS trimmed_mean_cents"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 batch 54 (cont.): ORC source/sink roundtrip certificate
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "source_orc_roundtrip",
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct_md5
+    FROM documents GROUP BY lang
+    """,
+)
+def q_source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source + sink certificate: write the documents table to ORC,
+    read it back, and emit a per-lang content fingerprint (row count,
+    char mass, distinct-md5 count). The DuckDB oracle computes the SAME
+    fingerprint off the parquet original (DuckDB has no ORC reader), so
+    a hash match certifies the ORC write+read preserved every row and
+    every text byte — a true roundtrip proof, not a smoke test.
+
+    ORC is the remaining first-class columnar format in the container
+    (avro/delta/iceberg jars absent, re-verified round 7); it matters
+    at 100 TB because Hive-era lakes still hand engines ORC, and the
+    scan supports the same pushdown/pruning as parquet
+    (spark.read.orc -> OrcScan with PushedFilters, plan-asserted in
+    tests/test_sources.py). The write targets a deterministic per-SF
+    cache path with mode=overwrite (idempotent re-runs); the read
+    passes the pre-write schema explicitly so an EMPTY input (the
+    registry empty-input sweep) round-trips without ORC's
+    cannot-infer-schema-from-no-files error."""
+    import os
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "n_chars"
+    )
+    path = f"/tmp/distgrep_orc_cache/{os.path.basename(sf_dir.rstrip('/'))}"
+    docs.write.mode("overwrite").orc(path)
+    back = spark.read.schema(docs.schema).orc(path)
+    return back.groupBy("lang").agg(
+        F.expr("CAST(count(*) AS BIGINT) AS n_docs"),
+        F.expr("CAST(sum(n_chars) AS BIGINT) AS sum_chars"),
+        F.expr("CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct_md5"),
+    )
