@@ -212,6 +212,10 @@ POST_PREFIX = [
     "corpus_loo_source_deltas",
     "agg_trimmed_mean",
     "source_orc_roundtrip",
+    # round-7 batch 55: the SECOND iterative kernel certified to
+    # convergence (pagerank holds the scored slot; this keeps the
+    # preference loop oracle-checked at every sweep)
+    "orders_bradley_terry_converged",
     # round-5 additions, strongest-first if the window ever widens
     "sim_ann_pq_adc",
     "mix_temperature_sampling",

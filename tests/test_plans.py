@@ -558,3 +558,38 @@ def test_sp_window_lint_catches_seeded_violations(spark):
         F.sum("o_totalprice").over(Window.partitionBy("o_custkey")).alias("tot"),
     )
     assert single_partition_windows(plan(ok_total)) == 0
+
+
+def test_bradley_terry_constant_plan_per_iteration(spark):
+    """Second iterative kernel certified to convergence (round-7): the
+    BT MM loop's step plan must be shape-constant in k (localCheckpoint
+    cuts the lineage) and the strength deltas must contract."""
+    from pyspark.sql import functions as F
+
+    from distgrep_spark.queries.integration import _bt_iters
+
+    sf = SF_ORACLE.replace("sf0.01", "sf0.001")
+
+    def shape(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return (
+            plan.count("Exchange hashpartitioning"),
+            plan.count("Scan parquet"),
+            plan.count("BroadcastHashJoin"),
+        )
+
+    _, _, p2, u2 = _bt_iters(spark, sf, 2)
+    _, _, p5, u5 = _bt_iters(spark, sf, 5)
+    assert shape(u2) == shape(u5), "lineage grew with iteration count"
+
+    def l1_delta(u, prev):
+        return (
+            u.selectExpr("b", "u AS a")
+            .join(prev.selectExpr("b", "u AS bb"), "b")
+            .agg(F.expr("sum(abs(a - bb))"))
+            .collect()[0][0]
+        )
+
+    d2, d5 = l1_delta(u2, p2), l1_delta(u5, p5)
+    assert d2 > 0, "vacuous: no movement by iteration 2"
+    assert d5 < d2 * 0.85, f"deltas not contracting: {d2} -> {d5}"
