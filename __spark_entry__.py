@@ -216,6 +216,10 @@ POST_PREFIX = [
     # convergence (pagerank holds the scored slot; this keeps the
     # preference loop oracle-checked at every sweep)
     "orders_bradley_terry_converged",
+    # round-7 batch 56: exact pigeonhole Hamming-radius simhash pairing
+    # (full oracle — the SQL-oracled certificate over dedup_simhash's
+    # rows-only xxhash64 production path)
+    "dedup_simhash_radius_report",
     # round-5 additions, strongest-first if the window ever widens
     "sim_ann_pq_adc",
     "mix_temperature_sampling",

@@ -3032,3 +3032,273 @@ def q_text_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(100)
         .select("doc_id", "lang", "score_num")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 batch 56: exact Hamming-radius simhash pairing (pigeonhole index)
+# ---------------------------------------------------------------------------
+
+# Shared relational recipe (both dialects below implement it exactly):
+#   1. distinct doc trigrams -> PROFILE COLLAPSE (docs with an identical
+#      gram SET share one profile; simhash depends only on the set)
+#   2. 64-bit simhash per profile from md5(gram) bits (hex-nibble
+#      arithmetic - no xxhash64, so DuckDB can reproduce the signature
+#      bit-for-bit), kept as FOUR 16-bit block values, never one 64-bit
+#      word (1<<63 overflows; the agg_bitmap_distinct lesson)
+#   3. pigeonhole candidate join: hamming(a,b) <= 2 over 4 blocks =>
+#      at least 2 blocks identical => the per-(block_idx, value) equi-
+#      join finds EVERY such pair - the radius join is exact, not
+#      approximate, and never all-pairs
+#   4. verify hamming via bit_count(xor) per block, re-expand member
+#      counts (C(m,2) within a profile at d=0; m_a*m_b across).
+
+
+@query(
+    "dedup_simhash_radius_report",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+      FROM toks,
+           LATERAL unnest(generate_series(1, greatest(len(t) - 2, 0))) AS u(i)
+    ),
+    prof AS MATERIALIZED (
+      SELECT doc_id, md5(string_agg(gram, chr(31) ORDER BY gram)) AS pid
+      FROM grams GROUP BY doc_id
+    ),
+    pm AS MATERIALIZED (
+      SELECT pid, CAST(count(*) AS BIGINT) AS m FROM prof GROUP BY pid
+    ),
+    pg AS (
+      SELECT DISTINCT p.pid, g.gram, md5(g.gram) AS h
+      FROM grams g JOIN prof p USING (doc_id)
+    ),
+    pn AS MATERIALIZED (
+      SELECT pid, CAST(count(*) AS BIGINT) AS n FROM pg GROUP BY pid
+    ),
+    pc AS (
+      SELECT pid, p,
+             CAST(sum((v // 8) % 2) AS BIGINT) AS c0,
+             CAST(sum((v // 4) % 2) AS BIGINT) AS c1,
+             CAST(sum((v // 2) % 2) AS BIGINT) AS c2,
+             CAST(sum(v % 2) AS BIGINT) AS c3
+      FROM (
+        SELECT pid, p,
+               strpos('0123456789abcdef',
+                      substr(h, 1 + CAST(p AS INT), 1)) - 1 AS v
+        FROM pg, LATERAL unnest(generate_series(0, 15)) AS u(p)
+      ) GROUP BY pid, p
+    ),
+    blocks AS MATERIALIZED (
+      SELECT pc.pid, CAST(p // 4 AS INT) AS k,
+             CAST(sum(
+               ((CASE WHEN 2 * c0 >= n THEN 1 ELSE 0 END)
+                  << CAST(4 * (p % 4) AS INT))
+               + ((CASE WHEN 2 * c1 >= n THEN 1 ELSE 0 END)
+                  << CAST(4 * (p % 4) + 1 AS INT))
+               + ((CASE WHEN 2 * c2 >= n THEN 1 ELSE 0 END)
+                  << CAST(4 * (p % 4) + 2 AS INT))
+               + ((CASE WHEN 2 * c3 >= n THEN 1 ELSE 0 END)
+                  << CAST(4 * (p % 4) + 3 AS INT))
+             ) AS BIGINT) AS val
+      FROM pc JOIN pn ON pc.pid = pn.pid
+      GROUP BY pc.pid, p // 4
+    ),
+    sigs AS MATERIALIZED (
+      SELECT pid,
+             CAST(sum(CASE WHEN k = 0 THEN val ELSE 0 END) AS BIGINT) AS b0,
+             CAST(sum(CASE WHEN k = 1 THEN val ELSE 0 END) AS BIGINT) AS b1,
+             CAST(sum(CASE WHEN k = 2 THEN val ELSE 0 END) AS BIGINT) AS b2,
+             CAST(sum(CASE WHEN k = 3 THEN val ELSE 0 END) AS BIGINT) AS b3
+      FROM blocks GROUP BY pid
+    ),
+    cand AS MATERIALIZED (
+      SELECT DISTINCT a.pid AS pa, b.pid AS pb
+      FROM blocks a JOIN blocks b
+        ON a.k = b.k AND a.val = b.val AND a.pid < b.pid
+    ),
+    ham AS MATERIALIZED (
+      SELECT c.pa, c.pb,
+             bit_count(xor(sa.b0, sb.b0)) + bit_count(xor(sa.b1, sb.b1))
+             + bit_count(xor(sa.b2, sb.b2)) + bit_count(xor(sa.b3, sb.b3))
+               AS d
+      FROM cand c
+      JOIN sigs sa ON c.pa = sa.pid
+      JOIN sigs sb ON c.pb = sb.pid
+    ),
+    within AS (
+      SELECT d, CAST(sum(ma.m * mb.m) AS BIGINT) AS n_pairs,
+             CAST(count(*) AS BIGINT) AS n_profile_pairs
+      FROM ham JOIN pm ma ON pa = ma.pid JOIN pm mb ON pb = mb.pid
+      WHERE d <= 2 AND d > 0
+      GROUP BY d
+    ),
+    d0 AS (
+      SELECT CAST(0 AS BIGINT) AS d,
+             CAST(coalesce(sum(m * (m - 1) // 2), 0) AS BIGINT) AS n_pairs,
+             CAST(sum(CASE WHEN m >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_profile_pairs
+      FROM pm
+    ),
+    spine AS (SELECT CAST(u.d AS BIGINT) AS d
+              FROM unnest(generate_series(0, 2)) AS u(d)),
+    uni AS (
+      SELECT * FROM d0
+      UNION ALL
+      SELECT CAST(d AS BIGINT), n_pairs, n_profile_pairs FROM within
+    )
+    SELECT s.d AS hamming,
+           coalesce(u.n_pairs, 0) AS n_pairs,
+           coalesce(u.n_profile_pairs, 0) AS n_profile_pairs
+    FROM spine s LEFT JOIN uni u ON s.d = u.d
+    """,
+)
+def q_dedup_simhash_radius_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXACT Hamming-radius simhash pairing via the pigeonhole block
+    index — the multi-index technique (Manku et al. 2007, "Detecting
+    Near-Duplicates for Web Crawling") that makes radius search exact
+    at scale, distinct from banded LSH's probabilistic recall: split
+    the 64-bit signature into 4 blocks of 16; any pair within Hamming
+    distance 2 differs in at most 2 blocks, therefore SHARES at least
+    2 intact blocks, therefore collides in the per-(block, value)
+    equi-join — every qualifying pair is found, none sampled away.
+
+    Cross-engine exactness: signature bits come from md5(gram) hex
+    nibbles (integer strpos/DIV/% arithmetic — no xxhash64, so the
+    DuckDB twin reproduces the signature bit-for-bit), majority ties
+    resolve to 1 on both engines, and blocks stay FOUR 16-bit BIGINTs
+    (a single 64-bit assembly would need 1<<63 — overflow; the
+    agg_bitmap_distinct lesson). md5(gram) is materialized as a column
+    BEFORE the 64-way bit explode (the HOF-inlining lesson: an inline
+    md5 would hash each gram 64 times).
+
+    Scale shape (the x16 recipe applied at design time): PROFILE
+    COLLAPSE first — simhash depends only on the distinct-gram set, so
+    coincident copies share one profile and the block join runs over
+    |profiles|, immune to copy densification; d=0 mass re-expands as
+    C(m,2) per profile and cross-profile mass as m_a*m_b, so the
+    report is exact over DOCS while no quadratic pair set ever
+    materializes. The 3-row report (d = 0,1,2 with doc-pair and
+    profile-pair counts) is non-empty at every SF by construction.
+
+    Companion: `dedup_simhash` (rows-only, xxhash64 production path)
+    keeps the raw pair surface; this query is its fully-SQL-oracled
+    radius certificate. Reference: worker.go:31-42 scan-map-aggregate,
+    iterated per stage."""
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("shr_docs_v")
+    spark.sql(
+        r"""
+        WITH toks AS (
+          SELECT doc_id, split(trim(text), '\\s+') AS t FROM shr_docs_v
+        ),
+        grams AS (
+          SELECT DISTINCT doc_id,
+                 concat_ws(' ', t[i], t[i+1], t[i+2]) AS gram
+          FROM toks
+          LATERAL VIEW explode(
+            CASE WHEN size(t) >= 3 THEN sequence(0, size(t) - 3)
+                 ELSE array() END) AS i
+        )
+        SELECT * FROM grams
+        """
+    ).localCheckpoint().createOrReplaceTempView("shr_grams_v")
+    return spark.sql(
+        """
+        WITH prof AS (
+          SELECT doc_id,
+                 md5(concat_ws(char(31), sort_array(collect_set(gram))))
+                   AS pid
+          FROM shr_grams_v GROUP BY doc_id
+        ),
+        pm AS (
+          SELECT pid, CAST(count(*) AS BIGINT) AS m FROM prof GROUP BY pid
+        ),
+        pg AS (
+          SELECT DISTINCT p.pid, g.gram, md5(g.gram) AS h
+          FROM shr_grams_v g JOIN prof p USING (doc_id)
+        ),
+        pn AS (
+          SELECT pid, CAST(count(*) AS BIGINT) AS n FROM pg GROUP BY pid
+        ),
+        pc AS (
+          SELECT pid, p,
+                 CAST(sum((v DIV 8) % 2) AS BIGINT) AS c0,
+                 CAST(sum((v DIV 4) % 2) AS BIGINT) AS c1,
+                 CAST(sum((v DIV 2) % 2) AS BIGINT) AS c2,
+                 CAST(sum(v % 2) AS BIGINT) AS c3
+          FROM (
+            SELECT pid, p,
+                   locate(substr(h, 1 + CAST(p AS INT), 1),
+                          '0123456789abcdef') - 1 AS v
+            FROM pg LATERAL VIEW explode(sequence(0, 15)) AS p
+          ) GROUP BY pid, p
+        ),
+        blocks AS (
+          SELECT pc.pid, CAST(p DIV 4 AS INT) AS k,
+                 CAST(sum(
+                   shiftleft(CASE WHEN 2 * c0 >= n THEN 1 ELSE 0 END,
+                             CAST(4 * (p % 4) AS INT))
+                   + shiftleft(CASE WHEN 2 * c1 >= n THEN 1 ELSE 0 END,
+                               CAST(4 * (p % 4) + 1 AS INT))
+                   + shiftleft(CASE WHEN 2 * c2 >= n THEN 1 ELSE 0 END,
+                               CAST(4 * (p % 4) + 2 AS INT))
+                   + shiftleft(CASE WHEN 2 * c3 >= n THEN 1 ELSE 0 END,
+                               CAST(4 * (p % 4) + 3 AS INT))
+                 ) AS BIGINT) AS val
+          FROM pc JOIN pn ON pc.pid = pn.pid
+          GROUP BY pc.pid, p DIV 4
+        ),
+        sigs AS (
+          SELECT pid,
+                 CAST(sum(CASE WHEN k = 0 THEN val ELSE 0 END) AS BIGINT) AS b0,
+                 CAST(sum(CASE WHEN k = 1 THEN val ELSE 0 END) AS BIGINT) AS b1,
+                 CAST(sum(CASE WHEN k = 2 THEN val ELSE 0 END) AS BIGINT) AS b2,
+                 CAST(sum(CASE WHEN k = 3 THEN val ELSE 0 END) AS BIGINT) AS b3
+          FROM blocks GROUP BY pid
+        ),
+        cand AS (
+          SELECT DISTINCT a.pid AS pa, b.pid AS pb
+          FROM blocks a JOIN blocks b
+            ON a.k = b.k AND a.val = b.val AND a.pid < b.pid
+        ),
+        ham AS (
+          SELECT c.pa, c.pb,
+                 bit_count(sa.b0 ^ sb.b0) + bit_count(sa.b1 ^ sb.b1)
+                 + bit_count(sa.b2 ^ sb.b2) + bit_count(sa.b3 ^ sb.b3) AS d
+          FROM cand c
+          JOIN sigs sa ON c.pa = sa.pid
+          JOIN sigs sb ON c.pb = sb.pid
+        ),
+        within AS (
+          SELECT d, CAST(sum(ma.m * mb.m) AS BIGINT) AS n_pairs,
+                 CAST(count(*) AS BIGINT) AS n_profile_pairs
+          FROM ham JOIN pm ma ON pa = ma.pid JOIN pm mb ON pb = mb.pid
+          WHERE d <= 2 AND d > 0
+          GROUP BY d
+        ),
+        d0 AS (
+          SELECT CAST(0 AS BIGINT) AS d,
+                 CAST(coalesce(sum(m * (m - 1) DIV 2), 0) AS BIGINT)
+                   AS n_pairs,
+                 CAST(sum(CASE WHEN m >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_profile_pairs
+          FROM pm
+        ),
+        spine AS (SELECT explode(sequence(0, 2)) AS d),
+        uni AS (
+          SELECT * FROM d0
+          UNION ALL
+          SELECT CAST(d AS BIGINT), n_pairs, n_profile_pairs FROM within
+        )
+        SELECT CAST(s.d AS BIGINT) AS hamming,
+               coalesce(u.n_pairs, 0L) AS n_pairs,
+               coalesce(u.n_profile_pairs, 0L) AS n_profile_pairs
+        FROM spine s LEFT JOIN uni u ON s.d = u.d
+        """
+    )
