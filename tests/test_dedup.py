@@ -187,3 +187,67 @@ def test_minhash_estimate_invariants(spark):
     for (a, b), est in by_pair.items():
         assert a < b
         assert 0.0 <= est <= 1.0
+
+
+def test_simhash_radius_report_matches_bruteforce(spark, tmp_path):
+    """Pigeonhole EXACTNESS: the block-index radius join must find the
+    same d<=2 pair mass as an all-pairs brute force computed with the
+    identical md5-nibble signature rule — on a corpus engineered to
+    have coincident gram profiles (d=0), near signatures, and far ones."""
+    import hashlib
+    import itertools
+
+    import distgrep_spark.queries as q
+
+    base = [
+        "alpha beta gamma delta epsilon zeta eta theta",
+        "alpha beta gamma delta epsilon zeta eta iota",
+        "alpha beta gamma delta epsilon zeta kappa iota",
+        "one two three four five six seven eight nine",
+        "one two three four five six seven eight ten",
+        "red blue green yellow purple orange pink black",
+    ]
+    texts = []
+    for t in base:
+        texts.append(t)
+        texts.append(t)  # exact copy -> identical profile (d=0 mass)
+    rows = [
+        (i, t, "en", "src0", len(t)) for i, t in enumerate(texts)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string,"
+        " n_chars bigint"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    # pure-Python reference with the same signature rule
+    def grams_of(t):
+        toks = t.split()
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    def sig_of(grams):
+        n = len(grams)
+        counts = [0] * 64
+        for g in grams:
+            h = hashlib.md5(g.encode()).hexdigest()
+            for j in range(64):
+                nib = int(h[j // 4], 16)
+                bit = (nib >> (3 - j % 4)) & 1
+                counts[j] += bit
+        return tuple(1 if 2 * c >= n else 0 for c in counts)
+
+    sigs = [sig_of(grams_of(t)) for t in texts]
+    expected = {0: 0, 1: 0, 2: 0}
+    for a, b in itertools.combinations(range(len(texts)), 2):
+        d = sum(x != y for x, y in zip(sigs[a], sigs[b]))
+        if d <= 2:
+            expected[d] += 1
+
+    out = {
+        r["hamming"]: r["n_pairs"]
+        for r in q.QUERIES["dedup_simhash_radius_report"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert out == expected, (out, expected)
+    assert expected[0] >= 6, "fixture must exercise the d=0 tier"
