@@ -220,6 +220,9 @@ POST_PREFIX = [
     # (full oracle — the SQL-oracled certificate over dedup_simhash's
     # rows-only xxhash64 production path)
     "dedup_simhash_radius_report",
+    # round-7 batch 57: per-hub local clustering (the graph family's
+    # fourth kernel; bounded hub cut by design)
+    "graph_local_clustering_hubs",
     # round-5 additions, strongest-first if the window ever widens
     "sim_ann_pq_adc",
     "mix_temperature_sampling",
