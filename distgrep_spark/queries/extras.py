@@ -1569,7 +1569,13 @@ def q_source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang", "n_chars"
     )
-    path = f"/tmp/distgrep_orc_cache/{os.path.basename(sf_dir.rstrip('/'))}"
+    # per-process path: two concurrent checker/bench processes would
+    # otherwise overwrite-race one directory (the per-PID DuckDB
+    # spill-dir lesson, applied to the write side)
+    path = (
+        f"/tmp/distgrep_orc_cache/{os.getpid()}_"
+        f"{os.path.basename(sf_dir.rstrip('/'))}"
+    )
     docs.write.mode("overwrite").orc(path)
     back = spark.read.schema(docs.schema).orc(path)
     return back.groupBy("lang").agg(
