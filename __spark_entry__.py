@@ -223,6 +223,9 @@ POST_PREFIX = [
     # round-7 batch 57: per-hub local clustering (the graph family's
     # fourth kernel; bounded hub cut by design)
     "graph_local_clustering_hubs",
+    # round-7 batch 58: mapInArrow zero-copy batch kernel (the last
+    # uncovered Python-execution surface)
+    "udf_arrow_batch_stats",
     # round-5 additions, strongest-first if the window ever widens
     "sim_ann_pq_adc",
     "mix_temperature_sampling",

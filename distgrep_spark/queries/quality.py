@@ -3155,3 +3155,84 @@ def q_corpus_loo_source_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
         " CAST(all_en - n_en AS DOUBLE) / (all_docs - n_docs)"
         " - CAST(all_en AS DOUBLE) / all_docs END AS en_share_delta",
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 batch 58: mapInArrow batch kernel (the zero-copy Python surface)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "udf_arrow_batch_stats",
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+           CAST(sum(strlen(text)) AS BIGINT) AS sum_bytes,
+           CAST(sum(length(text) - length(replace(text, ' ', '')))
+                AS BIGINT) AS sum_spaces
+    FROM documents GROUP BY lang
+    """,
+)
+def q_udf_arrow_batch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow`` batch kernel — the remaining Python-execution
+    surface beside pandas UDFs / applyInPandas / UDTFs: the function
+    receives raw ``pyarrow.RecordBatch``es with NO pandas conversion
+    (zero-copy off the wire), runs vectorized ``pyarrow.compute``
+    kernels, and yields batches back. That is the right tier for
+    byte-level work (codec sniffing, tokenizer byte counts) where even
+    the Arrow→pandas hop costs more than the computation.
+
+    The kernel emits exact integers only (UTF-8 char count, byte
+    count, space count — pc.utf8_length / binary_length /
+    count_substring), so the downstream per-lang rollup is
+    hash-identical to the pure-SQL oracle (DuckDB length/strlen/
+    replace). Fixture honesty: the synthetic corpus is pure ASCII at
+    every SF — even the 'zh' slice — so sum_bytes == sum_chars here
+    (measured); the bytes-vs-chars distinction is exercised with a
+    planted multibyte corpus in
+    tests/test_quality.py::test_arrow_batch_stats_multibyte, where the
+    kernel provably counts UTF-8 bytes, not characters.
+
+    The 100-TB shape: the Arrow map is a narrow per-batch transform
+    (no shuffle); only the 5-langs-wide aggregate exchanges. Schema
+    declared up front so Catalyst plans the downstream aggregate
+    without executing Python; type hints deliberately absent from the
+    inner function (the `from __future__ import annotations`
+    stringification gotcha)."""
+    import pyarrow as pa
+
+    docs = load_table(spark, sf_dir, "documents").select("lang", "text")
+
+    def batch_stats(batches):
+        import pyarrow as pa_
+        import pyarrow.compute as pc
+
+        for b in batches:
+            t = pa_.Table.from_batches([b])
+            s = t["text"]
+            out = pa_.table(
+                {
+                    "lang": t["lang"],
+                    "n_chars": pc.cast(pc.utf8_length(s), pa_.int64()),
+                    "n_bytes": pc.cast(
+                        pc.binary_length(pc.cast(s, pa_.binary())),
+                        pa_.int64(),
+                    ),
+                    "n_spaces": pc.cast(
+                        pc.count_substring(s, " "), pa_.int64()
+                    ),
+                }
+            )
+            yield from out.to_batches()
+
+    mapped = docs.mapInArrow(
+        batch_stats,
+        "lang string, n_chars bigint, n_bytes bigint, n_spaces bigint",
+    )
+    return mapped.groupBy("lang").agg(
+        F.expr("CAST(count(*) AS BIGINT) AS n_docs"),
+        F.expr("CAST(sum(n_chars) AS BIGINT) AS sum_chars"),
+        F.expr("CAST(sum(n_bytes) AS BIGINT) AS sum_bytes"),
+        F.expr("CAST(sum(n_spaces) AS BIGINT) AS sum_spaces"),
+    )

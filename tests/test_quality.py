@@ -727,3 +727,30 @@ def test_dp_laplace_margins_and_mechanism(spark):
         expect = (r["n_true"] * 10000 - sgn * 2 * round(v)) / 10000.0
         assert r["noisy_count"] == expect, r
         assert r["abs_noise"] > 0, r
+
+
+def test_arrow_batch_stats_multibyte(spark, tmp_path):
+    """The fixture corpus is pure ASCII (measured), so the registered
+    query's bytes==chars there; this planted multibyte corpus proves
+    the mapInArrow kernel counts UTF-8 BYTES, not characters."""
+    import distgrep_spark.queries as q
+
+    rows = [
+        (0, "héllo wörld", "de", "s0", 11),
+        (1, "你好 世界", "zh", "s0", 5),
+        (2, "plain ascii", "en", "s0", 11),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string,"
+        " n_chars bigint"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r["lang"]: (r["sum_chars"], r["sum_bytes"], r["sum_spaces"])
+        for r in q.QUERIES["udf_arrow_batch_stats"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert out["en"] == (11, 11, 1)
+    assert out["de"] == (11, 13, 1)   # two 2-byte umlauts
+    assert out["zh"] == (5, 13, 1)    # four 3-byte CJK chars + space
