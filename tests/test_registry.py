@@ -227,7 +227,7 @@ _SCALE_GRANDFATHERED = {
     "corpus_split_assign", "corpus_token_budget_allocation",
     "corpus_unimax_waterfill", "dedup_bloom_decontaminate",
     "dedup_clusters_cc", "dedup_hash", "dedup_materialize",
-    "dedup_minhash_lsh", "dedup_semdedup", "dedup_url_canonical",
+    "dedup_semdedup", "dedup_url_canonical",
     "dq_constraint_checks", "dq_duplicate_payment_screen",
     "dq_order_total_reconciliation", "drift_tv_stability",
     "embed_centroids_by_label", "embed_feature_norm_stats",
