@@ -692,3 +692,38 @@ def test_standardized_rate_is_convex_mix(spark, sf_dir):
         # standardization re-weights within the same stratum rates, so it
         # stays within the min/max stratum rate band — loose sanity:
         assert abs(r["standardized_rate"] - r["crude_rate"]) < 0.2
+
+
+def test_trimmed_mean_matches_python_reference(spark, tmp_path):
+    """agg_trimmed_mean's window-rank trim against a sorted-slice Python
+    reference, including the n < 10 group where k = n DIV 10 = 0 and the
+    trimmed mean must equal the plain mean."""
+    import distgrep_spark.queries as q
+
+    rows = []
+    # group A: 23 values incl. outliers; group B: 7 values (k = 0)
+    a_vals = [100, 101, 99, 250000, 102, 98, 97, 103, 100, 101,
+              99, 100, 102, 98, 1, 100, 101, 99, 100, 102, 98, 100, 101]
+    b_vals = [10, 20, 30, 40, 50, 60, 70]
+    for i, v in enumerate(a_vals):
+        rows.append((i, "A", float(v)))
+    for i, v in enumerate(b_vals):
+        rows.append((100 + i, "B", float(v)))
+    df = spark.createDataFrame(
+        rows, "o_orderkey bigint, o_orderpriority string,"
+        " o_totalprice double"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+
+    def ref(vals):
+        cents = sorted(int(v * 100 + 0.5) for v in vals)
+        k = len(cents) // 10
+        kept = cents[k: len(cents) - k] if k else cents
+        return sum(kept) / len(kept)
+
+    out = {
+        r["priority"]: (r["k_trimmed_each_side"], r["trimmed_mean_cents"])
+        for r in q.QUERIES["agg_trimmed_mean"](spark, str(tmp_path)).collect()
+    }
+    assert out["A"][0] == 2 and abs(out["A"][1] - ref(a_vals)) < 1e-9
+    assert out["B"][0] == 0 and abs(out["B"][1] - ref(b_vals)) < 1e-9
