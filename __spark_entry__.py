@@ -226,6 +226,9 @@ POST_PREFIX = [
     # round-7 batch 58: mapInArrow zero-copy batch kernel (the last
     # uncovered Python-execution surface)
     "udf_arrow_batch_stats",
+    # round-7 batch 59: lifecycle segment-migration matrix (distrank
+    # quintiles per period half, FULL-JOIN churn/new tiers)
+    "orders_fsegment_migration",
     # round-5 additions, strongest-first if the window ever widens
     "sim_ann_pq_adc",
     "mix_temperature_sampling",

@@ -4498,3 +4498,131 @@ def q_sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pick_order bigint, vec_id bigint, rel bigint,"
         " redundancy bigint, mmr_score bigint",
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 batch 59: period-over-period segment migration matrix
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_fsegment_migration",
+    oracle="""
+    WITH span AS (
+      SELECT min(CAST(o_orderdate AS DATE)) AS d0,
+             max(CAST(o_orderdate AS DATE)) AS d1 FROM orders
+    ),
+    fc AS (
+      SELECT CASE WHEN CAST(o_orderdate AS DATE) <= d0
+                       + CAST(date_diff('day', d0, d1) // 2 AS INTEGER)
+                  THEN 1 ELSE 2 END AS h,
+             o_custkey,
+             CAST(count(*) AS BIGINT) AS freq
+      FROM orders CROSS JOIN span
+      GROUP BY 1, 2
+    ),
+    tiled AS (
+      SELECT h, o_custkey,
+             ntile(5) OVER (PARTITION BY h ORDER BY freq, o_custkey) AS f
+      FROM fc
+    ),
+    h1 AS (SELECT o_custkey, f FROM tiled WHERE h = 1),
+    h2 AS (SELECT o_custkey, f FROM tiled WHERE h = 2)
+    SELECT CAST(coalesce(h1.f, 0) AS BIGINT) AS f_from,
+           CAST(coalesce(h2.f, 0) AS BIGINT) AS f_to,
+           CAST(count(*) AS BIGINT) AS n_customers
+    FROM h1 FULL JOIN h2 USING (o_custkey)
+    GROUP BY 1, 2
+    """,
+)
+def q_orders_fsegment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period frequency-segment MIGRATION matrix — the
+    lifecycle readout behind every retention program ('which quintile
+    did last period's champions land in?'): split the order history at
+    its date midpoint (data-derived integer-day arithmetic, exact on
+    both engines), cut each half's customers into exact frequency
+    quintiles, and cross-tabulate the per-customer transition, with
+    tile 0 standing for 'absent that half' (the FULL-JOIN new/churned
+    tiers — an inner join would silently drop exactly the customers a
+    retention program exists to see; the empty-group-universe rule).
+
+    Exactness: the quintiles are SQL-standard ntile(5) with (freq,
+    custkey) total order, computed WITHOUT per-half global sorts: one
+    shared boundary pull buckets BOTH halves (boundaries only partition
+    work — distrank's exactness argument), ranks come from
+    offset[h][bucket] + row_number() OVER (PARTITION BY h, bucket), and
+    the ntile arithmetic is operators/distrank.ntile_expr — the plan
+    stays hash-partitioned at any customer count while the DuckDB twin
+    keeps the plain per-half global window (the orders_rfm_segments
+    certificate pattern).
+
+    The 100-TB shape: one fact rollup to (half, customer) rows, one
+    bounded boundary/offsets pull (<= 2 x 64 scalars), one
+    co-partitioned self-join on customer for the matrix; output is
+    <= 36 cells."""
+    from distgrep_spark.operators.distrank import (
+        array_lit,
+        bucket_expr,
+        ntile_expr,
+        percentile_boundaries,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    span = o.agg(
+        F.expr("min(CAST(o_orderdate AS DATE)) AS d0"),
+        F.expr("max(CAST(o_orderdate AS DATE)) AS d1"),
+    )
+    fc = (
+        o.crossJoin(F.broadcast(span))
+        .selectExpr(
+            "CASE WHEN CAST(o_orderdate AS DATE) <= date_add(d0,"
+            " CAST(datediff(d1, d0) DIV 2 AS INT)) THEN 1 ELSE 2 END AS h",
+            "o_custkey",
+        )
+        .groupBy("h", "o_custkey")
+        .agg(F.expr("CAST(count(*) AS BIGINT) AS freq"))
+        .localCheckpoint()
+    )
+    bs = percentile_boundaries(fc, "freq", 64)
+    fb = fc.selectExpr(
+        "h", "o_custkey", "freq", f"{bucket_expr('freq', bs, 'bigint')} AS bk"
+    )
+    cnt_rows = fb.groupBy("h", "bk").count().collect()
+    by_h: dict = {1: {}, 2: {}}
+    for row in cnt_rows:
+        by_h[row["h"]][row["bk"]] = row["count"]
+    offs_sql = {}
+    n_h = {}
+    for h in (1, 2):
+        cnts = by_h[h]
+        pre, acc = [], 0
+        for b in range(max(cnts, default=0) + 1):
+            pre.append(acc)
+            acc += cnts.get(b, 0)
+        offs_sql[h] = array_lit(pre or [0], "bigint")
+        n_h[h] = acc
+    ranked = fb.selectExpr(
+        "h",
+        "o_custkey",
+        f"CASE WHEN h = 1 THEN element_at({offs_sql[1]}, bk + 1)"
+        f" ELSE element_at({offs_sql[2]}, bk + 1) END"
+        " + row_number() OVER (PARTITION BY h, bk"
+        " ORDER BY freq, o_custkey) AS rnk",
+    )
+    tiled = ranked.selectExpr(
+        "h",
+        "o_custkey",
+        f"CASE WHEN h = 1 THEN {ntile_expr('rnk', n_h[1], 5)}"
+        f" ELSE {ntile_expr('rnk', n_h[2], 5)} END AS f",
+    )
+    h1 = tiled.where("h = 1").selectExpr("o_custkey", "f AS f1")
+    h2 = tiled.where("h = 2").selectExpr("o_custkey", "f AS f2")
+    return (
+        h1.join(h2, "o_custkey", "full_outer")
+        .selectExpr(
+            "CAST(coalesce(f1, 0) AS BIGINT) AS f_from",
+            "CAST(coalesce(f2, 0) AS BIGINT) AS f_to",
+        )
+        .groupBy("f_from", "f_to")
+        .agg(F.expr("CAST(count(*) AS BIGINT) AS n_customers"))
+    )
