@@ -226,7 +226,7 @@ _SCALE_GRANDFATHERED = {
     "agg_variance_exact", "agg_weighted_median", "conditional_case",
     "corpus_split_assign", "corpus_token_budget_allocation",
     "corpus_unimax_waterfill", "dedup_bloom_decontaminate",
-    "dedup_clusters_cc", "dedup_hash", "dedup_materialize",
+    "dedup_hash", "dedup_materialize",
     "dedup_semdedup", "dedup_url_canonical",
     "dq_constraint_checks", "dq_duplicate_payment_screen",
     "dq_order_total_reconciliation", "drift_tv_stability",
