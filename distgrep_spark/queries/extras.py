@@ -1565,6 +1565,7 @@ def q_source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     registry empty-input sweep) round-trips without ORC's
     cannot-infer-schema-from-no-files error."""
     import os
+    import shutil
 
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang", "n_chars"
@@ -1572,10 +1573,24 @@ def q_source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-process path: two concurrent checker/bench processes would
     # otherwise overwrite-race one directory (the per-PID DuckDB
     # spill-dir lesson, applied to the write side)
+    cache_root = "/tmp/distgrep_orc_cache"
     path = (
-        f"/tmp/distgrep_orc_cache/{os.getpid()}_"
+        f"{cache_root}/{os.getpid()}_"
         f"{os.path.basename(sf_dir.rstrip('/'))}"
     )
+    # reap siblings left by EXITED processes (the returned DataFrame is
+    # lazy — the read materializes after this function returns, so we
+    # can't delete our own dir here; instead every invocation sweeps
+    # dead-PID dirs so accumulation is bounded by live processes, the
+    # leaked-DuckDB-spill-files lesson applied to this cache)
+    try:
+        for entry in os.listdir(cache_root):
+            pid = entry.split("_", 1)[0]
+            if pid.isdigit() and not os.path.exists(f"/proc/{pid}"):
+                shutil.rmtree(os.path.join(cache_root, entry),
+                              ignore_errors=True)
+    except FileNotFoundError:
+        pass
     docs.write.mode("overwrite").orc(path)
     back = spark.read.schema(docs.schema).orc(path)
     return back.groupBy("lang").agg(

@@ -3133,7 +3133,7 @@ def q_text_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT d, CAST(sum(ma.m * mb.m) AS BIGINT) AS n_pairs,
              CAST(count(*) AS BIGINT) AS n_profile_pairs
       FROM ham JOIN pm ma ON pa = ma.pid JOIN pm mb ON pb = mb.pid
-      WHERE d <= 2 AND d > 0
+      WHERE d <= 2
       GROUP BY d
     ),
     d0 AS (
@@ -3146,9 +3146,12 @@ def q_text_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     spine AS (SELECT CAST(u.d AS BIGINT) AS d
               FROM unnest(generate_series(0, 2)) AS u(d)),
     uni AS (
-      SELECT * FROM d0
-      UNION ALL
-      SELECT CAST(d AS BIGINT), n_pairs, n_profile_pairs FROM within
+      SELECT d, CAST(sum(n_pairs) AS BIGINT) AS n_pairs,
+             CAST(sum(n_profile_pairs) AS BIGINT) AS n_profile_pairs
+      FROM (SELECT * FROM d0
+            UNION ALL
+            SELECT CAST(d AS BIGINT), n_pairs, n_profile_pairs FROM within)
+      GROUP BY d
     )
     SELECT s.d AS hamming,
            coalesce(u.n_pairs, 0) AS n_pairs,
@@ -3181,7 +3184,11 @@ def q_dedup_simhash_radius_report(
     COLLAPSE first — simhash depends only on the distinct-gram set, so
     coincident copies share one profile and the block join runs over
     |profiles|, immune to copy densification; d=0 mass re-expands as
-    C(m,2) per profile and cross-profile mass as m_a*m_b, so the
+    C(m,2) per profile PLUS m_a*m_b for cross-profile signature
+    collisions (distinct gram sets, identical 64-bit simhash — the
+    round-8 fix: the candidate join finds them at all 4 blocks equal,
+    and the d-grouped union adds them to the d=0 row; pinned by a
+    planted subset-bits collision in tests/test_dedup.py), so the
     report is exact over DOCS while no quadratic pair set ever
     materializes. The 3-row report (d = 0,1,2 with doc-pair and
     profile-pair counts) is non-empty at every SF by construction.
@@ -3293,7 +3300,7 @@ def q_dedup_simhash_radius_report(
           SELECT d, CAST(sum(ma.m * mb.m) AS BIGINT) AS n_pairs,
                  CAST(count(*) AS BIGINT) AS n_profile_pairs
           FROM ham JOIN pm ma ON pa = ma.pid JOIN pm mb ON pb = mb.pid
-          WHERE d <= 2 AND d > 0
+          WHERE d <= 2
           GROUP BY d
         ),
         d0 AS (
@@ -3306,9 +3313,13 @@ def q_dedup_simhash_radius_report(
         ),
         spine AS (SELECT explode(sequence(0, 2)) AS d),
         uni AS (
-          SELECT * FROM d0
-          UNION ALL
-          SELECT CAST(d AS BIGINT), n_pairs, n_profile_pairs FROM within
+          SELECT d, CAST(sum(n_pairs) AS BIGINT) AS n_pairs,
+                 CAST(sum(n_profile_pairs) AS BIGINT) AS n_profile_pairs
+          FROM (SELECT * FROM d0
+                UNION ALL
+                SELECT CAST(d AS BIGINT), n_pairs, n_profile_pairs
+                FROM within)
+          GROUP BY d
         )
         SELECT CAST(s.d AS BIGINT) AS hamming,
                coalesce(u.n_pairs, 0L) AS n_pairs,

@@ -2689,14 +2689,17 @@ def q_stats_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT stratum,
            CAST(sum(t) AS BIGINT) AS n_t,
            CAST(count(*) - sum(t) AS BIGINT) AS n_c,
-           CAST(sum(CASE WHEN t = 1 THEN cents ELSE 0 END) AS DOUBLE)
-             / sum(t) AS mean_t,
-           CAST(sum(CASE WHEN t = 0 THEN cents ELSE 0 END) AS DOUBLE)
-             / (count(*) - sum(t)) AS mean_c,
-           CAST(sum(CASE WHEN t = 1 THEN cents ELSE 0 END) AS DOUBLE)
-             / sum(t)
-           - CAST(sum(CASE WHEN t = 0 THEN cents ELSE 0 END) AS DOUBLE)
-             / (count(*) - sum(t)) AS ate_cents
+           CASE WHEN sum(t) > 0 THEN
+             CAST(sum(CASE WHEN t = 1 THEN cents ELSE 0 END) AS DOUBLE)
+               / sum(t) END AS mean_t,
+           CASE WHEN count(*) - sum(t) > 0 THEN
+             CAST(sum(CASE WHEN t = 0 THEN cents ELSE 0 END) AS DOUBLE)
+               / (count(*) - sum(t)) END AS mean_c,
+           CASE WHEN sum(t) > 0 AND count(*) - sum(t) > 0 THEN
+             CAST(sum(CASE WHEN t = 1 THEN cents ELSE 0 END) AS DOUBLE)
+               / sum(t)
+             - CAST(sum(CASE WHEN t = 0 THEN cents ELSE 0 END) AS DOUBLE)
+               / (count(*) - sum(t)) END AS ate_cents
     FROM o GROUP BY stratum
     """,
 )
@@ -2726,21 +2729,29 @@ def q_stats_stratified_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
         " THEN 1 ELSE 0 END AS t",
         "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents",
     )
+    # CASE NULL-guards on every division: a stratum whose orders all hash
+    # to one arm has a zero denominator, and ANSI mode throws
+    # DIVIDE_BY_ZERO even on DOUBLE division (the stats_ab_power_mde
+    # lesson). Safe-by-construction on the fixtures (strata are large),
+    # but a planted/small corpus can degenerate.
     return o.groupBy("stratum").agg(
         F.expr("CAST(sum(t) AS BIGINT) AS n_t"),
         F.expr("CAST(count(*) - sum(t) AS BIGINT) AS n_c"),
         F.expr(
-            "CAST(sum(CASE WHEN t = 1 THEN cents ELSE 0 END) AS DOUBLE)"
-            " / sum(t) AS mean_t"
+            "CASE WHEN sum(t) > 0 THEN"
+            " CAST(sum(CASE WHEN t = 1 THEN cents ELSE 0 END) AS DOUBLE)"
+            " / sum(t) END AS mean_t"
         ),
         F.expr(
-            "CAST(sum(CASE WHEN t = 0 THEN cents ELSE 0 END) AS DOUBLE)"
-            " / (count(*) - sum(t)) AS mean_c"
+            "CASE WHEN count(*) - sum(t) > 0 THEN"
+            " CAST(sum(CASE WHEN t = 0 THEN cents ELSE 0 END) AS DOUBLE)"
+            " / (count(*) - sum(t)) END AS mean_c"
         ),
         F.expr(
-            "CAST(sum(CASE WHEN t = 1 THEN cents ELSE 0 END) AS DOUBLE)"
+            "CASE WHEN sum(t) > 0 AND count(*) - sum(t) > 0 THEN"
+            " CAST(sum(CASE WHEN t = 1 THEN cents ELSE 0 END) AS DOUBLE)"
             " / sum(t)"
             " - CAST(sum(CASE WHEN t = 0 THEN cents ELSE 0 END) AS DOUBLE)"
-            " / (count(*) - sum(t)) AS ate_cents"
+            " / (count(*) - sum(t)) END AS ate_cents"
         ),
     )

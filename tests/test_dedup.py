@@ -211,6 +211,14 @@ def test_simhash_radius_report_matches_bruteforce(spark, tmp_path):
     for t in base:
         texts.append(t)
         texts.append(t)  # exact copy -> identical profile (d=0 mass)
+    # CROSS-PROFILE d=0 collision (the round-8 fix): different gram sets,
+    # identical 64-bit simhash. For a 2-gram profile the majority rule
+    # (ties -> 1) degenerates to OR, so sig({g1,g2}) == sig({g1}) exactly
+    # when bits(md5(g2)[:16]) is a subset of bits(md5(g1)[:16]). The token
+    # suffixes below were found by direct search over md5 (g1 popcount 50,
+    # g2 subset — verified again by the brute force underneath).
+    texts.append("w51377 qq zz")         # gram set {g1}
+    texts.append("w51377 qq zz v5940")   # gram set {g1, g2}
     rows = [
         (i, t, "en", "src0", len(t)) for i, t in enumerate(texts)
     ]
@@ -237,6 +245,9 @@ def test_simhash_radius_report_matches_bruteforce(spark, tmp_path):
         return tuple(1 if 2 * c >= n else 0 for c in counts)
 
     sigs = [sig_of(grams_of(t)) for t in texts]
+    # the planted pair really is a cross-profile signature collision
+    assert grams_of(texts[-2]) != grams_of(texts[-1])
+    assert sigs[-2] == sigs[-1]
     expected = {0: 0, 1: 0, 2: 0}
     for a, b in itertools.combinations(range(len(texts)), 2):
         d = sum(x != y for x, y in zip(sigs[a], sigs[b]))

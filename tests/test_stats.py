@@ -386,3 +386,33 @@ def test_watermark_lateness_nonnegative_and_consistent(spark, sf_dir):
         assert r["max_late_sec"] == r["max_late_us"] // 1_000_000
         # a user with any late event has positive max lateness
         assert (r["n_late"] > 0) == (r["max_late_us"] > 0)
+
+
+def test_stratified_ate_degenerate_stratum_is_null_not_error(spark, tmp_path):
+    """A stratum whose orders ALL hash to one arm must yield NULL means
+    for the empty arm, never an ANSI DIVIDE_BY_ZERO throw (the round-8
+    guard; same convention as stats_ab_power_mde)."""
+    import hashlib
+
+    # keys whose md5 first hex digit is < '8' (treatment arm)
+    treated = [k for k in range(1, 400)
+               if hashlib.md5(str(k).encode()).hexdigest()[0] < "8"][:5]
+    control = [k for k in range(1, 400)
+               if hashlib.md5(str(k).encode()).hexdigest()[0] >= "8"][:5]
+    rows = [(k, "1-URGENT", 100.0 + k) for k in treated]   # all-treated
+    rows += [(k, "2-HIGH", 200.0 + k) for k in control]    # all-control
+    rows += [(k, "3-MEDIUM", 300.0 + k)
+             for k in treated[:2] + control[:2]]           # mixed
+    spark.createDataFrame(
+        rows, "o_orderkey bigint, o_orderpriority string, o_totalprice double"
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    out = {r["stratum"]: r for r in
+           q.QUERIES["stats_stratified_ate"](spark, str(tmp_path)).collect()}
+    assert out["1-URGENT"]["n_c"] == 0
+    assert out["1-URGENT"]["mean_c"] is None
+    assert out["1-URGENT"]["ate_cents"] is None
+    assert out["1-URGENT"]["mean_t"] is not None
+    assert out["2-HIGH"]["n_t"] == 0
+    assert out["2-HIGH"]["mean_t"] is None
+    assert out["2-HIGH"]["ate_cents"] is None
+    assert out["3-MEDIUM"]["ate_cents"] is not None

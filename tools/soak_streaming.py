@@ -34,6 +34,7 @@ round 5: see SCALE.md "streaming throughput soak").
 
 from __future__ import annotations
 
+import calendar
 import os
 import sys
 import time
@@ -266,7 +267,9 @@ def soak_churn(
         series.append(
             {
                 "batch": p["batchId"],
-                "t_s": round(time.mktime(time.strptime(
+                # progress timestamps are UTC ISO-8601: timegm, never
+                # mktime (which would apply the host's local tz offset)
+                "t_s": round(calendar.timegm(time.strptime(
                     p["timestamp"][:19], "%Y-%m-%dT%H:%M:%S")) - t0, 0),
                 "rows_per_s": round(proc),
                 "state_rows": sum(o.get("numRowsTotal", 0) for o in ops),
