@@ -399,3 +399,40 @@ def q_stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFra
     from distgrep_spark.streaming.stateful import throttle_dedup
 
     return throttle_dedup(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "stream_dedup_eventtime",
+    oracle="""
+    WITH g AS (
+      SELECT event_id, user_id, event_type, ts,
+             lag(ts) OVER (PARTITION BY user_id, event_type
+                           ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    )
+    SELECT event_id, user_id, event_type, ts
+    FROM g
+    WHERE prev_ts IS NULL
+       OR epoch_us(ts) - epoch_us(prev_ts) > 7200000000
+    """,
+)
+def q_stream_dedup_eventtime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time-DETERMINISTIC TTL-keyed suppression dedup (round-7
+    verdict ask #2): same 2 h quiet-period semantics as
+    stream_dedup_within_watermark, but the streaming machine
+    (streaming/stateful.throttle_dedup_eventtime) BUFFERS rows in state
+    until the watermark strictly passes their event time and decides in
+    event-time order — so the emitted set is a pure function of the
+    event set, equal to this lag-window twin under ANY cross-batch
+    arrival order (the disorder that makes throttle_dedup emit a
+    different representative; both pinned side-by-side in
+    tests/test_streaming.py). The trade is priced in SCALE.md's soak
+    table: state additionally holds one watermark horizon of in-flight
+    rows (bounded by rate x delay, not stream length) and emissions lag
+    arrivals by at least the watermark delay. The batch path is the
+    identical lag() window, so the full DuckDB oracle carries over
+    unchanged. Reference: server.go:176-191 — buffer-then-decide,
+    gated here by event-time completeness."""
+    from distgrep_spark.streaming.stateful import throttle_dedup_eventtime
+
+    return throttle_dedup_eventtime(load_table(spark, sf_dir, "events"))

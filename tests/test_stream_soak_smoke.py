@@ -31,6 +31,8 @@ def test_tumbling_soak_reports_metrics(spark):
 
 
 def test_pipeline_table_is_complete():
-    assert set(PIPELINES) == {"tumbling", "session", "dedup", "dedup_ttl"}
+    assert set(PIPELINES) == {
+        "tumbling", "session", "dedup", "dedup_ttl", "dedup_ttl_buffered"
+    }
     for fn, mode in PIPELINES.values():
         assert mode in {"update", "append", "complete"}

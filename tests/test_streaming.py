@@ -973,3 +973,104 @@ def test_rocksdb_is_default_state_store(spark):
     assert "RocksDBStateStoreProvider" in spark.conf.get(
         "spark.sql.streaming.stateStore.providerClass"
     )
+
+
+def test_throttle_dedup_eventtime_out_of_order_equals_batch(spark, tmp_path):
+    """The watermark-buffered variant (round-7 verdict ask #2) must be a
+    pure function of the event set: the SAME cross-batch disorder that
+    makes the arrival-order machine diverge from the batch twin (pinned
+    above) yields EQUALITY here — the stream emits the first EVENT-TIME
+    row, exactly like the lag-window twin."""
+    from datetime import datetime, timedelta
+
+    from distgrep_spark.streaming.stateful import (
+        throttle_dedup,
+        throttle_dedup_eventtime,
+    )
+
+    base = datetime(2024, 1, 1, 0, 0, 0)
+    schema = "event_id bigint, user_id bigint, event_type string, ts timestamp"
+    late_first = spark.createDataFrame(
+        [(11, 7, "x", base + timedelta(minutes=100))], schema
+    )
+    early = spark.createDataFrame(
+        [(12, 7, "x", base + timedelta(minutes=30))], schema
+    )
+    # flush row: advances the final watermark past every real row so
+    # buffered decisions finalize (append-mode drain contract); its own
+    # ts stays above the watermark so it is never emitted.
+    flush = spark.createDataFrame(
+        [(99, 999, "z", base + timedelta(hours=20))], schema
+    )
+    d = tmp_path / "in"
+    late_first.coalesce(1).write.parquet(str(d / "f0"))
+    early.coalesce(1).write.parquet(str(d / "f1"))
+    flush.coalesce(1).write.parquet(str(d / "f2"))
+
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(d / "*"))
+    q = (
+        throttle_dedup_eventtime(stream, watermark="3 hours")
+        .writeStream.format("memory").queryName("throttle_evt_ooo")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["event_id"]
+        for r in spark.sql("select * from throttle_evt_ooo").collect()
+    }
+    batch = {
+        r["event_id"]
+        for r in throttle_dedup(late_first.union(early)).collect()
+    }
+    assert batch == {12}
+    assert got == batch, "event-time variant must equal the batch twin"
+
+
+def test_throttle_dedup_eventtime_arrival_permutations(spark, tmp_path):
+    """Determinism sweep: the emitted set must be identical across
+    arrival PERMUTATIONS of the same event set — including a
+    suppression chain delivered entirely in reverse."""
+    from datetime import datetime, timedelta
+
+    from distgrep_spark.streaming.stateful import (
+        throttle_dedup,
+        throttle_dedup_eventtime,
+    )
+
+    df, schema = _throttle_events(spark)
+    base = datetime(2024, 1, 1, 0, 0, 0)
+    flush = spark.createDataFrame(
+        [(99, 999, "z", base + timedelta(hours=20))], schema
+    )
+    want = {r["event_id"] for r in throttle_dedup(df).collect()}
+    assert want == {1, 2, 4, 6}
+
+    for name, splits in [
+        ("fwd", [(1, 2), (3, 4), (5, 6)]),
+        ("rev", [(6, 5), (4, 3), (2, 1)]),
+    ]:
+        d = tmp_path / f"in_{name}"
+        for i, ids in enumerate(splits):
+            df.where(df.event_id.isin(*ids)).coalesce(1).write.parquet(
+                str(d / f"f{i}")
+            )
+        flush.coalesce(1).write.parquet(str(d / "f_flush"))
+        stream = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", 1
+        ).parquet(str(d / "*"))
+        # widened watermark so reverse-order rows stay in-watermark
+        q = (
+            throttle_dedup_eventtime(stream, watermark="6 hours")
+            .writeStream.format("memory").queryName(f"throttle_evt_{name}")
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        got = {
+            r["event_id"]
+            for r in spark.sql(
+                f"select * from throttle_evt_{name}"
+            ).collect()
+        }
+        assert got == want, (name, got, want)

@@ -49,7 +49,10 @@ from distgrep_spark.streaming.pipelines import (  # noqa: E402
     stateful_dedup,
     tumbling_counts,
 )
-from distgrep_spark.streaming.stateful import throttle_dedup  # noqa: E402
+from distgrep_spark.streaming.stateful import (  # noqa: E402
+    throttle_dedup,
+    throttle_dedup_eventtime,
+)
 
 RATES = [100_000, 800_000, 1_600_000]
 
@@ -107,6 +110,16 @@ PIPELINES = {
     # and the noop sink pulls every emitted row anyway.
     "dedup_ttl": (
         lambda df: throttle_dedup(df, watermark="10 seconds"),
+        "append",
+    ),
+    # Round 8: the event-time-DETERMINISTIC sibling (watermark-buffered
+    # — rows held in state until the watermark passes their event time,
+    # decided in event-time order). Prices the determinism trade vs the
+    # decide-at-arrival machine above: extra state = one watermark
+    # horizon of in-flight rows (rate x 10 s here), extra latency >= the
+    # watermark delay.
+    "dedup_ttl_buffered": (
+        lambda df: throttle_dedup_eventtime(df, watermark="10 seconds"),
         "append",
     ),
 }
@@ -230,6 +243,7 @@ def soak_churn(
     seconds: int,
     gen_seconds: int = 20,
     ttl_seconds: int = 15,
+    op=throttle_dedup,
 ) -> list[dict]:
     """Churn soak for throttle_dedup (round-6 verdict ask #4): rotate
     the key population every `gen_seconds` with a `ttl_seconds` TTL and
@@ -237,7 +251,7 @@ def soak_churn(
     capacity-planning evidence is state bytes FALLING after each
     cohort's last_seen + TTL passes the watermark, i.e. a non-monotone
     curve, not a plateau."""
-    df = throttle_dedup(
+    df = op(
         rate_events_churn(spark, rate, gen_seconds),
         watermark="5 seconds",
         ttl_seconds=ttl_seconds,
@@ -283,6 +297,39 @@ def soak_churn(
 
 
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "churn-ab":
+        # Round-7 verdict ask #7: keep the RocksDB-gauge caveat MEASURED.
+        # Runs the identical churn soak under both state-store providers
+        # and emits both per-tick curves plus the peak-gauge ratio — the
+        # planner-usable number (SCALE.md "RocksDB capacity planning"):
+        # RocksDB memoryUsedBytes counts uncompacted SST/memtable
+        # versions, the heap provider counts live rows; live state =
+        # heap curve, RocksDB gauge ≈ live x the measured multiple.
+        seconds = int(sys.argv[2]) if len(sys.argv) > 2 else 120
+        rate = int(sys.argv[3]) if len(sys.argv) > 3 else 400_000
+        spark = get_spark("stream-churn-ab")
+        spark.sparkContext.setLogLevel("ERROR")
+        peaks = {}
+        for label, cls in [
+            ("rocksdb", "org.apache.spark.sql.execution.streaming.state."
+                        "RocksDBStateStoreProvider"),
+            ("heap", "org.apache.spark.sql.execution.streaming.state."
+                     "HDFSBackedStateStoreProvider"),
+        ]:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", cls
+            )
+            series = soak_churn(spark, rate, seconds)
+            for s in series:
+                print({"provider": label, **s}, flush=True)
+            peaks[label] = max((s["state_mb"] for s in series), default=0)
+        ratio = peaks["rocksdb"] / peaks["heap"] if peaks.get("heap") else None
+        print(
+            f"# peak_mb rocksdb={peaks.get('rocksdb')} heap={peaks.get('heap')}"
+            f" gauge_over_live={round(ratio, 1) if ratio else 'n/a'}"
+        )
+        spark.stop()
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "churn":
         seconds = int(sys.argv[2]) if len(sys.argv) > 2 else 120
         rate = int(sys.argv[3]) if len(sys.argv) > 3 else 800_000
