@@ -336,3 +336,51 @@ def test_new_queries_carry_scale_md_entries():
     )
     stale = sorted(set(_SCALE_GRANDFATHERED) - set(q.QUERIES))
     assert not stale, f"grandfathered names not in registry: {stale}"
+
+
+def test_plan_shuffle_budgets_cover_registry_and_hold():
+    """Plan-shape regression lint (round-7 verdict ask #3): the committed
+    PLAN_AUDIT.json must not exceed any query's committed
+    PLAN_BUDGETS.json ceiling (shuffles, scans), and every registered
+    query must carry a budget — so a new query, or an edit that
+    re-inflates a plan (the radius report's 38-shuffle episode, commit
+    917edda), goes red until budgets are deliberately regenerated with
+    `python tools/plan_audit.py --all --budgets`."""
+    import json
+    import os
+
+    from tools.plan_audit import over_budget
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    with open(os.path.join(root, "PLAN_BUDGETS.json")) as f:
+        budgets = json.load(f)
+    with open(os.path.join(root, "PLAN_AUDIT.json")) as f:
+        audit = json.load(f)
+    missing = sorted(n for n in q.QUERIES if n not in budgets)
+    assert not missing, (
+        f"registered queries without a plan budget: {missing}; run "
+        "`python tools/plan_audit.py --all --budgets`"
+    )
+    msgs = over_budget(audit, budgets)
+    assert not msgs, "plan-shape budgets exceeded: " + "; ".join(msgs)
+
+
+def test_plan_budget_lint_catches_seeded_regression():
+    """The budget checker itself must go red on a +N-shuffle regression
+    and on a budget-less query (fail-closed proof the lint would have
+    caught the 38-shuffle episode)."""
+    from tools.plan_audit import over_budget
+
+    budgets = {"q1": {"shuffles": 12, "scans": 2}}
+    ok = {"q1": {"shuffles": 12, "scans": 2}}
+    assert over_budget(ok, budgets) == []
+    regressed = {"q1": {"shuffles": 38, "scans": 2}}
+    assert any("38 > budget 12" in m for m in over_budget(regressed, budgets))
+    rescanning = {"q1": {"shuffles": 12, "scans": 9}}
+    assert any("scans 9 > budget 2" in m for m in over_budget(rescanning, budgets))
+    unknown = {"q_new": {"shuffles": 1, "scans": 1}}
+    assert any("no budget entry" in m for m in over_budget(unknown, budgets))
+    improved = {"q1": {"shuffles": 10, "scans": 1}}
+    assert over_budget(improved, budgets) == []
+    errored = {"q1": {"error": "boom"}}
+    assert over_budget(errored, budgets) == []

@@ -262,6 +262,40 @@ def single_partition_windows(plan: str) -> int:
     return bad
 
 
+# Plan-shape budget lint (round-7 verdict ask #3): PLAN_BUDGETS.json is
+# a COMMITTED per-query ceiling on the plan-shape counters that regress
+# silently — shuffles (the radius report shipped at 38 where 12 was the
+# fixed shape, commit 917edda) and scans (the shared-lineage re-execution
+# class). tools/plan_audit.py --all --budgets regenerates the snapshot
+# DELIBERATELY; tests/test_registry.py goes red when the committed
+# PLAN_AUDIT.json exceeds a budget or a registered query lacks one.
+BUDGET_KEYS = ("shuffles", "scans")
+
+
+def over_budget(audit_out: dict, budgets: dict) -> list[str]:
+    """Messages for queries whose recorded plan shape exceeds its
+    committed budget (or has no budget at all). Improvements (counts
+    BELOW budget) pass — regenerate to tighten."""
+    bad = []
+    for name, stats in sorted(audit_out.items()):
+        if "error" in stats:
+            continue
+        b = budgets.get(name)
+        if b is None:
+            bad.append(
+                f"{name}: no budget entry — run"
+                " `python tools/plan_audit.py --all --budgets`"
+            )
+            continue
+        for k in BUDGET_KEYS:
+            if stats.get(k, 0) > b.get(k, 0):
+                bad.append(
+                    f"{name}: {k} {stats[k]} > budget {b[k]} — fix the"
+                    " plan or deliberately regenerate budgets"
+                )
+    return bad
+
+
 def audit(plan: str) -> dict:
     return {
         "sp_windows": single_partition_windows(plan),
@@ -301,6 +335,21 @@ def main() -> None:
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(here, "PLAN_AUDIT.json"), "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
+    budget_path = os.path.join(here, "PLAN_BUDGETS.json")
+    if "--budgets" in sys.argv:
+        budgets = {
+            name: {k: stats.get(k, 0) for k in BUDGET_KEYS}
+            for name, stats in out.items()
+            if "error" not in stats
+        }
+        with open(budget_path, "w") as f:
+            json.dump(budgets, f, indent=1, sort_keys=True)
+        print(f"wrote {len(budgets)} budgets -> PLAN_BUDGETS.json")
+    elif os.path.exists(budget_path):
+        with open(budget_path) as f:
+            budgets = json.load(f)
+        msgs = over_budget(out, budgets)
+        print("over budget: " + ("; ".join(msgs) if msgs else "NONE"))
     worst = sorted(
         ((v.get("shuffles", 0), k) for k, v in out.items() if "error" not in v),
         reverse=True,
