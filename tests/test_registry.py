@@ -384,3 +384,41 @@ def test_plan_budget_lint_catches_seeded_regression():
     assert over_budget(improved, budgets) == []
     errored = {"q1": {"error": "boom"}}
     assert over_budget(errored, budgets) == []
+
+
+def test_new_queries_carry_ladder_rows():
+    """Decade-ladder lint (round-7 verdict ask #5): every query
+    registered after the round-8 convention started must carry a
+    LADDER.json row (x8..x64 wall times + fitted exponent, produced by
+    tools/ladder.py); the grandfathered snapshot may only shrink. A
+    flagged row (exponent > 1.3 outside tools/ladder.py's justified
+    allowlist) is red until the plan is fixed or the shape is
+    allowlisted with a reason."""
+    import json
+    import os
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    grand = set(
+        open(os.path.join(root, "tools", "ladder_grandfathered.txt"))
+        .read()
+        .split()
+    )
+    with open(os.path.join(root, "LADDER.json")) as f:
+        ladder = json.load(f)
+    missing = sorted(
+        n for n in q.QUERIES if n not in grand and n not in ladder
+    )
+    assert not missing, (
+        f"new queries without a ladder row: {missing}; run "
+        "`python tools/ladder.py <name>`"
+    )
+    stale = sorted(grand - set(q.QUERIES))
+    assert not stale, f"grandfathered names no longer registered: {stale}"
+    flagged = sorted(
+        n for n, v in ladder.items()
+        if v.get("flagged") and n in q.QUERIES
+    )
+    assert not flagged, (
+        f"ladder-flagged superlinear queries: {flagged}; fix the plan or "
+        "allowlist the modeled shape in tools/ladder.py"
+    )

@@ -1,0 +1,156 @@
+"""Automated decade ladder (round-7 verdict ask #5): per-query log-log
+wall-time exponents across the x8/x16/x32/x64 key-shifted corpora.
+
+Round 7's 12-plan ladder was hand-picked; this tool mechanizes it: for
+each target query it measures warm noop-sink wall time at every rung,
+fits the least-squares exponent a in t(m) ~ c * m^a over (log2 m,
+log2 t), and FLAGS a > EXPONENT_LIMIT — the superlinearity classes
+(window_zscore_rolling's overflow, the CTE fan-out re-execution, the
+same-bucket quadratic residual) were all caught BY scaled sweeps, never
+by inspection. Modeled output-bound / self-replicating shapes carry a
+justified allowlist entry, same discipline as SP_WINDOW_ALLOWLIST.
+
+Rungs reuse tools/soak_prefix.build (FK-consistent key-shifted copies;
+missing corpora are built on first use). Sub-second rungs are
+overhead-dominated, so a fitted exponent only counts as a flag when the
+top rung's wall also clears WALL_FLOOR_S — a 0.3 s -> 0.5 s "exponent"
+is plan overhead, not a scale law.
+
+Usage:
+    python tools/ladder.py                 # scored prefix + non-grandfathered
+    python tools/ladder.py name [name...]  # specific queries
+    python tools/ladder.py --all           # full registry (hours)
+
+Writes LADDER.json (merged with existing rows — reruns update in place)
+and prints a SCALE.md-ready table. tests/test_registry.py requires every
+query registered after round 7 to carry a LADDER.json row.
+"""
+
+from __future__ import annotations
+
+import gc
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+MULTS = [8, 16, 32, 64]
+EXPONENT_LIMIT = 1.3
+WALL_FLOOR_S = 1.0
+
+# Modeled superlinear shapes — each entry says WHY the exponent is the
+# design, not a defect (the SP_WINDOW_ALLOWLIST discipline):
+LADDER_ALLOWLIST = {
+    "join_spatial_grid": "output-bound: near-pair count stacks with copy density (every copy lands in the same grid cells); the engine's candidate join stays linear, the ANSWER grows",
+    "dedup_minhash_recall": "runs the exact AllPairs baseline beside the sketch BY DESIGN (the recall certificate); exact pair mass rides planted-dup multiplicity",
+    "join_salted_skew": "intentional 16x replication self-model — the query manufactures its own skew hot key and pays the salting fan-out to demonstrate it",
+    "dedup_ngram_jaccard_capped": "fixture-vacuous above x16: the 31-token vocabulary saturates the max_df cap so the pair set EMPTIES (documented; the planted-signal twin is dedup_minhash_recall's exact baseline)",
+    "dedup_cross_corpus": "same capped posting-list engine as dedup_ngram_jaccard_capped — same cap-saturation behavior on the fixture vocabulary",
+}
+
+
+def _fit_exponent(points: list[tuple[int, float]]) -> float:
+    """Least-squares slope of log2(t) on log2(m)."""
+    xs = [math.log2(m) for m, _ in points]
+    ys = [math.log2(max(t, 1e-6)) for _, t in points]
+    n = len(xs)
+    mx, my = sum(xs) / n, sum(ys) / n
+    denom = sum((x - mx) ** 2 for x in xs)
+    if denom == 0:
+        return 0.0
+    return sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / denom
+
+
+def main() -> None:
+    # the x16+ stress joins need the cluster-honest heap (soak_prefix
+    # lesson: BytesToBytesMap growth cannot spill mid-build)
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
+
+    import distgrep_spark.queries as q
+    from __spark_entry__ import SCOREBOARD_PREFIX
+    from distgrep_spark.session import get_spark
+    from tools.soak_prefix import build
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ladder_path = os.path.join(here, "LADDER.json")
+    grand_path = os.path.join(here, "tools", "ladder_grandfathered.txt")
+
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    if args:
+        names = args
+    elif "--all" in sys.argv:
+        names = list(q.QUERIES)
+    else:
+        grand = set()
+        if os.path.exists(grand_path):
+            grand = set(open(grand_path).read().split())
+        names = list(SCOREBOARD_PREFIX) + sorted(
+            n for n in q.QUERIES
+            if n not in grand and n not in SCOREBOARD_PREFIX
+        )
+
+    spark = get_spark("ladder")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    for m in MULTS:
+        out = f"/tmp/soak_sf_x{m}"
+        if not os.path.exists(f"{out}/lineitem.parquet"):
+            t0 = time.time()
+            build(spark, m, out)
+            print(f"# built x{m} corpus in {time.time() - t0:.1f}s -> {out}")
+
+    def run(name: str, sf_dir: str) -> float:
+        t0 = time.perf_counter()
+        q.QUERIES[name](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        dt = time.perf_counter() - t0
+        gc.collect()  # drop localCheckpoint refs (the x16 OOM lesson)
+        return dt
+
+    rows = {}
+    if os.path.exists(ladder_path):
+        with open(ladder_path) as f:
+            rows = json.load(f)
+    hdr = "".join(f"{'x' + str(m):>8s}" for m in MULTS)
+    print(f"{'query':40s}{hdr}  exp  flag")
+    for name in names:
+        try:
+            pts = []
+            for m in MULTS:
+                d = f"/tmp/soak_sf_x{m}"
+                run(name, d)  # warm plan/JIT per rung
+                pts.append((m, run(name, d)))
+        except Exception as e:  # noqa: BLE001
+            rows[name] = {"error": str(e).splitlines()[0][:200]}
+            print(f"{name:40s} ERROR {rows[name]['error'][:60]}")
+            _persist(ladder_path, rows)
+            continue
+        exp = _fit_exponent(pts)
+        flagged = (
+            exp > EXPONENT_LIMIT
+            and pts[-1][1] >= WALL_FLOOR_S
+            and name not in LADDER_ALLOWLIST
+        )
+        rows[name] = {
+            "t": {str(m): round(t, 2) for m, t in pts},
+            "exponent": round(exp, 2),
+            "flagged": flagged,
+        }
+        cells = "".join(f"{t:8.2f}" for _, t in pts)
+        print(f"{name:40s}{cells} {exp:5.2f}  {'FLAG' if flagged else ''}")
+        _persist(ladder_path, rows)
+    flagged = sorted(n for n, v in rows.items() if v.get("flagged"))
+    print(f"\n{len(rows)} ladder rows -> LADDER.json; flagged: {flagged or 'NONE'}")
+
+
+def _persist(path: str, rows: dict) -> None:
+    with open(path, "w") as f:
+        json.dump(rows, f, indent=1, sort_keys=True)
+
+
+if __name__ == "__main__":
+    main()
