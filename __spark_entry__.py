@@ -51,8 +51,14 @@ SCOREBOARD_PREFIX = [
     # join_outer stays POST_PREFIX-front and oracle-checked; join_semi
     # demoted round 5: semi/anti stay oracle-checked post-prefix, the
     # slot buys the record-linkage family a scored row)
+    # round 8: join_shuffle_fact demoted (plain shuffled equi-join — the
+    # SMJ shape is scored via tpch_q13/er_resolve/join_range and stays
+    # POST_PREFIX-front + oracle-checked); the slot gives the exact
+    # Hamming-radius dedup kernel (Manku pigeonhole index, full oracle,
+    # brute-force-pinned) its scored row — the strongest new exact-at-
+    # scale kernel of round 7
     "join_broadcast_dim",
-    "join_shuffle_fact",
+    "dedup_simhash_radius_report",
     "er_resolve_customers",
     "join_spatial_grid",
     "join_range",
@@ -61,8 +67,13 @@ SCOREBOARD_PREFIX = [
     # sort / set ops
     "topk_customers",
     "set_union_intersect_except",
-    # scalar / json / filter
-    "scalar_string_fns",
+    # scalar / json / filter (round 8: scalar_string_fns demoted — string
+    # machinery is exercised by the grep + text rows and the battery
+    # stays POST_PREFIX-front + oracle-checked; json_extract_events keeps
+    # the scalar category's scored row. The slot gives the graph family
+    # a second scored kernel: per-hub local clustering coefficients,
+    # exact BIGINT triangles/wedges over a bounded hub cut)
+    "graph_local_clustering_hubs",
     "json_extract_events",
     "filter_predicates",
     # TPC-H composite shape
@@ -79,7 +90,12 @@ SCOREBOARD_PREFIX = [
     # shape (verdict ask #2: a driver CORRECTNESS entry for a multi-step
     # result, not a single unrolled step)
     "graph_pagerank_converged",
-    "recursive_order_chain",
+    # round 8: recursive_order_chain demoted (the WITH RECURSIVE surface
+    # keeps its full oracle + pytest post-prefix; the convergence-
+    # certified pagerank row above holds the iterative slot). The slot
+    # gives the lifecycle segment-migration matrix — the distrank
+    # consumer with FULL-JOIN churn/new tiers — its scored row
+    "orders_fsegment_migration",
     # round 5: the scored ntile row is the distrank flagship — three
     # EXACT global quintiles with hash-partitioned windows
     # (operators/distrank.py), the plan that survives a 10^9-customer
@@ -123,7 +139,11 @@ SCOREBOARD_PREFIX = [
     "text_fingerprint_gate",
     "text_stats",
     "rlhf_preference_curation",
-    "text_chunk_documents",
+    # round 8: text_chunk_documents demoted (chunking is a stage inside
+    # the scored pack/corpus compositions and stays POST_PREFIX-front +
+    # oracle-checked); the slot certifies the mapInArrow zero-copy
+    # surface — the last Python-execution seam — with a scored row
+    "udf_arrow_batch_stats",
     # round 5: layout_zorder_sort takes the slot of text_curation_funnel
     # (redundant beside the corpus_curation_pipeline flagship): the
     # Z-order data-layout planner is a NEW scored category, not a
@@ -161,6 +181,15 @@ SCOREBOARD_PREFIX = [
 # next entries it should spend rows on (distinct shapes before the
 # redundant grep/scalar/window variants that close the list).
 POST_PREFIX = [
+    # demoted round 8 (slots went to dedup_simhash_radius_report /
+    # graph_local_clustering_hubs / udf_arrow_batch_stats /
+    # orders_fsegment_migration — one scored representative per round-7
+    # family, verdict ask #6); all four keep full oracles and stay in
+    # every local sweep
+    "join_shuffle_fact",
+    "scalar_string_fns",
+    "text_chunk_documents",
+    "recursive_order_chain",
     # demoted round 7 (slots went to orders_bradley_terry_step /
     # graph_pagerank_converged / rlhf_preference_curation); all keep
     # full oracles and x8 coverage
@@ -216,19 +245,9 @@ POST_PREFIX = [
     # convergence (pagerank holds the scored slot; this keeps the
     # preference loop oracle-checked at every sweep)
     "orders_bradley_terry_converged",
-    # round-7 batch 56: exact pigeonhole Hamming-radius simhash pairing
-    # (full oracle — the SQL-oracled certificate over dedup_simhash's
-    # rows-only xxhash64 production path)
-    "dedup_simhash_radius_report",
-    # round-7 batch 57: per-hub local clustering (the graph family's
-    # fourth kernel; bounded hub cut by design)
-    "graph_local_clustering_hubs",
-    # round-7 batch 58: mapInArrow zero-copy batch kernel (the last
-    # uncovered Python-execution surface)
-    "udf_arrow_batch_stats",
-    # round-7 batch 59: lifecycle segment-migration matrix (distrank
-    # quintiles per period half, FULL-JOIN churn/new tiers)
-    "orders_fsegment_migration",
+    # (round-7 batches 56-59 — radius report, local clustering hubs,
+    # mapInArrow kernel, fsegment migration — were promoted INTO the
+    # scored prefix round 8, verdict ask #6)
     # round-5 additions, strongest-first if the window ever widens
     "sim_ann_pq_adc",
     "mix_temperature_sampling",
