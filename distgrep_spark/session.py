@@ -49,6 +49,14 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # collect() caps the driver's serialized-result intake; the x64
+        # oracle sweeps legitimately collect multi-GB result sets
+        # (uncapped exact-dedup baselines ~10M pairs). Output-bound
+        # shapes beyond this cap use tools/certify_fingerprint.py.
+        .config(
+            "spark.driver.maxResultSize",
+            os.environ.get("SPARK_GRAFT_MAX_RESULT", "4g"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.shuffle.spill.compress", "true")
     )
