@@ -57,6 +57,7 @@ def main() -> None:
     spark = get_spark("fingerprint-certify")
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
+    os.makedirs(".tmp", exist_ok=True)
     con.execute(f"SET temp_directory='.tmp/duck_{os.getpid()}'")
     for t in TABLES:
         path = f"{SF_DIR}/{t}.parquet"

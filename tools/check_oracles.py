@@ -201,6 +201,10 @@ def main(names=None):
     # (measured round 7: an x16 sweep's spilling oracle read a temp
     # block another process had truncated — IO Error mid-query).
     # Give each process its own spill dir.
+    # DuckDB creates the leaf lazily but NOT the parent — a missing
+    # ./.tmp turns the first spilling oracle into an IO Error (measured:
+    # the round-8 x64 sweep's Bradley-Terry twin)
+    os.makedirs(".tmp", exist_ok=True)
     con.execute(f"SET temp_directory='.tmp/duck_{os.getpid()}'")
     for t in TABLES:
         # driver fixtures are single files; Spark-written corpora (the
