@@ -59,6 +59,9 @@ def main() -> None:
     con = duckdb.connect()
     os.makedirs(".tmp", exist_ok=True)
     con.execute(f"SET temp_directory='.tmp/duck_{os.getpid()}'")
+    con.execute(
+        f"SET memory_limit='{os.environ.get('SPARK_GRAFT_DUCK_MEM', '24GB')}'"
+    )
     for t in TABLES:
         path = f"{SF_DIR}/{t}.parquet"
         if os.path.isdir(path):

@@ -206,6 +206,13 @@ def main(names=None):
     # the round-8 x64 sweep's Bradley-Terry twin)
     os.makedirs(".tmp", exist_ok=True)
     con.execute(f"SET temp_directory='.tmp/duck_{os.getpid()}'")
+    # DuckDB's default memory_limit is 80% of PHYSICAL RAM — beside live
+    # Spark JVMs that overcommits and the kernel OOM-kills the checker
+    # (x64 sweep, graph_triangle_count twin at 33 GB RSS). A fixed cap
+    # makes big twins spill to temp_directory instead.
+    con.execute(
+        f"SET memory_limit='{os.environ.get('SPARK_GRAFT_DUCK_MEM', '24GB')}'"
+    )
     for t in TABLES:
         # driver fixtures are single files; Spark-written corpora (the
         # x8/x16 soak builds) are directories of part files — glob them
