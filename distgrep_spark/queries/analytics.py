@@ -2910,7 +2910,7 @@ def q_dq_order_total_reconciliation(spark: SparkSession, sf_dir: str) -> DataFra
     s AS (
       SELECT CAST(count(*) AS BIGINT) AS n,
              CAST(sum(cents) AS BIGINT) AS total,
-             CAST(sum(rnk * cents) AS BIGINT) AS weighted
+             sum(CAST(rnk AS HUGEINT) * cents) AS weighted
       FROM ranked
     )
     SELECT n AS n_customers, total AS total_cents,
@@ -2923,9 +2923,12 @@ def q_dq_order_total_reconciliation(spark: SparkSession, sf_dir: str) -> DataFra
 def q_orders_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gini coefficient of customer spend — the scalar inequality
     complement to events_pareto_concentration's decile curve, via the
-    rank formula G = 2·Σ(i·x_(i))/(n·Σx) - (n+1)/n. Rank and both sums
-    are exact BIGINTs (rnk·cents peaks ~3e16 at sf0.1 — 250x BIGINT
-    headroom); the G expression is one fixed IEEE tree. Round 5: the
+    rank formula G = 2·Σ(i·x_(i))/(n·Σx) - (n+1)/n. Rank, count, and
+    Σx are exact BIGINTs; Σ(i·x) grows ~n² (3e16 at sf0.1, ~2.8e19 at
+    the x64 corpus — past int64, caught by the round-8 x64 sweep) so it
+    accumulates in DECIMAL(38,0) (DuckDB: HUGEINT), 19 decimal orders
+    of headroom; the G expression is one fixed IEEE tree over
+    correctly-rounded DOUBLE casts. Round 5: the
     rank runs over the customer rollup through
     ``operators/distrank.py``'s bucketed exact rank — hash-partitioned
     windows plus driver-folded bucket offsets — with a deterministic
@@ -2964,7 +2967,13 @@ def q_orders_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = ranked.agg(
         F.expr("CAST(count(*) AS BIGINT) AS n"),
         F.expr("CAST(sum(cents) AS BIGINT) AS total"),
-        F.expr("CAST(sum(rnk * cents) AS BIGINT) AS weighted"),
+        # DECIMAL(38,0), not BIGINT: sum(rnk*cents) is ~3e16 at sf0.1 but
+        # scales with n^2 (rank grows with n), so the x64 corpus puts it
+        # at ~2.8e19 — past int64 (the sweep caught the ANSI overflow).
+        # DuckDB twin uses HUGEINT; both are internal and cast to DOUBLE
+        # in the gini expression, which rounds correctly from either
+        # (CLAUDE.md: DECIMAL(38,0)/HUGEINT -> DOUBLE both IEEE-correct).
+        F.expr("sum(CAST(rnk AS DECIMAL(38,0)) * cents) AS weighted"),
     )
     return s.selectExpr(
         "n AS n_customers",
