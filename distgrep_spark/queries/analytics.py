@@ -950,15 +950,19 @@ def q_orders_rfm_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "graph_link_prediction",
     oracle="""
-    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-    edges AS (
+    WITH items AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    -- MATERIALIZED: multi-referenced CTEs both re-execute when inlined
+    -- AND collapse DuckDB's cardinality estimates to ~1 on parquet
+    -- views, flipping equi-joins to CROSS_PRODUCT join orders (round-8
+    -- x64 sweep; see market_basket_lift and CLAUDE.md).
+    edges AS MATERIALIZED (
       SELECT a.l_partkey AS u, b.l_partkey AS v
       FROM items a JOIN items b
         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
       GROUP BY 1, 2 HAVING count(*) >= 2
     ),
-    adj AS (SELECT u AS s, v AS d FROM edges UNION ALL SELECT v, u FROM edges),
-    deg AS (SELECT s AS node, CAST(count(*) AS BIGINT) AS dg
+    adj AS MATERIALIZED (SELECT u AS s, v AS d FROM edges UNION ALL SELECT v, u FROM edges),
+    deg AS MATERIALIZED (SELECT s AS node, CAST(count(*) AS BIGINT) AS dg
             FROM adj GROUP BY s),
     two_hop AS (
       SELECT x.s AS part_a, y.d AS part_b, count(*) AS common_neighbors
@@ -2522,14 +2526,18 @@ def q_corpus_token_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFr
 @query(
     "graph_modularity_by_brand",
     oracle="""
-    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-    edges AS (
+    WITH items AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    -- MATERIALIZED: multi-referenced CTEs both re-execute when inlined
+    -- AND collapse DuckDB's cardinality estimates to ~1 on parquet
+    -- views, flipping equi-joins to CROSS_PRODUCT join orders (round-8
+    -- x64 sweep; see market_basket_lift and CLAUDE.md).
+    edges AS MATERIALIZED (
       SELECT a.l_partkey AS u, b.l_partkey AS v
       FROM items a JOIN items b
         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
       GROUP BY 1, 2 HAVING count(*) >= 2
     ),
-    labeled AS (
+    labeled AS MATERIALIZED (
       SELECT e.u, e.v, pu.p_brand AS bu, pv.p_brand AS bv
       FROM edges e
         JOIN part pu ON e.u = pu.p_partkey
@@ -2631,14 +2639,18 @@ def q_graph_modularity_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "graph_assortativity_degree",
     oracle="""
-    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-    edges AS (
+    WITH items AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    -- MATERIALIZED: multi-referenced CTEs both re-execute when inlined
+    -- AND collapse DuckDB's cardinality estimates to ~1 on parquet
+    -- views, flipping equi-joins to CROSS_PRODUCT join orders (round-8
+    -- x64 sweep; see market_basket_lift and CLAUDE.md).
+    edges AS MATERIALIZED (
       SELECT a.l_partkey AS u, b.l_partkey AS v
       FROM items a JOIN items b
         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
       GROUP BY 1, 2 HAVING count(*) >= 2
     ),
-    deg AS (
+    deg AS MATERIALIZED (
       SELECT node, CAST(count(*) AS BIGINT) AS d
       FROM (SELECT u AS node FROM edges UNION ALL SELECT v FROM edges)
       GROUP BY node

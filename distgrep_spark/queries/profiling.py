@@ -484,10 +484,15 @@ def q_agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "market_basket_lift",
     oracle="""
-    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    WITH items AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
     n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM items),
-    pc AS (SELECT l_partkey, count(*) AS n_part FROM items GROUP BY l_partkey),
-    pairs AS (
+    pc AS MATERIALIZED (SELECT l_partkey, count(*) AS n_part FROM items GROUP BY l_partkey),
+    -- MATERIALIZED throughout (round 8): beyond the re-execution rule,
+    -- INLINED CTEs here collapse DuckDB's cardinality estimate to ~1
+    -- (EC:0 parquet scans) and the join-order optimizer then plans the
+    -- pc margin JOINs as CROSS_PRODUCT + FILTER — >20 min of 20-thread
+    -- grinding at x64 vs 25 s materialized (hash joins restored).
+    pairs AS MATERIALIZED (
       SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_pair
       FROM items a JOIN items b
         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
@@ -762,8 +767,8 @@ def _pagerank_oracle(k: int) -> str:
     possible at all: a double fold's last-ulp error would compound
     per step and diverge between engines."""
     head = f"""
-    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-    edges AS (
+    WITH items AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS MATERIALIZED (
       SELECT a.l_partkey AS src, b.l_partkey AS dst
       FROM items a JOIN items b
         ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
@@ -774,7 +779,7 @@ def _pagerank_oracle(k: int) -> str:
              CAST(count(*) OVER (PARTITION BY src) AS BIGINT) AS deg_src
       FROM edges
     ),
-    nodes AS (SELECT DISTINCT src FROM edges),
+    nodes AS MATERIALIZED (SELECT DISTINCT src FROM edges),
     nn AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
     pr0 AS MATERIALIZED (
       SELECT src AS part, CAST({_PR_SCALE} // n AS BIGINT) AS pr
@@ -917,14 +922,18 @@ def q_graph_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "graph_triangle_count",
     oracle="""
-    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-    edges AS (
+    WITH items AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    -- MATERIALIZED: multi-referenced CTEs both re-execute when inlined
+    -- AND collapse DuckDB's cardinality estimates to ~1 on parquet
+    -- views, flipping equi-joins to CROSS_PRODUCT join orders (round-8
+    -- x64 sweep; see market_basket_lift and CLAUDE.md).
+    edges AS MATERIALIZED (
       SELECT a.l_partkey AS u, b.l_partkey AS v
       FROM items a JOIN items b
         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
       GROUP BY 1, 2 HAVING count(*) >= 2
     ),
-    deg AS (
+    deg AS MATERIALIZED (
       SELECT node, CAST(count(*) AS BIGINT) AS d
       FROM (SELECT u AS node FROM edges UNION ALL SELECT v FROM edges)
       GROUP BY node

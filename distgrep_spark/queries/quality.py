@@ -2466,23 +2466,30 @@ def q_events_markov_transition(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM seq
       WHERE prev_status IS NULL OR prev_status <> o_orderstatus
     ),
-    dim AS (
-      SELECT o_custkey, o_orderstatus AS status_asof, valid_from,
-             lead(valid_from) OVER (PARTITION BY o_custkey
-                                    ORDER BY valid_from, o_orderkey) AS valid_to
+    -- ASOF LEFT JOIN (round 8): the original predicate LEFT JOIN
+    -- (equality + range + OR-null upper bound) planned as
+    -- BLOCKWISE_NL_JOIN in DuckDB — 38.4M facts x 2.5M versions of
+    -- row-at-a-time compares at x64, effectively unrunnable. SCD2
+    -- intervals PARTITION time per customer (valid_to is exactly the
+    -- next valid_from), so "the version whose interval covers
+    -- shipdate" == "the latest valid_from <= shipdate" == DuckDB's
+    -- native ASOF semantics; facts predating the first version get
+    -- NULL -> 'N/A' either way. Equality of the two formulations is
+    -- pinned at sf0.01 by tests/test_oracle_twins.py.
+    dim AS MATERIALIZED (
+      SELECT o_custkey, o_orderstatus AS status_asof, valid_from
       FROM changes
     ),
-    fact AS (
+    fact AS MATERIALIZED (
       SELECT l.l_returnflag, l.l_shipdate, o.o_custkey
       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     )
     SELECT coalesce(d.status_asof, 'N/A') AS status_asof, f.l_returnflag,
            CAST(count(*) AS BIGINT) AS n_items
     FROM fact f
-    LEFT JOIN dim d
+    ASOF LEFT JOIN dim d
       ON f.o_custkey = d.o_custkey
      AND f.l_shipdate >= d.valid_from
-     AND (d.valid_to IS NULL OR f.l_shipdate < d.valid_to)
     GROUP BY 1, 2
     """,
 )

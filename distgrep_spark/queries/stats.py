@@ -361,19 +361,23 @@ _KCORE_K = 4
 @query(
     "graph_kcore_peel",
     oracle=f"""
-    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-    edges AS (
+    WITH items AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    -- MATERIALIZED: multi-referenced CTEs both re-execute when inlined
+    -- AND collapse DuckDB's cardinality estimates to ~1 on parquet
+    -- views, flipping equi-joins to CROSS_PRODUCT join orders (round-8
+    -- x64 sweep; see market_basket_lift and CLAUDE.md).
+    edges AS MATERIALIZED (
       SELECT a.l_partkey AS u, b.l_partkey AS v
       FROM items a JOIN items b
         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
       GROUP BY 1, 2 HAVING count(*) >= 2
     ),
-    und AS (SELECT u AS a, v AS b FROM edges UNION ALL SELECT v, u FROM edges),
-    deg0 AS (
+    und AS MATERIALIZED (SELECT u AS a, v AS b FROM edges UNION ALL SELECT v, u FROM edges),
+    deg0 AS MATERIALIZED (
       SELECT a AS node, CAST(count(*) AS BIGINT) AS deg0
       FROM und GROUP BY a
     ),
-    alive AS (SELECT node FROM deg0 WHERE deg0 >= {_KCORE_K}),
+    alive AS MATERIALIZED (SELECT node FROM deg0 WHERE deg0 >= {_KCORE_K}),
     deg1 AS (
       SELECT und.a AS node, CAST(count(*) AS BIGINT) AS deg1
       FROM und

@@ -132,6 +132,42 @@ BRUTE["dedup_cross_corpus_exact"] = f"""
     WHERE da.source <> db.source
 """
 
+# Round 8: join_scd2_point_in_time's twin moved from the predicate LEFT
+# JOIN (equality + range + OR-null upper bound — BLOCKWISE_NL_JOIN in
+# DuckDB, row-at-a-time and unrunnable at x64) to the native ASOF LEFT
+# JOIN; the retired predicate form certifies the interval semantics.
+BRUTE["join_scd2_point_in_time"] = """
+    WITH seq AS (
+      SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+             lag(o_orderstatus) OVER w AS prev_status
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ),
+    changes AS (
+      SELECT o_custkey, o_orderstatus, o_orderdate AS valid_from, o_orderkey
+      FROM seq
+      WHERE prev_status IS NULL OR prev_status <> o_orderstatus
+    ),
+    dim AS (
+      SELECT o_custkey, o_orderstatus AS status_asof, valid_from,
+             lead(valid_from) OVER (PARTITION BY o_custkey
+                                    ORDER BY valid_from, o_orderkey) AS valid_to
+      FROM changes
+    ),
+    fact AS (
+      SELECT l.l_returnflag, l.l_shipdate, o.o_custkey
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT coalesce(d.status_asof, 'N/A') AS status_asof, f.l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM fact f
+    LEFT JOIN dim d
+      ON f.o_custkey = d.o_custkey
+     AND f.l_shipdate >= d.valid_from
+     AND (d.valid_to IS NULL OR f.l_shipdate < d.valid_to)
+    GROUP BY 1, 2
+"""
+
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",

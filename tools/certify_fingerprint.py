@@ -35,6 +35,21 @@ TABLES = (
 # Per-query fingerprint SELECT (dialect-shared; runs over `t` = the full
 # result set on both engines). Every aggregate is DECIMAL(38,0)-exact.
 FINGERPRINTS = {
+    # Output-bound at x64 the same way join_spatial_grid is: part names
+    # are IDENTICAL across the 64 key-shifted copies, so every probe
+    # matches all 64 copies of each near name — output stacks ~64^2
+    # (measured: >4.2 GiB serialized results, past any sane
+    # maxResultSize; the full result is what the query IS, so certify
+    # aggregates over all of it instead).
+    "join_fuzzy_blocked": """
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(probe_key AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s_pk,
+               CAST(sum(CAST(matched_key AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s_mk,
+               CAST(sum(CAST(lev_dist AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s_lev,
+               CAST(sum(CAST((probe_key % 1000003) * (matched_key % 999983)
+                             AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s_mix
+        FROM t
+    """,
     "join_spatial_grid": """
         SELECT CAST(count(*) AS BIGINT) AS n,
                CAST(sum(CAST(key_a AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s_ka,
