@@ -670,6 +670,12 @@ def q_orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_shingle_containment",
+    # Round 8: profile-collapse twin (the same rewrite as the engine —
+    # the doc-level posting self-join is quadratic in coincident-copy
+    # multiplicity and died at the x64 sweep's disk wall on BOTH
+    # engines). Equality vs the retired brute form is pinned at sf0.01
+    # by tests/test_oracle_twins.py. MATERIALIZED throughout per the
+    # CTE-inlining rules (re-execution + cross-product estimates).
     oracle=r"""
     WITH toks AS (
       SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
@@ -679,16 +685,44 @@ def q_orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM toks, LATERAL unnest(generate_series(1, greatest(len(t) - 2, 0)))
         AS u(i)
     ),
-    sizes AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id),
-    common AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-      FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id <> b.doc_id
-      GROUP BY 1, 2
+    dg AS MATERIALIZED (
+      SELECT doc_id, list(gram ORDER BY gram) AS gs FROM grams GROUP BY doc_id
+    ),
+    prof AS MATERIALIZED (
+      SELECT min(doc_id) AS pid, gs,
+             list(doc_id ORDER BY doc_id) AS members,
+             CAST(len(gs) AS BIGINT) AS n
+      FROM dg GROUP BY gs
+    ),
+    posting AS MATERIALIZED (
+      SELECT gram, list(pid ORDER BY pid) AS ps
+      FROM (SELECT pid, unnest(gs) AS gram FROM prof)
+      GROUP BY gram HAVING count(*) >= 2
+    ),
+    canon AS MATERIALIZED (
+      SELECT pa, pb, CAST(count(*) AS BIGINT) AS c FROM (
+        SELECT ps[i] AS pa, ps[j] AS pb FROM posting,
+          LATERAL unnest(generate_series(1, len(ps) - 1)) AS u(i),
+          LATERAL unnest(generate_series(i + 1, len(ps))) AS v(j)
+      ) GROUP BY 1, 2
+    ),
+    scored AS MATERIALIZED (
+      SELECT c, a.members AS ma, a.n AS na, b.members AS mb, b.n AS nb
+      FROM canon JOIN prof a ON pa = a.pid JOIN prof b ON pb = b.pid
     )
-    SELECT doc_a, doc_b, n_common,
-           n_common * 1.0 / sa.n_grams AS containment
-    FROM common JOIN sizes sa ON doc_a = sa.doc_id
-    WHERE 5 * n_common >= 4 * sa.n_grams
+    SELECT x AS doc_a, y AS doc_b, c AS n_common, c * 1.0 / na AS containment
+    FROM scored, LATERAL unnest(ma) AS ux(x), LATERAL unnest(mb) AS uy(y)
+    WHERE 5 * c >= 4 * na
+    UNION ALL
+    SELECT x, y, c, c * 1.0 / nb
+    FROM scored, LATERAL unnest(mb) AS ux(x), LATERAL unnest(ma) AS uy(y)
+    WHERE 5 * c >= 4 * nb
+    UNION ALL
+    SELECT m[i], m[j], n, n * 1.0 / n
+    FROM (SELECT members AS m, n FROM prof WHERE len(members) >= 2),
+      LATERAL unnest(generate_series(1, len(m))) AS u(i),
+      LATERAL unnest(generate_series(1, len(m))) AS v(j)
+    WHERE i <> j
     """,
 )
 def q_text_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -706,37 +740,64 @@ def q_text_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     cap; the plan shape is unchanged."""
     docs = load_table(spark, sf_dir, "documents")
     g = shingles(docs, n=3)
-    sizes = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
-    a = g.select(F.col("doc_id").alias("doc_a"), "gram")
-    b = g.select(F.col("doc_id").alias("doc_b"), "gram")
-    # Aggregate canonical a < b pairs once (half the pair shuffle), then
-    # emit both directions from the 3-scalar rollup — the intersection
-    # count is symmetric, only the denominator is directional.
-    canon = (
-        a.join(b, "gram")
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    # Profile collapse (round 8, same redesign as the uncapped
+    # ngram_jaccard_pairs engine): docs grouped by exact gram SET, the
+    # posting join runs between DISTINCT profiles (coincident copies —
+    # the densified x64 corpus's whole quadratic mass — share one
+    # profile), and only the final directional expansion is
+    # output-bound. The former doc-level posting self-join spilled past
+    # the disk at x64. Containment is scored at the PROFILE level so
+    # the member expansion shuffles 3 scalars, never gram arrays.
+    prof = (
+        g.groupBy("doc_id")
+        .agg(F.sort_array(F.collect_set("gram")).alias("gs"))
+        .groupBy("gs")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("members"))
+        .selectExpr("members[0] AS pid", "gs", "members", "size(gs) AS n")
+        .localCheckpoint()
     )
-    common = canon.unionAll(
-        canon.select(
-            F.col("doc_b").alias("doc_a"),
-            F.col("doc_a").alias("doc_b"),
-            "n_common",
+    canon = (
+        prof.select(F.col("pid"), F.explode("gs").alias("gram"))
+        .groupBy("gram")
+        .agg(F.sort_array(F.collect_set("pid")).alias("ps"))
+        .where(F.size("ps") >= 2)
+        .selectExpr(
+            "explode(flatten(transform(ps, (x, i) ->"
+            " transform(slice(ps, i + 2, size(ps)),"
+            " y -> struct(x AS pa, y AS pb))))) AS p"
         )
+        .groupBy("p.pa", "p.pb")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    pa = prof.selectExpr("pid AS pa", "members AS ma", "n AS na")
+    pb = prof.selectExpr("pid AS pb", "members AS mb", "n AS nb")
+    scored = canon.join(pa, "pa").join(pb, "pb")
+    # directional emission from the symmetric intersection count: both
+    # orientations of a cross-profile pair, then every ordered pair
+    # within a profile (identical gram sets: containment exactly 1.0).
+    fwd = scored.where(5 * F.col("c") >= 4 * F.col("na")).selectExpr(
+        "explode(flatten(transform(ma, x ->"
+        " transform(mb, y -> struct(x AS doc_a, y AS doc_b))))) AS d",
+        "c AS n_common",
+        "CAST(c AS DOUBLE) / CAST(na AS DOUBLE) AS containment",
+    )
+    rev = scored.where(5 * F.col("c") >= 4 * F.col("nb")).selectExpr(
+        "explode(flatten(transform(mb, x ->"
+        " transform(ma, y -> struct(x AS doc_a, y AS doc_b))))) AS d",
+        "c AS n_common",
+        "CAST(c AS DOUBLE) / CAST(nb AS DOUBLE) AS containment",
+    )
+    same = prof.where(F.size("members") >= 2).selectExpr(
+        "explode(flatten(transform(members, x ->"
+        " transform(filter(members, y -> y != x),"
+        " y -> struct(x AS doc_a, y AS doc_b))))) AS d",
+        "CAST(n AS BIGINT) AS n_common",
+        "CAST(1.0 AS DOUBLE) AS containment",
     )
     return (
-        common.join(
-            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_grams").alias("na")),
-            "doc_a",
-        )
-        .where(5 * F.col("n_common") >= 4 * F.col("na"))
-        .select(
-            "doc_a",
-            "doc_b",
-            "n_common",
-            (F.col("n_common") * F.lit(1.0) / F.col("na")).alias("containment"),
-        )
+        fwd.unionByName(rev)
+        .unionByName(same)
+        .select("d.doc_a", "d.doc_b", "n_common", "containment")
     )
 
 

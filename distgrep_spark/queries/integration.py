@@ -623,7 +623,7 @@ def q_mv_incremental_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "orders_bradley_terry_step",
     oracle="""
-    WITH bq AS (
+    WITH bq AS MATERIALIZED (
       SELECT l_orderkey AS ok, p_brand AS b,
              CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
       FROM lineitem JOIN part ON l_partkey = p_partkey
@@ -635,12 +635,16 @@ def q_mv_incremental_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM bq a JOIN bq c ON a.ok = c.ok AND a.b < c.b
       WHERE a.q <> c.q
     ),
-    pair AS (
+    -- MATERIALIZED chain (round 8): inlined, terms/w0 re-expand
+    -- dir -> pair -> matches -> bq (a 38M-row join at x64) ~8x and the
+    -- twin spilled past the disk in the x64 sweep (same class as the
+    -- round-7 pagerank/RLHF twins).
+    pair AS MATERIALIZED (
       SELECT bi, bj, CAST(count(*) AS BIGINT) AS n_ij,
              CAST(sum(wi) AS BIGINT) AS w_ij
       FROM matches GROUP BY 1, 2
     ),
-    dir AS (
+    dir AS MATERIALIZED (
       SELECT bi AS b, bj AS o, n_ij, w_ij AS w FROM pair
       UNION ALL
       SELECT bj AS b, bi AS o, n_ij, n_ij - w_ij AS w FROM pair
@@ -650,7 +654,7 @@ def q_mv_incremental_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(sum(w) AS BIGINT) AS wins_i
       FROM dir GROUP BY b
     ),
-    w0 AS (
+    w0 AS MATERIALIZED (
       SELECT b, n_i, wins_i,
              CAST(wins_i AS DOUBLE) / CAST(n_i AS DOUBLE) AS r0
       FROM tot

@@ -1156,30 +1156,54 @@ def q_pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_semdedup",
+    # Round 8: profile-collapse twin — group coincident (bit-identical)
+    # vectors into one profile, assign/score between DISTINCT profiles,
+    # expand members only in the final answer. The per-vector form's
+    # within-cluster self-join was quadratic in copy multiplicity (the
+    # x64 corpus has 64 coincident copies of every vector -> ~4096x the
+    # pair work) on BOTH engines. Equality vs the retired per-vector SQL
+    # is pinned at sf0.01 by tests/test_oracle_twins.py. MATERIALIZED
+    # throughout per the CTE-inlining rules.
     oracle="""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    prof AS MATERIALIZED (
+      SELECT min(vec_id) AS pid, v, list(vec_id ORDER BY vec_id) AS members
+      FROM e GROUP BY v
+    ),
     c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
           FROM embeddings WHERE vec_id < 16),
     d AS (
-      SELECT e.vec_id, c.cid,
-             list_sum(list_transform(generate_series(1, len(e.v)),
-                                     i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i])))
+      SELECT p.pid, c.cid,
+             list_sum(list_transform(generate_series(1, len(p.v)),
+                                     i -> (p.v[i] - c.cv[i]) * (p.v[i] - c.cv[i])))
                AS dist
-      FROM e, c
+      FROM prof p, c
     ),
-    asg AS (
-      SELECT vec_id, cluster FROM (
-        SELECT vec_id, cid AS cluster,
-               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    asg AS MATERIALIZED (
+      SELECT pid, cluster FROM (
+        SELECT pid, cid AS cluster,
+               row_number() OVER (PARTITION BY pid ORDER BY dist, cid) AS rn
         FROM d
       ) WHERE rn = 1
+    ),
+    scored AS MATERIALIZED (
+      SELECT x.cluster, px.members AS ma, py.members AS mb,
+             list_cosine_similarity(px.v, py.v) AS cos_sim
+      FROM asg x JOIN asg y ON x.cluster = y.cluster AND x.pid < y.pid
+      JOIN prof px ON px.pid = x.pid
+      JOIN prof py ON py.pid = y.pid
+      WHERE list_cosine_similarity(px.v, py.v) >= 0.45
     )
-    SELECT x.cluster, x.vec_id AS vec_a, y.vec_id AS vec_b,
-           list_cosine_similarity(ex.v, ey.v) AS cos_sim
-    FROM asg x JOIN asg y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
-    JOIN e ex ON ex.vec_id = x.vec_id
-    JOIN e ey ON ey.vec_id = y.vec_id
-    WHERE list_cosine_similarity(ex.v, ey.v) >= 0.45
+    SELECT cluster, least(x, y) AS vec_a, greatest(x, y) AS vec_b, cos_sim
+    FROM scored, LATERAL unnest(ma) AS ux(x), LATERAL unnest(mb) AS uy(y)
+    UNION ALL
+    SELECT a.cluster, p.m[i] AS vec_a, p.m[j] AS vec_b,
+           list_cosine_similarity(p.v, p.v) AS cos_sim
+    FROM (SELECT pid, v, members AS m FROM prof WHERE len(members) >= 2) p
+    JOIN asg a ON a.pid = p.pid,
+      LATERAL unnest(generate_series(1, len(p.m) - 1)) AS u(i),
+      LATERAL unnest(generate_series(i + 1, len(p.m))) AS w(j)
+    WHERE list_cosine_similarity(p.v, p.v) >= 0.45
     """,
 )
 def q_dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1225,41 +1249,86 @@ def q_dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent_ids = F.from_json(
         F.lit(json.dumps([int(r["vec_id"]) for r in init])), "array<bigint>"
     )
-    v = emb.select("vec_id", as_double(F.col("embedding")).alias("e"))
-    v = v.select("vec_id", "e", norm(F.col("e")).alias("nrm"))
+    # Profile collapse (round 8, the ngram_jaccard_pairs redesign
+    # applied to vectors): bit-identical embeddings — 64 coincident
+    # copies of every vector on the x64 corpus, mirrored/boilerplate
+    # mass at 100 TB — share one profile, so assignment and the
+    # in-cluster pair scoring run on DISTINCT vectors and only the
+    # final (output-bound) answer expands members. The per-vector form
+    # did ~4096x the pair work at x64. Scoring stays at the profile
+    # level so the expansion shuffles scalars, not vectors.
+    prof = (
+        emb.groupBy("embedding")
+        .agg(F.sort_array(F.collect_list("vec_id")).alias("members"))
+        .selectExpr("members[0] AS pid", "embedding", "members")
+        .localCheckpoint()
+    )
+    v = prof.select("pid", "members", as_double(F.col("embedding")).alias("e"))
+    v = v.select("pid", "members", "e", norm(F.col("e")).alias("nrm"))
     assigned = assign_to_centroids(
-        v, cents, vec_col="e", keep=["e", "nrm"]
+        v, cents, id_col="pid", vec_col="e", keep=["e", "nrm", "members"]
     ).select(
         F.element_at(cent_ids, F.col("cluster") + 1).alias("cluster"),
-        "vec_id",
+        "pid",
+        "members",
         "e",
         "nrm",
     )
     x = assigned.select(
         "cluster",
-        F.col("vec_id").alias("vec_a"),
+        F.col("pid").alias("pa"),
+        F.col("members").alias("ma"),
         F.col("e").alias("ea"),
         F.col("nrm").alias("na"),
     )
     y = assigned.select(
         "cluster",
-        F.col("vec_id").alias("vec_b"),
+        F.col("pid").alias("pb"),
+        F.col("members").alias("mb"),
         F.col("e").alias("eb"),
         F.col("nrm").alias("nb"),
     )
-    return (
+    cross = (
         x.join(y, ["cluster"])
-        .where(F.col("vec_a") < F.col("vec_b"))
+        .where(F.col("pa") < F.col("pb"))
         .select(
             "cluster",
-            "vec_a",
-            "vec_b",
+            "ma",
+            "mb",
             (dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))).alias(
                 "cos_sim"
             ),
         )
         .where(F.col("cos_sim") >= 0.45)
+        .selectExpr(
+            "cluster",
+            "explode(flatten(transform(ma, p ->"
+            " transform(mb, q -> struct(least(p, q) AS vec_a,"
+            " greatest(p, q) AS vec_b))))) AS d",
+            "cos_sim",
+        )
+        .select("cluster", "d.vec_a", "d.vec_b", "cos_sim")
     )
+    same = (
+        assigned.where(F.size("members") >= 2)
+        .select(
+            "cluster",
+            "members",
+            (dot(F.col("e"), F.col("e")) / (F.col("nrm") * F.col("nrm"))).alias(
+                "cos_sim"
+            ),
+        )
+        .where(F.col("cos_sim") >= 0.45)
+        .selectExpr(
+            "cluster",
+            "explode(flatten(transform(members, (p, i) ->"
+            " transform(slice(members, i + 2, size(members)),"
+            " q -> struct(p AS vec_a, q AS vec_b))))) AS d",
+            "cos_sim",
+        )
+        .select("cluster", "d.vec_a", "d.vec_b", "cos_sim")
+    )
+    return cross.unionByName(same)
 
 
 @query(

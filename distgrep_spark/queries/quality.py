@@ -2476,9 +2476,18 @@ def q_events_markov_transition(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- native ASOF semantics; facts predating the first version get
     -- NULL -> 'N/A' either way. Equality of the two formulations is
     -- pinned at sf0.01 by tests/test_oracle_twins.py.
+    -- QUALIFY: two status changes can share (custkey, valid_from) when
+    -- a customer places same-date orders (absent at sf0.01, real at
+    -- sf0.1/x64 — caught by the x64 sweep's value diff). The predicate
+    -- form's lead(valid_from ORDER BY valid_from, o_orderkey) gives the
+    -- earlier tied change an EMPTY interval, i.e. the last change on
+    -- the date wins; ASOF breaks valid_from ties arbitrarily, so
+    -- collapse ties to that same winner explicitly.
     dim AS MATERIALIZED (
       SELECT o_custkey, o_orderstatus AS status_asof, valid_from
       FROM changes
+      QUALIFY row_number() OVER (PARTITION BY o_custkey, valid_from
+                                 ORDER BY o_orderkey DESC) = 1
     ),
     fact AS MATERIALIZED (
       SELECT l.l_returnflag, l.l_shipdate, o.o_custkey

@@ -132,6 +132,59 @@ BRUTE["dedup_cross_corpus_exact"] = f"""
     WHERE da.source <> db.source
 """
 
+# Round 8: dedup_semdedup's twin moved to the vector-profile-collapse
+# form (coincident embeddings share one profile) — the per-vector
+# within-cluster self-join was quadratic in copy multiplicity at x64.
+BRUTE["dedup_semdedup"] = """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+          FROM embeddings WHERE vec_id < 16),
+    d AS (
+      SELECT e.vec_id, c.cid,
+             list_sum(list_transform(generate_series(1, len(e.v)),
+                                     i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i])))
+               AS dist
+      FROM e, c
+    ),
+    asg AS (
+      SELECT vec_id, cluster FROM (
+        SELECT vec_id, cid AS cluster,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        FROM d
+      ) WHERE rn = 1
+    )
+    SELECT x.cluster, x.vec_id AS vec_a, y.vec_id AS vec_b,
+           list_cosine_similarity(ex.v, ey.v) AS cos_sim
+    FROM asg x JOIN asg y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+    JOIN e ex ON ex.vec_id = x.vec_id
+    JOIN e ey ON ey.vec_id = y.vec_id
+    WHERE list_cosine_similarity(ex.v, ey.v) >= 0.45
+"""
+
+# Round 8: text_shingle_containment's twin moved to the profile-collapse
+# form (coincident copies share one profile) — the doc-level posting
+# self-join was quadratic in copy multiplicity at x64.
+BRUTE["text_shingle_containment"] = r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+      FROM toks, LATERAL unnest(generate_series(1, greatest(len(t) - 2, 0)))
+        AS u(i)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_common,
+           n_common * 1.0 / sa.n_grams AS containment
+    FROM common JOIN sizes sa ON doc_a = sa.doc_id
+    WHERE 5 * n_common >= 4 * sa.n_grams
+"""
+
 # Round 8: join_scd2_point_in_time's twin moved from the predicate LEFT
 # JOIN (equality + range + OR-null upper bound — BLOCKWISE_NL_JOIN in
 # DuckDB, row-at-a-time and unrunnable at x64) to the native ASOF LEFT
