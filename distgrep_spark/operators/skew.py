@@ -59,18 +59,22 @@ def salted_join(
         )
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(buckets))
     l_salted = left.withColumn("_salt", salt)
-    # SHUFFLE_HASH hint: salting exists for the regime where the dim
-    # CANNOT be broadcast — under a broadcast there is no straggler and
-    # salting strictly costs (operators/spatial.py, measured). Left to
-    # itself Catalyst sizes the replicated side from the PRE-explode
+    # MERGE (sort-merge) hint: salting exists for the regime where the
+    # dim CANNOT be broadcast — under a broadcast there is no straggler
+    # and salting strictly costs (operators/spatial.py, measured). Left
+    # to itself Catalyst sizes the replicated side from the PRE-explode
     # parquet stats, decides it fits the broadcast threshold, and then
     # dies building the x-replicated hash table at scale (x64: orders
     # estimated ~40 MB, built 16x = past Spark's 8 GB hard broadcast
     # cap — cannotBroadcastTableOverMaxTableBytesError in the round-8
-    # sweep). Forcing the shuffle join IS the operator's contract.
+    # sweep). SHUFFLE_HASH was tried first and blew task execution
+    # memory building per-partition hash tables of the replicated side
+    # (SparkOutOfMemoryError at x64); sort-merge spills gracefully and
+    # is the join AQE's skew splitting engages for — exactly the
+    # production regime this operator models.
     r_replicated = right.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))
-    ).hint("shuffle_hash")
+    ).hint("merge")
     cond = (l_salted[left_on] == r_replicated[right_on]) & (
         l_salted["_salt"] == r_replicated["_salt"]
     )

@@ -710,13 +710,18 @@ def q_orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT c, a.members AS ma, a.n AS na, b.members AS mb, b.n AS nb
       FROM canon JOIN prof a ON pa = a.pid JOIN prof b ON pb = b.pid
     )
+    -- filter INSIDE the derived table: DuckDB does not push a WHERE on
+    -- scored columns below the LATERAL unnests, so the unfiltered form
+    -- cross-expanded all 1.13M profile pairs x |ma|x|mb| members before
+    -- filtering (x64: ~4.6e9 rows, spilled past the disk; filtered
+    -- first it is 13.9 s / 22.3M rows).
     SELECT x AS doc_a, y AS doc_b, c AS n_common, c * 1.0 / na AS containment
-    FROM scored, LATERAL unnest(ma) AS ux(x), LATERAL unnest(mb) AS uy(y)
-    WHERE 5 * c >= 4 * na
+    FROM (SELECT * FROM scored WHERE 5 * c >= 4 * na) s,
+      LATERAL unnest(ma) AS ux(x), LATERAL unnest(mb) AS uy(y)
     UNION ALL
     SELECT x, y, c, c * 1.0 / nb
-    FROM scored, LATERAL unnest(mb) AS ux(x), LATERAL unnest(ma) AS uy(y)
-    WHERE 5 * c >= 4 * nb
+    FROM (SELECT * FROM scored WHERE 5 * c >= 4 * nb) s,
+      LATERAL unnest(mb) AS ux(x), LATERAL unnest(ma) AS uy(y)
     UNION ALL
     SELECT m[i], m[j], n, n * 1.0 / n
     FROM (SELECT members AS m, n FROM prof WHERE len(members) >= 2),
@@ -1046,7 +1051,11 @@ def q_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     common-neighbor count and preferential attachment deg(a)*deg(b) —
     both exact integers, so the ranking is bit-stable where the
     Adamic–Adar ``1/log(deg)`` variant would hang on transcendental
-    last-ulp ties (the CLAUDE.md ranking-key rule). Canonical a < b
+    last-ulp ties (the CLAUDE.md ranking-key rule). Fixture-vacuity
+    boundary (round-8 x64 sweep): non-vacuous at the scored sf0.01
+    (74 rows); at sf0.1 and its key-shifted multiples the w>=2-floored
+    co-purchase graph is too sparse for distance-exactly-2 pairs with
+    >=2 common neighbors — 0 rows, parity still holds (0 == 0). Canonical a < b
     pairs count each shared neighbor exactly once from the
     both-direction adjacency list.
 
@@ -4489,7 +4498,11 @@ _MMR_DOT_DUCK = (
     c0 AS (
       SELECT vec_id, {_QUANT_DUCK} AS qv FROM embeddings WHERE vec_id <> 0
     ),
-    cand AS (
+    -- MATERIALIZED (round 8): cand is referenced by sims (twice) and by
+    -- every greedy selection step; inlined, the corpus-wide dot scan
+    -- re-executed per reference and the twin spilled past the disk at
+    -- x64. Materializing the 20-row page kills the whole chain.
+    cand AS MATERIALIZED (
       SELECT vec_id, rel, qv FROM (
         SELECT c0.vec_id, c0.qv,
                (SELECT CAST(sum(c0.qv[u.i] * qv0.qv[u.i]) AS BIGINT)
@@ -4497,7 +4510,7 @@ _MMR_DOT_DUCK = (
         FROM c0 CROSS JOIN qv0
       ) ORDER BY rel DESC, vec_id LIMIT 20
     ),
-    sims AS (
+    sims AS MATERIALIZED (
       SELECT a.vec_id AS va, b.vec_id AS vb, {_MMR_DOT_DUCK} AS s
       FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
     ),

@@ -1463,26 +1463,30 @@ def q_dq_semantic_type_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "graph_khop_reach",
     oracle="""
-    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-    edges AS (
+    WITH items AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    -- MATERIALIZED chain (round 8): inlined, each hop references its
+    -- predecessor twice (JOIN + UNION) and the final SELECT adds three
+    -- scalar-subquery references -> edges re-executed ~20x and the twin
+    -- spilled past the disk at x64 (the unrolled-pagerank CTE class).
+    edges AS MATERIALIZED (
       SELECT a.l_partkey AS src, b.l_partkey AS dst
       FROM items a JOIN items b
         ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
       GROUP BY 1, 2 HAVING count(*) >= 2
     ),
-    seeds AS (SELECT DISTINCT src AS seed FROM edges WHERE src % 97 = 0),
-    h1 AS (
+    seeds AS MATERIALIZED (SELECT DISTINCT src AS seed FROM edges WHERE src % 97 = 0),
+    h1 AS MATERIALIZED (
       SELECT DISTINCT s.seed, e.dst AS node
       FROM seeds s JOIN edges e ON e.src = s.seed
     ),
-    h2 AS (
+    h2 AS MATERIALIZED (
       SELECT DISTINCT h1.seed, e.dst AS node
       FROM h1 JOIN edges e ON e.src = h1.node
       WHERE e.dst <> h1.seed
       UNION
       SELECT seed, node FROM h1
     ),
-    h3 AS (
+    h3 AS MATERIALIZED (
       SELECT DISTINCT h2.seed, e.dst AS node
       FROM h2 JOIN edges e ON e.src = h2.node
       WHERE e.dst <> h2.seed
