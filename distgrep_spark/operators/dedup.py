@@ -98,12 +98,13 @@ def ngram_jaccard_pairs(
 
     Without ``max_df`` the result is EXACT over the full vocabulary,
     computed as profile collapse (docs grouped by identical gram set)
-    + AllPairs prefix filtering (Bayardo et al., WWW 2007) over the
-    distinct profiles — the same densification-immune plan as this
-    family's DuckDB certification oracle, re-expressed in DataFrame
-    ops (round 8; the previous inverted-index self-join was quadratic
-    in coincident-duplicate multiplicity and died at the x64 sweep's
-    disk wall). Only the final member expansion is output-bound."""
+    + posting-list C(df,2) counting over the distinct profiles — the
+    densification-immune principle of this family's DuckDB
+    certification oracle, re-expressed in DataFrame ops (round 8; the
+    previous inverted-index self-join was quadratic in
+    coincident-duplicate multiplicity and died at the x64 sweep's disk
+    wall; an AllPairs-prefix variant was A/B-rejected, see the branch
+    comment). Only the final member expansion is output-bound."""
     g = shingles(df, n=n, text_col=text_col, id_col=id_col)
     if max_df is not None:
         # Posting-list plan: the per-gram doc list is built ONLY for
@@ -153,65 +154,50 @@ def ngram_jaccard_pairs(
             .agg(F.count(F.lit(1)).alias("c"))
         )
     else:
-        # Uncapped EXACT path: profile collapse + AllPairs prefix filter
-        # — the same densification-immune algorithm as the DuckDB twin
-        # (_EXACT_JACCARD_PROFILE_SQL). The former inverted-index
-        # self-join was quadratic in duplicate multiplicity: the x64
-        # key-shifted corpus (64 coincident copies per doc) spilled
-        # >40 GB of shuffle before the round-8 full-registry sweep
-        # killed it at the disk wall. Collapsing docs to DISTINCT gram-
-        # SET profiles first removes that blowup entirely — coincident
-        # copies (the whole densified mass, and at 100 TB the mirrored/
-        # boilerplate mass) share ONE profile, so the pair algorithm
-        # runs on the deduplicated problem and only the final answer
-        # (which IS output-bound) expands members back out.
+        # Uncapped EXACT path: PROFILE COLLAPSE + posting-list counting —
+        # the densification-immune algorithm of this family's DuckDB
+        # twin, as the engine plan. The former inverted-index self-join
+        # was quadratic in duplicate multiplicity: the x64 key-shifted
+        # corpus (64 coincident copies per doc) spilled >40 GB of
+        # shuffle before the round-8 full-registry sweep killed it at
+        # the disk wall. Collapsing docs to DISTINCT gram-SET profiles
+        # first removes the blowup entirely — coincident copies (the
+        # densified mass; at 100 TB the mirrored/boilerplate mass)
+        # share ONE profile, the pair algorithm runs on the
+        # deduplicated problem, and only the final answer (which IS
+        # output-bound) expands members back out.
         #
-        # 1. profile = exact gram set (groupBy the sorted array — one
-        #    corpus-sized shuffle; arrays as a GROUP key are fine, the
-        #    never-join-on-arrays lesson is about join compares);
-        #    pid = members[0] (min doc id): stable, collision-free.
+        # The intersection count c comes straight from the posting-list
+        # C(df,2) explode over profile grams (the capped-branch / LSH
+        # rollup pattern) — no per-candidate array_intersect verify and
+        # no AllPairs prefix machinery. A first cut used rarest-first
+        # AllPairs prefix filtering + array verify (Bayardo 2007, the
+        # twin's shape); A/B at sf0.1 measured it 4x slower (6.5 s vs
+        # ~2 s): the ordering/verify stages are pure overhead when c is
+        # countable map-side, and candidate pruning for hub grams is
+        # the max_df variant's job (a hub gram's C(df,2) explode is
+        # exactly what the cap exists to bound; an uncapped EXACT
+        # baseline must pay it in any algorithm).
+        #
+        # profile = exact gram set (groupBy the sorted array — one
+        # corpus-sized shuffle; arrays as a GROUP key are fine, the
+        # never-join-on-arrays lesson is about join compares);
+        # pid = members[0] (min doc id): stable, collision-free.
         doc_grams = g.groupBy(id_col).agg(
             F.sort_array(F.collect_set("gram")).alias("gs")
         )
-        # prof fans out to 4 consumers (vocab rollup, verify a/b, same-
-        # profile expansion) — checkpoint the fan-out point, not every
-        # stage (CLAUDE.md CTE fan-out lesson).
+        # prof fans out to 3 consumers (posting build, size/member
+        # slices, same-profile expansion) — checkpoint the fan-out
+        # point, not every stage (CLAUDE.md CTE fan-out lesson).
         prof = (
             doc_grams.groupBy("gs")
             .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("members"))
             .selectExpr("members[0] AS pid", "gs", "members", "size(gs) AS n")
             .localCheckpoint()
         )
-        # 2. rarest-first global gram order = (profile-df, gram) — any
-        #    fixed total order satisfies Bayardo Property 1; rarest-
-        #    first minimizes candidates. No integer rank (that would
-        #    need a vocabulary-wide global window): the (df, gram)
-        #    struct IS the sort key, per-profile.
-        pg = prof.select("pid", "n", F.explode("gs").alias("gram"))
-        granks = pg.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
-        ordered = (
-            pg.join(granks, "gram")
-            .groupBy("pid", "n")
-            .agg(
-                F.expr(
-                    "transform(array_sort(collect_list(struct(df, gram))),"
-                    " s -> s.gram) AS ordered"
-                )
-            )
-        )
-        # 3. prefix index: a profile pair with J >= t shares a gram in
-        #    each side's first n - ceil(t*n) + 1 rarest grams (Bayardo
-        #    et al. 2007, Property 1 — mirrored from the oracle SQL).
-        #    Candidates via the posting-LIST C(df,2) explode (the
-        #    capped-branch / LSH rollup pattern: ~2x over a two-sided
-        #    self-join, and no shared-lineage double-execution).
-        prefix = ordered.selectExpr(
-            "pid",
-            f"explode(slice(ordered, 1, n - CAST(ceil({threshold} * n) AS INT) + 1))"
-            " AS gram",
-        )
-        cand = (
-            prefix.groupBy("gram")
+        canon = (
+            prof.select("pid", F.explode("gs").alias("gram"))
+            .groupBy("gram")
             .agg(F.sort_array(F.collect_set("pid")).alias("ps"))
             .where(F.size("ps") >= 2)
             .selectExpr(
@@ -219,56 +205,46 @@ def ngram_jaccard_pairs(
                 " transform(slice(ps, i + 2, size(ps)),"
                 " y -> struct(x AS pa, y AS pb))))) AS p"
             )
-            .select("p.pa", "p.pb")
-            .distinct()
+            .groupBy("p.pa", "p.pb")
+            .agg(F.count(F.lit(1)).alias("c"))
         )
-        # 4. verify candidates exactly on the full gram sets; score at
-        #    the PROFILE level so the member expansion shuffles scalars,
-        #    not gram arrays (the dedup_embedding_cosine lesson).
-        pa = prof.selectExpr("pid AS pa", "gs AS gs_a", "members AS ma", "n AS na")
-        pb = prof.selectExpr("pid AS pb", "gs AS gs_b", "members AS mb", "n AS nb")
+        pa = prof.selectExpr("pid AS pa", "members AS ma", "n AS na")
+        pb = prof.selectExpr("pid AS pb", "members AS mb", "n AS nb")
+        # score at the PROFILE level, then expand members carrying the
+        # scalar jaccard (the dedup_embedding_cosine lesson: the
+        # expansion shuffle moves scalars, never arrays).
         cross = (
-            cand.join(pa, "pa")
+            canon.join(pa, "pa")
             .join(pb, "pb")
-            .selectExpr(
-                "ma", "mb",
-                "size(array_intersect(gs_a, gs_b)) AS c", "na", "nb",
+            .select(
+                "ma",
+                "mb",
+                (
+                    F.col("c") * F.lit(1.0) / (F.col("na") + F.col("nb") - F.col("c"))
+                ).alias("jaccard"),
             )
-            .where(
-                F.col("c") * F.lit(1.0) / (F.col("na") + F.col("nb") - F.col("c"))
-                >= F.lit(threshold)
-            )
+            .where(F.col("jaccard") >= threshold)
             .selectExpr(
                 "explode(flatten(transform(ma, x ->"
                 " transform(mb, y -> struct(least(x, y) AS doc_a,"
                 " greatest(x, y) AS doc_b))))) AS d",
-                "c", "na", "nb",
+                "jaccard",
             )
-            .select("d.doc_a", "d.doc_b", "c", "na", "nb")
+            .select("d.doc_a", "d.doc_b", "jaccard")
         )
-        # 5. same-profile members are identical gram sets: J = 1.0 by
-        #    construction, C(m,2) pairs in-list.
+        # same-profile members are identical gram sets: J = 1.0 by
+        # construction, C(m,2) pairs in-list.
         same = (
             prof.where(F.size("members") >= 2)
             .selectExpr(
                 "explode(flatten(transform(members, (x, i) ->"
                 " transform(slice(members, i + 2, size(members)),"
                 " y -> struct(x AS doc_a, y AS doc_b))))) AS d",
-                "n AS c", "n AS na", "n AS nb",
+                "CAST(1.0 AS DOUBLE) AS jaccard",
             )
-            .select("d.doc_a", "d.doc_b", "c", "na", "nb")
+            .select("d.doc_a", "d.doc_b", "jaccard")
         )
-        return (
-            cross.unionByName(same)
-            .select(
-                "doc_a",
-                "doc_b",
-                (
-                    F.col("c") * F.lit(1.0) / (F.col("na") + F.col("nb") - F.col("c"))
-                ).alias("jaccard"),
-            )
-            .where(F.col("jaccard") >= threshold)
-        )
+        return cross.unionByName(same)
     return (
         common.join(sizes.select(F.col(id_col).alias("doc_a"), F.col("n_grams").alias("na")), "doc_a")
         .join(sizes.select(F.col(id_col).alias("doc_b"), F.col("n_grams").alias("nb")), "doc_b")

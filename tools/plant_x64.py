@@ -84,7 +84,13 @@ def main() -> None:
             "doc_id": pa.array([d for d, _ in PLANTED], pa.int64()),
             "text": pa.array([t for _, t in PLANTED], pa.string()),
             "lang": pa.array(["en"] * len(PLANTED), pa.string()),
-            "source": pa.array(["planted"] * len(PLANTED), pa.string()),
+            # alternate sources so dedup_cross_corpus (cross-SOURCE pairs
+            # only) is non-vacuous on the planted corpus too: each planted
+            # pair straddles planted_a/planted_b
+            "source": pa.array(
+                ["planted_a", "planted_b", "planted_a", "planted_b"],
+                pa.string(),
+            ),
             "n_chars": pa.array([len(t) for _, t in PLANTED], pa.int64()),
         }
     )
