@@ -227,7 +227,7 @@ _SCALE_GRANDFATHERED = {
     "corpus_split_assign", "corpus_token_budget_allocation",
     "corpus_unimax_waterfill", "dedup_bloom_decontaminate",
     "dedup_hash", "dedup_materialize",
-    "dedup_semdedup", "dedup_url_canonical",
+    "dedup_url_canonical",
     "dq_constraint_checks", "dq_duplicate_payment_screen",
     "dq_order_total_reconciliation", "drift_tv_stability",
     "embed_centroids_by_label", "embed_feature_norm_stats",
@@ -246,8 +246,7 @@ _SCALE_GRANDFATHERED = {
     "join_asof_forward_events", "join_asof_nearest_events",
     "join_asof_tolerance_events", "join_bloom_prefilter",
     "join_broadcast_dim", "join_lateral_topn", "join_multiway",
-    "join_null_safe", "join_outer", "join_scd2_point_in_time",
-    "json_extract_events", "json_variant_extract",
+    "join_null_safe", "join_outer", "json_extract_events", "json_variant_extract",
     "kmeans_assign_step", "kmeans_clusters", 
     "lateral_explode_outer_urls", "lateral_explode_tokens",
     "latest_event_per_user", "layout_zorder_locality",
@@ -256,7 +255,7 @@ _SCALE_GRANDFATHERED = {
     "multimodal_metadata", "multimodal_patch_grid",
     "multimodal_resize_dims", "orders_churn_labels",
     "orders_cohort_ltv", "orders_cohort_ltv_curve",
-    "orders_gini_spend", "orders_interpurchase_gaps",
+    "orders_interpurchase_gaps",
     "orders_price_volume_decomposition", "orders_rfm_quartiles",
     "orders_seasonal_naive_mae", "orders_survival_empirical",
     "pack_token_budget", "part_abc_xyz_classification",
