@@ -421,3 +421,65 @@ def test_new_queries_carry_ladder_rows():
         f"ladder-flagged superlinear queries: {flagged}; fix the plan or "
         "allowlist the modeled shape in tools/ladder.py"
     )
+
+
+def test_oracle_twin_plans_are_nl_join_free():
+    """Twin-side plan lint (round-8 verdict ask #3): EXPLAIN every DuckDB
+    oracle and require zero plural-sided CROSS_PRODUCT / BLOCKWISE_NL_JOIN
+    nodes outside tools/audit_oracle_plans.NL_ALLOWLIST. The x64 sweep
+    found these traps reactively (market_basket_lift's inlined-CTE twin:
+    >20 min of cross-product grinding vs 25 s AS MATERIALIZED); this makes
+    shipping one impossible. EXPLAIN is plan-only — the full registry
+    audits in ~2 s."""
+    import os
+
+    from tools.audit_oracle_plans import NL_ALLOWLIST, audit_all
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    flagged = audit_all(sf_dir)
+    assert not flagged, (
+        "oracle twins with plural-sided NL joins (materialize the CTE or "
+        f"allowlist with a justification): {flagged}"
+    )
+    dead = sorted(set(NL_ALLOWLIST) - set(q.ORACLES))
+    assert not dead, f"NL_ALLOWLIST names not in registry: {dead}"
+    assert all(len(v) > 20 for v in NL_ALLOWLIST.values()), (
+        "NL_ALLOWLIST justifications must say WHY the shape is bounded"
+    )
+
+
+def test_oracle_twin_plan_lint_catches_seeded_cross_product():
+    """Fail-closed proof: the audit must flag a plural x plural cross
+    product (the market_basket_lift trap shape), must NOT flag the
+    idiomatic scalar-total cross join, and must see through both a
+    materialized scalar CTE and a width-truncated operator name."""
+    from tools.audit_oracle_plans import audit_plan, connect
+
+    con = connect("/root/testdata/sf0.001")
+    # single comparisons plan as PIECEWISE_MERGE_JOIN; a two-sided
+    # function predicate forces the blockwise NL shape, a bare cross
+    # join forces CROSS_PRODUCT
+    plan = con.execute(
+        "EXPLAIN SELECT a.o_orderkey FROM orders a, orders b "
+        "WHERE abs(a.o_custkey - b.o_custkey) < 2"
+    ).fetchall()[0][1]
+    assert audit_plan(plan) == ["BLOCKWISE_NL_JOIN(PARQUET_SCAN,PARQUET_SCAN)"]
+    plan = con.execute(
+        "EXPLAIN SELECT count(*) FROM orders a CROSS JOIN orders b"
+    ).fetchall()[0][1]
+    assert audit_plan(plan) == ["CROSS_PRODUCT(PROJECTION,PROJECTION)"]
+
+    scalar = con.execute(
+        "EXPLAIN SELECT o_orderkey FROM orders "
+        "CROSS JOIN (SELECT count(*) AS n FROM lineitem) s "
+        "WHERE o_orderkey > s.n"
+    ).fetchall()[0][1]
+    assert audit_plan(scalar) == [], "scalar-total cross join false-flagged"
+
+    cte = con.execute(
+        "EXPLAIN WITH tot AS MATERIALIZED (SELECT count(*) AS n FROM lineitem) "
+        "SELECT o_orderkey FROM orders, tot WHERE o_orderkey > tot.n"
+    ).fetchall()[0][1]
+    assert audit_plan(cte) == [], "materialized scalar CTE side false-flagged"
