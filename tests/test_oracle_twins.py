@@ -253,3 +253,130 @@ def test_scalable_oracle_equals_brute_force(con, name):
     ndt = [d[1] for d in con.execute("DESCRIBE " + q.ORACLES[name]).fetchall()]
     odt = [d[1] for d in con.execute("DESCRIBE " + BRUTE[name]).fetchall()]
     assert ndt == odt
+
+
+# ---------------------------------------------------------------------------
+# Micro-fixture branch certification (round-8 ADVICE item 2): the sf0.01
+# comparison above never exercises the profile-collapse SAME-PROFILE
+# expansion branches (exact-duplicate texts/vectors are absent below
+# sf0.1 — measured, CLAUDE.md) or the SCD2 QUALIFY tied-valid_from
+# collapse (same-date status changes are absent at sf0.01). This plants
+# a tiny in-memory corpus that hits every one of those branches and
+# re-proves oracle == brute on EVERY pytest run, not just x64 sweeps.
+
+MICRO_NAMES = [
+    "dedup_semdedup",
+    "dedup_ngram_jaccard",
+    "text_shingle_containment",
+    "join_scd2_point_in_time",
+]
+
+
+@pytest.fixture(scope="module")
+def micro_con():
+    c = duckdb.connect()
+    # documents: profile 101={101,102,103} (3 coincident copies),
+    # 104 contained in 101 (prefix), profile 105={105,106}, 107 partial
+    docs = [
+        (101, "alpha beta gamma delta eps zeta"),
+        (102, "alpha beta gamma delta eps zeta"),
+        (103, "alpha beta gamma delta eps zeta"),
+        (104, "alpha beta gamma delta"),
+        (105, "xray yankee zulu whiskey"),
+        (106, "xray yankee zulu whiskey"),
+        (107, "alpha beta gamma xray yankee zulu"),
+    ]
+    c.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({i}, '{t}', 'en', 'src{i % 2}', {len(t)})" for i, t in docs
+        )
+        + ") v(doc_id, text, lang, source, n_chars)"
+    )
+    # embeddings: vec_id < 16 are the codebook; 20/21/22 one coincident
+    # profile near centroid 0, 23 a distinct near neighbor (cross-profile
+    # pair), 24/25 a second coincident profile near centroid 13
+    vecs = {k: [3 * k, 7, 0] for k in range(16)}
+    vecs.update({20: [1, 7, 0], 21: [1, 7, 0], 22: [1, 7, 0],
+                 23: [2, 7, 0], 24: [40, 7, 1], 25: [40, 7, 1]})
+    c.execute(
+        "CREATE TABLE embeddings AS SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({k}, {v}::FLOAT[], 0)" for k, v in sorted(vecs.items())
+        )
+        + ") v(vec_id, embedding, label)"
+    )
+    # orders: customer 1 has TWO status changes on the same date
+    # (orderkeys 1,2 both 2024-01-01 - the QUALIFY tie), then O at 02-01
+    c.execute("""
+        CREATE TABLE orders AS SELECT * FROM (VALUES
+          (1, 1, 'O', 10.0, TIMESTAMP '2024-01-01', 'P1'),
+          (2, 1, 'F', 10.0, TIMESTAMP '2024-01-01', 'P1'),
+          (3, 1, 'O', 10.0, TIMESTAMP '2024-02-01', 'P1'),
+          (4, 1, 'O', 10.0, TIMESTAMP '2024-03-01', 'P1'),
+          (5, 2, 'P', 10.0, TIMESTAMP '2024-01-15', 'P1')
+        ) v(o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+            o_orderdate, o_orderpriority)
+    """)
+    # facts: before any version (-> N/A), ON the tied date (the branch:
+    # the last same-date change must win), between, after, other cust
+    c.execute("""
+        CREATE TABLE lineitem AS SELECT * FROM (VALUES
+          (1, 'A', TIMESTAMP '2023-12-15'),
+          (1, 'R', TIMESTAMP '2024-01-01'),
+          (2, 'N', TIMESTAMP '2024-01-20'),
+          (3, 'A', TIMESTAMP '2024-02-10'),
+          (4, 'R', TIMESTAMP '2024-03-05'),
+          (5, 'N', TIMESTAMP '2024-01-20')
+        ) v(l_orderkey, l_returnflag, l_shipdate)
+    """)
+    return c
+
+
+@pytest.mark.parametrize("name", MICRO_NAMES)
+def test_scalable_oracle_equals_brute_on_planted_branches(micro_con, name):
+    new = micro_con.execute(
+        f"SELECT * FROM ({q.ORACLES[name]}) ORDER BY ALL"
+    ).fetchall()
+    old = micro_con.execute(
+        f"SELECT * FROM ({BRUTE[name]}) ORDER BY ALL"
+    ).fetchall()
+    assert len(new) > 0, "vacuous equivalence proves nothing"
+    assert new == old
+
+
+def test_micro_fixture_actually_hits_the_hard_branches(micro_con):
+    """Guard against the fixture rotting into the branch-free case the
+    sf0.01 test already covers."""
+    # same-profile pairs exist (coincident copies expanded in-profile)
+    sem = micro_con.execute(
+        f"SELECT * FROM ({q.ORACLES['dedup_semdedup']}) "
+        "WHERE vec_a = 20 AND vec_b = 21"
+    ).fetchall()
+    # identical vectors score 1 - O(ulp) through list_cosine_similarity
+    assert sem and sem[0][3] > 0.999999
+    cont = micro_con.execute(
+        f"SELECT * FROM ({q.ORACLES['text_shingle_containment']}) "
+        "WHERE doc_a = 101 AND doc_b = 102"
+    ).fetchall()
+    assert cont and cont[0][3] == 1.0
+    jac = micro_con.execute(
+        f"SELECT * FROM ({q.ORACLES['dedup_ngram_jaccard']}) "
+        "WHERE doc_a = 101 AND doc_b = 102"
+    ).fetchall()
+    assert jac
+    # the SCD2 tie is real: two changes share (custkey, valid_from)
+    ties = micro_con.execute("""
+        WITH seq AS (
+          SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+                 lag(o_orderstatus) OVER (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey) AS prev_status
+          FROM orders
+        )
+        SELECT count(*) FROM (
+          SELECT o_custkey, o_orderdate FROM seq
+          WHERE prev_status IS NULL OR prev_status <> o_orderstatus
+          GROUP BY 1, 2 HAVING count(*) > 1
+        )
+    """).fetchone()[0]
+    assert ties >= 1

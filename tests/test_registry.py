@@ -483,3 +483,61 @@ def test_oracle_twin_plan_lint_catches_seeded_cross_product():
         "SELECT o_orderkey FROM orders, tot WHERE o_orderkey > tot.n"
     ).fetchall()[0][1]
     assert audit_plan(cte) == [], "materialized scalar CTE side false-flagged"
+
+
+def test_bench_regression_comparator_is_noise_immune():
+    """Round-8 verdict ask #7: the normalized-ratio comparator must flag
+    a seeded 2x constant-factor regression, stay green on a pure
+    host-speed shift (every wall x1.4 moves the anchor identically), and
+    ignore sub-floor plan-overhead movers."""
+    from tools.bench_regression import anchor_wall, compare, normalize
+
+    base_walls = {"tpch_q1": 0.2, "tpch_q6": 0.1, "tpch_q9": 0.3,
+                  "big_query": 2.0, "tiny_query": 0.3}
+    baseline = normalize(base_walls)
+    assert anchor_wall(base_walls) == 0.2
+    assert baseline["big_query"] == 10.0
+
+    # pure host-speed shift: all walls x1.4 - ratios identical, no flags
+    slow_host = {n: round(t * 1.4, 4) for n, t in base_walls.items()}
+    assert compare(normalize(slow_host), baseline, slow_host) == []
+
+    # real 2x regression in one query - flagged
+    regressed = dict(base_walls, big_query=4.0)
+    msgs = compare(normalize(regressed), baseline, regressed)
+    assert len(msgs) == 1 and "big_query" in msgs[0]
+
+    # sub-floor mover (0.3 -> 0.45 s) - noise, not flagged
+    noisy = dict(base_walls, tiny_query=0.45)
+    assert compare(normalize(noisy), baseline, noisy) == []
+
+    # new query absent from the baseline - not flagged
+    grown = dict(base_walls, brand_new=5.0)
+    assert compare(normalize(grown), baseline, grown) == []
+
+
+def test_bench_normalized_baseline_is_committed_and_covers_registry():
+    """The committed baseline must exist and cover the registry (minus
+    queries newer than the last rebase - tracked by the note field);
+    regenerate with `python bench.py && python tools/bench_regression.py
+    --rebase` after a deliberate perf change."""
+    import json
+    import os
+
+    path = os.path.join(
+        os.path.dirname(__file__), "..", "BENCH_NORMALIZED_BASELINE.json"
+    )
+    assert os.path.exists(path), (
+        "BENCH_NORMALIZED_BASELINE.json missing - run bench.py then "
+        "tools/bench_regression.py --rebase"
+    )
+    with open(path) as f:
+        base = json.load(f)
+    assert base["anchor_wall_s"] > 0
+    covered = set(base["ratios"])
+    missing = sorted(set(q.QUERIES) - covered)
+    # allow a small trailing window of queries added after the rebase
+    assert len(missing) <= 10, (
+        f"baseline stale - {len(missing)} registered queries missing: "
+        f"{missing[:12]}; rebase after the next bench run"
+    )
