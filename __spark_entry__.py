@@ -158,10 +158,14 @@ SCOREBOARD_PREFIX = [
     # throughput soak ladders (windowed agg, session windows, bounded-
     # state TTL dedup; round 6 added the dedup row: verdict ask #4's
     # shipped answer, full oracle + stream==batch pytest + checkpoint
-    # resume)
+    # resume). Round 9: the dedup slot goes to the EVENT-TIME-
+    # DETERMINISTIC buffered variant (round-8 verdict ask #5) — a pure
+    # function of the event set under ANY arrival order, the strictly
+    # stronger contract; the arrival-order sibling moves to the
+    # POST_PREFIX front and keeps its oracle + soak row.
     "stream_tumbling_counts",
     "stream_session_counts",
-    "stream_dedup_within_watermark",
+    "stream_dedup_eventtime",
     # UDTF / UDAF
     "udtf_split_sentences",
     "udaf_length_quantiles",
@@ -181,6 +185,10 @@ SCOREBOARD_PREFIX = [
 # next entries it should spend rows on (distinct shapes before the
 # redundant grep/scalar/window variants that close the list).
 POST_PREFIX = [
+    # demoted round 9: slot went to stream_dedup_eventtime (the
+    # arrival-order TTL dedup keeps its full oracle, stream==batch
+    # pytest, and soak-ladder row)
+    "stream_dedup_within_watermark",
     # demoted round 8 (slots went to dedup_simhash_radius_report /
     # graph_local_clustering_hubs / udf_arrow_batch_stats /
     # orders_fsegment_migration — one scored representative per round-7
