@@ -271,7 +271,7 @@ _SCALE_GRANDFATHERED = {
     "sim_ann_lsh", "sim_ann_lsh_recall", "sim_cosine_topk_pandas",
     "sim_negative_sampling", "snapshot_diff_classify", "sort_global",
     "sql_pipe_syntax_battery", "sql_reshape_clauses_battery",
-    "sql_udf_battery", "stats_ab_ztest", "stats_benford_first_digit",
+    "sql_udf_battery", "stats_benford_first_digit",
     "stats_chi2_independence", "stats_cusum_drift",
     "stats_diff_in_diff", "stats_ks_two_sample",
     "stats_permutation_test_md5", "stats_standardized_rate",
@@ -289,7 +289,7 @@ _SCALE_GRANDFATHERED = {
     "text_stats", "text_token_counts", "text_token_entropy",
     "text_unigram_surprisal", "timeseries_monthly_dense",
     "topk_customers", "tpch_q10_returned_items",
-    "tpch_q13_customer_distribution", "tpch_q14_promo_revenue",
+    "tpch_q14_promo_revenue",
     "tpch_q17_small_quantity", "tpch_q18_large_orders",
     "tpch_q19_disjunctive_predicates", "tpch_q21_waiting_suppliers",
     "tpch_q22_idle_customers", "tpch_q3_shipping_priority",

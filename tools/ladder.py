@@ -37,7 +37,14 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-MULTS = [8, 16, 32, 64]
+# Override rungs for special sweeps, e.g. the round-9 copy-multiplicity
+# slope check: SPARK_GRAFT_LADDER_MULTS=32,64,128 python tools/ladder.py
+# dedup_ngram_jaccard ... (rows merge into LADDER.json keyed by rung, so
+# an extended run ADDS t["128"] next to the standard rungs).
+MULTS = [
+    int(m)
+    for m in os.environ.get("SPARK_GRAFT_LADDER_MULTS", "8,16,32,64").split(",")
+]
 EXPONENT_LIMIT = 1.3
 WALL_FLOOR_S = 1.0
 
@@ -129,14 +136,19 @@ def main() -> None:
             print(f"{name:40s} ERROR {rows[name]['error'][:60]}")
             _persist(ladder_path, rows)
             continue
-        exp = _fit_exponent(pts)
+        # merge with any prior rungs (an extended-MULTS run adds points
+        # rather than dropping the standard ones) and refit over all
+        t = dict(rows.get(name, {}).get("t", {}))
+        t.update({str(m): round(tv, 2) for m, tv in pts})
+        allpts = sorted((int(k), v) for k, v in t.items())
+        exp = _fit_exponent(allpts)
         flagged = (
             exp > EXPONENT_LIMIT
-            and pts[-1][1] >= WALL_FLOOR_S
+            and allpts[-1][1] >= WALL_FLOOR_S
             and name not in LADDER_ALLOWLIST
         )
         rows[name] = {
-            "t": {str(m): round(t, 2) for m, t in pts},
+            "t": t,
             "exponent": round(exp, 2),
             "flagged": flagged,
         }
