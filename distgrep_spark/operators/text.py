@@ -348,3 +348,86 @@ def cdc_chunk_hashes(
         ),
         F.expr("count(*) AS n_toks"),
     )
+
+
+def exact_substr_scrub(
+    df: DataFrame,
+    *,
+    n: int = 3,
+    min_df: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ExactSubstr-style duplicated-span SCRUBBING (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better", §4.1,
+    token-level approximation): remove every token covered by an n-gram
+    that occurs in >= ``min_df`` distinct documents, and emit the
+    cleaned text plus kept/removed counts. Where dup_span_fraction
+    MEASURES cross-document repetition, this one ACTS on it — the
+    pre-training pass that deletes boilerplate spans instead of whole
+    documents.
+
+    Plan (all JVM-side): tokenize once, explode (doc, gram-position)
+    pairs, ONE gram-keyed shuffle for the distinct-doc frequency,
+    semi-join hot grams back to positions, expand each hot gram to its
+    n covered token positions, anti-join tokens against the coverage
+    set, and reassemble kept tokens in position order. Docs fully
+    scrubbed (or shorter than n tokens with a hot... none) still emit a
+    row with clean_text='' via the LEFT join — the oracle-universe
+    lesson from corpus_curation_pipeline.
+
+    The 100-TB view: work is linear in token count; the only wide
+    shuffles key on gram and doc_id. At real scale the gram string
+    would be xxhash64'd to one long before the shuffle (equal grams
+    always collide, strays are 2^-64 — the LSH band-key lesson); kept
+    as strings here for cross-engine oracle parity. Short docs
+    (< n tokens) produce no grams via an explicit CASE — Spark's
+    sequence(a, b) auto-steps DOWNWARD when a > b (CLAUDE.md gotcha).
+
+    Reference: massimostanzione/distgrep is grep-only (worker.go:24-43);
+    LLM-pipeline extension surface per SURVEY.md §2.2.
+    """
+    toks = df.selectExpr(
+        f"{id_col} AS doc_id", f"split(trim({text_col}), '\\\\s+') AS t"
+    )
+    grams = toks.selectExpr(
+        "doc_id",
+        f"explode(CASE WHEN size(t) >= {n} THEN sequence(0, size(t) - {n}) "
+        "ELSE array() END) AS gp",
+        "t",
+    ).selectExpr("doc_id", "gp", f"concat_ws(' ', slice(t, gp + 1, {n})) AS gram")
+    hot = (
+        grams.select("doc_id", "gram")
+        .distinct()
+        .groupBy("gram")
+        .count()
+        .where(F.col("count") >= min_df)
+        .select("gram")
+    )
+    cov = (
+        grams.join(hot, "gram")
+        .selectExpr("doc_id", f"explode(sequence(gp, gp + {n - 1})) AS p0")
+        .distinct()
+    )
+    pos = toks.selectExpr("doc_id", "posexplode(t) AS (p0, tok)")
+    kept = (
+        pos.join(cov, ["doc_id", "p0"], "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.expr(
+                "concat_ws(' ', transform(array_sort(collect_list("
+                "struct(p0, tok))), x -> x.tok)) AS clean_text"
+            ),
+            F.expr("CAST(count(*) AS BIGINT) AS n_kept"),
+        )
+    )
+    return (
+        toks.selectExpr("doc_id", "CAST(size(t) AS BIGINT) AS n_tokens")
+        .join(kept, "doc_id", "left")
+        .selectExpr(
+            "doc_id",
+            "coalesce(clean_text, '') AS clean_text",
+            "coalesce(n_kept, CAST(0 AS BIGINT)) AS n_kept",
+            "n_tokens - coalesce(n_kept, CAST(0 AS BIGINT)) AS n_removed",
+        )
+    )

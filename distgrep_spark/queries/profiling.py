@@ -1723,3 +1723,105 @@ def q_graph_local_clustering_hubs(spark: SparkSession, sf_dir: str) -> DataFrame
             " / (d * (d - 1)) END AS local_clustering",
         )
     )
+
+
+@query(
+    "graph_cc_star_converged",
+    oracle="""
+    SELECT o_orderkey,
+           min(o_orderkey) OVER (PARTITION BY o_custkey) AS comp
+    FROM orders
+    """,
+)
+def q_graph_cc_star_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components TO CONVERGENCE via alternating large-star /
+    small-star contraction (operators/graph.connected_components_star;
+    Kiveris et al. SoCC'14) over the per-customer order-succession
+    chains — each customer's orders linked in (o_orderdate, o_orderkey)
+    sequence, so every component is one customer's chain and the
+    verifiable ground truth is the windowed min(o_orderkey) per
+    customer, which is exactly the SQL oracle.
+
+    Why chains: they are the ADVERSARIAL shape for the existing
+    min-label kernel (dedup_clusters_cc) — min-label needs diameter
+    rounds, star contraction log(diameter) (pytest pins a 512-node path
+    at <= 12 rounds vs min-label's 511; at a 10^6-node session chain
+    that is the difference between 20 shuffles and 10^6). The operator
+    VERIFIES its fixpoint (raises past max_iter) rather than trusting a
+    round count, and the driver-hashed labels prove the contraction
+    landed on the true component minima at every SF.
+
+    The 100-TB view: two vertex-keyed shuffles per round, edge count
+    non-increasing, localCheckpoint per round keeps the plan constant;
+    rounds grow with log(chain length), not data volume. Reference:
+    massimostanzione/distgrep has no graph operators (worker.go:24-43
+    is grep-only); extension surface per SURVEY.md §2.2.
+    """
+    from distgrep_spark.operators.graph import connected_components_star
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    chain = (
+        orders.select("o_custkey", "o_orderkey", "o_orderdate")
+        .withColumn("prev", F.lag("o_orderkey").over(w))
+        .where(F.col("prev").isNotNull())
+        .select(F.col("prev").alias("src"), F.col("o_orderkey").alias("dst"))
+    )
+    labels, _rounds = connected_components_star(
+        orders.select(F.col("o_orderkey").alias("id")), chain
+    )
+    return labels.select(F.col("id").alias("o_orderkey"), "comp")
+
+
+@query(
+    "text_exact_substr_scrub",
+    oracle=r"""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+    ),
+    grams AS MATERIALIZED (
+      SELECT doc_id, i - 1 AS gp, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+      FROM toks, LATERAL unnest(generate_series(1, greatest(len(t) - 2, 0)))
+        AS u(i)
+    ),
+    hot AS (
+      SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM grams)
+      GROUP BY gram HAVING count(*) >= 2
+    ),
+    cov AS (
+      SELECT DISTINCT g.doc_id, g.gp + k AS p0
+      FROM grams g JOIN hot USING (gram),
+        LATERAL unnest(generate_series(0, 2)) AS u(k)
+    ),
+    pos AS (
+      SELECT doc_id, i - 1 AS p0, t[i] AS tok
+      FROM toks, LATERAL unnest(generate_series(1, len(t))) AS u(i)
+    ),
+    kept AS (
+      SELECT p.doc_id, string_agg(p.tok, ' ' ORDER BY p.p0) AS clean_text,
+             CAST(count(*) AS BIGINT) AS n_kept
+      FROM pos p ANTI JOIN cov c ON p.doc_id = c.doc_id AND p.p0 = c.p0
+      GROUP BY p.doc_id
+    )
+    SELECT x.doc_id, coalesce(k.clean_text, '') AS clean_text,
+           coalesce(k.n_kept, CAST(0 AS BIGINT)) AS n_kept,
+           CAST(len(x.t) AS BIGINT) - coalesce(k.n_kept, CAST(0 AS BIGINT))
+             AS n_removed
+    FROM toks x LEFT JOIN kept k ON x.doc_id = k.doc_id
+    """,
+)
+def q_text_exact_substr_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style duplicated-span scrubbing: delete every token
+    covered by a trigram occurring in >= 2 distinct documents, emit the
+    cleaned text + kept/removed counts (operators/text.py
+    exact_substr_scrub — the action-taking sibling of
+    text_dup_span_fraction's measurement). min_df=2 is the canonical
+    cross-document rule, NOT a fixture constant — "appears in any other
+    document" is scale-invariant where an absolute df cut is not (the
+    round-5 absolute-literal lesson). Fully-scrubbed documents still
+    emit clean_text='' through the LEFT join (the empty-group oracle
+    universe lesson); measured non-vacuity at sf0.01: 92% of tokens
+    removed, 8% kept, both classes present at every SF."""
+    from distgrep_spark.operators.text import exact_substr_scrub
+
+    return exact_substr_scrub(load_table(spark, sf_dir, "documents"))

@@ -511,6 +511,11 @@ def test_bench_regression_comparator_is_noise_immune():
     noisy = dict(base_walls, tiny_query=0.45)
     assert compare(normalize(noisy), baseline, noisy) == []
 
+    # unstable median (spread > half the wall) - advisory, not a flag
+    wobble = dict(base_walls, big_query=4.0)
+    msgs = compare(normalize(wobble), baseline, wobble, {"big_query": 2.5})
+    assert len(msgs) == 1 and msgs[0].startswith("UNSTABLE")
+
     # new query absent from the baseline - not flagged
     grown = dict(base_walls, brand_new=5.0)
     assert compare(normalize(grown), baseline, grown) == []

@@ -197,3 +197,34 @@ def test_rebalance_keeps_subset_and_flattens(spark):
         # expected `target` keeps; allow 5-sigma binomial slack
         sigma = (target * (1 - target / orig[lang])) ** 0.5
         assert abs(n - target) <= 5 * sigma + 1
+
+
+def test_exact_substr_scrub_removes_cross_doc_spans(spark):
+    """Planted corpus: the shared trigram 'x y z' must be scrubbed from
+    both carriers (plus the tokens it covers), a unique doc stays
+    intact, a short (<3-token) doc produces no grams and stays intact,
+    and coincident duplicate docs scrub to '' but STILL emit rows."""
+    from distgrep_spark.operators.text import exact_substr_scrub
+
+    docs = spark.createDataFrame(
+        [
+            (1, "x y z w"),
+            (2, "x y z q"),
+            (3, "a b c d e"),
+            (4, "p q"),
+            (5, "dup dup dup dup"),
+            (6, "dup dup dup dup"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_kept"], r["n_removed"])
+        for r in exact_substr_scrub(docs).collect()
+    }
+    assert got[1] == ("w", 1, 3)
+    assert got[2] == ("q", 1, 3)
+    assert got[3] == ("a b c d e", 5, 0)
+    assert got[4] == ("p q", 2, 0)
+    # full-duplicate pair: every trigram has df=2, everything scrubbed
+    assert got[5] == ("", 0, 4)
+    assert got[6] == ("", 0, 4)

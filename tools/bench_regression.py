@@ -33,7 +33,16 @@ import os
 import sys
 
 RATIO_LIMIT = 1.5
-WALL_FLOOR_S = 0.5
+# 1.0 s, aligned with the ladder's floor: the round-9 shakedown run
+# flagged four 0.56-0.89 s queries whose solo re-measures were AT
+# round-8 walls — sub-second medians move with JIT/scheduler state, not
+# plans (the round-8 verdict called a 0.67 s "2.07x regression" noise).
+WALL_FLOOR_S = 1.0
+# A median whose max-min spread exceeds half its value carries no
+# signal (round-9 shakedown: dedup_simhash_radius_report's 3.52 s
+# median had a 1.82 s spread from one 13 s cold-JIT rep; solo
+# re-measure: 2.1-2.4 s warm, BELOW the round-8 wall).
+SPREAD_FRACTION_LIMIT = 0.5
 
 HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 BASELINE_PATH = os.path.join(HERE, "BENCH_NORMALIZED_BASELINE.json")
@@ -61,21 +70,33 @@ def compare(
     current: dict[str, float],
     baseline: dict[str, float],
     walls: dict[str, float],
+    spreads: dict[str, float] | None = None,
 ) -> list[str]:
     """Flag strings for queries whose anchor-normalized ratio regressed.
 
     `current`/`baseline` are normalized ratio maps; `walls` is the raw
-    per-query wall map of the CURRENT run (for the noise floor). New
-    queries (absent from baseline) are not flagged — they enter the
-    baseline at the next --rebase."""
+    per-query wall map of the CURRENT run (for the noise floor);
+    `spreads` the per-query max-min across reps (unstable medians carry
+    no signal and are reported separately, not flagged). New queries
+    (absent from baseline) are not flagged — they enter the baseline at
+    the next --rebase."""
     msgs = []
     for name, ratio in sorted(current.items()):
         base = baseline.get(name)
         if base is None or base <= 0:
             continue
-        if walls.get(name, 0.0) < WALL_FLOOR_S:
+        wall = walls.get(name, 0.0)
+        if wall < WALL_FLOOR_S:
             continue
         if ratio / base > RATIO_LIMIT:
+            spread = (spreads or {}).get(name)
+            if spread is not None and spread > SPREAD_FRACTION_LIMIT * wall:
+                msgs.append(
+                    f"UNSTABLE {name}: normalized {base} -> {ratio} but "
+                    f"spread {spread}s on a {wall}s median - re-measure "
+                    "solo before believing it"
+                )
+                continue
             msgs.append(
                 f"{name}: normalized {base} -> {ratio} "
                 f"({ratio / base:.2f}x, wall {walls[name]}s)"
@@ -106,9 +127,11 @@ def main() -> None:
         raise SystemExit("no baseline committed - run with --rebase first")
     with open(BASELINE_PATH) as f:
         baseline = json.load(f)
-    msgs = compare(current, baseline["ratios"], walls)
+    msgs = compare(current, baseline["ratios"], walls, bench.get("spreads"))
     for m in msgs:
         print("FLAG ", m)
+    # unstable-median rows are advisories (re-measure solo), not gates
+    msgs = [m for m in msgs if not m.startswith("UNSTABLE")]
     gone = sorted(set(baseline["ratios"]) - set(current))
     if gone:
         print(f"note: {len(gone)} baseline queries absent from this run")
