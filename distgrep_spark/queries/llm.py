@@ -3396,3 +3396,103 @@ def q_dedup_simhash_radius_report(
         FROM spine s LEFT JOIN uni u ON s.d = u.d
         """
     )
+
+
+@query(
+    "mix_doremi_step",
+    oracle=r"""
+    WITH src AS MATERIALIZED (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+               AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    tot AS (
+      SELECT CAST(sum(n_docs) AS BIGINT) AS docs_tot,
+             CAST(sum(n_tokens) AS BIGINT) AS toks_tot,
+             CAST(count(*) AS BIGINT) AS nsrc
+      FROM src
+    ),
+    upd AS (
+      SELECT source, n_docs, n_tokens,
+             (greatest(n_tokens * docs_tot - toks_tot * n_docs, 0) * 1000)
+               // (n_docs * docs_tot) AS excess_mtok,
+             n_tokens * (10000 + 10 * ((greatest(n_tokens * docs_tot
+                 - toks_tot * n_docs, 0) * 1000) // (n_docs * docs_tot)))
+               AS u
+      FROM src, tot
+    ),
+    su AS (SELECT CAST(sum(u) AS BIGINT) AS usum FROM upd)
+    SELECT source, n_docs, n_tokens, excess_mtok,
+           CAST(99 * u * nsrc + usum AS DOUBLE)
+             / CAST(100 * nsrc * usum AS DOUBLE) AS alpha
+    FROM upd, tot, su
+    """,
+)
+def q_mix_doremi_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One DoReMi domain-reweighting step (Xie et al. 2023,
+    "DoReMi: Optimizing Data Mixtures Speeds Up Language Model
+    Pretraining"): multiplicative-weights update of per-source sampling
+    weights by a clipped excess-loss signal, then exact normalization
+    with 1% uniform smoothing — the third mixture planner beside
+    mix_domain_weights (uniform flattening) and mix_temperature_sampling
+    (alpha-power rebalancing).
+
+    Derandomized exactness: the reference weights are token masses
+    (exact BIGINT counts); the excess-loss proxy is the source's mean
+    doc length over the corpus mean — a stand-in for held-out excess
+    loss, which the fixture cannot provide; any per-domain integer
+    column plugs in — compared CROSS-MULTIPLIED (n_tokens*docs_tot vs
+    toks_tot*n_docs: no division until the end), clipped at zero BEFORE
+    the integer division so truncating DIV and flooring // agree
+    (CLAUDE.md: never integer-divide a possibly-negative value), and
+    quantized to milli-tokens. exp(eta*excess) is first-order
+    (10000 + 10*excess_mtok) in 1e-4 units — exact BIGINT, no
+    transcendental (the derandomization discipline). The smoothed
+    weight alpha = 0.99*u/sum(u) + 0.01/nsrc is ONE IEEE division of
+    two exact BIGINTs.
+
+    The 100-TB view: one map-side-combined shuffle on the bounded
+    source key; totals ride in as broadcast 1-row aggregates; the
+    corpus is scanned once reading (source, text). At petabyte token
+    counts the u products graduate to DECIMAL(38,0)/HUGEINT (the
+    orders_gini_spend lesson) — products here peak ~3e15, 600x under
+    BIGINT.
+
+    Reference: massimostanzione/distgrep is grep-only (worker.go:24-43);
+    LLM-pipeline extension surface per SURVEY.md §2.2.
+    """
+    from pyspark.sql.functions import broadcast
+
+    docs = load_table(spark, sf_dir, "documents")
+    src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.expr(
+            r"CAST(sum(size(split(trim(text), '\\s+'))) AS BIGINT)"
+        ).alias("n_tokens"),
+    )
+    tot = src.agg(
+        F.expr("CAST(sum(n_docs) AS BIGINT) AS docs_tot"),
+        F.expr("CAST(sum(n_tokens) AS BIGINT) AS toks_tot"),
+        F.expr("CAST(count(*) AS BIGINT) AS nsrc"),
+    )
+    upd = src.crossJoin(broadcast(tot)).selectExpr(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "nsrc",
+        "(greatest(n_tokens * docs_tot - toks_tot * n_docs, CAST(0 AS BIGINT))"
+        " * 1000) DIV (n_docs * docs_tot) AS excess_mtok",
+    ).selectExpr(
+        "*", "n_tokens * (10000 + 10 * excess_mtok) AS u"
+    )
+    su = upd.agg(F.expr("CAST(sum(u) AS BIGINT) AS usum"))
+    return upd.crossJoin(broadcast(su)).selectExpr(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "excess_mtok",
+        "CAST(99 * u * nsrc + usum AS DOUBLE)"
+        " / CAST(100 * nsrc * usum AS DOUBLE) AS alpha",
+    )

@@ -228,3 +228,30 @@ def test_exact_substr_scrub_removes_cross_doc_spans(spark):
     # full-duplicate pair: every trigram has df=2, everything scrubbed
     assert got[5] == ("", 0, 4)
     assert got[6] == ("", 0, 4)
+
+
+def test_doremi_step_weights_sum_to_one_and_clip(spark):
+    """Planted two-domain corpus: the long-doc domain carries positive
+    excess, the short one clips to zero; smoothed weights must sum to 1
+    and keep every domain above the 1% uniform floor."""
+    from distgrep_spark import queries as q
+    import os
+    import tempfile
+
+    docs = spark.createDataFrame(
+        [(i, "w " * 50 + "w", "en", "long", 101) for i in range(4)]
+        + [(10 + i, "a b", "en", "short", 3) for i in range(4)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        docs.write.parquet(os.path.join(d, "documents.parquet"))
+        out = {
+            r["source"]: r
+            for r in q.QUERIES["mix_doremi_step"](spark, d).collect()
+        }
+    assert out["short"]["excess_mtok"] == 0
+    assert out["long"]["excess_mtok"] > 0
+    total = out["long"]["alpha"] + out["short"]["alpha"]
+    assert abs(total - 1.0) < 1e-12
+    assert out["long"]["alpha"] > out["short"]["alpha"]
+    assert out["short"]["alpha"] >= 0.01 / 2  # uniform smoothing floor
