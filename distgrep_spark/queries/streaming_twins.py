@@ -436,3 +436,48 @@ def q_stream_dedup_eventtime(spark: SparkSession, sf_dir: str) -> DataFrame:
     from distgrep_spark.streaming.stateful import throttle_dedup_eventtime
 
     return throttle_dedup_eventtime(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "stream_distinct_bitmap_merge",
+    oracle="""
+    WITH w AS (
+      SELECT event_type, user_id // 32 AS word,
+             bit_or(1::BIGINT << CAST(user_id % 32 AS INT)) AS w
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(bit_count(w)) AS BIGINT) AS n_users
+    FROM w GROUP BY event_type
+    """,
+)
+def q_stream_distinct_bitmap_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintainable EXACT distinct users per event type
+    (batch twin of the streaming mergeable-bitmap shape): the
+    operators/sketches.bitmap_build word table is a commutative,
+    IDEMPOTENT monoid under bit_or — per-micro-batch word tables merge
+    into a store by OR, re-delivered batches cost nothing (at-least-once
+    delivery suffices, no exactly-once sink machinery), and the exact
+    distinct count is sum(bit_count) over the merged store at any
+    point. That is the story approx sketches tell (hll_union_agg),
+    made EXACT for dense integer keyspaces. tests/test_streaming.py
+    drives the real file-source stream through foreachBatch, merges
+    per-batch word tables by OR including a deliberate DOUBLE-delivery
+    of batch 1, and asserts the merged store reproduces these very
+    rows. n_words rides along as the visible store size (one BIGINT
+    per 32 live keys per type).
+
+    The 100-TB view: stage 1 is map-side combinable per batch; the
+    store carries ~|keys|/32 BIGINTs per group and merges are
+    word-keyed ORs — the incremental-distinct plan that never rescans
+    history (the mv_incremental_maintain argument, applied to
+    COUNT(DISTINCT), which is NOT delta-addable without this
+    structure)."""
+    from distgrep_spark.operators.sketches import bitmap_build
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    words = bitmap_build(ev, key="user_id", groups=["event_type"])
+    return words.groupBy("event_type").agg(
+        F.expr("CAST(count(*) AS BIGINT) AS n_words"),
+        F.expr("CAST(sum(bit_count(w)) AS BIGINT) AS n_users"),
+    )

@@ -1074,3 +1074,63 @@ def test_throttle_dedup_eventtime_arrival_permutations(spark, tmp_path):
             ).collect()
         }
         assert got == want, (name, got, want)
+
+
+def test_stream_bitmap_merge_is_idempotent_and_matches_batch(spark, tmp_path):
+    """Mergeable-bitmap incremental distinct: per-micro-batch word
+    tables merged into a store by OR must reproduce the batch twin
+    EXACTLY — including after a deliberate double-delivery of batch 1
+    (bit_or is idempotent, so at-least-once delivery suffices; the
+    property approx sketches rely on, made exact)."""
+    from distgrep_spark.operators.sketches import bitmap_build
+    from distgrep_spark import queries as q
+
+    src = load_table(spark, SF, "events")
+    tmin, tmax = src.agg(F.min("ts"), F.max("ts")).first()
+    cutoff = tmin + (tmax - tmin) / 2
+    early = src.where(F.col("ts") <= F.lit(cutoff))
+    late = src.where(F.col("ts") > F.lit(cutoff))
+    assert early.count() > 0 and late.count() > 0
+
+    d = str(tmp_path / "in")
+    early.coalesce(1).write.mode("append").parquet(d)
+
+    store: dict = {}
+
+    def handle(bdf, _bid):
+        words = bitmap_build(
+            bdf.select("event_type", "user_id"),
+            key="user_id",
+            groups=["event_type"],
+        )
+        for r in words.collect():
+            k = (r["event_type"], r["word"])
+            store[k] = store.get(k, 0) | r["w"]
+
+    def drain(ckpt):
+        q_ = (
+            read_event_stream(spark, d)
+            .writeStream.foreachBatch(handle)
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q_.awaitTermination(120)
+
+    drain("ckpt1")
+    snapshot = dict(store)
+    drain("ckpt1b")  # re-deliver batch 1 in full: merge must be a no-op
+    assert store == snapshot, "bit_or merge is not idempotent"
+
+    late.coalesce(1).write.mode("append").parquet(d)
+    drain("ckpt2")
+
+    merged = {}
+    for (etype, _word), w in store.items():
+        n_words, n_users = merged.get(etype, (0, 0))
+        merged[etype] = (n_words + 1, n_users + bin(w).count("1"))
+    batch = {
+        r["event_type"]: (r["n_words"], r["n_users"])
+        for r in q.QUERIES["stream_distinct_bitmap_merge"](spark, SF).collect()
+    }
+    assert merged == batch
