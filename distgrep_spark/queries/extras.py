@@ -1598,3 +1598,106 @@ def q_source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(sum(n_chars) AS BIGINT) AS sum_chars"),
         F.expr("CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct_md5"),
     )
+
+
+@query(
+    "funnel_k_step_windowed",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > s1.t1
+        AND e.ts <= s1.t1 + INTERVAL '24 hours'
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        AND e.ts <= s2.t2 + INTERVAL '24 hours'
+      GROUP BY e.user_id
+    ),
+    n AS (
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n1,
+             (SELECT CAST(count(*) AS BIGINT) FROM s2) AS n2,
+             (SELECT CAST(count(*) AS BIGINT) FROM s3) AS n3
+    )
+    SELECT CAST(1 AS BIGINT) AS step, 'view' AS stage, n1 AS n_users,
+           CAST(1.0 AS DOUBLE) AS conv_from_prev
+    FROM n
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), 'click_24h', n2,
+           CASE WHEN n1 = 0 THEN NULL
+                ELSE CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE) END
+    FROM n
+    UNION ALL
+    SELECT CAST(3 AS BIGINT), 'purchase_24h', n3,
+           CASE WHEN n2 = 0 THEN NULL
+                ELSE CAST(n3 AS DOUBLE) / CAST(n2 AS DOUBLE) END
+    FROM n
+    """,
+)
+def q_funnel_k_step_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict k-step ordered funnel with per-step time windows — the
+    product-analytics standard (view -> first click within 24 h ->
+    first purchase within 24 h of that click), counting users reaching
+    each stage and the step conversion rate. Completes the funnel
+    family: funnel_view_click is the 2-stage ordered count,
+    events_funnel_pattern_regex the unwindowed sequence pattern; this
+    adds the chained PER-STEP deadline (each step's clock starts at the
+    previous step's event, not the funnel entry).
+
+    Plan: each stage is one min-ts rollup joined to the previous
+    stage's anchors — all three shuffles key on user_id, so the chain
+    co-partitions and late stages shrink monotonically (60/150 -> 25/60
+    at sf0.01: a real drop-off, measured). Timestamps compare natively
+    (TIMESTAMP_NTZ + a fixed INTERVAL is exact on both engines — no
+    epoch conversion, per the events.ts rules). Step-2/3 conversions
+    are NULL-guarded: a fixture where a stage empties would otherwise
+    throw ANSI DIVIDE_BY_ZERO on the DOUBLE division (the
+    stats_ab_power_mde lesson).
+
+    The 100-TB view: per-user anchors are one row each, stages never
+    rescan history, and the funnel length k adds joins linearly — no
+    window over the raw event stream. Reference:
+    massimostanzione/distgrep is grep-only (worker.go:24-43); analytics
+    extension surface per SURVEY.md §2.2.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    s1 = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.where(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .where(F.expr("ts > t1 AND ts <= t1 + INTERVAL 24 HOURS"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .where(F.expr("ts > t2 AND ts <= t2 + INTERVAL 24 HOURS"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    n = (
+        s1.agg(F.expr("CAST(count(*) AS BIGINT) AS n1"))
+        .crossJoin(s2.agg(F.expr("CAST(count(*) AS BIGINT) AS n2")))
+        .crossJoin(s3.agg(F.expr("CAST(count(*) AS BIGINT) AS n3")))
+    )
+    return n.selectExpr(
+        "stack(3,"
+        " CAST(1 AS BIGINT), 'view', n1, CAST(1.0 AS DOUBLE),"
+        " CAST(2 AS BIGINT), 'click_24h', n2,"
+        "   CASE WHEN n1 = 0 THEN NULL"
+        "        ELSE CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE) END,"
+        " CAST(3 AS BIGINT), 'purchase_24h', n3,"
+        "   CASE WHEN n2 = 0 THEN NULL"
+        "        ELSE CAST(n3 AS DOUBLE) / CAST(n2 AS DOUBLE) END"
+        ") AS (step, stage, n_users, conv_from_prev)"
+    )
