@@ -23,5 +23,6 @@ from distgrep_spark.queries import analytics  # noqa: E402,F401
 from distgrep_spark.queries import stats  # noqa: E402,F401
 from distgrep_spark.queries import integration  # noqa: E402,F401
 from distgrep_spark.queries import rlhf  # noqa: E402,F401
+from distgrep_spark.queries import evalqa  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLES", "query"]

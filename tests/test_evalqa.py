@@ -1,0 +1,247 @@
+"""Independent semantic oracles for the annotation/eval QA family.
+
+The DuckDB twins share the cleared-denominator ALGEBRA with the Spark
+side, so parity alone can't catch an algebra error — these tests
+recompute each metric from first principles (textbook formulas over
+exact ``fractions.Fraction``) on the collected per-document labels and
+compare to the engine's DOUBLE output. Also pins non-vacuity: the rater
+panel actually disagrees, both outer classes of the cogroup reconcile
+are populated, and the PR sweep moves monotonically with the threshold.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from fractions import Fraction
+
+from distgrep_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.01"
+
+
+def _panel(spark):
+    """Collect (lang, n_chars, doc_id) and recompute raters in Python."""
+    rows = (
+        QUERIES["text_stats"].__globals__["load_table"](
+            spark, SF, "documents"
+        )
+        .select("lang", "n_chars", "doc_id")
+        .collect()
+    )
+    out = []
+    for r in rows:
+        truth = r.n_chars >= 300
+        labels = []
+        for rater, k in ((1, 2), (2, 3), (3, 4)):
+            digit = hashlib.md5(
+                f"iaa{rater}:{r.doc_id}".encode()
+            ).hexdigest()[0]
+            flip = "0123456789abcdef".index(digit) + 1 <= k
+            labels.append(truth != flip)
+        out.append((r.lang, truth, labels, r.doc_id, r.n_chars))
+    return out
+
+
+def test_cohen_kappa_matches_textbook_formula(spark):
+    panel = _panel(spark)
+    got = {
+        r.lang: r for r in QUERIES["eval_cohen_kappa"](spark, SF).collect()
+    }
+    langs = {p[0] for p in panel}
+    assert set(got) == langs
+    for lang in langs:
+        docs = [p for p in panel if p[0] == lang]
+        n = len(docs)
+        n11 = sum(1 for p in docs if p[2][0] and p[2][1])
+        n00 = sum(1 for p in docs if not p[2][0] and not p[2][1])
+        a1 = sum(1 for p in docs if p[2][0])
+        b1 = sum(1 for p in docs if p[2][1])
+        po = Fraction(n11 + n00, n)
+        pe = Fraction(a1 * b1 + (n - a1) * (n - b1), n * n)
+        kappa = (po - pe) / (1 - pe)
+        row = got[lang]
+        assert row.n_docs == n and row.n_agree == n11 + n00
+        assert abs(row.po - float(po)) < 1e-12
+        assert abs(row.pe - float(pe)) < 1e-12
+        assert abs(row.kappa - float(kappa)) < 1e-12
+        # non-vacuity: correlated-through-truth raters beat chance but
+        # the noise keeps them short of perfect agreement
+        assert 0.0 < row.kappa < 1.0
+
+
+def test_fleiss_and_krippendorff_match_textbook_formulas(spark):
+    panel = _panel(spark)
+    got = {
+        r.lang: r for r in QUERIES["eval_fleiss_kappa"](spark, SF).collect()
+    }
+    for lang in {p[0] for p in panel}:
+        docs = [p for p in panel if p[0] == lang]
+        n, r_n = len(docs), 3
+        n1s = [sum(p[2]) for p in docs]
+        # Fleiss 1971: P_i = (Σ_j n_ij² − R) / (R(R−1))
+        p_o = Fraction(
+            sum(x * x + (r_n - x) * (r_n - x) for x in n1s) - n * r_n,
+            n * r_n * (r_n - 1),
+        )
+        p1 = Fraction(sum(n1s), n * r_n)
+        p_e = p1 * p1 + (1 - p1) * (1 - p1)
+        fleiss = (p_o - p_e) / (1 - p_e)
+        # Krippendorff nominal: alpha = 1 − D_o/D_e (pooled pairs)
+        t1 = sum(n1s)
+        t0 = n * r_n - t1
+        d_o = Fraction(
+            2 * sum(x * (r_n - x) for x in n1s), n * r_n * (r_n - 1)
+        )
+        d_e = Fraction(2 * t1 * t0, (n * r_n) * (n * r_n - 1))
+        alpha = 1 - d_o / d_e
+        row = got[lang]
+        assert row.n_docs == n
+        assert abs(row.p_o - float(p_o)) < 1e-12
+        assert abs(row.fleiss_kappa - float(fleiss)) < 1e-12
+        assert abs(row.kripp_alpha - float(alpha)) < 1e-12
+        assert 0.0 < row.fleiss_kappa < 1.0
+
+
+def test_mcnemar_matches_textbook_formula(spark):
+    panel = _panel(spark)
+    b = c = 0
+    for _, truth, _, doc_id, n_chars in panel:
+        digit = hashlib.md5(f"mcn:{doc_id}".encode()).hexdigest()[0]
+        noise = "0123456789abcdef".index(digit) * 4
+        acc_a = (n_chars >= 280) == truth
+        acc_b = (n_chars + noise >= 300) == truth
+        b += acc_a and not acc_b
+        c += acc_b and not acc_a
+    row = QUERIES["eval_mcnemar_paired"](spark, SF).collect()[0]
+    assert (row.b_only_a, row.c_only_b) == (b, c)
+    # non-vacuous discordance on the fixture
+    assert b > 0 and c > 0
+    corr = max(abs(b - c) - 1, 0)
+    stat = Fraction(corr * corr, b + c)
+    assert abs(row.mcnemar_stat - float(stat)) < 1e-12
+    assert row.reject == (1000000 * corr * corr > 3841459 * (b + c))
+
+
+def test_pr_sweep_is_monotone_and_conserves_positives(spark):
+    rows = sorted(
+        QUERIES["eval_pr_threshold_sweep"](spark, SF).collect(),
+        key=lambda r: r.threshold,
+    )
+    assert len(rows) == 8
+    positives = {r.tp + r.fn for r in rows}
+    assert len(positives) == 1  # truth count invariant to threshold
+    recalls = [r.recall for r in rows]
+    assert all(a >= b for a, b in zip(recalls, recalls[1:]))
+    preds = [r.tp + r.fp for r in rows]
+    assert all(a >= b for a, b in zip(preds, preds[1:]))
+    # the noisy score actually misclassifies near the boundary
+    assert any(r.fp > 0 for r in rows) and any(r.fn > 0 for r in rows)
+
+
+def test_cogroup_reconcile_classes_and_sql_equivalence(spark):
+    df = QUERIES["udf_cogroup_reconcile"](spark, SF)
+    rows = df.collect()
+    headerless = [r for r in rows if not r.has_header]
+    lineless = [r for r in rows if r.has_header and r.n_lines == 0]
+    matched = [r for r in rows if r.has_header and r.n_lines > 0]
+    assert headerless and lineless and matched  # all 3 classes real
+    assert len({r.orderkey for r in rows}) == len(rows)
+    # engine-vs-engine: the pandas cogroup must equal the pure-SQL
+    # full-outer rollup computed in the SAME Spark session
+    from distgrep_spark.sources.catalog import load_table
+
+    load_table(spark, SF, "orders").createOrReplaceTempView("_ev_o")
+    load_table(spark, SF, "lineitem").createOrReplaceTempView("_ev_l")
+    twin = spark.sql(
+        """
+        WITH l AS (
+          SELECT l_orderkey,
+                 CAST(count(*) AS BIGINT) AS n_lines,
+                 CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT))
+                      AS BIGINT) AS sum_qty,
+                 CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5)
+                               AS BIGINT)) AS BIGINT) AS lines_cents
+          FROM _ev_l
+          WHERE l_shipdate < TIMESTAMP '1995-07-01 00:00:00'
+          GROUP BY l_orderkey
+        ),
+        o AS (
+          SELECT o_orderkey FROM _ev_o
+          WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+        )
+        SELECT COALESCE(o.o_orderkey, l.l_orderkey) AS orderkey,
+               CAST(COALESCE(l.n_lines, 0) AS BIGINT) AS n_lines,
+               CAST(COALESCE(l.sum_qty, 0) AS BIGINT) AS sum_qty,
+               CAST(COALESCE(l.lines_cents, 0) AS BIGINT) AS lines_cents,
+               o.o_orderkey IS NOT NULL AS has_header
+        FROM o FULL OUTER JOIN l ON o.o_orderkey = l.l_orderkey
+        """
+    )
+    got = {tuple(r) for r in rows}
+    want = {tuple(r) for r in twin.collect()}
+    assert got == want
+
+
+def test_dawid_skene_gold_matches_textbook_and_flips_lenient_majorities(
+    spark,
+):
+    from distgrep_spark.sources.catalog import load_table
+
+    rows = (
+        load_table(spark, SF, "documents")
+        .select("doc_id", "n_chars")
+        .collect()
+    )
+    hexd = "0123456789abcdef"
+
+    def digit(salt, doc_id):
+        return hexd.index(
+            hashlib.md5(f"{salt}:{doc_id}".encode()).hexdigest()[0]
+        ) + 1
+
+    lab = []
+    for r in rows:
+        truth = r.n_chars >= 300
+        r1 = truth != (digit("iaa4", r.doc_id) <= 1)
+        r2 = truth or (digit("iaa5", r.doc_id) <= 6)
+        r3 = truth or (digit("iaa6", r.doc_id) <= 7)
+        gold = (
+            1 if r.n_chars >= 450 else (0 if r.n_chars < 150 else None)
+        )
+        lab.append((int(r1), int(r2), int(r3), gold))
+    g1 = sum(1 for x in lab if x[3] == 1)
+    g0 = sum(1 for x in lab if x[3] == 0)
+    assert g1 > 0 and g0 > 0  # both gold anchor tails populated
+    a = [sum(x[i] for x in lab if x[3] == 1) for i in range(3)]
+    d = [sum(x[i] for x in lab if x[3] == 0) for i in range(3)]
+    got = {
+        (r.r1, r.r2, r.r3): r
+        for r in QUERIES["eval_dawid_skene_gold"](spark, SF).collect()
+    }
+    flips = 0
+    for pat, row in got.items():
+        n_docs = sum(1 for x in lab if x[:3] == pat)
+        assert row.n_docs == n_docs
+        # exact-rational posterior: Fraction reproduces the smoothed
+        # Bayes score; the engine's fixed double tree must agree to ulp
+        s1 = Fraction(g1 + 1)
+        s0 = Fraction(g0 + 1)
+        for i in range(3):
+            s1 *= (a[i] + 1) if pat[i] else (g1 - a[i] + 1)
+            s0 *= (d[i] + 1) if pat[i] else (g0 - d[i] + 1)
+        s1 *= (g0 + 2) ** 3
+        s0 *= (g1 + 2) ** 3
+        post = s1 / (s1 + s0)
+        assert abs(row.posterior - float(post)) < 1e-12
+        maj = int(sum(pat) >= 2)
+        assert row.majority == maj
+        want = 1 if s1 > s0 else (0 if s1 < s0 else maj)
+        assert row.ds_label == want
+        flips += row.ds_label != maj
+    # the design case: every 2-vs-1 lenient-override pattern flips
+    assert {p for p, r in got.items() if r.ds_label != r.majority} == {
+        (0, 1, 1),
+        (1, 0, 1),
+        (1, 1, 0),
+    }
+    assert flips == 3
