@@ -3252,3 +3252,74 @@ def q_udf_arrow_batch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(sum(n_bytes) AS BIGINT) AS sum_bytes"),
         F.expr("CAST(sum(n_spaces) AS BIGINT) AS sum_spaces"),
     )
+
+
+@query(
+    "udf_apply_in_arrow_stats",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS cents,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(min(event_id) AS BIGINT) AS min_id,
+           CAST(max(event_id) AS BIGINT) AS max_id
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_udf_apply_in_arrow_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``groupBy().applyInArrow`` grouped-map kernel — the last
+    Python-execution surface the registry lacked (mapInArrow is
+    udf_arrow_batch_stats; pandas grouped/cogrouped maps are
+    udaf_length_quantiles / udf_cogroup_reconcile). The function
+    receives each group as one ``pyarrow.Table`` with no pandas
+    conversion and reduces it with vectorized ``pyarrow.compute``
+    kernels — the right tier when the per-group reduction is itself
+    columnar (here: exact cents via floor(value·100 + 0.5) — the
+    repo-wide idiom, identical IEEE double ops to the SQL twin —
+    count_distinct, min/max).
+
+    Grouping is DIRECT on event_type because the fixture has 5 event
+    types at every SF — the per-group Python overhead that forces the
+    bucketed form (udf_cogroup_reconcile, streaming/stateful.py) only
+    bites at high group cardinality; a low-cardinality grouped map is
+    one Arrow batch per group. At 100 TB the shuffle carries raw events
+    though — the honest note is that THIS shape only wins when the
+    reduction can't be expressed as built-in aggregates; the SQL twin
+    is the plan you'd actually run, and parity proves the Arrow path
+    computes exactly it. Reference: massimostanzione/distgrep
+    worker.go:46-62 (final aggregation ancestor).
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "event_id", "user_id", "value"
+    )
+
+    def group_stats(t):
+        # no type hints: the `from __future__ import annotations`
+        # stringification gotcha (CLAUDE.md pandas/arrow UDF rule)
+        cents = pc.cast(
+            pc.floor(pc.add(pc.multiply(t.column("value"), 100.0), 0.5)),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "event_type": [t.column("event_type")[0].as_py()],
+                "n": [t.num_rows],
+                "cents": [pc.sum(cents).as_py()],
+                "n_users": [pc.count_distinct(t.column("user_id")).as_py()],
+                "min_id": [pc.min(t.column("event_id")).as_py()],
+                "max_id": [pc.max(t.column("event_id")).as_py()],
+            }
+        )
+
+    return ev.groupBy("event_type").applyInArrow(
+        group_stats,
+        schema=(
+            "event_type string, n long, cents long, n_users long,"
+            " min_id long, max_id long"
+        ),
+    )

@@ -1515,3 +1515,74 @@ def q_scalar_subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderpriority
         """
     )
+
+
+@query(
+    "sql_session_variables_battery",
+    oracle="""
+    WITH cut AS (
+      SELECT CAST(max(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) // 2 AS cut_cents
+      FROM orders
+    )
+    SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN CAST(floor(o.o_totalprice * 100 + 0.5)
+                                   AS BIGINT) >= c.cut_cents
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
+           CAST(max(c.cut_cents) AS BIGINT) AS cut_cents
+    FROM orders o CROSS JOIN cut c
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q_sql_session_variables_battery(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Spark 4 SQL session variables + EXECUTE IMMEDIATE + IDENTIFIER —
+    the scripting surface batteries (pipe syntax, SQL UDFs, reshape
+    clauses) did not yet touch. The flow a parameterized production
+    job actually uses: DECLARE OR REPLACE VARIABLE (idempotent per
+    session), SET VAR from a scalar subquery (the data-derived
+    threshold), then EXECUTE IMMEDIATE over a template whose table
+    name arrives via IDENTIFIER(?) and whose predicate parameter binds
+    via USING — no string interpolation, no injection surface.
+
+    Exactness: the threshold is half the max order cents (integer DIV
+    on both engines — Spark DIV vs DuckDB // agree on non-negative
+    operands), so the battery's output is exact BIGINT counts per
+    priority plus the threshold itself, proving the variable value that
+    flowed through. The DuckDB twin inlines the same scalar subquery
+    as a CTE cross join (variables are a Spark-session concept; the
+    SEMANTICS are engine-portable). At 100 TB nothing changes: the
+    variable is driver-side metadata, the executed plan is one scan +
+    one aggregate. Reference: massimostanzione/distgrep client.go:17-21
+    (parameterized query ancestor: the grep pattern is the parameter).
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "sql_vars_orders_v"
+    )
+    spark.sql(
+        "DECLARE OR REPLACE VARIABLE sql_vars_cut_cents BIGINT DEFAULT 0"
+    )
+    spark.sql(
+        """
+        SET VAR sql_vars_cut_cents =
+          (SELECT CAST(max(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                       AS BIGINT) DIV 2
+           FROM sql_vars_orders_v)
+        """
+    )
+    return spark.sql(
+        """
+        EXECUTE IMMEDIATE
+          'SELECT o_orderpriority,
+                  CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(CASE WHEN CAST(floor(o_totalprice * 100 + 0.5)
+                                          AS BIGINT) >= ? THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_big,
+                  CAST(? AS BIGINT) AS cut_cents
+           FROM IDENTIFIER(?)
+           GROUP BY o_orderpriority'
+          USING sql_vars_cut_cents, sql_vars_cut_cents, 'sql_vars_orders_v'
+        """
+    )

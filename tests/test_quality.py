@@ -754,3 +754,60 @@ def test_arrow_batch_stats_multibyte(spark, tmp_path):
     assert out["en"] == (11, 11, 1)
     assert out["de"] == (11, 13, 1)   # two 2-byte umlauts
     assert out["zh"] == (5, 13, 1)    # four 3-byte CJK chars + space
+
+
+def test_apply_in_arrow_stats_equals_sql_twin_in_session(spark):
+    """Engine-vs-engine: the grouped applyInArrow reduction must equal
+    the built-in-aggregate plan run in the SAME Spark session."""
+    got = {
+        r.event_type: tuple(r)
+        for r in q.QUERIES["udf_apply_in_arrow_stats"](spark, SF).collect()
+    }
+    assert len(got) == 5  # all fixture event types present
+    from distgrep_spark.sources.catalog import load_table as _lt
+
+    want = {
+        r.event_type: tuple(r)
+        for r in _lt(spark, SF, "events")
+        .selectExpr(
+            "event_type",
+            "event_id",
+            "user_id",
+            "CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents",
+        )
+        .groupBy("event_type")
+        .agg(
+            F.expr("CAST(count(*) AS BIGINT) AS n"),
+            F.expr("CAST(sum(cents) AS BIGINT) AS cents"),
+            F.expr("CAST(count(DISTINCT user_id) AS BIGINT) AS n_users"),
+            F.expr("CAST(min(event_id) AS BIGINT) AS min_id"),
+            F.expr("CAST(max(event_id) AS BIGINT) AS max_id"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
+def test_session_variables_battery_is_idempotent_and_threads_value(spark):
+    """DECLARE OR REPLACE + deterministic SET VAR: rerunning in one
+    session must reproduce identical rows, and the cut_cents column
+    must equal the data-derived threshold the variable carried."""
+    a = {tuple(r) for r in q.QUERIES["sql_session_variables_battery"](spark, SF).collect()}
+    b = {tuple(r) for r in q.QUERIES["sql_session_variables_battery"](spark, SF).collect()}
+    assert a == b and a
+    from distgrep_spark.sources.catalog import load_table as _lt
+
+    want_cut = (
+        _lt(spark, SF, "orders")
+        .selectExpr(
+            "CAST(max(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))"
+            " AS BIGINT) DIV 2 AS c"
+        )
+        .collect()[0].c
+    )
+    cuts = {r[3] for r in a}
+    assert cuts == {want_cut}
+    # the threshold must discriminate: some but not all orders clear it
+    ns = sum(r[1] for r in a)
+    nbig = sum(r[2] for r in a)
+    assert 0 < nbig < ns
