@@ -111,7 +111,15 @@ SCOREBOARD_PREFIX = [
     # family)
     "dedup_ngram_jaccard_capped",
     "dedup_minhash_recall",
-    "dedup_simhash_exactdup",
+    # round 9 continuation: dedup_simhash_exactdup demoted — the d=0
+    # gate is the special case of the scored radius-2 report's exact
+    # Hamming certificate (dedup_simhash_radius_report counts the d=0
+    # tier explicitly), so the prefix held two simhash rows; the slot
+    # gives the NEW annotation/eval-QA family its scored representative:
+    # gold-seeded pattern-collapsed Dawid-Skene truth inference, the
+    # kernel that corrects lenient-majority labels (flips pinned in
+    # pytest; exactdup stays POST_PREFIX-front + oracle-checked)
+    "eval_dawid_skene_gold",
     "dedup_clusters_cc",
     "corpus_curation_pipeline",
     # round 6: dedup_embedding_cosine demoted (cosine machinery keeps
@@ -185,6 +193,10 @@ SCOREBOARD_PREFIX = [
 # next entries it should spend rows on (distinct shapes before the
 # redundant grep/scalar/window variants that close the list).
 POST_PREFIX = [
+    # demoted round 9 continuation: slot went to eval_dawid_skene_gold
+    # (the simhash d=0 gate is subsumed by the scored radius-2 report;
+    # full oracle + planted-pair pytest retained)
+    "dedup_simhash_exactdup",
     # demoted round 9: slot went to stream_dedup_eventtime (the
     # arrival-order TTL dedup keeps its full oracle, stream==batch
     # pytest, and soak-ladder row)
