@@ -855,3 +855,213 @@ def q_eval_winrate_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(rank() OVER (ORDER BY wilson_lb DESC, brand) AS BIGINT)"
         " AS rank_wilson",
     )
+
+
+# ---------------------------------------------------------------------------
+# Annotation-QA flagship: kappa gate -> DS relabel -> gold-holdout audit
+
+_AQA_CELLS = f"""
+      SELECT lang, {_DS_R1} AS r1, {_DS_R2} AS r2, {_DS_R3} AS r3,
+             {_DS_GOLD} AS gold,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM documents
+      GROUP BY 1, 2, 3, 4, 5
+"""
+
+_AQA_COUNTERS = """
+      SELECT
+        CAST(sum(CASE WHEN gold = 1 THEN cnt ELSE 0 END) AS BIGINT) AS g1,
+        CAST(sum(CASE WHEN gold = 0 THEN cnt ELSE 0 END) AS BIGINT) AS g0,
+        CAST(sum(CASE WHEN gold = 1 THEN r1 * cnt ELSE 0 END) AS BIGINT) AS a1,
+        CAST(sum(CASE WHEN gold = 1 THEN r2 * cnt ELSE 0 END) AS BIGINT) AS a2,
+        CAST(sum(CASE WHEN gold = 1 THEN r3 * cnt ELSE 0 END) AS BIGINT) AS a3,
+        CAST(sum(CASE WHEN gold = 0 THEN r1 * cnt ELSE 0 END) AS BIGINT) AS d1,
+        CAST(sum(CASE WHEN gold = 0 THEN r2 * cnt ELSE 0 END) AS BIGINT) AS d2,
+        CAST(sum(CASE WHEN gold = 0 THEN r3 * cnt ELSE 0 END) AS BIGINT) AS d3
+"""
+
+_AQA_LANG_FINAL = """
+    SELECT lang,
+           CAST(sum(cnt) AS BIGINT) AS n_docs,
+           CASE WHEN CAST(sum(cnt) AS DECIMAL(12,0))
+                       * CAST(sum(cnt) AS DECIMAL(12,0))
+                     - (CAST(sum(r1 * cnt) AS DECIMAL(12,0))
+                          * CAST(sum(r2 * cnt) AS DECIMAL(12,0))
+                        + CAST(sum(cnt) - sum(r1 * cnt) AS DECIMAL(12,0))
+                          * CAST(sum(cnt) - sum(r2 * cnt) AS DECIMAL(12,0)))
+                     = 0 THEN NULL
+                ELSE CAST(CAST(sum(cnt) AS DECIMAL(12,0))
+                            * CAST(sum(r1 * r2 * cnt)
+                                   + sum((1 - r1) * (1 - r2) * cnt)
+                                   AS DECIMAL(12,0))
+                          - (CAST(sum(r1 * cnt) AS DECIMAL(12,0))
+                               * CAST(sum(r2 * cnt) AS DECIMAL(12,0))
+                             + CAST(sum(cnt) - sum(r1 * cnt) AS DECIMAL(12,0))
+                               * CAST(sum(cnt) - sum(r2 * cnt)
+                                      AS DECIMAL(12,0))) AS DOUBLE)
+                     / CAST(CAST(sum(cnt) AS DECIMAL(12,0))
+                              * CAST(sum(cnt) AS DECIMAL(12,0))
+                            - (CAST(sum(r1 * cnt) AS DECIMAL(12,0))
+                                 * CAST(sum(r2 * cnt) AS DECIMAL(12,0))
+                               + CAST(sum(cnt) - sum(r1 * cnt)
+                                      AS DECIMAL(12,0))
+                                 * CAST(sum(cnt) - sum(r2 * cnt)
+                                        AS DECIMAL(12,0))) AS DOUBLE)
+                END AS kappa_r1r2,
+           CAST(sum(CASE WHEN ds_label <> majority THEN cnt ELSE 0 END)
+                AS BIGINT) AS n_flips,
+           CAST(sum(CASE WHEN gold IS NOT NULL THEN cnt ELSE 0 END)
+                AS BIGINT) AS gold_n,
+           CAST(sum(CASE WHEN gold IS NOT NULL AND majority = gold
+                         THEN cnt ELSE 0 END) AS BIGINT) AS maj_correct,
+           CAST(sum(CASE WHEN gold IS NOT NULL AND ds_label = gold
+                         THEN cnt ELSE 0 END) AS BIGINT) AS ds_correct,
+           CAST(sum(CASE WHEN gold IS NOT NULL AND ds_label = gold
+                         THEN cnt ELSE 0 END) AS BIGINT)
+             - CAST(sum(CASE WHEN gold IS NOT NULL AND majority = gold
+                             THEN cnt ELSE 0 END) AS BIGINT) AS ds_net_gain
+"""
+
+
+@query(
+    "annotation_qa_pipeline",
+    oracle=f"""
+    WITH cells AS MATERIALIZED (
+      {_AQA_CELLS}
+    ),
+    c AS (
+      {_AQA_COUNTERS}
+      FROM cells
+    ),
+    pat AS (
+      SELECT r1, r2, r3 FROM cells GROUP BY 1, 2, 3
+    ),
+    patds AS MATERIALIZED (
+      SELECT p.r1, p.r2, p.r3,
+             CAST(p.r1 + p.r2 + p.r3 >= 2 AS INT) AS majority,
+             CASE WHEN s1 > s0 THEN 1 WHEN s1 < s0 THEN 0
+                  ELSE CAST(p.r1 + p.r2 + p.r3 >= 2 AS INT)
+                  END AS ds_label
+      FROM (
+        SELECT p.r1, p.r2, p.r3,
+        {_DS_SCORES}
+        FROM pat p CROSS JOIN c
+      ) p
+    )
+    {_AQA_LANG_FINAL}
+    FROM cells JOIN patds USING (r1, r2, r3)
+    GROUP BY lang
+    """,
+)
+def q_annotation_qa_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Annotation-QA flagship: the report a labeling operation runs
+    before accepting a batch — per-language inter-annotator agreement
+    (Cohen's kappa between the accurate rater and a lenient one: LOW
+    kappa is the signal that triggers relabeling), gold-seeded
+    Dawid-Skene reassignment, and the gold-holdout audit proving DS
+    beats majority vote (ds_net_gain > 0: DS recovers the ~16% of gold
+    negatives both lenient raters over-approved, at the cost of the
+    ~6% of gold positives the accurate rater flipped — measured and
+    pinned in pytest).
+
+    CELL COLLAPSE, the profile-collapse move one level up: ONE scan
+    rolls documents into <= |langs|x2^3x3 (lang, pattern, gold) cells,
+    and every downstream stage — global confusion counters, pattern
+    posteriors, per-lang kappa marginals, flip counts, holdout
+    accuracies — is arithmetic over that <= 120-row table. At 100 TB
+    the pipeline is ONE map-side-combined exchange; nothing else
+    scales with the corpus. The DuckDB twin MATERIALIZES the cells and
+    pattern CTEs (3 consumers — the inlined-CTE re-execution trap);
+    the Spark side reuses the one cells DataFrame, whose lineage is a
+    single aggregate. Kappa follows the DECIMAL(25,0) exact-product
+    rule; DS scores the fixed-double-tree rule (both documented in
+    eval_cohen_kappa / eval_dawid_skene_gold). Reference: Dawid & Skene
+    1979; Cohen 1960; composition surface per SURVEY.md §2.2
+    (flagship pipelines, the corpus_curation_pipeline pattern).
+    """
+    cells = (
+        load_table(spark, sf_dir, "documents")
+        .selectExpr(
+            "lang",
+            f"{_DS_R1} AS r1",
+            f"{_DS_R2} AS r2",
+            f"{_DS_R3} AS r3",
+            f"{_DS_GOLD} AS gold",
+        )
+        .groupBy("lang", "r1", "r2", "r3", "gold")
+        .agg(F.expr("CAST(count(*) AS BIGINT) AS cnt"))
+    )
+    c = cells.agg(*[
+        F.expr(e.strip().rstrip(","))
+        for e in _AQA_COUNTERS.strip().splitlines()[1:]
+    ])
+    pat = cells.select("r1", "r2", "r3").distinct()
+    s1_expr, s0_expr = _DS_SCORES.split("AS s1,")
+    patds = (
+        pat.crossJoin(F.broadcast(c))
+        .selectExpr(
+            "r1", "r2", "r3",
+            s1_expr.strip() + " AS s1",
+            s0_expr.strip(),
+        )
+        .selectExpr(
+            "r1", "r2", "r3",
+            "CAST(r1 + r2 + r3 >= 2 AS INT) AS majority",
+            "CASE WHEN s1 > s0 THEN 1 WHEN s1 < s0 THEN 0"
+            "     ELSE CAST(r1 + r2 + r3 >= 2 AS INT) END AS ds_label",
+        )
+    )
+    joined = cells.join(F.broadcast(patds), ["r1", "r2", "r3"])
+    return joined.groupBy("lang").agg(
+        F.expr("CAST(sum(cnt) AS BIGINT) AS n_docs"),
+        F.expr(
+            "CASE WHEN CAST(sum(cnt) AS DECIMAL(12,0))"
+            "            * CAST(sum(cnt) AS DECIMAL(12,0))"
+            "          - (CAST(sum(r1 * cnt) AS DECIMAL(12,0))"
+            "               * CAST(sum(r2 * cnt) AS DECIMAL(12,0))"
+            "             + CAST(sum(cnt) - sum(r1 * cnt) AS DECIMAL(12,0))"
+            "               * CAST(sum(cnt) - sum(r2 * cnt) AS DECIMAL(12,0)))"
+            "          = 0 THEN NULL"
+            "     ELSE CAST(CAST(sum(cnt) AS DECIMAL(12,0))"
+            "                 * CAST(sum(r1 * r2 * cnt)"
+            "                        + sum((1 - r1) * (1 - r2) * cnt)"
+            "                        AS DECIMAL(12,0))"
+            "               - (CAST(sum(r1 * cnt) AS DECIMAL(12,0))"
+            "                    * CAST(sum(r2 * cnt) AS DECIMAL(12,0))"
+            "                  + CAST(sum(cnt) - sum(r1 * cnt)"
+            "                         AS DECIMAL(12,0))"
+            "                    * CAST(sum(cnt) - sum(r2 * cnt)"
+            "                           AS DECIMAL(12,0))) AS DOUBLE)"
+            "          / CAST(CAST(sum(cnt) AS DECIMAL(12,0))"
+            "                   * CAST(sum(cnt) AS DECIMAL(12,0))"
+            "                 - (CAST(sum(r1 * cnt) AS DECIMAL(12,0))"
+            "                      * CAST(sum(r2 * cnt) AS DECIMAL(12,0))"
+            "                    + CAST(sum(cnt) - sum(r1 * cnt)"
+            "                           AS DECIMAL(12,0))"
+            "                      * CAST(sum(cnt) - sum(r2 * cnt)"
+            "                             AS DECIMAL(12,0))) AS DOUBLE)"
+            "     END AS kappa_r1r2"
+        ),
+        F.expr(
+            "CAST(sum(CASE WHEN ds_label <> majority THEN cnt ELSE 0 END)"
+            " AS BIGINT) AS n_flips"
+        ),
+        F.expr(
+            "CAST(sum(CASE WHEN gold IS NOT NULL THEN cnt ELSE 0 END)"
+            " AS BIGINT) AS gold_n"
+        ),
+        F.expr(
+            "CAST(sum(CASE WHEN gold IS NOT NULL AND majority = gold"
+            " THEN cnt ELSE 0 END) AS BIGINT) AS maj_correct"
+        ),
+        F.expr(
+            "CAST(sum(CASE WHEN gold IS NOT NULL AND ds_label = gold"
+            " THEN cnt ELSE 0 END) AS BIGINT) AS ds_correct"
+        ),
+        F.expr(
+            "CAST(sum(CASE WHEN gold IS NOT NULL AND ds_label = gold"
+            " THEN cnt ELSE 0 END) AS BIGINT)"
+            " - CAST(sum(CASE WHEN gold IS NOT NULL AND majority = gold"
+            " THEN cnt ELSE 0 END) AS BIGINT) AS ds_net_gain"
+        ),
+    )

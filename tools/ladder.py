@@ -160,8 +160,28 @@ def main() -> None:
 
 
 def _persist(path: str, rows: dict) -> None:
-    with open(path, "w") as f:
-        json.dump(rows, f, indent=1, sort_keys=True)
+    """Merge-under-lock write. Concurrent ladder runs (a chunked
+    background sweep + a one-off run for a new query) each hold a
+    snapshot of LADDER.json from THEIR start time, so a plain overwrite
+    loses the other writer's rows (measured twice this round:
+    eval_winrate_wilson's row vanished under the grandfathered sweep).
+    flock + re-read + merge makes the write a proper read-modify-write;
+    this run's rows win on key conflicts (it has the freshest fit)."""
+    import fcntl
+
+    with open(path + ".lock", "w") as lock:
+        fcntl.flock(lock, fcntl.LOCK_EX)
+        merged = {}
+        if os.path.exists(path):
+            try:
+                with open(path) as f:
+                    merged = json.load(f)
+            except (OSError, ValueError):
+                merged = {}
+        merged.update(rows)
+        rows.update({k: v for k, v in merged.items() if k not in rows})
+        with open(path, "w") as f:
+            json.dump(merged, f, indent=1, sort_keys=True)
 
 
 if __name__ == "__main__":
