@@ -270,3 +270,31 @@ def test_winrate_wilson_matches_python_and_reorders_ranks(spark):
     # both rank columns are permutations of 1..25
     assert sorted(r.rank_raw for r in rows) == list(range(1, 26))
     assert sorted(r.rank_wilson for r in rows) == list(range(1, 26))
+
+
+def test_annotation_qa_pipeline_ds_beats_majority_on_gold(spark):
+    rows = QUERIES["annotation_qa_pipeline"](spark, SF).collect()
+    assert len(rows) == 5
+    total_gain = sum(r.ds_net_gain for r in rows)
+    total_gold = sum(r.gold_n for r in rows)
+    total_flips = sum(r.n_flips for r in rows)
+    assert total_gold > 0 and total_flips > 0
+    # the pipeline's reason to exist: DS strictly beats majority vote
+    # on the gold holdout (recovers lenient false positives)
+    assert total_gain > 0
+    for r in rows:
+        assert 0 <= r.maj_correct <= r.gold_n
+        assert 0 <= r.ds_correct <= r.gold_n
+        assert r.ds_net_gain == r.ds_correct - r.maj_correct
+        # lenient-vs-accurate kappa is the LOW-agreement trigger signal
+        assert r.kappa_r1r2 is not None and r.kappa_r1r2 < 0.75
+    # cross-query consistency: per-lang flips must sum to the global
+    # pattern-level flips the standalone DS query reports
+    ds = {
+        (r.r1, r.r2, r.r3): r
+        for r in QUERIES["eval_dawid_skene_gold"](spark, SF).collect()
+    }
+    want_flips = sum(
+        r.n_docs for r in ds.values() if r.ds_label != r.majority
+    )
+    assert total_flips == want_flips
