@@ -1065,3 +1065,108 @@ def q_annotation_qa_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             " THEN cnt ELSE 0 END) AS BIGINT) AS ds_net_gain"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Krippendorff's alpha under MISSING ratings (unequal raters per unit)
+
+_KAM_COV3 = (
+    "(instr('0123456789abcdef', substr(md5(concat("
+    "'cov3:', CAST(doc_id AS STRING))), 1, 1)) <= 11)"
+)
+
+
+@query(
+    "eval_kripp_alpha_missing",
+    oracle=f"""
+    WITH lab AS (
+      SELECT lang,
+             {_rater(1, 2)} + {_rater(2, 3)}
+               + CASE WHEN {_KAM_COV3} THEN {_rater(3, 4)} ELSE 0 END AS n1,
+             CASE WHEN {_KAM_COV3} THEN 3 ELSE 2 END AS m
+      FROM documents
+    ),
+    c AS (
+      SELECT lang,
+             CAST(count(*) AS BIGINT) AS n_units,
+             CAST(sum(m) AS BIGINT) AS n_ratings,
+             CAST(sum(CASE WHEN m = 2 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_missing,
+             CAST(sum(n1) AS BIGINT) AS t1,
+             CAST(sum(m - n1) AS BIGINT) AS t0,
+             CAST(sum(CASE WHEN m = 2 THEN 2 * n1 * (m - n1)
+                           ELSE n1 * (m - n1) END) AS BIGINT) AS u_sum
+      FROM lab GROUP BY lang
+    )
+    SELECT lang, n_units, n_ratings, n_missing,
+           CASE WHEN CAST(t1 AS DECIMAL(12,0)) * CAST(t0 AS DECIMAL(12,0))
+                     = 0 THEN NULL
+                ELSE CAST(2 * CAST(t1 AS DECIMAL(12,0))
+                            * CAST(t0 AS DECIMAL(12,0))
+                          - CAST(n_ratings - 1 AS DECIMAL(12,0))
+                            * CAST(u_sum AS DECIMAL(12,0)) AS DOUBLE)
+                     / CAST(2 * CAST(t1 AS DECIMAL(12,0))
+                              * CAST(t0 AS DECIMAL(12,0)) AS DOUBLE)
+                END AS alpha_missing
+    FROM c
+    """,
+)
+def q_eval_kripp_alpha_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Krippendorff's alpha under MISSING ratings — the reason alpha
+    exists at all (kappa needs a complete panel; real annotation
+    batches never have one). Rater 3 covers only a deterministic 11/16
+    md5 slice of documents, so units carry m ∈ {2, 3} ratings; alpha's
+    pooled-pairs chance model handles the imbalance exactly:
+
+      alpha = (2·T1·T0 − (n..−1)·Σᵢ uᵢ) / (2·T1·T0),
+      uᵢ = 2·nᵢ1·nᵢ0/(mᵢ−1)
+
+    where n.. counts ratings over pairable units. The per-unit term uᵢ
+    is INTEGER for binary data with m ∈ {2, 3} (for m=3, nᵢ1·nᵢ0 is 0
+    or 2), so the whole statistic is one DOUBLE division of
+    DECIMAL(25,0)-exact integers — no float accumulators anywhere.
+
+    Plan: one scan, three md5s + one coverage hash per row, one
+    lang-keyed aggregate of six BIGINT counters — missing-data
+    agreement over 100 TB of annotations costs one exchange. Pytest
+    recomputes alpha over exact Fractions (including the m-aware unit
+    terms) and pins real missingness (0 < n_missing < n_units per
+    lang). Reference: Krippendorff 2004 §11 (nominal metric, unequal
+    raters per unit); completes the agreement trio beside
+    eval_cohen_kappa and eval_fleiss_kappa.
+    """
+    lab = load_table(spark, sf_dir, "documents").selectExpr(
+        "lang",
+        f"{_rater(1, 2)} + {_rater(2, 3)}"
+        f" + CASE WHEN {_KAM_COV3} THEN {_rater(3, 4)} ELSE 0 END AS n1",
+        f"CASE WHEN {_KAM_COV3} THEN 3 ELSE 2 END AS m",
+    )
+    c = lab.groupBy("lang").agg(
+        F.expr("CAST(count(*) AS BIGINT) AS n_units"),
+        F.expr("CAST(sum(m) AS BIGINT) AS n_ratings"),
+        F.expr(
+            "CAST(sum(CASE WHEN m = 2 THEN 1 ELSE 0 END) AS BIGINT)"
+            " AS n_missing"
+        ),
+        F.expr("CAST(sum(n1) AS BIGINT) AS t1"),
+        F.expr("CAST(sum(m - n1) AS BIGINT) AS t0"),
+        F.expr(
+            "CAST(sum(CASE WHEN m = 2 THEN 2 * n1 * (m - n1)"
+            " ELSE n1 * (m - n1) END) AS BIGINT) AS u_sum"
+        ),
+    )
+    return c.selectExpr(
+        "lang",
+        "n_units",
+        "n_ratings",
+        "n_missing",
+        "CASE WHEN CAST(t1 AS DECIMAL(12,0)) * CAST(t0 AS DECIMAL(12,0))"
+        "          = 0 THEN NULL"
+        "     ELSE CAST(2 * CAST(t1 AS DECIMAL(12,0))"
+        "                 * CAST(t0 AS DECIMAL(12,0))"
+        "               - CAST(n_ratings - 1 AS DECIMAL(12,0))"
+        "                 * CAST(u_sum AS DECIMAL(12,0)) AS DOUBLE)"
+        "          / CAST(2 * CAST(t1 AS DECIMAL(12,0))"
+        "                   * CAST(t0 AS DECIMAL(12,0)) AS DOUBLE)"
+        "     END AS alpha_missing",
+    )

@@ -298,3 +298,54 @@ def test_annotation_qa_pipeline_ds_beats_majority_on_gold(spark):
         r.n_docs for r in ds.values() if r.ds_label != r.majority
     )
     assert total_flips == want_flips
+
+
+def test_kripp_alpha_missing_matches_textbook_formula(spark):
+    from distgrep_spark.sources.catalog import load_table
+
+    rows = (
+        load_table(spark, SF, "documents")
+        .select("lang", "doc_id", "n_chars")
+        .collect()
+    )
+    hexd = "0123456789abcdef"
+
+    def digit(salt, doc_id):
+        return hexd.index(
+            hashlib.md5(f"{salt}:{doc_id}".encode()).hexdigest()[0]
+        ) + 1
+
+    units = []
+    for r in rows:
+        truth = r.n_chars >= 300
+        labels = [
+            truth != (digit("iaa1", r.doc_id) <= 2),
+            truth != (digit("iaa2", r.doc_id) <= 3),
+        ]
+        if digit("cov3", r.doc_id) <= 11:
+            labels.append(truth != (digit("iaa3", r.doc_id) <= 4))
+        units.append((r.lang, labels))
+    got = {
+        r.lang: r
+        for r in QUERIES["eval_kripp_alpha_missing"](spark, SF).collect()
+    }
+    for lang in {u[0] for u in units}:
+        mine = [u[1] for u in units if u[0] == lang]
+        n_ratings = sum(len(ls) for ls in mine)
+        t1 = sum(sum(ls) for ls in mine)
+        t0 = n_ratings - t1
+        d_o_num = sum(
+            Fraction(2 * sum(ls) * (len(ls) - sum(ls)), len(ls) - 1)
+            for ls in mine
+        )
+        d_o = d_o_num / n_ratings
+        d_e = Fraction(2 * t1 * t0, n_ratings * (n_ratings - 1))
+        alpha = 1 - d_o / d_e
+        row = got[lang]
+        assert row.n_units == len(mine)
+        assert row.n_ratings == n_ratings
+        missing = sum(1 for ls in mine if len(ls) == 2)
+        assert row.n_missing == missing
+        assert 0 < missing < len(mine)  # real, partial missingness
+        assert abs(row.alpha_missing - float(alpha)) < 1e-12
+        assert 0.0 < row.alpha_missing < 1.0
