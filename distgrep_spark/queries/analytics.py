@@ -157,37 +157,60 @@ def q_join_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a necessary condition for ``levenshtein <= 2``, so the result set
     is provably identical to prefix-only blocking while the DP runs on
     ~len-fold fewer pairs (measured at sf0.1, with the 1/37 probe set:
-    prefix-only blocking 14.3 s -> banded 2.1 s warm). Production
-    hardening is block-size capping (drop or sub-block hubs past
-    ``max_df``, as in ngram_jaccard_pairs) and multi-pass blocking on
-    independent keys (prefix, suffix, phonetic) unioned, so recall does
-    not hinge on one key surviving the corruption."""
+    prefix-only blocking 14.3 s -> banded 2.1 s warm).
+
+    PROFILE COLLAPSE (round 9; the round-8 densification rule applied
+    here after the full-registry ladder flagged the direct form at
+    exponent 1.45): coincident name copies multiply BOTH sides of every
+    block, so the within-block DP count grows with copy multiplicity
+    SQUARED even though the distinct-name pair set is constant. The DP
+    therefore runs on DISTINCT (probe_name, p_name) profiles only, and
+    keys re-expand through two equi-joins afterwards — the output pair
+    set is quadratic in multiplicity by DEFINITION (every dirty copy
+    truly matches every clean copy), but row expansion is join
+    throughput, not O(len^2) DP (A/B at the x64 key-shifted corpus:
+    220 s direct -> 6.3 s collapsed, identical 2.2M-pair result; ladder
+    re-fit below the flag line). Production hardening stays block-size
+    capping (max_df, as in ngram_jaccard_pairs) and multi-pass blocking
+    on independent keys (prefix, suffix, phonetic) unioned."""
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
     dirty = p.where(F.col("p_partkey") % 37 == 0).selectExpr(
         "p_partkey AS probe_key",
         "concat(substring(p_name, 1, 3), 'X', substring(p_name, 5)) AS probe_name",
     )
-    probes = dirty.selectExpr(
-        "probe_key",
+    probe_prof = dirty.select("probe_name").distinct().selectExpr(
         "probe_name",
         "substring(probe_name, 1, 3) AS blk",
         "explode(sequence(length(probe_name) - 2, length(probe_name) + 2))"
         " AS lband",
     )
-    clean = p.selectExpr(
-        "p_partkey",
+    clean_prof = p.select("p_name").distinct().selectExpr(
         "p_name",
         "substring(p_name, 1, 3) AS blk",
         "length(p_name) AS lband",
     )
-    return (
-        probes.join(clean, ["blk", "lband"])
+    pair_prof = (
+        probe_prof.join(clean_prof, ["blk", "lband"])
         .selectExpr(
-            "probe_key",
-            "p_partkey AS matched_key",
+            "probe_name",
+            "p_name",
             "CAST(levenshtein(probe_name, p_name) AS BIGINT) AS lev_dist",
         )
         .where(F.col("lev_dist") <= 2)
+    )
+    # The fixture's names are densely similar (~300 lev<=2 matches per
+    # probe at sf0.1 scale), so the expanded pair set is output-bound —
+    # 650M rows at x64. The profile intermediates are tiny, so AQE
+    # coalesces them to ONE task and the whole expansion serializes;
+    # the explicit numPartitions repartition is REPARTITION_BY_NUM,
+    # which AQE never coalesces, pinning the output fan-out parallelism
+    # (the inverse of the blanket-repartition rule: spread only inside
+    # the op that provably needs it).
+    return (
+        dirty.join(pair_prof, "probe_name")
+        .repartition(64, "p_name")
+        .join(p, "p_name")
+        .selectExpr("probe_key", "p_partkey AS matched_key", "lev_dist")
     )
 
 
