@@ -123,6 +123,7 @@ def main() -> None:
     if os.path.exists(ladder_path):
         with open(ladder_path) as f:
             rows = json.load(f)
+    own: dict = {}  # only names THIS run measured — the merge unit
     hdr = "".join(f"{'x' + str(m):>8s}" for m in MULTS)
     print(f"{'query':40s}{hdr}  exp  flag")
     for name in names:
@@ -133,9 +134,9 @@ def main() -> None:
                 run(name, d)  # warm plan/JIT per rung
                 pts.append((m, run(name, d)))
         except Exception as e:  # noqa: BLE001
-            rows[name] = {"error": str(e).splitlines()[0][:200]}
+            rows[name] = own[name] = {"error": str(e).splitlines()[0][:200]}
             print(f"{name:40s} ERROR {rows[name]['error'][:60]}")
-            _persist(ladder_path, rows)
+            _persist(ladder_path, own)
             continue
         # merge with any prior rungs (an extended-MULTS run adds points
         # rather than dropping the standard ones) and refit over all
@@ -148,14 +149,15 @@ def main() -> None:
             and allpts[-1][1] >= WALL_FLOOR_S
             and name not in LADDER_ALLOWLIST
         )
-        rows[name] = {
+        rows[name] = own[name] = {
             "t": t,
             "exponent": round(exp, 2),
             "flagged": flagged,
         }
         cells = "".join(f"{t:8.2f}" for _, t in pts)
         print(f"{name:40s}{cells} {exp:5.2f}  {'FLAG' if flagged else ''}")
-        _persist(ladder_path, rows)
+        _persist(ladder_path, own)
+    rows.update(own)
     flagged = sorted(n for n, v in rows.items() if v.get("flagged"))
     print(f"\n{len(rows)} ladder rows -> LADDER.json; flagged: {flagged or 'NONE'}")
 
@@ -166,8 +168,11 @@ def _persist(path: str, rows: dict) -> None:
     snapshot of LADDER.json from THEIR start time, so a plain overwrite
     loses the other writer's rows (measured twice this round:
     eval_winrate_wilson's row vanished under the grandfathered sweep).
-    flock + re-read + merge makes the write a proper read-modify-write;
-    this run's rows win on key conflicts (it has the freshest fit)."""
+    flock + re-read + merge makes the write a proper read-modify-write.
+    ``rows`` must be ONLY the names this run measured — merging the
+    run's whole start-time snapshot would re-publish stale rows over
+    another writer's fresher fits (the first version of this fix did
+    exactly that)."""
     import fcntl
 
     with open(path + ".lock", "w") as lock:
