@@ -56,6 +56,7 @@ LADDER_ALLOWLIST = {
     "join_salted_skew": "intentional 16x replication self-model — the query manufactures its own skew hot key and pays the salting fan-out to demonstrate it",
     "dedup_ngram_jaccard_capped": "fixture-vacuous above x16: the 31-token vocabulary saturates the max_df cap so the pair set EMPTIES (documented; the planted-signal twin is dedup_minhash_recall's exact baseline)",
     "dedup_cross_corpus": "same capped posting-list engine as dedup_ngram_jaccard_capped — same cap-saturation behavior on the fixture vocabulary",
+    "join_fuzzy_blocked": "output-bound after the round-9 profile collapse: the levenshtein DP runs on DISTINCT name profiles (flat in copy multiplicity), but the expanded pair ANSWER grows m^2 by definition — every dirty copy truly matches every clean copy (650M rows at x64, written at join throughput; 220 s -> 9.9 s A/B)",
     "join_range_theta": "deliberate BNLJ theta-join DEMO (c_acctbal > s_acctbal): quadratic by definition of the exhibited strategy; the scalable form of this answer is join_range via operators/distrank.py, which the docstring cross-references (same entry as BNLJ_ALLOWLIST)",
 }
 
