@@ -283,9 +283,9 @@ _SCALE_GRANDFATHERED = {
     "text_batch_padding_plan", "text_cdc_chunks",
     "text_chunk_documents", "text_edit_distance", "text_fingerprints",
     "text_lang_confusion", "text_lang_guess",
-    "text_ngram_novelty_decay", "text_normalize", "text_pii_flags",
+    "text_normalize", "text_pii_flags",
     "text_quality", "text_quality_linear", "text_rake_keywords",
-    "text_repetition_score", "text_source_overlap_matrix",
+    "text_repetition_score",
     "text_stats", "text_token_counts", "text_token_entropy",
     "text_unigram_surprisal", "timeseries_monthly_dense",
     "topk_customers", "tpch_q10_returned_items",
