@@ -205,10 +205,13 @@ def q_join_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the explicit numPartitions repartition is REPARTITION_BY_NUM,
     # which AQE never coalesces, pinning the output fan-out parallelism
     # (the inverse of the blanket-repartition rule: spread only inside
-    # the op that provably needs it).
+    # the op that provably needs it). Fan-out width scales with the
+    # cluster (2x cores) with a 64 floor: at x128 (2.6B output rows)
+    # the width, not the join, is the wall.
+    fan_out = max(64, spark.sparkContext.defaultParallelism * 2)
     return (
         dirty.join(pair_prof, "probe_name")
-        .repartition(64, "p_name")
+        .repartition(fan_out, "p_name")
         .join(p, "p_name")
         .selectExpr("probe_key", "p_partkey AS matched_key", "lev_dist")
     )
