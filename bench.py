@@ -50,6 +50,9 @@ HEADLINE = [
     "rlhf_preference_curation",
     "orders_bradley_terry_step",
     "graph_pagerank_converged",
+    # round 9 continuation: the annotation/eval-QA flagship (cell-
+    # collapsed kappa gate -> Dawid-Skene relabel -> gold audit)
+    "annotation_qa_pipeline",
 ]
 
 
