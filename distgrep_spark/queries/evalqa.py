@@ -19,7 +19,7 @@ engines and under any partitioning.
 
 Exactness discipline: every statistic here is a single DOUBLE division
 of two exact integers. Counts stay BIGINT; count PRODUCTS (N², T1·T0,
-(|b−c|−1)²) are computed in DECIMAL(12,0)×DECIMAL(12,0) → DECIMAL(25,0)
+(|b−c|−1)²) are computed in DECIMAL(13,0)×DECIMAL(13,0) → DECIMAL(27,0)
 on both engines, which stays exact to per-group N = 10^12 rows — the
 orders_gini_spend x64 lesson (Σ-of-products accumulators overflow two
 decades above where the docstring margin was quoted) applied up front.
@@ -79,19 +79,19 @@ def _rater(rater: int, k: int) -> str:
     ),
     w AS (
       SELECT lang, n_docs, n11 + n00 AS n_agree,
-             CAST(a1 AS DECIMAL(12,0)) * CAST(b1 AS DECIMAL(12,0))
-               + CAST(n_docs - a1 AS DECIMAL(12,0))
-                 * CAST(n_docs - b1 AS DECIMAL(12,0)) AS pe_num,
-             CAST(n_docs AS DECIMAL(12,0))
-               * CAST(n_docs AS DECIMAL(12,0)) AS nsq
+             CAST(a1 AS DECIMAL(13,0)) * CAST(b1 AS DECIMAL(13,0))
+               + CAST(n_docs - a1 AS DECIMAL(13,0))
+                 * CAST(n_docs - b1 AS DECIMAL(13,0)) AS pe_num,
+             CAST(n_docs AS DECIMAL(13,0))
+               * CAST(n_docs AS DECIMAL(13,0)) AS nsq
       FROM c
     )
     SELECT lang, n_docs, CAST(n_agree AS BIGINT) AS n_agree,
            CAST(n_agree AS DOUBLE) / CAST(n_docs AS DOUBLE) AS po,
            CAST(pe_num AS DOUBLE) / CAST(nsq AS DOUBLE) AS pe,
            CASE WHEN nsq - pe_num = 0 THEN NULL
-                ELSE CAST(CAST(n_docs AS DECIMAL(12,0))
-                            * CAST(n_agree AS DECIMAL(12,0))
+                ELSE CAST(CAST(n_docs AS DECIMAL(13,0))
+                            * CAST(n_agree AS DECIMAL(13,0))
                           - pe_num AS DOUBLE)
                      / CAST(nsq - pe_num AS DOUBLE) END AS kappa
     FROM w
@@ -103,7 +103,7 @@ def q_eval_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     report leads with. kappa = (p_o − p_e)/(1 − p_e) computed as ONE
     DOUBLE division of exact integers: numerator N·n_agree − pe_num and
     denominator N² − pe_num, with the two count products in
-    DECIMAL(12,0)² = DECIMAL(25,0) (exact to N = 10^12 per language).
+    DECIMAL(13,0)² = DECIMAL(27,0) (exact to N = 10^12 per language; the 3N-scale terms in the Fleiss/Krippendorff pair clear the 13-digit cast until N ≈ 3.3e12).
 
     Plan: one documents scan, per-doc labels in a map-side project (two
     md5 calls), one hash aggregate keyed on lang carrying five BIGINT
@@ -126,10 +126,10 @@ def q_eval_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "n_docs",
         "n11 + n00 AS n_agree",
-        "CAST(a1 AS DECIMAL(12,0)) * CAST(b1 AS DECIMAL(12,0))"
-        " + CAST(n_docs - a1 AS DECIMAL(12,0))"
-        "   * CAST(n_docs - b1 AS DECIMAL(12,0)) AS pe_num",
-        "CAST(n_docs AS DECIMAL(12,0)) * CAST(n_docs AS DECIMAL(12,0)) AS nsq",
+        "CAST(a1 AS DECIMAL(13,0)) * CAST(b1 AS DECIMAL(13,0))"
+        " + CAST(n_docs - a1 AS DECIMAL(13,0))"
+        "   * CAST(n_docs - b1 AS DECIMAL(13,0)) AS pe_num",
+        "CAST(n_docs AS DECIMAL(13,0)) * CAST(n_docs AS DECIMAL(13,0)) AS nsq",
     )
     return w.selectExpr(
         "lang",
@@ -138,8 +138,8 @@ def q_eval_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(n_agree AS DOUBLE) / CAST(n_docs AS DOUBLE) AS po",
         "CAST(pe_num AS DOUBLE) / CAST(nsq AS DOUBLE) AS pe",
         "CASE WHEN nsq - pe_num = 0 THEN NULL"
-        "     ELSE CAST(CAST(n_docs AS DECIMAL(12,0))"
-        "                 * CAST(n_agree AS DECIMAL(12,0))"
+        "     ELSE CAST(CAST(n_docs AS DECIMAL(13,0))"
+        "                 * CAST(n_agree AS DECIMAL(13,0))"
         "               - pe_num AS DOUBLE)"
         "          / CAST(nsq - pe_num AS DOUBLE) END AS kappa",
     )
@@ -167,27 +167,27 @@ def q_eval_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     w AS (
       SELECT lang, n_docs, s_sq, t1, d_sum, 3 * n_docs - t1 AS t0,
-             CAST(t1 AS DECIMAL(12,0)) * CAST(t1 AS DECIMAL(12,0))
-               + CAST(3 * n_docs - t1 AS DECIMAL(12,0))
-                 * CAST(3 * n_docs - t1 AS DECIMAL(12,0)) AS tsq,
-             CAST(t1 AS DECIMAL(12,0))
-               * CAST(3 * n_docs - t1 AS DECIMAL(12,0)) AS tt,
-             CAST(n_docs AS DECIMAL(12,0))
-               * CAST(n_docs AS DECIMAL(12,0)) AS nsq
+             CAST(t1 AS DECIMAL(13,0)) * CAST(t1 AS DECIMAL(13,0))
+               + CAST(3 * n_docs - t1 AS DECIMAL(13,0))
+                 * CAST(3 * n_docs - t1 AS DECIMAL(13,0)) AS tsq,
+             CAST(t1 AS DECIMAL(13,0))
+               * CAST(3 * n_docs - t1 AS DECIMAL(13,0)) AS tt,
+             CAST(n_docs AS DECIMAL(13,0))
+               * CAST(n_docs AS DECIMAL(13,0)) AS nsq
       FROM c
     )
     SELECT lang, n_docs,
            CAST(s_sq - 3 * n_docs AS DOUBLE)
              / CAST(6 * n_docs AS DOUBLE) AS p_o,
            CASE WHEN 18 * nsq - 2 * tsq = 0 THEN NULL
-                ELSE CAST(CAST(3 * n_docs AS DECIMAL(12,0))
-                            * CAST(s_sq - 3 * n_docs AS DECIMAL(12,0))
+                ELSE CAST(CAST(3 * n_docs AS DECIMAL(13,0))
+                            * CAST(s_sq - 3 * n_docs AS DECIMAL(13,0))
                           - 2 * tsq AS DOUBLE)
                      / CAST(18 * nsq - 2 * tsq AS DOUBLE) END AS fleiss_kappa,
            CASE WHEN tt = 0 THEN NULL
                 ELSE CAST(2 * tt
-                          - CAST(3 * n_docs - 1 AS DECIMAL(12,0))
-                            * CAST(d_sum AS DECIMAL(12,0)) AS DOUBLE)
+                          - CAST(3 * n_docs - 1 AS DECIMAL(13,0))
+                            * CAST(d_sum AS DECIMAL(13,0)) AS DOUBLE)
                      / CAST(2 * tt AS DOUBLE) END AS kripp_alpha
     FROM w
     """,
@@ -199,7 +199,7 @@ def q_eval_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     reduce to exact integer sufficient statistics per group:
     S = Σᵢ(nᵢ₁² + nᵢ₀²), T₁ = Σᵢnᵢ₁, D = Σᵢnᵢ₁·nᵢ₀. Cleared of
     denominators (×18N² for kappa, ×2T₁T₀(R−1) for alpha) each metric
-    is one DOUBLE division of DECIMAL(25,0)-exact integers:
+    is one DOUBLE division of DECIMAL(27,0)-exact integers:
       kappa = (3N(S−3N) − 2(T₁²+T₀²)) / (18N² − 2(T₁²+T₀²))
       alpha = (2T₁T₀ − (3N−1)·D) / (2T₁T₀)            [R=3, nominal]
 
@@ -227,12 +227,12 @@ def q_eval_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_sq",
         "t1",
         "d_sum",
-        "CAST(t1 AS DECIMAL(12,0)) * CAST(t1 AS DECIMAL(12,0))"
-        " + CAST(3 * n_docs - t1 AS DECIMAL(12,0))"
-        "   * CAST(3 * n_docs - t1 AS DECIMAL(12,0)) AS tsq",
-        "CAST(t1 AS DECIMAL(12,0))"
-        " * CAST(3 * n_docs - t1 AS DECIMAL(12,0)) AS tt",
-        "CAST(n_docs AS DECIMAL(12,0)) * CAST(n_docs AS DECIMAL(12,0)) AS nsq",
+        "CAST(t1 AS DECIMAL(13,0)) * CAST(t1 AS DECIMAL(13,0))"
+        " + CAST(3 * n_docs - t1 AS DECIMAL(13,0))"
+        "   * CAST(3 * n_docs - t1 AS DECIMAL(13,0)) AS tsq",
+        "CAST(t1 AS DECIMAL(13,0))"
+        " * CAST(3 * n_docs - t1 AS DECIMAL(13,0)) AS tt",
+        "CAST(n_docs AS DECIMAL(13,0)) * CAST(n_docs AS DECIMAL(13,0)) AS nsq",
     )
     return w.selectExpr(
         "lang",
@@ -240,14 +240,14 @@ def q_eval_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(s_sq - 3 * n_docs AS DOUBLE)"
         " / CAST(6 * n_docs AS DOUBLE) AS p_o",
         "CASE WHEN 18 * nsq - 2 * tsq = 0 THEN NULL"
-        "     ELSE CAST(CAST(3 * n_docs AS DECIMAL(12,0))"
-        "                 * CAST(s_sq - 3 * n_docs AS DECIMAL(12,0))"
+        "     ELSE CAST(CAST(3 * n_docs AS DECIMAL(13,0))"
+        "                 * CAST(s_sq - 3 * n_docs AS DECIMAL(13,0))"
         "               - 2 * tsq AS DOUBLE)"
         "          / CAST(18 * nsq - 2 * tsq AS DOUBLE) END AS fleiss_kappa",
         "CASE WHEN tt = 0 THEN NULL"
         "     ELSE CAST(2 * tt"
-        "               - CAST(3 * n_docs - 1 AS DECIMAL(12,0))"
-        "                 * CAST(d_sum AS DECIMAL(12,0)) AS DOUBLE)"
+        "               - CAST(3 * n_docs - 1 AS DECIMAL(13,0))"
+        "                 * CAST(d_sum AS DECIMAL(13,0)) AS DOUBLE)"
         "          / CAST(2 * tt AS DOUBLE) END AS kripp_alpha",
     )
 
@@ -279,9 +279,9 @@ _NOISE = (
     w AS (
       SELECT n_docs, n_both_right, b_only_a, c_only_b,
              CAST(greatest(abs(b_only_a - c_only_b) - 1, 0)
-                  AS DECIMAL(12,0))
+                  AS DECIMAL(13,0))
                * CAST(greatest(abs(b_only_a - c_only_b) - 1, 0)
-                      AS DECIMAL(12,0)) AS corr_sq,
+                      AS DECIMAL(13,0)) AS corr_sq,
              b_only_a + c_only_b AS disc
       FROM c
     )
@@ -291,7 +291,7 @@ _NOISE = (
                 END AS mcnemar_stat,
            CASE WHEN disc = 0 THEN NULL
                 ELSE 1000000 * corr_sq
-                     > 3841459 * CAST(disc AS DECIMAL(12,0)) END AS reject
+                     > 3841459 * CAST(disc AS DECIMAL(13,0)) END AS reject
     FROM w
     """,
 )
@@ -305,7 +305,7 @@ def q_eval_mcnemar_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: the reject boolean does NOT compare a DOUBLE against
     3.841459 — it cross-multiplies: 10⁶·(|b−c|−1)² > 3841459·(b+c) in
-    DECIMAL(25,0), so the decision is integer-exact on both engines
+    DECIMAL(27,0)-scale integers, so the decision is exact on both engines
     regardless of division rounding (same discipline as
     stats_ab_ztest's 1.96 gate, but with zero float ops at all).
     Degenerate b+c = 0 → NULL stat/decision, not a throw.
@@ -329,8 +329,8 @@ def q_eval_mcnemar_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_both_right",
         "b_only_a",
         "c_only_b",
-        "CAST(greatest(abs(b_only_a - c_only_b) - 1, 0) AS DECIMAL(12,0))"
-        " * CAST(greatest(abs(b_only_a - c_only_b) - 1, 0) AS DECIMAL(12,0))"
+        "CAST(greatest(abs(b_only_a - c_only_b) - 1, 0) AS DECIMAL(13,0))"
+        " * CAST(greatest(abs(b_only_a - c_only_b) - 1, 0) AS DECIMAL(13,0))"
         " AS corr_sq",
         "b_only_a + c_only_b AS disc",
     )
@@ -344,7 +344,7 @@ def q_eval_mcnemar_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
         "     END AS mcnemar_stat",
         "CASE WHEN disc = 0 THEN NULL"
         "     ELSE 1000000 * corr_sq"
-        "          > 3841459 * CAST(disc AS DECIMAL(12,0)) END AS reject",
+        "          > 3841459 * CAST(disc AS DECIMAL(13,0)) END AS reject",
     )
 
 
@@ -868,45 +868,49 @@ _AQA_CELLS = f"""
       GROUP BY 1, 2, 3, 4, 5
 """
 
-_AQA_COUNTERS = """
-      SELECT
-        CAST(sum(CASE WHEN gold = 1 THEN cnt ELSE 0 END) AS BIGINT) AS g1,
-        CAST(sum(CASE WHEN gold = 0 THEN cnt ELSE 0 END) AS BIGINT) AS g0,
-        CAST(sum(CASE WHEN gold = 1 THEN r1 * cnt ELSE 0 END) AS BIGINT) AS a1,
-        CAST(sum(CASE WHEN gold = 1 THEN r2 * cnt ELSE 0 END) AS BIGINT) AS a2,
-        CAST(sum(CASE WHEN gold = 1 THEN r3 * cnt ELSE 0 END) AS BIGINT) AS a3,
-        CAST(sum(CASE WHEN gold = 0 THEN r1 * cnt ELSE 0 END) AS BIGINT) AS d1,
-        CAST(sum(CASE WHEN gold = 0 THEN r2 * cnt ELSE 0 END) AS BIGINT) AS d2,
-        CAST(sum(CASE WHEN gold = 0 THEN r3 * cnt ELSE 0 END) AS BIGINT) AS d3
-"""
+# One expression per counter, shared verbatim by the Spark aggregate list
+# and the oracle SQL (round-9 ADVICE: never parse the SQL fragment back
+# into expressions — a reflow of the string would silently break one side).
+_AQA_COUNTER_EXPRS = [
+    "CAST(sum(CASE WHEN gold = 1 THEN cnt ELSE 0 END) AS BIGINT) AS g1",
+    "CAST(sum(CASE WHEN gold = 0 THEN cnt ELSE 0 END) AS BIGINT) AS g0",
+    "CAST(sum(CASE WHEN gold = 1 THEN r1 * cnt ELSE 0 END) AS BIGINT) AS a1",
+    "CAST(sum(CASE WHEN gold = 1 THEN r2 * cnt ELSE 0 END) AS BIGINT) AS a2",
+    "CAST(sum(CASE WHEN gold = 1 THEN r3 * cnt ELSE 0 END) AS BIGINT) AS a3",
+    "CAST(sum(CASE WHEN gold = 0 THEN r1 * cnt ELSE 0 END) AS BIGINT) AS d1",
+    "CAST(sum(CASE WHEN gold = 0 THEN r2 * cnt ELSE 0 END) AS BIGINT) AS d2",
+    "CAST(sum(CASE WHEN gold = 0 THEN r3 * cnt ELSE 0 END) AS BIGINT) AS d3",
+]
+
+_AQA_COUNTERS = "      SELECT\n        " + ",\n        ".join(_AQA_COUNTER_EXPRS)
 
 _AQA_LANG_FINAL = """
     SELECT lang,
            CAST(sum(cnt) AS BIGINT) AS n_docs,
-           CASE WHEN CAST(sum(cnt) AS DECIMAL(12,0))
-                       * CAST(sum(cnt) AS DECIMAL(12,0))
-                     - (CAST(sum(r1 * cnt) AS DECIMAL(12,0))
-                          * CAST(sum(r2 * cnt) AS DECIMAL(12,0))
-                        + CAST(sum(cnt) - sum(r1 * cnt) AS DECIMAL(12,0))
-                          * CAST(sum(cnt) - sum(r2 * cnt) AS DECIMAL(12,0)))
+           CASE WHEN CAST(sum(cnt) AS DECIMAL(13,0))
+                       * CAST(sum(cnt) AS DECIMAL(13,0))
+                     - (CAST(sum(r1 * cnt) AS DECIMAL(13,0))
+                          * CAST(sum(r2 * cnt) AS DECIMAL(13,0))
+                        + CAST(sum(cnt) - sum(r1 * cnt) AS DECIMAL(13,0))
+                          * CAST(sum(cnt) - sum(r2 * cnt) AS DECIMAL(13,0)))
                      = 0 THEN NULL
-                ELSE CAST(CAST(sum(cnt) AS DECIMAL(12,0))
+                ELSE CAST(CAST(sum(cnt) AS DECIMAL(13,0))
                             * CAST(sum(r1 * r2 * cnt)
                                    + sum((1 - r1) * (1 - r2) * cnt)
-                                   AS DECIMAL(12,0))
-                          - (CAST(sum(r1 * cnt) AS DECIMAL(12,0))
-                               * CAST(sum(r2 * cnt) AS DECIMAL(12,0))
-                             + CAST(sum(cnt) - sum(r1 * cnt) AS DECIMAL(12,0))
+                                   AS DECIMAL(13,0))
+                          - (CAST(sum(r1 * cnt) AS DECIMAL(13,0))
+                               * CAST(sum(r2 * cnt) AS DECIMAL(13,0))
+                             + CAST(sum(cnt) - sum(r1 * cnt) AS DECIMAL(13,0))
                                * CAST(sum(cnt) - sum(r2 * cnt)
-                                      AS DECIMAL(12,0))) AS DOUBLE)
-                     / CAST(CAST(sum(cnt) AS DECIMAL(12,0))
-                              * CAST(sum(cnt) AS DECIMAL(12,0))
-                            - (CAST(sum(r1 * cnt) AS DECIMAL(12,0))
-                                 * CAST(sum(r2 * cnt) AS DECIMAL(12,0))
+                                      AS DECIMAL(13,0))) AS DOUBLE)
+                     / CAST(CAST(sum(cnt) AS DECIMAL(13,0))
+                              * CAST(sum(cnt) AS DECIMAL(13,0))
+                            - (CAST(sum(r1 * cnt) AS DECIMAL(13,0))
+                                 * CAST(sum(r2 * cnt) AS DECIMAL(13,0))
                                + CAST(sum(cnt) - sum(r1 * cnt)
-                                      AS DECIMAL(12,0))
+                                      AS DECIMAL(13,0))
                                  * CAST(sum(cnt) - sum(r2 * cnt)
-                                        AS DECIMAL(12,0))) AS DOUBLE)
+                                        AS DECIMAL(13,0))) AS DOUBLE)
                 END AS kappa_r1r2,
            CAST(sum(CASE WHEN ds_label <> majority THEN cnt ELSE 0 END)
                 AS BIGINT) AS n_flips,
@@ -973,7 +977,7 @@ def q_annotation_qa_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     scales with the corpus. The DuckDB twin MATERIALIZES the cells and
     pattern CTEs (3 consumers — the inlined-CTE re-execution trap);
     the Spark side reuses the one cells DataFrame, whose lineage is a
-    single aggregate. Kappa follows the DECIMAL(25,0) exact-product
+    single aggregate. Kappa follows the DECIMAL(27,0) exact-product
     rule; DS scores the fixed-double-tree rule (both documented in
     eval_cohen_kappa / eval_dawid_skene_gold). Reference: Dawid & Skene
     1979; Cohen 1960; composition surface per SURVEY.md §2.2
@@ -991,10 +995,7 @@ def q_annotation_qa_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "r1", "r2", "r3", "gold")
         .agg(F.expr("CAST(count(*) AS BIGINT) AS cnt"))
     )
-    c = cells.agg(*[
-        F.expr(e.strip().rstrip(","))
-        for e in _AQA_COUNTERS.strip().splitlines()[1:]
-    ])
+    c = cells.agg(*[F.expr(e) for e in _AQA_COUNTER_EXPRS])
     pat = cells.select("r1", "r2", "r3").distinct()
     s1_expr, s0_expr = _DS_SCORES.split("AS s1,")
     patds = (
@@ -1015,31 +1016,31 @@ def q_annotation_qa_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("lang").agg(
         F.expr("CAST(sum(cnt) AS BIGINT) AS n_docs"),
         F.expr(
-            "CASE WHEN CAST(sum(cnt) AS DECIMAL(12,0))"
-            "            * CAST(sum(cnt) AS DECIMAL(12,0))"
-            "          - (CAST(sum(r1 * cnt) AS DECIMAL(12,0))"
-            "               * CAST(sum(r2 * cnt) AS DECIMAL(12,0))"
-            "             + CAST(sum(cnt) - sum(r1 * cnt) AS DECIMAL(12,0))"
-            "               * CAST(sum(cnt) - sum(r2 * cnt) AS DECIMAL(12,0)))"
+            "CASE WHEN CAST(sum(cnt) AS DECIMAL(13,0))"
+            "            * CAST(sum(cnt) AS DECIMAL(13,0))"
+            "          - (CAST(sum(r1 * cnt) AS DECIMAL(13,0))"
+            "               * CAST(sum(r2 * cnt) AS DECIMAL(13,0))"
+            "             + CAST(sum(cnt) - sum(r1 * cnt) AS DECIMAL(13,0))"
+            "               * CAST(sum(cnt) - sum(r2 * cnt) AS DECIMAL(13,0)))"
             "          = 0 THEN NULL"
-            "     ELSE CAST(CAST(sum(cnt) AS DECIMAL(12,0))"
+            "     ELSE CAST(CAST(sum(cnt) AS DECIMAL(13,0))"
             "                 * CAST(sum(r1 * r2 * cnt)"
             "                        + sum((1 - r1) * (1 - r2) * cnt)"
-            "                        AS DECIMAL(12,0))"
-            "               - (CAST(sum(r1 * cnt) AS DECIMAL(12,0))"
-            "                    * CAST(sum(r2 * cnt) AS DECIMAL(12,0))"
+            "                        AS DECIMAL(13,0))"
+            "               - (CAST(sum(r1 * cnt) AS DECIMAL(13,0))"
+            "                    * CAST(sum(r2 * cnt) AS DECIMAL(13,0))"
             "                  + CAST(sum(cnt) - sum(r1 * cnt)"
-            "                         AS DECIMAL(12,0))"
+            "                         AS DECIMAL(13,0))"
             "                    * CAST(sum(cnt) - sum(r2 * cnt)"
-            "                           AS DECIMAL(12,0))) AS DOUBLE)"
-            "          / CAST(CAST(sum(cnt) AS DECIMAL(12,0))"
-            "                   * CAST(sum(cnt) AS DECIMAL(12,0))"
-            "                 - (CAST(sum(r1 * cnt) AS DECIMAL(12,0))"
-            "                      * CAST(sum(r2 * cnt) AS DECIMAL(12,0))"
+            "                           AS DECIMAL(13,0))) AS DOUBLE)"
+            "          / CAST(CAST(sum(cnt) AS DECIMAL(13,0))"
+            "                   * CAST(sum(cnt) AS DECIMAL(13,0))"
+            "                 - (CAST(sum(r1 * cnt) AS DECIMAL(13,0))"
+            "                      * CAST(sum(r2 * cnt) AS DECIMAL(13,0))"
             "                    + CAST(sum(cnt) - sum(r1 * cnt)"
-            "                           AS DECIMAL(12,0))"
+            "                           AS DECIMAL(13,0))"
             "                      * CAST(sum(cnt) - sum(r2 * cnt)"
-            "                             AS DECIMAL(12,0))) AS DOUBLE)"
+            "                             AS DECIMAL(13,0))) AS DOUBLE)"
             "     END AS kappa_r1r2"
         ),
         F.expr(
@@ -1099,14 +1100,14 @@ _KAM_COV3 = (
       FROM lab GROUP BY lang
     )
     SELECT lang, n_units, n_ratings, n_missing,
-           CASE WHEN CAST(t1 AS DECIMAL(12,0)) * CAST(t0 AS DECIMAL(12,0))
+           CASE WHEN CAST(t1 AS DECIMAL(13,0)) * CAST(t0 AS DECIMAL(13,0))
                      = 0 THEN NULL
-                ELSE CAST(2 * CAST(t1 AS DECIMAL(12,0))
-                            * CAST(t0 AS DECIMAL(12,0))
-                          - CAST(n_ratings - 1 AS DECIMAL(12,0))
-                            * CAST(u_sum AS DECIMAL(12,0)) AS DOUBLE)
-                     / CAST(2 * CAST(t1 AS DECIMAL(12,0))
-                              * CAST(t0 AS DECIMAL(12,0)) AS DOUBLE)
+                ELSE CAST(2 * CAST(t1 AS DECIMAL(13,0))
+                            * CAST(t0 AS DECIMAL(13,0))
+                          - CAST(n_ratings - 1 AS DECIMAL(13,0))
+                            * CAST(u_sum AS DECIMAL(13,0)) AS DOUBLE)
+                     / CAST(2 * CAST(t1 AS DECIMAL(13,0))
+                              * CAST(t0 AS DECIMAL(13,0)) AS DOUBLE)
                 END AS alpha_missing
     FROM c
     """,
@@ -1124,7 +1125,7 @@ def q_eval_kripp_alpha_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
     where n.. counts ratings over pairable units. The per-unit term uᵢ
     is INTEGER for binary data with m ∈ {2, 3} (for m=3, nᵢ1·nᵢ0 is 0
     or 2), so the whole statistic is one DOUBLE division of
-    DECIMAL(25,0)-exact integers — no float accumulators anywhere.
+    DECIMAL(27,0)-exact integers — no float accumulators anywhere.
 
     Plan: one scan, three md5s + one coverage hash per row, one
     lang-keyed aggregate of six BIGINT counters — missing-data
@@ -1160,13 +1161,13 @@ def q_eval_kripp_alpha_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_units",
         "n_ratings",
         "n_missing",
-        "CASE WHEN CAST(t1 AS DECIMAL(12,0)) * CAST(t0 AS DECIMAL(12,0))"
+        "CASE WHEN CAST(t1 AS DECIMAL(13,0)) * CAST(t0 AS DECIMAL(13,0))"
         "          = 0 THEN NULL"
-        "     ELSE CAST(2 * CAST(t1 AS DECIMAL(12,0))"
-        "                 * CAST(t0 AS DECIMAL(12,0))"
-        "               - CAST(n_ratings - 1 AS DECIMAL(12,0))"
-        "                 * CAST(u_sum AS DECIMAL(12,0)) AS DOUBLE)"
-        "          / CAST(2 * CAST(t1 AS DECIMAL(12,0))"
-        "                   * CAST(t0 AS DECIMAL(12,0)) AS DOUBLE)"
+        "     ELSE CAST(2 * CAST(t1 AS DECIMAL(13,0))"
+        "                 * CAST(t0 AS DECIMAL(13,0))"
+        "               - CAST(n_ratings - 1 AS DECIMAL(13,0))"
+        "                 * CAST(u_sum AS DECIMAL(13,0)) AS DOUBLE)"
+        "          / CAST(2 * CAST(t1 AS DECIMAL(13,0))"
+        "                   * CAST(t0 AS DECIMAL(13,0)) AS DOUBLE)"
         "     END AS alpha_missing",
     )

@@ -215,7 +215,7 @@ def test_topk_gate_preconditions():
 # never added — so every NEW registration must document its measured
 # scaling (the round-5 verdict ask #7 convention, enforced).
 _SCALE_GRANDFATHERED = {
-    "agg_approx_distinct", "agg_approx_distinct_error",
+    "agg_approx_distinct_error",
     "agg_approx_topk_merge_gate", "agg_argminmax_fns",
     "agg_boolean_fns", "agg_corr_covar", "agg_count_distinct",
     "agg_cube", "agg_freq_items_gate", "agg_grouping_sets",
@@ -245,8 +245,7 @@ _SCALE_GRANDFATHERED = {
     "grep_zero_matches", "join_anti", "join_asof_events",
     "join_asof_forward_events", "join_asof_nearest_events",
     "join_asof_tolerance_events", "join_bloom_prefilter",
-    "join_broadcast_dim", "join_lateral_topn", "join_multiway",
-    "join_null_safe", "join_outer", "json_extract_events", "json_variant_extract",
+    "join_broadcast_dim", "join_lateral_topn", "join_null_safe", "join_outer", "json_extract_events", "json_variant_extract",
     "kmeans_assign_step", "kmeans_clusters", 
     "lateral_explode_outer_urls", "lateral_explode_tokens",
     "latest_event_per_user", "layout_zorder_locality",
@@ -293,7 +292,7 @@ _SCALE_GRANDFATHERED = {
     "tpch_q17_small_quantity", "tpch_q18_large_orders",
     "tpch_q19_disjunctive_predicates", "tpch_q21_waiting_suppliers",
     "tpch_q22_idle_customers", "tpch_q3_shipping_priority",
-    "tpch_q4_priority_exists", "tpch_q5_local_supplier_volume",
+    "tpch_q5_local_supplier_volume",
     "tpch_q6_forecast_revenue", "tpch_q7_volume_shipping",
     "tpch_q8_market_share", "udaf_length_quantiles",
     "udf_pandas_scalar", "udtf_analyze_dynamic_pivot",
@@ -519,6 +518,50 @@ def test_bench_regression_comparator_is_noise_immune():
     # new query absent from the baseline - not flagged
     grown = dict(base_walls, brand_new=5.0)
     assert compare(normalize(grown), baseline, grown) == []
+
+
+def test_ladder_advisories_catch_seeded_noise():
+    """Round-9 verdict ask #1: the ladder's re-measure advisory must fire
+    on a seeded non-monotone rung (a lower-mult wall >2x the next higher
+    one, above the 1 s floor — the contention signature of the round-9
+    concurrent sweep), fire on a rep spread > wall/2, stay silent on a
+    clean monotone ladder, and ignore sub-floor wobble. Also pins the
+    _persist contract from the round-9 ADVICE: the caller's merge unit
+    is never mutated (mutating it re-published stale snapshots of other
+    writers' rows)."""
+    import json
+
+    from tools.ladder import _persist, advisories
+
+    clean = [(8, 1.0), (16, 1.9), (32, 3.8), (64, 7.5)]
+    assert advisories(clean) == []
+
+    contended = [(8, 1.0), (16, 1.9), (32, 25.0), (64, 2.1)]
+    msgs = advisories(contended)
+    assert len(msgs) == 1 and "non-monotone" in msgs[0] and "x32" in msgs[0]
+
+    # sub-floor non-monotone pair (0.5 s > 2 * 0.2 s) is plan overhead
+    assert advisories([(8, 0.5), (16, 0.2), (32, 0.4), (64, 0.8)]) == []
+
+    # rep spread > wall/2 on a super-floor rung
+    msgs = advisories(clean, {"64": 4.0})
+    assert len(msgs) == 1 and "unstable" in msgs[0] and "x64" in msgs[0]
+    assert advisories(clean, {"64": 1.0}) == []
+
+    # _persist never mutates the caller's merge unit (tmp file)
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "LADDER.json")
+        with open(path, "w") as f:
+            json.dump({"other_writer_row": {"t": {"8": 1.0}}}, f)
+        own = {"my_row": {"t": {"8": 2.0}}}
+        snapshot = json.loads(json.dumps(own))
+        merged = _persist(path, own)
+        assert own == snapshot, "_persist mutated the caller's merge unit"
+        assert set(merged) == {"other_writer_row", "my_row"}
+        with open(path) as f:
+            assert set(json.load(f)) == {"other_writer_row", "my_row"}
 
 
 def test_bench_normalized_baseline_is_committed_and_covers_registry():

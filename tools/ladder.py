@@ -47,6 +47,15 @@ MULTS = [
 ]
 EXPONENT_LIMIT = 1.3
 WALL_FLOOR_S = 1.0
+# Measured reps per rung (beyond the discarded warm/JIT run). Default 1
+# keeps full-registry sweeps cheap; solo re-measures of advisory rows
+# should use >=2 so the spread advisory has signal.
+REPS = int(os.environ.get("SPARK_GRAFT_LADDER_REPS", "1"))
+# Per-rung provenance: rows measured inside a concurrent chunked sweep
+# are contention-suspect (round-9: 7 rows carried a lower-mult rung >2x
+# the next higher one — physically implausible, pure CPU contention).
+# Sweep drivers must export SPARK_GRAFT_LADDER_SWEEP=1.
+PROVENANCE = "sweep" if os.environ.get("SPARK_GRAFT_LADDER_SWEEP") else "solo"
 
 # Modeled superlinear shapes — each entry says WHY the exponent is the
 # design, not a defect (the SP_WINDOW_ALLOWLIST discipline):
@@ -59,6 +68,54 @@ LADDER_ALLOWLIST = {
     "join_fuzzy_blocked": "output-bound after the round-9 profile collapse: the levenshtein DP runs on DISTINCT name profiles (flat in copy multiplicity), but the expanded pair ANSWER grows m^2 by definition — every dirty copy truly matches every clean copy (650M rows at x64, written at join throughput; 220 s -> 9.9 s A/B)",
     "join_range_theta": "deliberate BNLJ theta-join DEMO (c_acctbal > s_acctbal): quadratic by definition of the exhibited strategy; the scalable form of this answer is join_range via operators/distrank.py, which the docstring cross-references (same entry as BNLJ_ALLOWLIST)",
 }
+
+
+# Diagnosed advisory rows: the advisory stays (the rung walls genuinely
+# carry no clean scale signal) but the cause is pinned so it doesn't read
+# as unexplained noise. Round-10 A/B (SCALE.md): both rows trace to AQE's
+# broadcast-threshold boundary — at mid rungs the join's build side
+# (customer⋈orders intermediate) lands just under the 10 MB threshold and
+# AQE converts to BHJ, whose driver-side broadcast build costs 3-6x the
+# SMJ it replaces IN LOCAL MODE (join_multiway x16: 6.0 s all-BHJ vs
+# 1.6-2.0 s forced-SMJ; tpch_q4 x32: 3.2 s BHJ vs 0.9-1.0 s SMJ). The
+# choice is cluster-honest (broadcasting a <10 MB build beats shuffling a
+# TB probe) and self-correcting at scale (the intermediate outgrows the
+# threshold), so the engine keeps Spark's thresholds.
+LADDER_ADVISORY_NOTES = {
+    "join_multiway": "AQE BHJ/SMJ regime flip at the broadcast boundary; "
+    "local-mode broadcast-build cost inverts the cluster economics (A/B in SCALE.md)",
+    "tpch_q4_priority_exists": "same AQE broadcast-boundary flip at x32 "
+    "(bimodal: AQE picks BHJ or SMJ run-to-run near the threshold)",
+}
+
+
+def advisories(
+    points: list[tuple[int, float]], spreads: dict[str, float] | None = None
+) -> list[str]:
+    """Re-measure advisories (round-9 verdict ask #1), mirroring
+    tools/bench_regression.py's shakedown rules: (a) a NON-MONOTONE rung
+    pair — a lower-mult wall more than 2x the next higher rung's, above
+    the 1 s floor — is physically implausible for a fixed plan on a
+    growing corpus and means the low rung was measured under contention
+    (the 14-way concurrent round-9 sweep produced exactly 7 such rows);
+    (b) a rung whose max-min rep spread exceeds half its wall carries no
+    signal (one cold-JIT/contended rep skews it). Advisories, not flags:
+    an inflated rung can MASK a real superlinearity, so the remedy is a
+    solo re-measure, not an allowlist entry."""
+    msgs = []
+    pts = sorted(points)
+    for (m1, t1), (m2, t2) in zip(pts, pts[1:]):
+        if t1 > 2 * t2 and t1 >= WALL_FLOOR_S:
+            msgs.append(
+                f"non-monotone: x{m1}={t1}s > 2*x{m2}={t2}s - re-measure solo"
+            )
+    for rung, spread in sorted((spreads or {}).items(), key=lambda kv: int(kv[0])):
+        wall = dict((str(m), t) for m, t in pts).get(rung)
+        if wall is not None and wall >= WALL_FLOOR_S and spread > 0.5 * wall:
+            msgs.append(
+                f"unstable: x{rung} spread {spread}s on a {wall}s wall - re-measure"
+            )
+    return msgs
 
 
 def _fit_exponent(points: list[tuple[int, float]]) -> float:
@@ -127,22 +184,30 @@ def main() -> None:
     own: dict = {}  # only names THIS run measured — the merge unit
     hdr = "".join(f"{'x' + str(m):>8s}" for m in MULTS)
     print(f"{'query':40s}{hdr}  exp  flag")
+    merged = rows
     for name in names:
         try:
             pts = []
+            spreads = {}
             for m in MULTS:
                 d = f"/tmp/soak_sf_x{m}"
                 run(name, d)  # warm plan/JIT per rung
-                pts.append((m, run(name, d)))
+                reps = [run(name, d) for _ in range(max(REPS, 1))]
+                pts.append((m, min(reps)))
+                if len(reps) > 1:
+                    spreads[str(m)] = round(max(reps) - min(reps), 2)
         except Exception as e:  # noqa: BLE001
-            rows[name] = own[name] = {"error": str(e).splitlines()[0][:200]}
-            print(f"{name:40s} ERROR {rows[name]['error'][:60]}")
-            _persist(ladder_path, own)
+            own[name] = {"error": str(e).splitlines()[0][:200]}
+            print(f"{name:40s} ERROR {own[name]['error'][:60]}")
+            merged = _persist(ladder_path, own)
             continue
         # merge with any prior rungs (an extended-MULTS run adds points
         # rather than dropping the standard ones) and refit over all
-        t = dict(rows.get(name, {}).get("t", {}))
+        prior = rows.get(name, {})
+        t = dict(prior.get("t", {}))
         t.update({str(m): round(tv, 2) for m, tv in pts})
+        prov = dict(prior.get("provenance", {}))
+        prov.update({str(m): PROVENANCE for m, _ in pts})
         allpts = sorted((int(k), v) for k, v in t.items())
         exp = _fit_exponent(allpts)
         flagged = (
@@ -150,30 +215,42 @@ def main() -> None:
             and allpts[-1][1] >= WALL_FLOOR_S
             and name not in LADDER_ALLOWLIST
         )
-        rows[name] = own[name] = {
+        adv = advisories(allpts, spreads)
+        own[name] = {
             "t": t,
             "exponent": round(exp, 2),
             "flagged": flagged,
+            "provenance": prov,
         }
+        if adv:
+            own[name]["advisory"] = adv
+            if name in LADDER_ADVISORY_NOTES:
+                own[name]["note"] = LADDER_ADVISORY_NOTES[name]
         cells = "".join(f"{t:8.2f}" for _, t in pts)
-        print(f"{name:40s}{cells} {exp:5.2f}  {'FLAG' if flagged else ''}")
-        _persist(ladder_path, own)
-    rows.update(own)
-    flagged = sorted(n for n, v in rows.items() if v.get("flagged"))
-    print(f"\n{len(rows)} ladder rows -> LADDER.json; flagged: {flagged or 'NONE'}")
+        mark = "FLAG" if flagged else ("ADVISE" if adv else "")
+        print(f"{name:40s}{cells} {exp:5.2f}  {mark}")
+        for a in adv:
+            print(f"  advisory: {a}")
+        merged = _persist(ladder_path, own)
+    flagged = sorted(n for n, v in merged.items() if v.get("flagged"))
+    advised = sorted(n for n, v in merged.items() if v.get("advisory"))
+    print(f"\n{len(merged)} ladder rows -> LADDER.json; flagged: {flagged or 'NONE'}")
+    if advised:
+        print(f"re-measure advisories: {advised}")
 
 
-def _persist(path: str, rows: dict) -> None:
+def _persist(path: str, rows: dict) -> dict:
     """Merge-under-lock write. Concurrent ladder runs (a chunked
     background sweep + a one-off run for a new query) each hold a
     snapshot of LADDER.json from THEIR start time, so a plain overwrite
-    loses the other writer's rows (measured twice this round:
+    loses the other writer's rows (measured twice in round 8:
     eval_winrate_wilson's row vanished under the grandfathered sweep).
     flock + re-read + merge makes the write a proper read-modify-write.
-    ``rows`` must be ONLY the names this run measured — merging the
-    run's whole start-time snapshot would re-publish stale rows over
-    another writer's fresher fits (the first version of this fix did
-    exactly that)."""
+    ``rows`` must be ONLY the names this run measured and is NEVER
+    mutated here — folding the on-disk view back into the caller's merge
+    unit would re-publish a stale snapshot of other writers' rows on the
+    next persist (the round-9 ADVICE.md finding). Returns the full
+    merged view for end-of-run summaries."""
     import fcntl
 
     with open(path + ".lock", "w") as lock:
@@ -186,9 +263,9 @@ def _persist(path: str, rows: dict) -> None:
             except (OSError, ValueError):
                 merged = {}
         merged.update(rows)
-        rows.update({k: v for k, v in merged.items() if k not in rows})
         with open(path, "w") as f:
             json.dump(merged, f, indent=1, sort_keys=True)
+    return merged
 
 
 if __name__ == "__main__":
