@@ -120,7 +120,15 @@ SCOREBOARD_PREFIX = [
     # kernel that corrects lenient-majority labels (flips pinned in
     # pytest; exactdup stays POST_PREFIX-front + oracle-checked)
     "eval_dawid_skene_gold",
-    "dedup_clusters_cc",
+    # round 10 (verdict ask #2): the connected-components slot goes to
+    # the strictly stronger contract — star-contraction CC run to a
+    # VERIFIED fixpoint (one-job convergence signature, log-diameter
+    # rounds pinned in pytest, union-find-oracled on adversarial
+    # shapes) — replacing dedup_clusters_cc's fixed-k min-label
+    # propagation, which moves to the POST_PREFIX front and keeps its
+    # full oracle + sweeps (same one-per-family curation rule as the
+    # round-9 eventtime-dedup swap)
+    "graph_cc_star_converged",
     "corpus_curation_pipeline",
     # round 6: dedup_embedding_cosine demoted (cosine machinery keeps
     # three scored similarity rows — sim_cosine_topk / sim_ann_lsh_recall
@@ -193,6 +201,10 @@ SCOREBOARD_PREFIX = [
 # next entries it should spend rows on (distinct shapes before the
 # redundant grep/scalar/window variants that close the list).
 POST_PREFIX = [
+    # demoted round 10: slot went to graph_cc_star_converged (the
+    # verified-fixpoint star-contraction CC); the fixed-k min-label
+    # propagation keeps its full oracle and every local sweep
+    "dedup_clusters_cc",
     # demoted round 9 continuation: slot went to eval_dawid_skene_gold
     # (the simhash d=0 gate is subsumed by the scored radius-2 report;
     # full oracle + planted-pair pytest retained)

@@ -131,6 +131,65 @@ def degree_orient(edges: DataFrame, deg: DataFrame) -> DataFrame:
     )
 
 
+def _precontract_local(edges: DataFrame) -> DataFrame:
+    """Partition-LOCAL union-find contraction: one Arrow pass that
+    rewrites the edge set as its flattened spanning forest (vertex →
+    partition-local min root). Exact and connectivity-preserving — each
+    input edge (u, v) is represented by u→r, v→r through the shared
+    local root r, and a vertex seen in several partitions bridges them
+    by appearing in each partition's forest — so the star rounds
+    downstream compute the identical components.
+
+    Why: the star kernel's cost model is rounds × fixed scheduler
+    latency (SCALE.md, round-9: per-round cost is ~4 shuffle stages of
+    task latency, not data). Rounds track log(diameter), and this pass
+    collapses every path that lands inside one partition to diameter
+    <= 2 BEFORE the first shuffle, the same move as a map-side combine:
+    the sf0.1 order chains (one customer's chain is contiguous in the
+    upstream window partitioning) contract to stars in round 0 and the
+    distributed loop converges in 1-2 rounds instead of 5+ (A/B in
+    SCALE.md). The 100-TB view: per-partition memory is one dict over
+    the partition's vertices (~a few million for 128 MB of edges —
+    bounded by input split size, never by graph size), work is
+    linear-with-inverse-Ackermann, and the output never exceeds the
+    input edge count.
+    """
+
+    dtypes = dict(edges.dtypes)
+    schema = f"src {dtypes['src']}, dst {dtypes['dst']}"
+
+    def contract(batches):
+        import pandas as pd
+
+        parent = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for pdf in batches:
+            for u, v in zip(pdf["src"], pdf["dst"]):
+                ru, rv = find(u), find(v)
+                if ru != rv:
+                    if rv < ru:
+                        ru, rv = rv, ru
+                    parent[rv] = ru  # union-by-min: roots stay minima
+        out_u, out_r = [], []
+        for x in list(parent):
+            r = find(x)
+            if r != x:
+                out_u.append(x)
+                out_r.append(r)
+        if out_u:
+            yield pd.DataFrame({"src": out_u, "dst": out_r})
+
+    return edges.mapInPandas(contract, schema)
+
+
 def connected_components_star(
     vertices: DataFrame,
     edges: DataFrame,
@@ -139,6 +198,7 @@ def connected_components_star(
     src_col: str = "src",
     dst_col: str = "dst",
     max_iter: int = 40,
+    pre_contract: bool = True,
 ) -> tuple[DataFrame, int]:
     """Alternating large-star / small-star contraction — the
     O(log n)-round connected components of Kiveris et al., "Connected
@@ -164,18 +224,32 @@ def connected_components_star(
     component's diameter) with a constant per-round plan —
     ``localCheckpoint`` per round truncates lineage exactly like the
     min-label kernel. Convergence is VERIFIED (fixpoint edge set), not
-    assumed; raises past ``max_iter``.
+    assumed; raises past ``max_iter``. ``pre_contract`` (default on)
+    runs the exact partition-local union-find pass first
+    (``_precontract_local``): identical labels, but the rounds start
+    from per-partition diameter <= 2 — the round-10 answer to the
+    per-round scheduler floor (A/B in SCALE.md).
 
     Reference: massimostanzione/distgrep has no graph operators
     (worker.go:24-43 is grep-only); this is the brief's analytics
     extension surface.
     """
-    cur = (
-        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-        .where(F.col("src") != F.col("dst"))
-        .distinct()
-        .localCheckpoint()
-    )
+    cur = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).where(F.col("src") != F.col("dst"))
+    if pre_contract:
+        # Round-0 local contraction (exact; see _precontract_local),
+        # applied on the input's NATURAL partitioning and INSTEAD of the
+        # initial distinct — union-find subsumes duplicate edges, and a
+        # distinct-first order was measured NET NEGATIVE at x64 (48 s vs
+        # 33 s baseline): its hash shuffle scatters each chain across
+        # partitions, so the local pass finds nothing and still pays the
+        # Python walk. Narrow ops only up to here, so upstream locality
+        # (a window's partition-contiguous chains) reaches the pass.
+        cur = _precontract_local(cur)
+    else:
+        cur = cur.distinct()
+    cur = cur.localCheckpoint()
 
     def _sig(df: DataFrame):
         # one aggregate job over the just-checkpointed edges: (count,

@@ -183,7 +183,36 @@ def test_star_cc_rounds_are_logarithmic_on_a_path(spark):
 
 
 def test_star_cc_convergence_guard_raises(spark):
+    """pre_contract=False isolates the guard: with the local pass on, a
+    path that fits one partition collapses to a star in round 0 and
+    max_iter=1 legitimately suffices."""
     import pytest as _pytest
 
     with _pytest.raises(RuntimeError, match="did not converge"):
-        _cc_star(spark, 40, [(i, i + 1) for i in range(39)], max_iter=1)
+        _cc_star(
+            spark, 40, [(i, i + 1) for i in range(39)],
+            max_iter=1, pre_contract=False,
+        )
+
+
+def test_star_cc_precontract_matches_plain_on_all_shapes(spark):
+    """The partition-local union-find pass is exact: labels with
+    pre_contract on and off must both equal the union-find ground truth
+    on every adversarial shape, and the pre-contracted run may never
+    need MORE rounds."""
+    import random
+
+    rng = random.Random(11)
+    cases = [
+        (6, [(0, 1), (1, 2), (2, 3), (3, 4)]),
+        (8, [(0, i) for i in range(1, 7)]),
+        (64, [(i + 1, i) for i in range(63)]),
+        (120, [(rng.randrange(120), rng.randrange(120)) for _ in range(100)]),
+    ]
+    for n, edges in cases:
+        truth = _uf_components(n, edges)
+        got_pre, rounds_pre = _cc_star(spark, n, edges, pre_contract=True)
+        got_plain, rounds_plain = _cc_star(spark, n, edges, pre_contract=False)
+        assert got_pre == truth
+        assert got_plain == truth
+        assert rounds_pre <= rounds_plain
