@@ -401,17 +401,19 @@ def test_new_queries_carry_ladder_rows():
         .read()
         .split()
     )
+    # round-10 (verdict ask #6): the shrink-only list reached zero in
+    # round 9 — pin it empty so the lint is a strict one-set compare
+    # (EVERY registered query carries a ladder row, forever).
+    assert grand == set(), (
+        f"ladder grandfathered list must stay empty, found: {sorted(grand)}"
+    )
     with open(os.path.join(root, "LADDER.json")) as f:
         ladder = json.load(f)
-    missing = sorted(
-        n for n in q.QUERIES if n not in grand and n not in ladder
-    )
+    missing = sorted(n for n in q.QUERIES if n not in ladder)
     assert not missing, (
-        f"new queries without a ladder row: {missing}; run "
+        f"queries without a ladder row: {missing}; run "
         "`python tools/ladder.py <name>`"
     )
-    stale = sorted(grand - set(q.QUERIES))
-    assert not stale, f"grandfathered names no longer registered: {stale}"
     flagged = sorted(
         n for n, v in ladder.items()
         if v.get("flagged") and n in q.QUERIES

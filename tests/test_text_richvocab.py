@@ -1,0 +1,142 @@
+"""Non-vacuity pins for the vocabulary-sensitive operators (round-9
+verdict ask #4): the fixture corpus has 31 distinct tokens at every SF
+(CLAUDE.md, measured), so these four operators pass their oracles there
+without their DISCRIMINATING machinery ever firing. Each test runs the
+OPERATOR on a deterministic rich-vocabulary corpus
+(tools/plant_richvocab.build — seeded, Zipf token draws, lang-rotated
+vocab slices, BM25 query terms pinned at spread frequency ranks) and
+asserts the signal the operator exists to produce, not just rows > 0.
+Full DuckDB parity on the same corpus is swept separately
+(SPARK_GRAFT_ORACLE_SF_DIR=/tmp/richvocab, SCALE.md round-10 entry)."""
+
+from __future__ import annotations
+
+import pytest
+
+import distgrep_spark.queries as q
+from tools.plant_richvocab import build
+
+
+@pytest.fixture(scope="module")
+def rich_dir(tmp_path_factory):
+    out = tmp_path_factory.mktemp("richvocab")
+    return build(
+        str(out / "corpus"),
+        "/root/testdata/sf0.001",
+        n_docs=600,
+        n_vocab=1024,
+    )
+
+
+def test_bpe_merge_candidates_are_nonuniform(spark, rich_dir):
+    """The merge ranking must DISCRIMINATE: 20 candidates exist (the 31-
+    token fixture caps the pair table at 31x31 and makes every rank
+    boundary fragile), counts strictly descend somewhere (top1 > top20 —
+    a flat table means the 'next merge' choice is arbitrary), and the
+    winning pair occurs more than once (a real fusion candidate)."""
+    rows = {
+        r["merge_rank"]: r
+        for r in q.QUERIES["text_bpe_merge_step"](spark, rich_dir).collect()
+    }
+    assert len(rows) == 20
+    assert rows[1]["n"] > rows[20]["n"], "flat pair counts: ranking vacuous"
+    assert rows[1]["n"] >= 2
+
+
+def test_vocab_oov_cut_partitions_every_source(spark, rich_dir):
+    """The top-K vocabulary cut must BITE on both sides for every
+    source: 0 < oov_rate < 1 (on the fixture this only holds because
+    K=16 < 31; at any production-shaped vocabulary the rich corpus
+    keeps it true structurally)."""
+    rows = q.QUERIES["text_vocab_oov_rate"](spark, rich_dir).collect()
+    assert len(rows) == 8
+    for r in rows:
+        assert 0 < r["oov_tokens"] < r["total_tokens"], r
+        assert 0.0 < r["oov_rate"] < 1.0, r
+
+
+def test_bm25_scores_discriminate_within_each_query(spark, rich_dir):
+    """BM25's ranking must carry idf signal: both fixed queries return a
+    full top-10 and the scores within a query are NOT constant (the
+    planted corpus pins the query terms at frequency ranks spread by
+    orders of magnitude, so tf/dl/idf variation must show up)."""
+    rows = q.QUERIES["text_bm25_topk"](spark, rich_dir).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r["score"])
+    assert set(by_q) == {0, 1}
+    for qid, scores in by_q.items():
+        assert len(scores) == 10
+        assert max(scores) > min(scores), f"query {qid}: constant scores"
+
+
+def _reference_bpe(texts: dict[int, str], k: int = 4):
+    """Plain-Python reference BPE applier: train the top-k (count DESC,
+    pair ASC) adjacent-pair table with a != b from one pass, then for
+    each rank fuse all left-to-right non-overlapping occurrences."""
+    from collections import Counter
+
+    toks = {d: t.split() for d, t in texts.items()}
+    pairs = Counter()
+    for t in toks.values():
+        for x, y in zip(t, t[1:]):
+            if x != y:
+                pairs[(x, y)] += 1
+    merges = sorted(pairs, key=lambda p: (-pairs[p], p))[:k]
+    for a, b in merges:
+        fused = f"{a}+{b}"
+        for d, t in toks.items():
+            out, i = [], 0
+            while i < len(t):
+                if i + 1 < len(t) and t[i] == a and t[i + 1] == b:
+                    out.append(fused)
+                    i += 2
+                else:
+                    out.append(t[i])
+                    i += 1
+            toks[d] = out
+    return toks
+
+
+def test_bpe_encode_matches_reference_python_bpe(spark, rich_dir):
+    """Ask #5's 'Done =': the encode kernel's full per-doc sequences
+    (pinned by encoded_md5) must equal a reference Python BPE applier on
+    the rich corpus, and the merges must actually FIRE (the fixture's
+    31-token corpus can't certify a 4096-token merge table)."""
+    import hashlib
+
+    import duckdb
+
+    texts = dict(
+        duckdb.connect().execute(
+            f"SELECT doc_id, trim(text) FROM "
+            f"'{rich_dir}/documents.parquet/*.parquet'"
+        ).fetchall()
+    )
+    expect = _reference_bpe(texts)
+    rows = q.QUERIES["text_bpe_encode"](spark, rich_dir).collect()
+    assert len(rows) == len(texts)
+    merged_docs = 0
+    for r in rows:
+        ref = expect[r["doc_id"]]
+        assert r["n_encoded"] == len(ref), r["doc_id"]
+        assert r["n_merged"] == r["n_raw"] - len(ref)
+        ref_md5 = hashlib.md5(" ".join(ref).encode()).hexdigest()
+        assert r["encoded_md5"] == ref_md5, r["doc_id"]
+        merged_docs += r["n_merged"] > 0
+    assert merged_docs > 0, "no merge ever fired: encode kernel vacuous"
+
+
+def test_dsir_importance_prefers_target_language(spark, rich_dir):
+    """DSIR's whole point: the top-100 selection must be ENRICHED in the
+    target ('en') slice relative to its corpus share (60%), and the
+    scores must spread. The lang-rotated vocabulary slices make
+    en-trigrams genuinely more target-like, so a correct importance
+    ratio concentrates them; a vacuous score (all-equal ratios) would
+    select ~at the corpus rate."""
+    rows = q.QUERIES["text_dsir_importance"](spark, rich_dir).collect()
+    assert len(rows) == 100
+    scores = [r["score_num"] for r in rows]
+    assert max(scores) > min(scores), "constant importance scores"
+    en_frac = sum(1 for r in rows if r["lang"] == "en") / len(rows)
+    assert en_frac > 0.70, f"top-100 en fraction {en_frac} not enriched vs 0.60"
