@@ -2038,6 +2038,125 @@ def q_text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_train_oracle(k: int) -> str:
+    """Unrolled k-round BPE-training twin (the _pagerank_oracle
+    pattern): round r counts adjacent pairs over the corpus AS MERGED BY
+    rounds 1..r-1, takes the top-1 (n DESC, a, b) pair with a != b, and
+    rewrites every document. s{r}/toks are multi-referenced (pair count
+    of round r+1 AND rewrite of round r) -> AS MATERIALIZED, or DuckDB
+    re-executes the whole chain per reference, exponentially (CLAUDE.md
+    inlined-CTE lessons)."""
+    parts = [
+        r"""
+    WITH s0 AS MATERIALIZED (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+    )"""
+    ]
+    for r in range(1, k + 1):
+        parts.append(f"""
+    , p{r} AS (
+      SELECT t[i] AS a, t[i+1] AS b, CAST(count(*) AS BIGINT) AS n
+      FROM s{r - 1},
+        LATERAL unnest(generate_series(1, greatest(len(t) - 1, 0))) AS u(i)
+      WHERE t[i] <> t[i+1]
+      GROUP BY 1, 2
+    ),
+    m{r} AS MATERIALIZED (
+      SELECT a, b, n FROM p{r} ORDER BY n DESC, a, b LIMIT 1
+    ),
+    s{r} AS MATERIALIZED (
+      SELECT doc_id,
+             list_filter(list_transform(generate_series(1, len(t)), i ->
+               CASE WHEN t[i] = b AND t[i-1] = a THEN NULL
+                    WHEN t[i] = a AND t[i+1] = b THEN a || '+' || b
+                    ELSE t[i] END), x -> x IS NOT NULL) AS t
+      FROM s{r - 1} CROSS JOIN m{r}
+    )""")
+    selects = "\n    UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS merge_rank, a AS pair_a,"
+        f" b AS pair_b, n FROM m{r}"
+        for r in range(1, k + 1)
+    )
+    return "".join(parts) + "\n    " + selects
+
+
+_BPE_TRAIN_K = 4
+
+
+@query("text_bpe_train_k", oracle=_bpe_train_oracle(_BPE_TRAIN_K))
+def q_text_bpe_train_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL BPE training loop, k=4 rounds — the iterative trainer
+    between `text_bpe_merge_step` (one round's pair count, static
+    corpus) and `text_bpe_encode` (applying a finished table): round r
+    counts adjacent pairs over the corpus AS MERGED by rounds 1..r-1,
+    fuses the argmax pair, and repeats — so later merges can and do
+    select fused symbols (real BPE's defining property; the pytest
+    reference-trainer comparison on the rich corpus certifies it).
+    Emits the learned merge table: (merge_rank, pair_a, pair_b, n at
+    selection time). One documented deviation, shared with the encode
+    kernel: candidate pairs require a != b, which makes each round's
+    occurrences non-overlapping by construction and the per-round
+    rewrite a closed-form array map (no sequential scan; same
+    try_element_at/greatest guards as text_bpe_encode).
+
+    Iteration driver (the graph_pagerank_converged discipline): the
+    merged corpus is localCheckpoint'd per round — it feeds BOTH the
+    next pair count and the next rewrite, and an unchecked fan-out
+    re-executes the whole merge chain per consumer (the Spark
+    CTE-inlining lesson); the argmax pair is a bounded 1-row codebook
+    pull, deterministic cross-engine ((n DESC, a, b) over exact BIGINT
+    counts). The DuckDB twin unrolls k rounds with every
+    multi-referenced CTE MATERIALIZED.
+
+    The 100-TB view: per round, ONE map-side-combined exchange keyed on
+    the pair vocabulary (never the corpus) + one embarrassingly-parallel
+    rewrite; k rounds = k such passes with constant plan shape. In
+    production k is 32k-256k, run from periodic corpus SNAPSHOTS of the
+    pair table rather than full repasses — the per-round kernel is
+    identical. Reference: Sennrich et al. 2016; massimostanzione/
+    distgrep is grep-only (worker.go:33-42), tokenizer surface per the
+    brief's text-analysis north star."""
+    from distgrep_spark.functions.textfns import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    cur = docs.select("doc_id", tokens(F.col("text")).alias("t")).localCheckpoint()
+    merges: list[tuple[int, str, str, int]] = []
+    for r in range(1, _BPE_TRAIN_K + 1):
+        top = (
+            cur.selectExpr(
+                "explode(CASE WHEN size(t) < 2 THEN array() ELSE "
+                "transform(sequence(1, size(t) - 1), i -> "
+                "struct(try_element_at(t, i) AS a,"
+                "       try_element_at(t, i + 1) AS b)) END) AS p"
+            )
+            .where("p.a <> p.b")
+            .groupBy("p.a", "p.b")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), "a", "b")
+            .limit(1)
+            .collect()  # bounded 1-row argmax pull, deterministic order
+        )
+        if not top:
+            break
+        a, b, n = top[0]["a"], top[0]["b"], top[0]["n"]
+        merges.append((r, a, b, int(n)))
+        cur = cur.selectExpr(
+            "doc_id",
+            "CASE WHEN size(t) < 2 THEN t ELSE "
+            "filter(transform(sequence(1, size(t)), i -> "
+            f"CASE WHEN try_element_at(t, i) = '{b}' AND i > 1"
+            f"          AND try_element_at(t, greatest(i - 1, 1)) = '{a}'"
+            "          THEN CAST(NULL AS STRING) "
+            f"     WHEN try_element_at(t, i) = '{a}'"
+            f"          AND try_element_at(t, i + 1) = '{b}'"
+            f"          THEN '{a}+{b}' "
+            "     ELSE try_element_at(t, i) END), x -> x IS NOT NULL) END AS t",
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        merges, "merge_rank bigint, pair_a string, pair_b string, n bigint"
+    )
+
+
 @query(
     "embed_pca_power_step",
     oracle="""

@@ -127,6 +127,69 @@ def test_bpe_encode_matches_reference_python_bpe(spark, rich_dir):
     assert merged_docs > 0, "no merge ever fired: encode kernel vacuous"
 
 
+def _reference_bpe_train(texts: dict[int, str], k: int = 4):
+    """Reference k-round BPE TRAINER: each round counts adjacent pairs
+    (a != b) over the corpus as merged so far, fuses the (count DESC,
+    pair ASC) argmax everywhere left-to-right, repeats."""
+    from collections import Counter
+
+    toks = {d: t.split() for d, t in texts.items()}
+    out = []
+    for r in range(1, k + 1):
+        pairs = Counter()
+        for t in toks.values():
+            for x, y in zip(t, t[1:]):
+                if x != y:
+                    pairs[(x, y)] += 1
+        if not pairs:
+            break
+        a, b = min(pairs, key=lambda p: (-pairs[p], p))
+        out.append((r, a, b, pairs[(a, b)]))
+        fused = f"{a}+{b}"
+        for d, t in toks.items():
+            new, i = [], 0
+            while i < len(t):
+                if i + 1 < len(t) and t[i] == a and t[i + 1] == b:
+                    new.append(fused)
+                    i += 2
+                else:
+                    new.append(t[i])
+                    i += 1
+            toks[d] = new
+    return out
+
+
+def test_bpe_train_loop_matches_reference_and_learns_fused_symbols(
+    spark, rich_dir
+):
+    """The k-round trainer must equal the reference trainer exactly
+    (rank, pair, count at selection time) — and on a corpus this rich
+    the loop's defining property must FIRE: at least one later merge
+    selects a symbol fused by an earlier round (a static single-pass
+    pair count, text_bpe_merge_step's shape, can never produce that)."""
+    import duckdb
+
+    texts = dict(
+        duckdb.connect().execute(
+            f"SELECT doc_id, trim(text) FROM "
+            f"'{rich_dir}/documents.parquet/*.parquet'"
+        ).fetchall()
+    )
+    expect = _reference_bpe_train(texts)
+    rows = sorted(
+        (r["merge_rank"], r["pair_a"], r["pair_b"], r["n"])
+        for r in q.QUERIES["text_bpe_train_k"](spark, rich_dir).collect()
+    )
+    assert rows == expect
+    fused_inputs = [
+        (rank, a, b) for rank, a, b, _ in rows if "+" in a or "+" in b
+    ]
+    assert fused_inputs, (
+        "no merge ever consumed a fused symbol: the loop is "
+        "indistinguishable from a static pair count on this corpus"
+    )
+
+
 def test_dsir_importance_prefers_target_language(spark, rich_dir):
     """DSIR's whole point: the top-100 selection must be ENRICHED in the
     target ('en') slice relative to its corpus share (60%), and the

@@ -99,7 +99,17 @@ def build(
         off = (lang_off[lang] + (i % 8) * 17) % n
         length = rng.randint(20, 120)
         ranks = rng.choices(range(n), weights=weights, k=length)
-        text = " ".join(vocab[(r + off) % n] for r in ranks)
+        toks = [vocab[(r + off) % n] for r in ranks]
+        if i % 5 < 2:  # 40% of docs carry the collocation
+            # A fixed 4-token COLLOCATION (real language has them; pure
+            # Zipf sampling does not): its pair counts dominate the
+            # incidental bigrams, so an iterative BPE trainer's later
+            # merges must select FUSED symbols ((p1+p2, p3), ...) — the
+            # property that distinguishes the training loop from a
+            # static pair count (tests/test_text_richvocab.py pins it).
+            pos = rng.randrange(len(toks) + 1)
+            toks[pos:pos] = ["quorth", "blivet", "snarfle", "grackle"]
+        text = " ".join(toks)
         doc_ids.append(7_000_000_000 + i)
         texts.append(text)
         lang_col.append(lang)
