@@ -130,11 +130,16 @@ SCOREBOARD_PREFIX = [
     # round-9 eventtime-dedup swap)
     "graph_cc_star_converged",
     "corpus_curation_pipeline",
-    # round 6: dedup_embedding_cosine demoted (cosine machinery keeps
-    # three scored similarity rows — sim_cosine_topk / sim_ann_lsh_recall
-    # / sim_rrf_fusion — and the dedup family still holds six); the slot
-    # gives streaming its THIRD canonical stateful shape (see below)
-    "dedup_cross_corpus",
+    # round 10: dedup_cross_corpus demoted — it shares the capped
+    # posting-list engine with the scored dedup_ngram_jaccard_capped
+    # (tools/ladder.py's own allowlist documents them as one engine),
+    # the last redundant engine-pair in the window; it keeps its full
+    # oracle + planted-signal certification at the POST_PREFIX front.
+    # The slot gives the TOKENIZER family its scored representative:
+    # FLAGSHIP 7, the tokenizer-aware corpus-budgeting pipeline
+    # (BPE-encode -> per-source encoded-token mass -> sqrt-temperature
+    # mixture -> md5-ranked budget selection, all exact BIGINT).
+    "tokenizer_mixture_pipeline",
     # similarity / clustering (round 5: sim_ann_ivf_recall demoted —
     # the LSH gate keeps a recall row scored, and the fusion row
     # value-oracles BOTH the exact-L2 arm and the PQ-ADC compressed
@@ -201,6 +206,11 @@ SCOREBOARD_PREFIX = [
 # next entries it should spend rows on (distinct shapes before the
 # redundant grep/scalar/window variants that close the list).
 POST_PREFIX = [
+    # demoted round 10: slot went to tokenizer_mixture_pipeline (the
+    # capped posting-list engine keeps its scored row via
+    # dedup_ngram_jaccard_capped; cross-corpus decontamination keeps
+    # its full oracle + planted-signal certificate here)
+    "dedup_cross_corpus",
     # demoted round 10: slot went to graph_cc_star_converged (the
     # verified-fixpoint star-contraction CC); the fixed-k min-label
     # propagation keeps its full oracle and every local sweep

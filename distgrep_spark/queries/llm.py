@@ -1895,9 +1895,54 @@ def q_text_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("pair", "n", "merge_rank")
 
 
-@query(
-    "text_bpe_encode",
-    oracle=r"""
+# Shared BPE-apply machinery (text_bpe_encode / text_bpe_train_k /
+# tokenizer_mixture_pipeline): the per-rank rewrite expression and the
+# deterministic top-k merge-table codebook pull. Kept as ONE source of
+# truth so the three consumers can't drift (the _AQA_COUNTER_EXPRS rule).
+
+
+def _bpe_step_expr(a: str, b: str) -> str:
+    """Spark selectExpr fragment applying one (a, b) merge to array
+    column t (pass-through columns are listed by the caller). a != b makes
+    occurrences non-overlapping; try_element_at(t, 0) throws even under
+    try_, hence the greatest(i-1, 1) + i > 1 guard (see
+    q_text_bpe_encode's docstring)."""
+    return (
+        "CASE WHEN size(t) < 2 THEN t ELSE "
+        "filter(transform(sequence(1, size(t)), i -> "
+        f"CASE WHEN try_element_at(t, i) = '{b}' AND i > 1"
+        f"          AND try_element_at(t, greatest(i - 1, 1)) = '{a}'"
+        "          THEN CAST(NULL AS STRING) "
+        f"     WHEN try_element_at(t, i) = '{a}'"
+        f"          AND try_element_at(t, i + 1) = '{b}'"
+        f"          THEN '{a}+{b}' "
+        "     ELSE try_element_at(t, i) END), x -> x IS NOT NULL) END AS t"
+    )
+
+
+def _bpe_top_merges(toks, k: int):
+    """Bounded k-row codebook pull of the top adjacent pairs (count
+    DESC, a, b; a != b) from one static pass — deterministic
+    cross-engine (exact BIGINT counts, total order)."""
+    from distgrep_spark.functions.textfns import ngrams_of_tokens
+
+    return (
+        toks.select(F.explode(ngrams_of_tokens(F.col("t"), 2)).alias("pair"))
+        .selectExpr(
+            "split_part(pair, ' ', 1) AS a", "split_part(pair, ' ', 2) AS b"
+        )
+        .where("a <> b")
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "a", "b")
+        .limit(k)
+        .collect()
+    )
+
+
+# The encode twin's WITH-body (toks -> trained m -> s1..s4), shared by
+# text_bpe_encode and tokenizer_mixture_pipeline's oracles verbatim.
+_BPE_ENCODE_CTES = r"""
     WITH toks AS MATERIALIZED (
       SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
     ),
@@ -1952,7 +1997,12 @@ def q_text_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
                     WHEN t[i] = a4 AND t[i+1] = b4 THEN a4 || '+' || b4
                     ELSE t[i] END), x -> x IS NOT NULL) AS t
       FROM s3 CROSS JOIN m
-    )
+    )"""
+
+
+@query(
+    "text_bpe_encode",
+    oracle=_BPE_ENCODE_CTES + """
     SELECT doc_id, n_raw, CAST(len(t) AS BIGINT) AS n_encoded,
            n_raw - CAST(len(t) AS BIGINT) AS n_merged,
            md5(array_to_string(t, ' ')) AS encoded_md5
@@ -1996,38 +2046,15 @@ def q_text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     BPE applier. Reference: massimostanzione/distgrep is grep-only
     (worker.go:33-42); tokenizer surface per the brief's text-analysis
     north star; Sennrich et al. 2016 for the merge semantics."""
-    from distgrep_spark.functions.textfns import ngrams_of_tokens, tokens
+    from distgrep_spark.functions.textfns import tokens
 
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", tokens(F.col("text")).alias("t"))
-    merges = (
-        toks.select(F.explode(ngrams_of_tokens(F.col("t"), 2)).alias("pair"))
-        .selectExpr(
-            "split_part(pair, ' ', 1) AS a", "split_part(pair, ' ', 2) AS b"
-        )
-        .where("a <> b")
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy(F.desc("n"), "a", "b")
-        .limit(4)
-        .collect()  # bounded codebook pull: 4 rows, deterministic order
-    )
+    merges = _bpe_top_merges(toks, 4)
     cur = toks.selectExpr("doc_id", "CAST(size(t) AS BIGINT) AS n_raw", "t")
     for row in merges:
-        a, b = row["a"], row["b"]
-        fused = f"{a}+{b}"
         cur = cur.selectExpr(
-            "doc_id",
-            "n_raw",
-            "CASE WHEN size(t) < 2 THEN t ELSE "
-            "filter(transform(sequence(1, size(t)), i -> "
-            f"CASE WHEN try_element_at(t, i) = '{b}' AND i > 1"
-            f"          AND try_element_at(t, greatest(i - 1, 1)) = '{a}'"
-            "          THEN CAST(NULL AS STRING) "
-            f"     WHEN try_element_at(t, i) = '{a}'"
-            f"          AND try_element_at(t, i + 1) = '{b}'"
-            f"          THEN '{fused}' "
-            "     ELSE try_element_at(t, i) END), x -> x IS NOT NULL) END AS t",
+            "doc_id", "n_raw", _bpe_step_expr(row["a"], row["b"])
         )
     return cur.selectExpr(
         "doc_id",
@@ -2035,6 +2062,169 @@ def q_text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(size(t) AS BIGINT) AS n_encoded",
         "n_raw - CAST(size(t) AS BIGINT) AS n_merged",
         "md5(concat_ws(' ', t)) AS encoded_md5",
+    )
+
+
+@query(
+    "tokenizer_mixture_pipeline",
+    oracle=_BPE_ENCODE_CTES + """
+    , enc AS MATERIALIZED (
+      SELECT d.source, s4.doc_id, CAST(len(s4.t) AS BIGINT) AS n_enc
+      FROM s4 JOIN documents d USING (doc_id)
+    ),
+    src AS MATERIALIZED (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_enc) AS BIGINT) AS enc_tokens,
+             CAST(floor(sqrt(CAST(CAST(sum(n_enc) AS BIGINT) AS DOUBLE)))
+                  AS BIGINT) AS w
+      FROM enc GROUP BY source
+    ),
+    tot AS (
+      SELECT CAST((6 * sum(enc_tokens)) // 10 AS BIGINT) AS budget,
+             CAST(sum(w) AS BIGINT) AS sw
+      FROM src
+    ),
+    alloc AS MATERIALIZED (
+      SELECT s.source, s.n_docs, s.enc_tokens, s.w,
+             s.w * (t.budget // t.sw)
+               + (s.w * (t.budget % t.sw)) // t.sw AS alloc_tokens
+      FROM src s CROSS JOIN tot t
+    ),
+    ranked AS (
+      SELECT e.source, e.doc_id, e.n_enc,
+             sum(e.n_enc) OVER (PARTITION BY e.source
+               ORDER BY md5('pipe:' || CAST(e.doc_id AS STRING)), e.doc_id
+               ROWS UNBOUNDED PRECEDING) AS cum
+      FROM enc e
+    )
+    SELECT a.source, a.n_docs, a.enc_tokens, a.w AS weight,
+           CAST(a.alloc_tokens AS BIGINT) AS alloc_tokens,
+           CAST(coalesce(CAST(sum(CASE WHEN r.cum <= a.alloc_tokens
+                                       THEN 1 ELSE 0 END) AS BIGINT), 0)
+                AS BIGINT) AS kept_docs,
+           CAST(coalesce(CAST(sum(CASE WHEN r.cum <= a.alloc_tokens
+                                       THEN r.n_enc ELSE 0 END) AS BIGINT), 0)
+                AS BIGINT) AS kept_tokens,
+           CASE WHEN a.alloc_tokens = 0 THEN NULL
+                ELSE CAST(coalesce(CAST(sum(CASE WHEN r.cum <= a.alloc_tokens
+                                                 THEN r.n_enc ELSE 0 END)
+                                        AS BIGINT), 0) AS DOUBLE)
+                     / CAST(a.alloc_tokens AS DOUBLE) END AS fill_rate
+    FROM alloc a LEFT JOIN ranked r ON r.source = a.source
+    GROUP BY a.source, a.n_docs, a.enc_tokens, a.w, a.alloc_tokens
+    """,
+)
+def q_tokenizer_mixture_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAGSHIP 7 — the tokenizer-aware corpus-budgeting pipeline, the
+    composition the round-9 verdict's ask #5 motivated ('the thing every
+    mixture/budget/packing operator downstream actually consumes'):
+    (1) BPE-ENCODE every document with the trained top-4 merge table
+    (the text_bpe_encode kernel, shared machinery); (2) roll ENCODED
+    token mass per source; (3) temperature-mixture the sources at
+    tau = 0.5 — weight = floor(sqrt(mass)), the one tau whose
+    transcendental is cross-engine exact (sqrt is correctly rounded by
+    spec; ln/pow are not — CLAUDE.md transcendental rule); (4) allocate
+    a 60%-of-corpus token budget by weight and select each source's
+    documents by content-addressed md5 rank until its allocation is
+    filled (the corpus_source_cap resharding-stable order), reporting
+    kept docs/tokens and the fill rate.
+
+    Exactness: allocation uses the identity (B*w) DIV S =
+    w*(B DIV S) + (w*(B MOD S)) DIV S — every term stays inside BIGINT
+    even at 100-TB token masses (w*(B MOD S) < w*S ~ mass^1.5 per
+    SOURCE-count, vs the naive B*w ~ mass^2 which overflows two decades
+    up: the orders_gini_spend accumulator lesson applied at design
+    time). Cumulative sums and comparisons are exact BIGINT; the only
+    IEEE ops are floor(sqrt(...)) (deterministic both engines) and the
+    final fill-rate division.
+
+    The 100-TB shape: encode is 100% map-side (zero exchanges); the
+    source rollup map-side-combines to |sources| rows; the mixture is
+    arithmetic over that bounded table (1-row broadcast of the budget
+    scalars); selection is one per-source window over the enc rollup —
+    partitioned by source, so it parallelizes across sources (a single
+    pathological mega-source would take the distrank bucketed-cumsum
+    form, as pack_token_budget demonstrates on the global axis).
+    DuckDB twin shares _BPE_ENCODE_CTES verbatim; enc/src/alloc are
+    MATERIALIZED (multi-referenced). Reference: massimostanzione/
+    distgrep is grep-only; composition surface per SURVEY.md §2.2
+    (flagship pipelines); Sennrich 2016 (BPE); the tau-weighted
+    mixture is the corpus_unimax_waterfill/mix_temperature family
+    applied to encoded-token mass."""
+    from distgrep_spark.functions.textfns import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", "source", tokens(F.col("text")).alias("t"))
+    merges = _bpe_top_merges(toks, 4)
+    cur = toks
+    for row in merges:
+        cur = cur.selectExpr(
+            "doc_id", "source", _bpe_step_expr(row["a"], row["b"])
+        )
+    enc = cur.selectExpr(
+        "source", "doc_id", "CAST(size(t) AS BIGINT) AS n_enc"
+    ).localCheckpoint()  # fans out to src rollup AND ranked window
+    src = enc.groupBy("source").agg(
+        F.expr("CAST(count(*) AS BIGINT) AS n_docs"),
+        F.expr("CAST(sum(n_enc) AS BIGINT) AS enc_tokens"),
+        F.expr(
+            "CAST(floor(sqrt(CAST(CAST(sum(n_enc) AS BIGINT) AS DOUBLE)))"
+            " AS BIGINT) AS w"
+        ),
+    )
+    tot = src.agg(
+        F.expr("CAST((6 * sum(enc_tokens)) DIV 10 AS BIGINT) AS budget"),
+        F.expr("CAST(sum(w) AS BIGINT) AS sw"),
+    )
+    alloc = src.crossJoin(F.broadcast(tot)).selectExpr(
+        "source",
+        "n_docs",
+        "enc_tokens",
+        "w",
+        "w * (budget DIV sw) + (w * (budget % sw)) DIV sw AS alloc_tokens",
+    )
+    ranked = enc.selectExpr(
+        "source",
+        "doc_id",
+        "n_enc",
+        "sum(n_enc) OVER (PARTITION BY source"
+        " ORDER BY md5(concat('pipe:', CAST(doc_id AS STRING))), doc_id"
+        " ROWS UNBOUNDED PRECEDING) AS cum",
+    )
+    return (
+        # inner == the twin's LEFT JOIN structurally: every alloc source
+        # exists in ranked (alloc derives from enc's own rollup), and
+        # inner keeps the bounded alloc side broadcastable (build-right
+        # broadcast is unsupported under RIGHT OUTER)
+        ranked.join(F.broadcast(alloc), "source")
+        .groupBy("source", "n_docs", "enc_tokens", "w", "alloc_tokens")
+        .agg(
+            F.expr(
+                "CAST(coalesce(CAST(sum(CASE WHEN cum <= alloc_tokens"
+                " THEN 1 ELSE 0 END) AS BIGINT), 0) AS BIGINT) AS kept_docs"
+            ),
+            F.expr(
+                "CAST(coalesce(CAST(sum(CASE WHEN cum <= alloc_tokens"
+                " THEN n_enc ELSE 0 END) AS BIGINT), 0) AS BIGINT)"
+                " AS kept_tokens"
+            ),
+            F.expr(
+                "CASE WHEN alloc_tokens = 0 THEN NULL"
+                " ELSE CAST(coalesce(CAST(sum(CASE WHEN cum <= alloc_tokens"
+                " THEN n_enc ELSE 0 END) AS BIGINT), 0) AS DOUBLE)"
+                " / CAST(alloc_tokens AS DOUBLE) END AS fill_rate"
+            ),
+        )
+        .selectExpr(
+            "source",
+            "n_docs",
+            "enc_tokens",
+            "w AS weight",
+            "CAST(alloc_tokens AS BIGINT) AS alloc_tokens",
+            "kept_docs",
+            "kept_tokens",
+            "fill_rate",
+        )
     )
 
 

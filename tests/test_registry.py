@@ -257,7 +257,7 @@ _SCALE_GRANDFATHERED = {
     "orders_interpurchase_gaps",
     "orders_price_volume_decomposition", "orders_rfm_quartiles",
     "orders_seasonal_naive_mae", "orders_survival_empirical",
-    "pack_token_budget", "part_abc_xyz_classification",
+    "part_abc_xyz_classification",
     "part_skyline_pareto", "pivot_status_totals",
     "profile_column_stats", "profile_key_skew",
     "sample_neyman_allocation", "sample_reservoir_per_key",

@@ -190,6 +190,27 @@ def test_bpe_train_loop_matches_reference_and_learns_fused_symbols(
     )
 
 
+def test_tokenizer_mixture_pipeline_selection_discriminates(spark, rich_dir):
+    """The flagship's budget selection must BITE: with a 60% budget and
+    sqrt-temperature weights, at least one source is truncated
+    (0 < kept_docs < n_docs), no source exceeds its allocation
+    (kept_tokens <= alloc_tokens), every kept count is consistent, and
+    the weights differ across sources (the mixture is not uniform)."""
+    rows = q.QUERIES["tokenizer_mixture_pipeline"](spark, rich_dir).collect()
+    assert len(rows) == 8
+    weights = {r["weight"] for r in rows}
+    assert len(weights) > 1, "uniform weights: temperature mixture vacuous"
+    truncated = 0
+    for r in rows:
+        assert r["kept_tokens"] <= r["alloc_tokens"], r
+        assert 0 <= r["kept_docs"] <= r["n_docs"], r
+        if 0 < r["kept_docs"] < r["n_docs"]:
+            truncated += 1
+        if r["alloc_tokens"] > 0:
+            assert 0.0 <= r["fill_rate"] <= 1.0, r
+    assert truncated > 0, "no source truncated: the budget never bound"
+
+
 def test_dsir_importance_prefers_target_language(spark, rich_dir):
     """DSIR's whole point: the top-100 selection must be ENRICHED in the
     target ('en') slice relative to its corpus share (60%), and the
