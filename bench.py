@@ -53,6 +53,12 @@ HEADLINE = [
     # round 9 continuation: the annotation/eval-QA flagship (cell-
     # collapsed kappa gate -> Dawid-Skene relabel -> gold audit)
     "annotation_qa_pipeline",
+    # round 10: the verified-fixpoint CC kernel (pre-contraction took
+    # its sf0.1 wall 6.99 -> ~2.5 s) and the tokenizer-aware budgeting
+    # flagship (BPE-encode -> sqrt-temperature mixture -> md5-ranked
+    # selection) — the two new scored rows
+    "graph_cc_star_converged",
+    "tokenizer_mixture_pipeline",
 ]
 
 
