@@ -811,3 +811,43 @@ def test_session_variables_battery_is_idempotent_and_threads_value(spark):
     ns = sum(r[1] for r in a)
     nbig = sum(r[2] for r in a)
     assert 0 < nbig < ns
+
+
+def test_dp_quantile_expmech_matches_python_reference(spark):
+    """Independent oracle for the exponential-mechanism DP median: a
+    plain-Python replica of the integer mechanism (64-candidate grid,
+    base-2 weights, 36-bit md5 threshold) must pick the identical
+    bucket, and the mechanism must be USEFUL — the released cut within
+    a few buckets of the true median (base-2 weights at N ~ thousands
+    make far buckets exponentially improbable for any threshold)."""
+    import hashlib
+
+    import duckdb
+
+    STEP = 937500
+    cents = [
+        r[0]
+        for r in duckdb.connect().execute(
+            f"SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT)"
+            f" FROM '{SF}/orders.parquet'"
+        ).fetchall()
+    ]
+    n = len(cents)
+    ranks = [sum(1 for c in cents if c <= j * STEP) for j in range(1, 65)]
+    weights = [1 << (20 - (abs(2 * r - n) * 20) // max(n, 1)) for r in ranks]
+    h36 = int(hashlib.md5(b"dpq:v1").hexdigest()[:9], 16)
+    t = (h36 * sum(weights)) // (1 << 36)
+    cum = 0
+    for j, w in enumerate(weights, start=1):
+        cum += w
+        if cum > t:
+            j_dp = j
+            break
+    j_true = next(j for j, r in enumerate(ranks, start=1) if 2 * r >= n)
+
+    row = q.QUERIES["privacy_dp_quantile_expmech"](spark, SF).collect()[0]
+    assert row["n"] == n
+    assert row["dp_median_cents"] == j_dp * STEP
+    assert row["true_median_cents"] == j_true * STEP
+    assert row["bucket_error"] == abs(j_dp - j_true)
+    assert row["bucket_error"] <= 3, "mechanism picked a far bucket"

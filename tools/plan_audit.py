@@ -38,6 +38,7 @@ SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 # (customers, parts, users, docs) must use operators/distrank.py instead —
 # tests/test_registry.py enforces this set against PLAN_AUDIT.json.
 SP_WINDOW_ALLOWLIST = {
+    "privacy_dp_quantile_expmech": "rank/weight cumsum windows over the FIXED 64-row public candidate grid (the grid is a mechanism constant, never data-sized)",
     "eval_winrate_wilson": "two rank() windows over the 25-row brand rollup (bounded by the brand dimension at any corpus size)",
     "stats_ks_two_sample": "cumulative ECDF over the ~400-row value-bucket table",
     "corpus_token_budget_allocation": "largest-remainder window over the source dimension (handful of rows)",
