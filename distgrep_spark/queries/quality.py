@@ -2970,6 +2970,95 @@ def q_privacy_dp_quantile_expmech(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@query(
+    "dq_split_leakage",
+    oracle="""
+    WITH assigned AS MATERIALIZED (
+      SELECT md5(text) AS th,
+             CASE WHEN doc_id % 10 < 8 THEN 'train'
+                  WHEN doc_id % 10 = 8 THEN 'val'
+                  ELSE 'test' END AS id_split,
+             CASE WHEN substr(md5(text), 1, 2) < 'cc' THEN 'train'
+                  WHEN substr(md5(text), 1, 2) < 'e6' THEN 'val'
+                  ELSE 'test' END AS content_split
+      FROM documents
+    ),
+    panels AS (
+      SELECT 'id_keyed' AS scheme,
+             CAST(count(*) AS BIGINT) AS leaked_texts,
+             CAST(coalesce(CAST(sum(n) AS BIGINT), 0) AS BIGINT) AS leaked_docs
+      FROM (
+        SELECT th, CAST(count(*) AS BIGINT) AS n
+        FROM assigned GROUP BY th HAVING count(DISTINCT id_split) > 1
+      )
+      UNION ALL
+      SELECT 'content_keyed' AS scheme,
+             CAST(count(*) AS BIGINT) AS leaked_texts,
+             CAST(coalesce(CAST(sum(n) AS BIGINT), 0) AS BIGINT) AS leaked_docs
+      FROM (
+        SELECT th, CAST(count(*) AS BIGINT) AS n
+        FROM assigned GROUP BY th HAVING count(DISTINCT content_split) > 1
+      )
+    )
+    SELECT scheme, leaked_texts, leaked_docs FROM panels
+    """,
+)
+def q_dq_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination AUDIT for split schemes — the report
+    that justifies content addressing: under an ID-keyed split (the
+    anti-pattern: doc_id % 10, which reshuffles whenever ids are
+    reassigned) an exact-duplicate text can straddle train and test;
+    under the content-addressed split (corpus_split_assign's md5-prefix
+    rule) identical texts land in one split BY CONSTRUCTION, so its
+    leakage panel is structurally zero — the audit proves the property
+    rather than assuming it. Emits one row per scheme: distinct leaked
+    texts (duplicate groups spanning >1 split) and the documents they
+    cover.
+
+    Fixture honesty: the corpus has exact-dup text groups ONLY at sf0.1
+    (CLAUDE.md, measured) — at smaller SFs both panels are legitimately
+    0/0 and the report still emits its two rows (the liveness lint is
+    on rows, not counts); the SIGNAL non-vacuity (id-keyed leaks > 0,
+    content-keyed = 0 on a corpus WITH dups) is pinned in pytest on a
+    planted-duplicate corpus, per the fixture note that dup-dependent
+    tests must plant their own.
+
+    The 100-TB shape: one scan -> md5 digests; the group-by shuffles
+    DIGESTS, not documents (the dedup_hash rule), map-side-combined;
+    both panels share the one assigned rollup (MATERIALIZED twin-side,
+    single-lineage Spark-side). Reference: massimostanzione/distgrep is
+    grep-only; DQ extension per SURVEY.md §2.2 (the dq_* family)."""
+    docs = load_table(spark, sf_dir, "documents")
+    assigned = docs.selectExpr(
+        "md5(text) AS th",
+        "CASE WHEN doc_id % 10 < 8 THEN 'train'"
+        "     WHEN doc_id % 10 = 8 THEN 'val'"
+        "     ELSE 'test' END AS id_split",
+        "CASE WHEN substr(md5(text), 1, 2) < 'cc' THEN 'train'"
+        "     WHEN substr(md5(text), 1, 2) < 'e6' THEN 'val'"
+        "     ELSE 'test' END AS content_split",
+    )
+    groups = assigned.groupBy("th").agg(
+        F.expr("CAST(count(*) AS BIGINT) AS n"),
+        F.expr("count(DISTINCT id_split) AS k_id"),
+        F.expr("count(DISTINCT content_split) AS k_content"),
+    )
+    return groups.agg(
+        F.expr("CAST(sum(CASE WHEN k_id > 1 THEN 1 ELSE 0 END) AS BIGINT)"
+               " AS id_texts"),
+        F.expr("CAST(sum(CASE WHEN k_id > 1 THEN n ELSE 0 END) AS BIGINT)"
+               " AS id_docs"),
+        F.expr("CAST(sum(CASE WHEN k_content > 1 THEN 1 ELSE 0 END)"
+               " AS BIGINT) AS c_texts"),
+        F.expr("CAST(sum(CASE WHEN k_content > 1 THEN n ELSE 0 END)"
+               " AS BIGINT) AS c_docs"),
+    ).selectExpr(
+        "stack(2, 'id_keyed', id_texts, id_docs,"
+        " 'content_keyed', c_texts, c_docs)"
+        " AS (scheme, leaked_texts, leaked_docs)"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Theta-sketch set algebra gate (intersection / difference estimates)
 # ---------------------------------------------------------------------------

@@ -851,3 +851,39 @@ def test_dp_quantile_expmech_matches_python_reference(spark):
     assert row["true_median_cents"] == j_true * STEP
     assert row["bucket_error"] == abs(j_dp - j_true)
     assert row["bucket_error"] <= 3, "mechanism picked a far bucket"
+
+
+def test_dq_split_leakage_panels_on_planted_duplicates(spark, tmp_path):
+    """Signal non-vacuity for the split-leakage audit (the fixture has
+    exact-dup groups only at sf0.1, so this plants its own): duplicate
+    texts whose doc_ids straddle the id-keyed split boundaries MUST
+    show up in the id_keyed panel, and the content-keyed panel MUST
+    stay zero by construction — including for those same planted dups."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    dup_a = "quill marrow vexing chalk"      # ids 3 (train) and 19 (test)
+    dup_b = "onyx tundra bramble sift"       # ids 8 (val) and 21 (train)
+    rows = [
+        (3, dup_a), (19, dup_a),
+        (8, dup_b), (21, dup_b),
+        (1, "solo text one"), (2, "solo text two"), (14, "solo text three"),
+    ]
+    ddir = tmp_path / "documents.parquet"
+    ddir.mkdir()
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array([d for d, _ in rows], pa.int64()),
+            "text": pa.array([t for _, t in rows], pa.string()),
+            "lang": pa.array(["en"] * len(rows), pa.string()),
+            "source": pa.array(["s0"] * len(rows), pa.string()),
+            "n_chars": pa.array([len(t) for _, t in rows], pa.int64()),
+        }),
+        str(ddir / "part-0.parquet"),
+    )
+    panels = {
+        r["scheme"]: (r["leaked_texts"], r["leaked_docs"])
+        for r in q.QUERIES["dq_split_leakage"](spark, str(tmp_path)).collect()
+    }
+    assert panels["id_keyed"] == (2, 4), panels
+    assert panels["content_keyed"] == (0, 0), panels

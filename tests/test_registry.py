@@ -224,9 +224,9 @@ _SCALE_GRANDFATHERED = {
     "agg_percentiles", "agg_rollup", "agg_rollup_grouping_id",
     "agg_skewness_kurtosis", "agg_string_agg_ordered",
     "agg_variance_exact", "agg_weighted_median", "conditional_case",
-    "corpus_split_assign", "corpus_token_budget_allocation",
+    "corpus_token_budget_allocation",
     "corpus_unimax_waterfill", "dedup_bloom_decontaminate",
-    "dedup_hash", "dedup_materialize",
+    "dedup_materialize",
     "dedup_url_canonical",
     "dq_constraint_checks", "dq_duplicate_payment_screen",
     "dq_order_total_reconciliation", "drift_tv_stability",
