@@ -304,6 +304,74 @@ def q_dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SPLIT_CASE = (
+    "CASE WHEN substr(md5({c}), 1, 2) < 'cc' THEN 'train'"
+    " WHEN substr(md5({c}), 1, 2) < 'e6' THEN 'val'"
+    " ELSE 'test' END"
+)
+
+
+@query(
+    "dq_split_leakage_neardup",
+    oracle=_CAPPED_POSTING_CORE
+    + f"""
+    , pairs AS (
+      SELECT doc_a, doc_b, c * 1.0 / (sa.n_grams + sb.n_grams - c) AS jaccard
+      FROM common
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+      WHERE c * 1.0 / (sa.n_grams + sb.n_grams - c) >= 0.5
+    )
+    SELECT doc_a, doc_b,
+           {_SPLIT_CASE.format(c='da.text')} AS split_a,
+           {_SPLIT_CASE.format(c='db.text')} AS split_b,
+           jaccard
+    FROM pairs
+      JOIN documents da ON doc_a = da.doc_id
+      JOIN documents db ON doc_b = db.doc_id
+    WHERE {_SPLIT_CASE.format(c='da.text')}
+          <> {_SPLIT_CASE.format(c='db.text')}
+    """,
+)
+def q_dq_split_leakage_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-duplicate train/test leakage — the contamination class
+    `dq_split_leakage`'s exact-dup audit CANNOT see and content
+    addressing CANNOT fix: near-duplicate texts hash to different md5s,
+    so the content-addressed split scatters them across train/val/test
+    independently (~2/3 of near-dup pairs straddle splits), and the
+    decontamination pass must run ACROSS split boundaries AFTER
+    assignment — exactly this query. Emits every >= 0.5-Jaccard trigram
+    near-dup pair whose endpoints landed in different content-addressed
+    splits (measured live at every fixture SF: the planted near-dups
+    straddle as predicted).
+
+    Engine: the max_df-capped posting-list Jaccard
+    (operators/dedup.ngram_jaccard_pairs — the 100-TB production plan,
+    same as the scored dedup_cross_corpus; the uncapped exact baseline
+    discipline lives in dedup_cross_corpus_exact). Split annotation is
+    a (doc_id -> split) projection riding the pipeline's existing
+    shuffles — the split rule is corpus_split_assign's md5-prefix CASE,
+    shared as one format string so the two queries cannot drift. At
+    100 TB this is the post-split decontamination gate a training run
+    blocks on; its answer feeds the doc-removal list, not a report.
+    Reference: massimostanzione/distgrep is grep-only; decontamination
+    per the brief's dedup north star (Lee et al. 2022 ExactSubstr/
+    near-dup; Brown et al. 2020 GPT-3 App. C for the cross-split
+    n-gram rule)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.5, max_df=8)
+    sc = _SPLIT_CASE.format(c="text")
+    split = docs.selectExpr("doc_id", f"{sc} AS split")
+    a = split.selectExpr("doc_id AS doc_a", "split AS split_a")
+    b = split.selectExpr("doc_id AS doc_b", "split AS split_b")
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .where(F.col("split_a") != F.col("split_b"))
+        .select("doc_a", "doc_b", "split_a", "split_b", "jaccard")
+    )
+
+
 @query(
     "dedup_cross_corpus_exact",
     oracle=f"""

@@ -86,6 +86,10 @@ LADDER_ADVISORY_NOTES = {
     "local-mode broadcast-build cost inverts the cluster economics (A/B in SCALE.md)",
     "tpch_q4_priority_exists": "same AQE broadcast-boundary flip at x32 "
     "(bimodal: AQE picks BHJ or SMJ run-to-run near the threshold)",
+    "dq_split_leakage_neardup": "slow warm-up convergence of the 320k-doc "
+    "split-projection broadcast build at x64 (plan STABLE all-BHJ across "
+    "reps, walls 14.8 -> 4.8 s over 4 reps; min-of-reps is converged — "
+    "the spread advisory reflects the tail, not bimodality)",
 }
 
 
