@@ -887,3 +887,48 @@ def test_dq_split_leakage_panels_on_planted_duplicates(spark, tmp_path):
     }
     assert panels["id_keyed"] == (2, 4), panels
     assert panels["content_keyed"] == (0, 0), panels
+
+
+def test_dq_split_leakage_neardup_finds_planted_straddling_pair(spark, tmp_path):
+    """Signal pin for the near-dup leakage gate: a planted near-dup
+    pair (8 tokens, 7 shared -> trigram Jaccard 5/7 >= 0.5) whose md5s
+    land in DIFFERENT content-addressed splits (verified in-test) MUST
+    surface as a cross-split pair; an exact-dup pair (same text, same
+    split by construction) must NOT."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    near_a = "oryx plinth crag sphinx dirge knoll umbra lurch"
+    near_b = "oryx plinth crag sphinx dirge knoll umbra zest"
+    dup = "zephyr quartz fjord glyph vex jumbo nymph waltz"
+
+    def split_of(t):
+        h = hashlib.md5(t.encode()).hexdigest()[:2]
+        return "train" if h < "cc" else ("val" if h < "e6" else "test")
+
+    assert split_of(near_a) != split_of(near_b), "precondition drifted"
+    assert split_of(dup) == split_of(dup)
+    rows = [(1, near_a), (2, near_b), (3, dup), (4, dup),
+            (5, "solo filler text one two three")]
+    ddir = tmp_path / "documents.parquet"
+    ddir.mkdir()
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array([d for d, _ in rows], pa.int64()),
+            "text": pa.array([t for _, t in rows], pa.string()),
+            "lang": pa.array(["en"] * len(rows), pa.string()),
+            "source": pa.array(["s0"] * len(rows), pa.string()),
+            "n_chars": pa.array([len(t) for _, t in rows], pa.int64()),
+        }),
+        str(ddir / "part-0.parquet"),
+    )
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in q.QUERIES["dq_split_leakage_neardup"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert (1, 2) in got, f"planted straddling near-dup not found: {got}"
+    assert (3, 4) not in got, "exact dup cannot straddle a content split"
