@@ -27,6 +27,20 @@ from distgrep_spark.functions.textfns import (
 # is lowercase ASCII; a production build would swap in per-language lists.
 STOPWORDS = ("the", "a", "of", "and")
 
+# Content-addressed train/val/test split rule (~80/10/10 via md5-prefix
+# thresholds 'cc'/'e6' = 204/26/26 of 256). THE single source of truth:
+# corpus_split_assign, dq_split_leakage, and dq_split_leakage_neardup all
+# format this string (Spark SQL and DuckDB produce identical lowercase-hex
+# md5, so the fragment is portable verbatim to both engines' SQL). Keying
+# on content — not row position — is the 100 TB property: the split
+# survives resharding and appends, and exact duplicates land in one split
+# by construction.
+SPLIT_CASE = (
+    "CASE WHEN substr(md5({c}), 1, 2) < 'cc' THEN 'train'"
+    " WHEN substr(md5({c}), 1, 2) < 'e6' THEN 'val'"
+    " ELSE 'test' END"
+)
+
 
 def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Per-document stats: chars, tokens, avg token length, stopword ratio."""

@@ -28,6 +28,7 @@ from distgrep_spark.operators.multimodal import (
 )
 from distgrep_spark.operators.similarity import ann_lsh_topk, cosine_topk
 from distgrep_spark.operators.text import (
+    SPLIT_CASE as _SPLIT_CASE,
     fingerprints,
     lang_guess,
     quality_score,
@@ -304,11 +305,6 @@ def q_dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SPLIT_CASE = (
-    "CASE WHEN substr(md5({c}), 1, 2) < 'cc' THEN 'train'"
-    " WHEN substr(md5({c}), 1, 2) < 'e6' THEN 'val'"
-    " ELSE 'test' END"
-)
 
 
 @query(
@@ -1481,11 +1477,8 @@ def q_sim_cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "corpus_split_assign",
-    oracle="""
-    SELECT doc_id,
-           CASE WHEN substr(md5(text), 1, 2) < 'cc' THEN 'train'
-                WHEN substr(md5(text), 1, 2) < 'e6' THEN 'val'
-                ELSE 'test' END AS split
+    oracle=f"""
+    SELECT doc_id, {_SPLIT_CASE.format(c="text")} AS split
     FROM documents
     """,
 )
@@ -1498,11 +1491,13 @@ def q_corpus_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     and an exact duplicate always lands in the same split so train/test
     contamination can't enter through layout changes. Map-side only —
     no shuffle, no RNG; both engines produce identical lowercase-hex
-    md5, so the comparison thresholds are portable."""
-    h = F.substring(F.md5(F.col("text")), 1, 2)
-    return load_table(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.when(h < "cc", "train").when(h < "e6", "val").otherwise("test").alias("split"),
+    md5, so the comparison thresholds are portable. The rule itself is
+    operators/text.SPLIT_CASE — ONE format string shared verbatim by
+    this query, dq_split_leakage, and dq_split_leakage_neardup (both
+    engines, both sides), so the split definition cannot drift."""
+    sc = _SPLIT_CASE.format(c="text")
+    return load_table(spark, sf_dir, "documents").selectExpr(
+        "doc_id", f"{sc} AS split"
     )
 
 
@@ -1969,21 +1964,33 @@ def q_text_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
 # truth so the three consumers can't drift (the _AQA_COUNTER_EXPRS rule).
 
 
+def _sql_str(s: str) -> str:
+    """Quote a collected corpus token as a Spark SQL string literal.
+    Real text contains single quotes and backslashes ("don't",
+    Windows paths); interpolating them raw into selectExpr is a parse
+    error or, worse, a silently different literal. Spark SQL string
+    literals are backslash-escaped (Hive dialect), so escape the
+    backslash first, then the quote."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
 def _bpe_step_expr(a: str, b: str) -> str:
     """Spark selectExpr fragment applying one (a, b) merge to array
     column t (pass-through columns are listed by the caller). a != b makes
     occurrences non-overlapping; try_element_at(t, 0) throws even under
     try_, hence the greatest(i-1, 1) + i > 1 guard (see
-    q_text_bpe_encode's docstring)."""
+    q_text_bpe_encode's docstring). Tokens pass through _sql_str so
+    quoted/backslashed corpus tokens can't break or corrupt the SQL."""
+    qa, qb, qf = _sql_str(a), _sql_str(b), _sql_str(f"{a}+{b}")
     return (
         "CASE WHEN size(t) < 2 THEN t ELSE "
         "filter(transform(sequence(1, size(t)), i -> "
-        f"CASE WHEN try_element_at(t, i) = '{b}' AND i > 1"
-        f"          AND try_element_at(t, greatest(i - 1, 1)) = '{a}'"
+        f"CASE WHEN try_element_at(t, i) = {qb} AND i > 1"
+        f"          AND try_element_at(t, greatest(i - 1, 1)) = {qa}"
         "          THEN CAST(NULL AS STRING) "
-        f"     WHEN try_element_at(t, i) = '{a}'"
-        f"          AND try_element_at(t, i + 1) = '{b}'"
-        f"          THEN '{a}+{b}' "
+        f"     WHEN try_element_at(t, i) = {qa}"
+        f"          AND try_element_at(t, i + 1) = {qb}"
+        f"          THEN {qf} "
         "     ELSE try_element_at(t, i) END), x -> x IS NOT NULL) END AS t"
     )
 
@@ -2399,16 +2406,7 @@ def q_text_bpe_train_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         a, b, n = top[0]["a"], top[0]["b"], top[0]["n"]
         merges.append((r, a, b, int(n)))
         cur = cur.selectExpr(
-            "doc_id",
-            "CASE WHEN size(t) < 2 THEN t ELSE "
-            "filter(transform(sequence(1, size(t)), i -> "
-            f"CASE WHEN try_element_at(t, i) = '{b}' AND i > 1"
-            f"          AND try_element_at(t, greatest(i - 1, 1)) = '{a}'"
-            "          THEN CAST(NULL AS STRING) "
-            f"     WHEN try_element_at(t, i) = '{a}'"
-            f"          AND try_element_at(t, i + 1) = '{b}'"
-            f"          THEN '{a}+{b}' "
-            "     ELSE try_element_at(t, i) END), x -> x IS NOT NULL) END AS t",
+            "doc_id", _bpe_step_expr(a, b)
         ).localCheckpoint()
     return spark.createDataFrame(
         merges, "merge_rank bigint, pair_a string, pair_b string, n bigint"

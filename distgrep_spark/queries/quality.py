@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from distgrep_spark.operators.text import remove_dup_sentences
+from distgrep_spark.operators.text import SPLIT_CASE, remove_dup_sentences
 from distgrep_spark.queries.registry import query
 from distgrep_spark.sources.catalog import load_table
 
@@ -2972,15 +2972,13 @@ def q_privacy_dp_quantile_expmech(spark: SparkSession, sf_dir: str) -> DataFrame
 
 @query(
     "dq_split_leakage",
-    oracle="""
+    oracle=f"""
     WITH assigned AS MATERIALIZED (
       SELECT md5(text) AS th,
              CASE WHEN doc_id % 10 < 8 THEN 'train'
                   WHEN doc_id % 10 = 8 THEN 'val'
                   ELSE 'test' END AS id_split,
-             CASE WHEN substr(md5(text), 1, 2) < 'cc' THEN 'train'
-                  WHEN substr(md5(text), 1, 2) < 'e6' THEN 'val'
-                  ELSE 'test' END AS content_split
+             {SPLIT_CASE.format(c="text")} AS content_split
       FROM documents
     ),
     panels AS (
@@ -3034,9 +3032,7 @@ def q_dq_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CASE WHEN doc_id % 10 < 8 THEN 'train'"
         "     WHEN doc_id % 10 = 8 THEN 'val'"
         "     ELSE 'test' END AS id_split",
-        "CASE WHEN substr(md5(text), 1, 2) < 'cc' THEN 'train'"
-        "     WHEN substr(md5(text), 1, 2) < 'e6' THEN 'val'"
-        "     ELSE 'test' END AS content_split",
+        f"{SPLIT_CASE.format(c='text')} AS content_split",
     )
     groups = assigned.groupBy("th").agg(
         F.expr("CAST(count(*) AS BIGINT) AS n"),

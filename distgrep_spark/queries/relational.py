@@ -1130,7 +1130,7 @@ def q_scalar_null_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
              'https://' || source || '.example.com/docs/'
                || CAST(doc_id AS VARCHAR) || '?lang=' || lang || '&ref=home'
                AS url
-      FROM documents WHERE doc_id < 100
+      FROM documents WHERE doc_id % 5 = 0
     )
     SELECT doc_id, url,
            regexp_extract(url, '^([a-z]+)://', 1)           AS proto,
@@ -1150,9 +1150,13 @@ def q_scalar_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     check is two INDEPENDENT implementations agreeing, not one
     function tested against itself). URLs are derived deterministically
     from fixture columns — no synthesized corpus. Map-side,
-    pushdown-filtered."""
+    pushdown-filtered. The sample is a MODULO cut (doc_id % 5 = 0),
+    not an absolute id literal: an absolute bound silently empties on
+    a key-shifted corpus (the round-5 dedup_simhash_exactdup lesson),
+    while the modulo keeps a fixed fraction alive at any keyspace
+    (doc_ids are non-negative, so % agrees cross-engine)."""
     docs = load_table(spark, sf_dir, "documents")
-    u = docs.where("doc_id < 100").selectExpr(
+    u = docs.where("doc_id % 5 = 0").selectExpr(
         "doc_id",
         "concat('https://', source, '.example.com/docs/',"
         " CAST(doc_id AS STRING), '?lang=', lang, '&ref=home') AS url",

@@ -185,3 +185,17 @@ def test_dsir_top_selection_is_target_enriched(spark):
     # scores are strictly ordered under the deterministic tie-break
     scores = [r["score_num"] for r in sel]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_scalar_url_parse_modulo_sample_nonvacuous(spark):
+    """The round-10 verdict nit: the URL battery's sample must be a
+    keyspace-relative cut (modulo), never an absolute id literal that
+    silently empties on a key-shifted corpus. Pin rows > 0, the modulo
+    membership, and one decomposed component against the raw URL."""
+    rows = q.QUERIES["scalar_url_parse"](spark, SF).collect()
+    assert rows, "modulo sample returned no rows: battery vacuous"
+    for r in rows:
+        assert r["doc_id"] % 5 == 0
+        assert r["proto"] == "https"
+        assert r["url"].startswith(f"https://{r['host']}{r['path']}?")
+        assert r["lang_param"] and f"lang={r['lang_param']}" in r["query"]

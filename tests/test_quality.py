@@ -833,7 +833,11 @@ def test_dp_quantile_expmech_matches_python_reference(spark):
         ).fetchall()
     ]
     n = len(cents)
-    ranks = [sum(1 for c in cents if c <= j * STEP) for j in range(1, 65)]
+    # Strict < matches the engine's bucket rank (c // STEP + 1 <= j
+    # counts c < j*STEP): a cents value exactly divisible by STEP
+    # belongs to the NEXT bucket, so <= would disagree with a correct
+    # engine on that boundary (round-10 advice).
+    ranks = [sum(1 for c in cents if c < j * STEP) for j in range(1, 65)]
     weights = [1 << (20 - (abs(2 * r - n) * 20) // max(n, 1)) for r in ranks]
     h36 = int(hashlib.md5(b"dpq:v1").hexdigest()[:9], 16)
     t = (h36 * sum(weights)) // (1 << 36)

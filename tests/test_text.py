@@ -255,3 +255,26 @@ def test_doremi_step_weights_sum_to_one_and_clip(spark):
     assert abs(total - 1.0) < 1e-12
     assert out["long"]["alpha"] > out["short"]["alpha"]
     assert out["short"]["alpha"] >= 0.01 / 2  # uniform smoothing floor
+
+
+def test_bpe_step_expr_survives_quoted_tokens(spark):
+    """Round-10 advice: corpus tokens containing single quotes or
+    backslashes ("don't", Windows paths) must survive interpolation
+    into the selectExpr merge rewrite — _sql_str escapes them. Merge
+    ("don't", "pa\\th") over a doc that contains the pair twice."""
+    from distgrep_spark.queries.llm import _bpe_step_expr
+
+    df = spark.createDataFrame(
+        [(1, ["don't", "pa\\th", "x", "don't", "pa\\th"]),
+         (2, ["don't", "don't", "pa\\th"])],
+        "doc_id bigint, t array<string>",
+    )
+    out = {
+        r["doc_id"]: r["t"]
+        for r in df.selectExpr(
+            "doc_id", _bpe_step_expr("don't", "pa\\th")
+        ).collect()
+    }
+    fused = "don't+pa\\th"
+    assert out[1] == [fused, "x", fused]
+    assert out[2] == ["don't", fused]

@@ -57,6 +57,15 @@ def main() -> None:
         )
         out["bench_rc"] = bench.returncode
         out["bench_line"] = bench.stdout.strip().splitlines()[-1:]
+        if bench.returncode != 0:
+            # A failed bench leaves BENCH_FULL.json stale or partial;
+            # rebasing from it would bake garbage into the round's ONE
+            # authorized baseline rebase. Record the skip and fall
+            # through to the suite (the judge sees bench_rc != 0).
+            out["rebase_skipped"] = "bench_rc != 0 — baseline left untouched"
+            print(f"# bench FAILED (rc={bench.returncode}); rebase skipped")
+            _suite_and_write(out)
+            return
 
         from tools.bench_regression import (
             BASELINE_PATH,
@@ -98,6 +107,10 @@ def main() -> None:
             f"{out.get('bench_flags') or 'NONE'}"
         )
 
+    _suite_and_write(out)
+
+
+def _suite_and_write(out: dict) -> None:
     head = _git("rev-parse", "HEAD")
     dirty = [
         line
@@ -127,7 +140,7 @@ def main() -> None:
     with open(os.path.join(HERE, "CLOSEOUT.json"), "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out, indent=1))
-    sys.exit(suite.returncode)
+    sys.exit(suite.returncode or out.get("bench_rc", 0))
 
 
 if __name__ == "__main__":
