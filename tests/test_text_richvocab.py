@@ -224,3 +224,96 @@ def test_dsir_importance_prefers_target_language(spark, rich_dir):
     assert max(scores) > min(scores), "constant importance scores"
     en_frac = sum(1 for r in rows if r["lang"] == "en") / len(rows)
     assert en_frac > 0.70, f"top-100 en fraction {en_frac} not enriched vs 0.60"
+
+
+def test_bpe_encode_arrow_deep_matches_reference_at_k1024(spark, rich_dir):
+    """Round-11 ask #1's 'Done =': the bounded-plan Arrow kernel
+    (operators/bpe.bpe_encode_arrow — ONE mapInPandas pass, broadcast
+    merge table, plan constant in k) must reproduce the Python
+    reference applier at PRODUCTION depth (k=1024) on the rich corpus,
+    md5-pinned per document — and depth must BITE (k=1024 merges
+    strictly more than the k=4 chained-kernel demo)."""
+    import hashlib
+
+    import duckdb
+
+    from distgrep_spark.functions.textfns import tokens
+    from distgrep_spark.operators.bpe import bpe_encode_arrow
+    from distgrep_spark.queries.llm import _bpe_top_merges
+    from distgrep_spark.sources.catalog import load_table
+    from pyspark.sql import functions as F
+
+    texts = dict(
+        duckdb.connect().execute(
+            f"SELECT doc_id, trim(text) FROM "
+            f"'{rich_dir}/documents.parquet/*.parquet'"
+        ).fetchall()
+    )
+    K = 1024
+    expect = _reference_bpe(texts, k=K)
+    toks = load_table(spark, rich_dir, "documents").select(
+        "doc_id", tokens(F.col("text")).alias("t")
+    )
+    merges = [(r["a"], r["b"]) for r in _bpe_top_merges(toks, K)]
+    assert len(merges) >= 512, f"rich corpus too poor for a deep table: {len(merges)}"
+    rows = bpe_encode_arrow(toks, merges).collect()
+    assert len(rows) == len(texts)
+    deep_merged = 0
+    for r in rows:
+        ref = expect[r["doc_id"]]
+        assert r["n_encoded"] == len(ref), r["doc_id"]
+        ref_md5 = hashlib.md5(" ".join(ref).encode()).hexdigest()
+        assert r["encoded_md5"] == ref_md5, r["doc_id"]
+        deep_merged += r["n_merged"]
+    shallow = _reference_bpe(texts, k=4)
+    shallow_merged = sum(
+        len(texts[d].split()) - len(t) for d, t in shallow.items()
+    )
+    assert deep_merged > shallow_merged > 0, (deep_merged, shallow_merged)
+
+
+def test_bpe_encode_deep_registry_equals_chained_semantics(spark, rich_dir):
+    """The registered deep entry and the chained-projection kernel share
+    ONE contract (one-pass-per-rank): truncating the deep table to the
+    chained kernel's k=4 must reproduce text_bpe_encode byte-for-byte."""
+    from distgrep_spark.functions.textfns import tokens
+    from distgrep_spark.operators.bpe import bpe_encode_arrow
+    from distgrep_spark.queries.llm import _bpe_top_merges
+    from distgrep_spark.sources.catalog import load_table
+    from pyspark.sql import functions as F
+
+    toks = load_table(spark, rich_dir, "documents").select(
+        "doc_id", tokens(F.col("text")).alias("t")
+    )
+    merges = [(r["a"], r["b"]) for r in _bpe_top_merges(toks, 4)]
+    arrow = {
+        r["doc_id"]: (r["n_raw"], r["n_encoded"], r["encoded_md5"])
+        for r in bpe_encode_arrow(toks, merges).collect()
+    }
+    chained = {
+        r["doc_id"]: (r["n_raw"], r["n_encoded"], r["encoded_md5"])
+        for r in q.QUERIES["text_bpe_encode"](spark, rich_dir).collect()
+    }
+    assert arrow == chained
+
+
+def test_bpe_encode_tokens_never_revisits_earlier_ranks():
+    """Pure-unit pin of the one-pass-per-rank contract (the semantics
+    the SQL twins unroll): a pair whose rank already passed is NOT
+    re-enabled by a later merge that creates a new occurrence of it."""
+    from distgrep_spark.operators.bpe import encode_tokens
+
+    # rank 0 applies first and creates no (c, a+b) yet; rank 1 then
+    # fires on the fused symbol -> forward chaining WORKS
+    merges = [("a", "b"), ("c", "a+b")]
+    pr = {p: i for i, p in enumerate(merges)}
+    assert encode_tokens(["c", "a", "b"], pr, merges) == ["c+a+b"]
+    # reversed ranks: (a, b) fires at rank 1, but (c, a+b) — rank 0 —
+    # is already past and must NOT fire on the newly fused symbol
+    merges2 = [("c", "a+b"), ("a", "b")]
+    pr2 = {p: i for i, p in enumerate(merges2)}
+    assert encode_tokens(["c", "a", "b"], pr2, merges2) == ["c", "a+b"]
+    # non-overlap under a != b: [a, b, b] fuses only the first pair
+    merges3 = [("a", "b")]
+    pr3 = {p: i for i, p in enumerate(merges3)}
+    assert encode_tokens(["a", "b", "b"], pr3, merges3) == ["a+b", "b"]
