@@ -424,6 +424,50 @@ def test_new_queries_carry_ladder_rows():
     )
 
 
+def test_ladder_persist_refuses_untagged_rungs(tmp_path):
+    """Provenance is a lint, not a convention (round-10 verdict ask #3,
+    closing the round-9 contended-sweep class): _persist must REFUSE a
+    rung with no provenance tag."""
+    import json
+
+    import pytest
+
+    from tools.ladder import _persist
+
+    p = str(tmp_path / "LADDER.json")
+    ok = {"q_ok": {"t": {"8": 1.0}, "provenance": {"8": "solo"}}}
+    _persist(p, ok)
+    assert json.load(open(p)) == ok
+    with pytest.raises(ValueError, match="lack provenance"):
+        _persist(p, {"q_bad": {"t": {"8": 1.0, "16": 2.0},
+                               "provenance": {"8": "solo"}}})
+    # error rows carry no rungs and stay persistable
+    _persist(p, {"q_err": {"error": "boom"}})
+
+
+def test_ladder_provenance_population_shrinks_only():
+    """Every NEW ladder rung carries a tag from the closed vocabulary;
+    the pre-provenance (untagged) population — 1359 rungs across 341
+    rows at the round-11 baseline — may only SHRINK (re-measuring a
+    legacy row tags its rungs 'legacy' on touch)."""
+    import json
+    import os
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    with open(os.path.join(root, "LADDER.json")) as f:
+        ladder = json.load(f)
+    untagged = 0
+    for name, row in ladder.items():
+        prov = row.get("provenance", {})
+        bad = {v for v in prov.values()} - {"solo", "sweep", "legacy"}
+        assert not bad, f"{name}: unknown provenance values {bad}"
+        untagged += sum(1 for m in row.get("t", {}) if m not in prov)
+    assert untagged <= 1359, (
+        f"untagged ladder rungs GREW to {untagged} (baseline 1359): a "
+        "writer bypassed tools/ladder._persist's provenance lint"
+    )
+
+
 def test_oracle_twin_plans_are_nl_join_free():
     """Twin-side plan lint (round-8 verdict ask #3): EXPLAIN every DuckDB
     oracle and require zero plural-sided CROSS_PRODUCT / BLOCKWISE_NL_JOIN
@@ -557,7 +601,7 @@ def test_ladder_advisories_catch_seeded_noise():
         path = os.path.join(d, "LADDER.json")
         with open(path, "w") as f:
             json.dump({"other_writer_row": {"t": {"8": 1.0}}}, f)
-        own = {"my_row": {"t": {"8": 2.0}}}
+        own = {"my_row": {"t": {"8": 2.0}, "provenance": {"8": "solo"}}}
         snapshot = json.loads(json.dumps(own))
         merged = _persist(path, own)
         assert own == snapshot, "_persist mutated the caller's merge unit"

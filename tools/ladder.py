@@ -212,6 +212,13 @@ def main() -> None:
         t.update({str(m): round(tv, 2) for m, tv in pts})
         prov = dict(prior.get("provenance", {}))
         prov.update({str(m): PROVENANCE for m, _ in pts})
+        # Backfill-on-touch (round-11 lint): rungs inherited from a
+        # pre-provenance row keep their walls but get tagged 'legacy'
+        # (measured before provenance was recorded) — _persist refuses
+        # untagged rungs outright, and the registry lint pins that the
+        # untagged population only shrinks.
+        for rung in t:
+            prov.setdefault(rung, "legacy")
         allpts = sorted((int(k), v) for k, v in t.items())
         exp = _fit_exponent(allpts)
         flagged = (
@@ -256,6 +263,24 @@ def _persist(path: str, rows: dict) -> dict:
     next persist (the round-9 ADVICE.md finding). Returns the full
     merged view for end-of-run summaries."""
     import fcntl
+
+    # Round-11 lint (round-10 verdict ask #3): provenance is a CONTRACT,
+    # not a convention. Every rung a run persists must carry a tag
+    # ('solo' / 'sweep' from SPARK_GRAFT_LADDER_SWEEP, or 'legacy' for
+    # pre-provenance walls re-merged on touch) — a future contended
+    # sweep can no longer silently produce untagged rows (the round-9
+    # failure class).
+    for name, row in rows.items():
+        if "error" in row:
+            continue
+        prov = row.get("provenance", {})
+        missing = sorted(m for m in row.get("t", {}) if m not in prov)
+        if missing:
+            raise ValueError(
+                f"ladder row {name!r} rungs {missing} lack provenance "
+                "tags; tag them 'solo'/'sweep' (SPARK_GRAFT_LADDER_SWEEP) "
+                "or 'legacy' before persisting"
+            )
 
     with open(path + ".lock", "w") as lock:
         fcntl.flock(lock, fcntl.LOCK_EX)
