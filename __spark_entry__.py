@@ -75,7 +75,16 @@ SCOREBOARD_PREFIX = [
     # exact BIGINT triangles/wedges over a bounded hub cut)
     "graph_local_clustering_hubs",
     "json_extract_events",
-    "filter_predicates",
+    # round 11 (verdict ask #5): filter_predicates demoted — the scored
+    # filter surface is already pinned by grep_contains (reference op #4,
+    # the same pushdown-asserted predicate shape), the last redundant
+    # overlap in the window; it stays POST_PREFIX-front + oracle-checked.
+    # The slot gives SPLIT HYGIENE — a north-star-adjacent family with
+    # zero scored representation — its row: dq_split_leakage proves the
+    # content-addressed split leaks NOTHING where the id-keyed
+    # anti-pattern leaks duplicate texts (two audit rows at every SF,
+    # full DuckDB oracle; planted-duplicate signal pinned in pytest).
+    "dq_split_leakage",
     # TPC-H composite shape
     "tpch_q13_customer_distribution",
     # windows (forward_fill demoted late round 3: LOCF stays covered by
@@ -206,6 +215,10 @@ SCOREBOARD_PREFIX = [
 # next entries it should spend rows on (distinct shapes before the
 # redundant grep/scalar/window variants that close the list).
 POST_PREFIX = [
+    # demoted round 11: slot went to dq_split_leakage (split hygiene's
+    # scored representative); the predicate battery keeps its full
+    # oracle + pushdown plan assertion here
+    "filter_predicates",
     # demoted round 10: slot went to tokenizer_mixture_pipeline (the
     # capped posting-list engine keeps its scored row via
     # dedup_ngram_jaccard_capped; cross-corpus decontamination keeps
