@@ -249,7 +249,7 @@ _SCALE_GRANDFATHERED = {
     "kmeans_assign_step", "kmeans_clusters", 
     "lateral_explode_outer_urls", "lateral_explode_tokens",
     "latest_event_per_user", "layout_zorder_locality",
-    "layout_zorder_sort", "merge_upsert_snapshot",
+    "layout_zorder_sort",
     "multimodal_aspect_buckets", "multimodal_audio_segments",
     "multimodal_metadata", "multimodal_patch_grid",
     "multimodal_resize_dims", "orders_churn_labels",
@@ -283,7 +283,7 @@ _SCALE_GRANDFATHERED = {
     "text_chunk_documents", "text_edit_distance", "text_fingerprints",
     "text_lang_confusion", "text_lang_guess",
     "text_normalize", "text_pii_flags",
-    "text_quality", "text_quality_linear", "text_rake_keywords",
+    "text_quality", "text_rake_keywords",
     "text_repetition_score",
     "text_stats", "text_token_counts", "text_token_entropy",
     "text_unigram_surprisal", "timeseries_monthly_dense",

@@ -317,3 +317,103 @@ def test_bpe_encode_tokens_never_revisits_earlier_ranks():
     merges3 = [("a", "b")]
     pr3 = {p: i for i, p in enumerate(merges3)}
     assert encode_tokens(["a", "b", "b"], pr3, merges3) == ["a+b", "b"]
+
+
+def _reference_probe(texts: dict[int, tuple[str, str]], epochs: int = 3):
+    """Plain-Python reference for the linear-probe trainer
+    (operators/linearprobe.py): same md5 bucket decode, same integer
+    micro grid, same floor-divided full-batch GD update — every value
+    a Python int, so equality with the engine is exact or nothing."""
+    import hashlib
+
+    n = len(texts)
+    docs = []
+    for _, (t, lang) in sorted(texts.items()):
+        bs = {
+            int(hashlib.md5(tok.encode()).hexdigest()[:2], 16)
+            for tok in t.split()
+        }
+        docs.append((1 if lang == "en" else 0, bs))
+    w = [0] * 256
+    traj = []
+    for _ in range(epochs):
+        g = [0] * 256
+        for y, bs in docs:
+            resid = y * 1_000_000 - sum(w[b] for b in bs)
+            for b in bs:
+                g[b] += resid
+        w = [w[j] + g[j] // (1024 * n) for j in range(256)]
+        traj.append(list(w))
+    return docs, traj
+
+
+def test_quality_train_probe_matches_reference_trainer(spark, rich_dir):
+    """Round-11 ask #4's 'Done =': the distributed trainer's whole
+    weight trajectory (3 full-batch GD epochs on the integer micro
+    grid) equals the plain-Python reference exactly, per bucket."""
+    import duckdb
+
+    texts = {
+        d: (t, lang)
+        for d, t, lang in duckdb.connect().execute(
+            f"SELECT doc_id, trim(text), lang FROM"
+            f" '{rich_dir}/documents.parquet/*.parquet'"
+        ).fetchall()
+    }
+    docs, traj = _reference_probe(texts, epochs=3)
+    rows = {
+        r["bucket"]: r
+        for r in q.QUERIES["text_quality_train_probe"](spark, rich_dir).collect()
+    }
+    live = {b for _, bs in docs for b in bs}
+    assert set(rows) == live
+    for b, r in rows.items():
+        assert r["n_docs"] == sum(1 for _, bs in docs if b in bs), b
+        assert r["n_pos"] == sum(y for y, bs in docs if b in bs), b
+        assert (r["w1_micros"], r["w2_micros"], r["w3_micros"]) == (
+            traj[0][b],
+            traj[1][b],
+            traj[2][b],
+        ), b
+    # buckets outside the live set never receive gradient: W stays 0
+    for b in set(range(256)) - live:
+        assert traj[2][b] == 0
+
+
+def test_quality_train_probe_trains_nonvacuously(spark, rich_dir):
+    """The trainer must TRAIN, not just hash-match: weights move off
+    zero and keep moving in epoch 3, the measured |W| stays far inside
+    the shift-trick margin documented in operators/linearprobe.py, the
+    exact training loss strictly decreases every epoch, and the
+    learned table separates en from non-en documents (the signal the
+    fixed Knuth-spread inference weights cannot carry)."""
+    import duckdb
+
+    texts = {
+        d: (t, lang)
+        for d, t, lang in duckdb.connect().execute(
+            f"SELECT doc_id, trim(text), lang FROM"
+            f" '{rich_dir}/documents.parquet/*.parquet'"
+        ).fetchall()
+    }
+    docs, traj = _reference_probe(texts, epochs=3)
+    assert max(abs(v) for v in traj[2]) > 0, "trainer never moved"
+    assert traj[2] != traj[1], "epoch 3 was a no-op"
+    # measured bound backing the MICRO shift margin (|W| << 1e6)
+    assert max(abs(v) for v in traj[2]) < 10_000
+
+    def sse(w):
+        return sum(
+            (y * 1_000_000 - sum(w[b] for b in bs)) ** 2 for y, bs in docs
+        )
+
+    losses = [sse([0] * 256)] + [sse(w) for w in traj]
+    for before, after in zip(losses, losses[1:]):
+        assert after < before, f"loss did not decrease: {losses}"
+    w3 = traj[2]
+    en = [sum(w3[b] for b in bs) for y, bs in docs if y == 1]
+    other = [sum(w3[b] for b in bs) for y, bs in docs if y == 0]
+    assert en and other
+    assert sum(en) / len(en) > sum(other) / len(other), (
+        "learned weights do not separate the label"
+    )
