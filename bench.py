@@ -99,6 +99,17 @@ def main() -> None:
     names = [n for n in HEADLINE if n in q.QUERIES]
     names += [n for n in sorted(q.QUERIES) if n not in names]
 
+    # Shard mode (round-11 long-session A/B): SPARK_GRAFT_BENCH_SHARD=i/N
+    # runs names[i::N] in THIS process — a fresh session per shard, so
+    # summing N shards' timings measures the suite without accumulated
+    # session state (codegen caches, pinned py4j refs, JIT/GC history).
+    # tools/ab_bench_shards.py drives the comparison vs the monolithic
+    # run; the driver contract (no env) is unchanged.
+    shard = os.environ.get("SPARK_GRAFT_BENCH_SHARD")
+    if shard:
+        i, n_shards = (int(x) for x in shard.split("/"))
+        names = names[i::n_shards]
+
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
@@ -152,7 +163,11 @@ def main() -> None:
     print(json.dumps(full), file=sys.stderr)
     try:
         here = os.path.dirname(os.path.abspath(__file__))
-        with open(os.path.join(here, "BENCH_FULL.json"), "w") as f:
+        # shard runs must not clobber the committed BENCH_FULL.json
+        out_path = os.environ.get(
+            "SPARK_GRAFT_BENCH_OUT", os.path.join(here, "BENCH_FULL.json")
+        )
+        with open(out_path, "w") as f:
             json.dump(full, f, indent=1, sort_keys=True)
     except OSError as e:
         print(f"bench: could not write BENCH_FULL.json: {e}", file=sys.stderr)
