@@ -92,12 +92,23 @@ def _resid_expr(w: list[int]) -> str:
     )
 
 
-def per_doc_features(docs: DataFrame) -> DataFrame:
-    """(doc_id, y, bs): label + the distinct hashed-bucket SET of each
-    document's whitespace tokens. localCheckpoint at the caller's
-    fan-out (it feeds every epoch's job)."""
+def logit_expr(w: list[int]) -> str:
+    """Map-side inference: the exact BIGINT dot product of a document's
+    bucket set with the broadcast trained table — the same HOF-fold
+    shape as the residual, minus the label term."""
+    return (
+        f"aggregate(bs, CAST(0 AS BIGINT),"
+        f" (acc, b) -> acc + element_at({_wlit(w)}, b + 1)) AS logit_micros"
+    )
+
+
+def per_doc_features(docs: DataFrame, extra_cols: tuple[str, ...] = ()) -> DataFrame:
+    """(doc_id[, extra..], y, bs): label + the distinct hashed-bucket
+    SET of each document's whitespace tokens. localCheckpoint at the
+    caller's fan-out (it feeds every epoch's job)."""
     return docs.selectExpr(
         "doc_id",
+        *extra_cols,
         "CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y",
         "array_distinct(transform(split(trim(text), '\\\\s+'), tok -> "
         + BUCKET_EXPR.format(tok="tok")

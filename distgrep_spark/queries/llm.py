@@ -790,6 +790,132 @@ def q_text_quality_train_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "quality_filter_pipeline",
+    oracle=rf"""
+    WITH docs_y AS MATERIALIZED (
+      SELECT doc_id, source, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+             string_split_regex(trim(text), '\s+') AS t
+      FROM documents
+    ),
+    n AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS nd FROM docs_y),
+    feats AS MATERIALIZED (
+      SELECT DISTINCT doc_id, y,
+             (strpos('{_HEXPOS}', substr(md5(tok), 1, 1)) - 1) * 16
+           + (strpos('{_HEXPOS}', substr(md5(tok), 2, 1)) - 1) AS bucket
+      FROM (SELECT doc_id, y, unnest(t) AS tok FROM docs_y)
+    ),
+    w1 AS MATERIALIZED (
+      SELECT bucket, CAST(sum(y) AS BIGINT) * 1000000
+               // (1024 * (SELECT nd FROM n)) AS w
+      FROM feats GROUP BY bucket
+    ),
+    l2 AS (
+      SELECT f.doc_id, f.y, CAST(sum(w1.w) AS BIGINT) AS logit
+      FROM feats f JOIN w1 USING (bucket) GROUP BY f.doc_id, f.y
+    ),
+    g2 AS MATERIALIZED (
+      SELECT f.bucket, CAST(sum(l.y * 1000000 - l.logit) AS BIGINT) AS g
+      FROM feats f JOIN l2 l USING (doc_id) GROUP BY f.bucket
+    ),
+    w2 AS MATERIALIZED (
+      SELECT w1.bucket, w1.w + g2.g // (1024 * (SELECT nd FROM n)) AS w
+      FROM w1 JOIN g2 USING (bucket)
+    ),
+    l3 AS (
+      SELECT f.doc_id, f.y, CAST(sum(w2.w) AS BIGINT) AS logit
+      FROM feats f JOIN w2 USING (bucket) GROUP BY f.doc_id, f.y
+    ),
+    g3 AS (
+      SELECT f.bucket, CAST(sum(l.y * 1000000 - l.logit) AS BIGINT) AS g
+      FROM feats f JOIN l3 l USING (doc_id) GROUP BY f.bucket
+    ),
+    w3 AS MATERIALIZED (
+      SELECT w2.bucket, w2.w + g3.g // (1024 * (SELECT nd FROM n)) AS w
+      FROM w2 JOIN g3 USING (bucket)
+    ),
+    scored AS MATERIALIZED (
+      SELECT f.doc_id, CAST(sum(w3.w) AS BIGINT) AS logit
+      FROM feats f JOIN w3 USING (bucket) GROUP BY f.doc_id
+    ),
+    tot AS MATERIALIZED (
+      SELECT CAST(sum(logit) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS m
+      FROM scored
+    )
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(d.y) AS BIGINT) AS n_en,
+           CAST(sum(CASE WHEN s.logit * (SELECT m FROM tot)
+                              > (SELECT s FROM tot)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN d.y = 1 AND s.logit * (SELECT m FROM tot)
+                              > (SELECT s FROM tot)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_en
+    FROM docs_y d JOIN scored s USING (doc_id)
+    GROUP BY d.source
+    """,
+)
+def q_quality_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAGSHIP 8 — the learned-filter curation loop END TO END: TRAIN
+    the linear probe (text_quality_train_probe's three exact full-batch
+    GD epochs, operators/linearprobe.py), INFER every document's exact
+    BIGINT logit under the trained table, FILTER with an exact
+    data-derived threshold, and report the per-source funnel — the
+    fastText/CCNet-style pipeline a production curation stack runs,
+    with every stage hash-pinned cross-engine.
+
+    The keep rule is the mean-logit cut written as an exact integer
+    cross-multiplication (keep iff logit * N > sum_logits — no
+    division, no float knife-edge), so the filter bites on BOTH sides
+    by construction (non-constant logits guarantee docs above and
+    below their own mean; pinned in pytest with en-enrichment among
+    the kept on the rich corpus — the signal the fixed Knuth-spread
+    inference table cannot produce).
+
+    Plan shape: train pulls are <=256-row codebooks; scoring is one
+    map-side HOF fold; the scored table is localCheckpointed at its
+    fan-out (totals + report consume it — the self-join lesson), the
+    1-row totals broadcast back; ONE source rollup ends the plan. The
+    100-TB view: nothing wider than (doc_id, source, y, BIGINT) ever
+    shuffles, the trained table broadcasts at any bucket count, and
+    the threshold needs one 1-row exchange — the same shape as
+    mix_domain_weights' broadcast total. Reference:
+    massimostanzione/distgrep is grep-only (worker.go:24-43);
+    LLM-pipeline surface per the brief."""
+    from distgrep_spark.operators.linearprobe import (
+        logit_expr,
+        per_doc_features,
+        train_probe,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = per_doc_features(docs, ("source",)).localCheckpoint()
+    n_docs = per_doc.count()
+    w3 = train_probe(per_doc, n_docs, epochs=3)[-1]
+    scored = per_doc.selectExpr(
+        "doc_id", "source", "y", logit_expr(w3)
+    ).localCheckpoint()  # fans out to totals AND the report
+    tot = scored.agg(
+        F.expr("CAST(sum(logit_micros) AS BIGINT) AS s"),
+        F.expr("CAST(count(*) AS BIGINT) AS m"),
+    )
+    return (
+        scored.crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "source",
+            "y",
+            "CASE WHEN logit_micros * m > s THEN 1 ELSE 0 END AS kept",
+        )
+        .groupBy("source")
+        .agg(
+            F.expr("CAST(count(*) AS BIGINT) AS n_docs"),
+            F.expr("CAST(sum(y) AS BIGINT) AS n_en"),
+            F.expr("CAST(sum(kept) AS BIGINT) AS n_kept"),
+            F.expr("CAST(sum(y * kept) AS BIGINT) AS n_kept_en"),
+        )
+    )
+
+
+@query(
     "text_curation_funnel",
     oracle=r"""
     WITH scored AS (

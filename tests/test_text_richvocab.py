@@ -417,3 +417,46 @@ def test_quality_train_probe_trains_nonvacuously(spark, rich_dir):
     assert sum(en) / len(en) > sum(other) / len(other), (
         "learned weights do not separate the label"
     )
+
+
+def test_quality_filter_pipeline_enriches_target(spark, rich_dir):
+    """FLAGSHIP 8 end-to-end pin: per-source funnel counts equal the
+    plain-Python train->infer->filter replica exactly, the mean-logit
+    cut bites on both sides, and the kept population is en-enriched
+    vs the corpus (the filter FILTERS, non-vacuously)."""
+    import duckdb
+
+    rows = duckdb.connect().execute(
+        f"SELECT doc_id, trim(text), lang, source FROM"
+        f" '{rich_dir}/documents.parquet/*.parquet'"
+    ).fetchall()
+    texts = {d: (t, lang) for d, t, lang, _ in rows}
+    source_of = {d: s for d, _, _, s in rows}
+    docs, traj = _reference_probe(texts, epochs=3)
+    w3 = traj[2]
+    ids = sorted(texts)
+    logits = {
+        d: sum(w3[b] for b in bs) for d, (_, bs) in zip(ids, docs)
+    }
+    n = len(ids)
+    s = sum(logits.values())
+    expect: dict[str, list[int]] = {}
+    for d, (y, _) in zip(ids, docs):
+        kept = 1 if logits[d] * n > s else 0
+        e = expect.setdefault(source_of[d], [0, 0, 0, 0])
+        e[0] += 1
+        e[1] += y
+        e[2] += kept
+        e[3] += y * kept
+    got = {
+        r["source"]: [r["n_docs"], r["n_en"], r["n_kept"], r["n_kept_en"]]
+        for r in q.QUERIES["quality_filter_pipeline"](spark, rich_dir).collect()
+    }
+    assert got == expect
+    n_kept = sum(v[2] for v in got.values())
+    n_en = sum(v[1] for v in got.values())
+    n_kept_en = sum(v[3] for v in got.values())
+    assert 0 < n_kept < n, "mean-logit cut did not bite on both sides"
+    assert n_kept_en * n > n_en * n_kept, (
+        "kept population is not en-enriched: the learned filter is vacuous"
+    )
