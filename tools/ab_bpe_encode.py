@@ -10,8 +10,13 @@ then times each kernel separately:
 
 Usage:
   python tools/ab_bpe_encode.py [k ...]        # default 4 64 1024
-  SPARK_GRAFT_AB_CHAIN_MAX=256 ...             # skip chained above this k
-                                               # (default 1024)
+  SPARK_GRAFT_AB_CHAIN_MAX=1024 ...            # run chained above k=256
+                                               # (default 256: the chained
+                                               # kernel THROWS StackOverflowError
+                                               # in Catalyst physical planning
+                                               # near k~900 — the measured
+                                               # round-11 finding; raise only
+                                               # to reproduce the crash)
 
 Prints one JSON line per (kernel, k) and a final summary JSON line.
 """
@@ -29,7 +34,7 @@ sys.path.insert(0, HERE)
 
 def main() -> None:
     ks = [int(a) for a in sys.argv[1:]] or [4, 64, 1024]
-    chain_max = int(os.environ.get("SPARK_GRAFT_AB_CHAIN_MAX", "1024"))
+    chain_max = int(os.environ.get("SPARK_GRAFT_AB_CHAIN_MAX", "256"))
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     reps = int(os.environ.get("SPARK_GRAFT_AB_REPS", "2"))
 
