@@ -153,8 +153,16 @@ SCOREBOARD_PREFIX = [
     # the LSH gate keeps a recall row scored, and the fusion row
     # value-oracles BOTH the exact-L2 arm and the PQ-ADC compressed
     # arm end to end, a strictly stronger certificate than a second
-    # recall boolean)
-    "sim_cosine_topk",
+    # recall boolean. Round 11: sim_cosine_topk demoted by the same
+    # rule — the brute-force cosine baseline's machinery is value-
+    # oracled as the exact arm INSIDE sim_rrf_fusion's scored oracle,
+    # so the prefix held two rows for one exact-similarity engine; it
+    # stays POST_PREFIX-front + oracle-checked. The slot gives
+    # FLAGSHIP 8 (quality_filter_pipeline: train the linear probe ->
+    # exact BIGINT logit inference -> integer cross-multiplied
+    # mean-logit keep cut -> per-source funnel) its scored row —
+    # every flagship composition is scored.
+    "quality_filter_pipeline",
     "sim_ann_lsh_recall",
     "sim_rrf_fusion",
     "kmeans_assign_step",
@@ -219,6 +227,10 @@ POST_PREFIX = [
     # scored representative); the predicate battery keeps its full
     # oracle + pushdown plan assertion here
     "filter_predicates",
+    # demoted round 11: slot went to quality_filter_pipeline
+    # (FLAGSHIP 8); the brute-force cosine baseline keeps its full
+    # oracle here and stays value-pinned as sim_rrf_fusion's exact arm
+    "sim_cosine_topk",
     # demoted round 10: slot went to tokenizer_mixture_pipeline (the
     # capped posting-list engine keeps its scored row via
     # dedup_ngram_jaccard_capped; cross-corpus decontamination keeps

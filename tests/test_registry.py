@@ -228,7 +228,7 @@ _SCALE_GRANDFATHERED = {
     "corpus_unimax_waterfill", "dedup_bloom_decontaminate",
     "dedup_materialize",
     "dedup_url_canonical",
-    "dq_constraint_checks", "dq_duplicate_payment_screen",
+    "dq_constraint_checks",
     "dq_order_total_reconciliation", "drift_tv_stability",
     "embed_centroids_by_label", "embed_feature_norm_stats",
     "embed_jl_projection_audit", "embed_mahalanobis_screen",
@@ -289,7 +289,7 @@ _SCALE_GRANDFATHERED = {
     "text_unigram_surprisal", "timeseries_monthly_dense",
     "topk_customers", "tpch_q10_returned_items",
     "tpch_q14_promo_revenue",
-    "tpch_q17_small_quantity", "tpch_q18_large_orders",
+    "tpch_q18_large_orders",
     "tpch_q19_disjunctive_predicates", "tpch_q21_waiting_suppliers",
     "tpch_q22_idle_customers", "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume",
@@ -300,8 +300,7 @@ _SCALE_GRANDFATHERED = {
     "unpivot_lineitem_metrics", "window_cumulative_distinct",
     "window_forward_fill", "window_lag_lead",
     "window_linear_interpolate", "window_max_drawdown",
-    "window_range_frame", "window_running_sum",
-    "window_share_of_group", "window_topk_per_group",
+    "window_range_frame", "window_topk_per_group",
     
 }
 

@@ -460,3 +460,60 @@ def test_quality_filter_pipeline_enriches_target(spark, rich_dir):
     assert n_kept_en * n > n_en * n_kept, (
         "kept population is not en-enriched: the learned filter is vacuous"
     )
+
+
+def test_probe_trainer_properties_hold_on_random_corpora():
+    """Hypothesis sweep of the trainer CONTRACT's exact math
+    (operators/linearprobe.py) on random small corpora:
+    - document-ORDER invariance: the full-batch trajectory is a pure
+      function of the document multiset (the property that justifies
+      full-batch over SGD — SGD has none of this);
+    - duplication invariance: copying the whole corpus m times leaves
+      every epoch's weights identical (floor(m*g/(1024*m*N)) ==
+      floor(g/(1024*N)) — the trained table depends on the
+      distribution, not the count: resharding/densification never
+      moves a weight);
+    - the stability envelope: |dW_r| <= (1e6 + 256*max|W_{r-1}|)/1024
+      + 1 micros, the induction that backs the shift-trick margin.
+    Universal loss-decrease is deliberately NOT asserted here: a
+    floored step can overshoot an ideal sub-micro update; the
+    decrease claim is pinned where it belongs, on the real corpus
+    (test_quality_train_probe_trains_nonvacuously)."""
+    from hypothesis import given, settings, strategies as st
+
+    tok = st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh"])
+    doc = st.tuples(
+        st.lists(tok, min_size=1, max_size=8),
+        st.sampled_from(["en", "fr"]),
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(doc, min_size=1, max_size=12), st.integers(2, 3))
+    def check(docs, m):
+        base = {
+            i: (" ".join(toks), lang) for i, (toks, lang) in enumerate(docs)
+        }
+        _, traj = _reference_probe(base, epochs=3)
+        # order invariance: reversed id assignment, same multiset
+        rev = {
+            i: (" ".join(toks), lang)
+            for i, (toks, lang) in enumerate(reversed(docs))
+        }
+        _, traj_rev = _reference_probe(rev, epochs=3)
+        assert traj == traj_rev
+        # duplication invariance: m copies of every document
+        dup = {
+            k * len(docs) + i: (" ".join(toks), lang)
+            for k in range(m)
+            for i, (toks, lang) in enumerate(docs)
+        }
+        _, traj_dup = _reference_probe(dup, epochs=3)
+        assert traj == traj_dup
+        # stability envelope per epoch
+        prev = [0] * 256
+        for w in traj:
+            cap = (1_000_000 + 256 * max(abs(v) for v in prev)) // 1024 + 1
+            assert all(abs(a - b) <= cap for a, b in zip(w, prev))
+            prev = w
+
+    check()
