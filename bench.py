@@ -59,6 +59,10 @@ HEADLINE = [
     # selection) — the two new scored rows
     "graph_cc_star_converged",
     "tokenizer_mixture_pipeline",
+    # round 11: the learned-filter flagship (train -> infer -> filter,
+    # the new scored row) and the production-depth Arrow BPE encode
+    "quality_filter_pipeline",
+    "text_bpe_encode_deep",
 ]
 
 

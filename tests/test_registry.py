@@ -445,10 +445,12 @@ def test_ladder_persist_refuses_untagged_rungs(tmp_path):
 
 
 def test_ladder_provenance_population_shrinks_only():
-    """Every NEW ladder rung carries a tag from the closed vocabulary;
-    the pre-provenance (untagged) population — 1359 rungs across 341
-    rows at the round-11 baseline — may only SHRINK (re-measuring a
-    legacy row tags its rungs 'legacy' on touch)."""
+    """Every ladder rung carries a tag from the closed vocabulary. The
+    1359 pre-provenance rungs were bulk-backfilled 'legacy' (the tag's
+    exact meaning: measured before provenance was recorded) late round
+    11, so the untagged population is pinned at ZERO — a single
+    untagged rung means a writer bypassed tools/ladder._persist's
+    provenance lint."""
     import json
     import os
 
@@ -461,9 +463,9 @@ def test_ladder_provenance_population_shrinks_only():
         bad = {v for v in prov.values()} - {"solo", "sweep", "legacy"}
         assert not bad, f"{name}: unknown provenance values {bad}"
         untagged += sum(1 for m in row.get("t", {}) if m not in prov)
-    assert untagged <= 1359, (
-        f"untagged ladder rungs GREW to {untagged} (baseline 1359): a "
-        "writer bypassed tools/ladder._persist's provenance lint"
+    assert untagged == 0, (
+        f"{untagged} untagged ladder rungs (must be 0): a writer "
+        "bypassed tools/ladder._persist's provenance lint"
     )
 
 
