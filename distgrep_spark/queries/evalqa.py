@@ -1171,3 +1171,91 @@ def q_eval_kripp_alpha_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "                   * CAST(t0 AS DECIMAL(13,0)) AS DOUBLE)"
         "     END AS alpha_missing",
     )
+
+
+@query(
+    "eval_pass_at_k",
+    oracle="""
+    WITH t AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, n AS n_trials, c AS n_success,
+           CAST(c AS DOUBLE) / CAST(n AS DOUBLE) AS pass_at_1,
+           CASE WHEN n < 5 THEN NULL
+                WHEN n - c < 5 THEN CAST(1 AS DOUBLE)
+                ELSE CAST(1 AS DOUBLE)
+                   - CAST((CAST((n - c) AS HUGEINT) * ((n - c) - 1) * ((n - c) - 2) * ((n - c) - 3) * ((n - c) - 4)) AS DOUBLE)
+                   / CAST((CAST(n AS HUGEINT) * (n - 1) * (n - 2) * (n - 3) * (n - 4)) AS DOUBLE)
+           END AS pass_at_5,
+           CASE WHEN n < 10 THEN NULL
+                WHEN n - c < 10 THEN CAST(1 AS DOUBLE)
+                ELSE CAST(1 AS DOUBLE)
+                   - CAST((CAST((n - c) AS HUGEINT) * ((n - c) - 1) * ((n - c) - 2) * ((n - c) - 3) * ((n - c) - 4) * ((n - c) - 5) * ((n - c) - 6) * ((n - c) - 7) * ((n - c) - 8) * ((n - c) - 9)) AS DOUBLE)
+                   / CAST((CAST(n AS HUGEINT) * (n - 1) * (n - 2) * (n - 3) * (n - 4) * (n - 5) * (n - 6) * (n - 7) * (n - 8) * (n - 9)) AS DOUBLE)
+           END AS pass_at_10
+    FROM t
+    """,
+)
+def q_eval_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pass@k eval aggregation — the Codex-paper unbiased estimator
+    (Chen et al. 2021, eq. 1): for a task with n sampled attempts of
+    which c succeed, pass@k = 1 - C(n-c, k) / C(n, k), the probability
+    a random size-k subset contains a success. The standard report
+    behind every code/eval benchmark sweep; tasks here are users, an
+    attempt is an event, success is a purchase (45 <= n <= 99 per task
+    at EVERY fixture scale — densified corpora multiply tasks, not
+    per-task attempts, so the arithmetic bounds below hold at x64+).
+
+    Exactness: the binomial RATIO is computed as the falling-factorial
+    quotient prod_i (n-c-i) / prod_i (n-i) — both products exact
+    integers (k=10 tops out near 99*...*90 ~ 6.3e19, so they ride
+    DECIMAL(38,0)/HUGEINT per the house widening rule), then ONE
+    correctly-rounded cast each and ONE division: a fixed IEEE tree,
+    bit-identical cross-engine (the stats_ols_trend precedent). n < k
+    emits NULL (estimator undefined); c > n - k emits exactly 1. The
+    n < k tier is latent on the fixtures (min n = 45); the pytest
+    reference covers it instead.
+
+    The 100-TB view: one scan, one map-side-combined rollup to |tasks|
+    counter pairs; per-task arithmetic is k-bounded (<= 10 factors).
+    The DECIMAL(38,0) product ceiling is n <~ 6000 at k=10 — eval
+    harnesses bound n by design (the paper samples n <= 200); a larger
+    n would switch to the log-space estimator and lose the exact
+    oracle. Reference: massimostanzione/distgrep is grep-only
+    (worker.go:24-43); eval surface per SURVEY.md 2.2."""
+    ev = load_table(spark, sf_dir, "events")
+    t = ev.groupBy("user_id").agg(
+        F.expr("CAST(count(*) AS BIGINT) AS n"),
+        F.expr(
+            "CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)"
+            " AS BIGINT) AS c"
+        ),
+    )
+
+    def ff(base: str, k: int) -> str:
+        return "(" + " * ".join(
+            [f"CAST({base} AS DECIMAL(38,0))"]
+            + [f"({base} - {i})" for i in range(1, k)]
+        ) + ")"
+
+    def passk(k: int) -> str:
+        return (
+            f"CASE WHEN n < {k} THEN NULL"
+            f" WHEN n - c < {k} THEN CAST(1 AS DOUBLE)"
+            f" ELSE CAST(1 AS DOUBLE)"
+            f" - CAST({ff('(n - c)', k)} AS DOUBLE)"
+            f" / CAST({ff('n', k)} AS DOUBLE)"
+            f" END AS pass_at_{k}"
+        )
+
+    return t.selectExpr(
+        "user_id",
+        "n AS n_trials",
+        "c AS n_success",
+        "CAST(c AS DOUBLE) / CAST(n AS DOUBLE) AS pass_at_1",
+        passk(5),
+        passk(10),
+    )

@@ -349,3 +349,59 @@ def test_kripp_alpha_missing_matches_textbook_formula(spark):
         assert 0 < missing < len(mine)  # real, partial missingness
         assert abs(row.alpha_missing - float(alpha)) < 1e-12
         assert 0.0 < row.alpha_missing < 1.0
+
+
+def test_pass_at_k_matches_comb_reference(spark):
+    """eval_pass_at_k vs the Codex-paper formula: per task the engine's
+    fixed cast-cast-divide tree must (a) equal the same pipeline
+    replicated in Python bit-for-bit, and (b) agree with the exact
+    1 - C(n-c,k)/C(n,k) rational to 1e-12 (the two differ only in
+    sub-ulp rounding-path effects when the products exceed 2^53).
+    Also pins the c > n - k tier live on the fixture and the n < k
+    NULL tier on a synthetic row the fixture cannot produce."""
+    import math
+
+    import duckdb
+
+    from tests.conftest import SF_ORACLE
+
+    base = dict(
+        duckdb.connect().execute(
+            f"""SELECT user_id,
+                  {{'n': count(*),
+                   'c': sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)}}
+               FROM '{SF_ORACLE}/events.parquet' GROUP BY user_id"""
+        ).fetchall()
+    )
+
+    def ff(x, k):
+        p = 1
+        for i in range(k):
+            p *= x - i
+        return p
+
+    rows = QUERIES["eval_pass_at_k"](spark, SF_ORACLE).collect()
+    assert len(rows) == len(base)
+    saw_clamp = False
+    for r in rows:
+        n, c = base[r["user_id"]]["n"], base[r["user_id"]]["c"]
+        assert (r["n_trials"], r["n_success"]) == (n, c)
+        assert r["pass_at_1"] == float(c) / float(n)
+        for k, col in ((5, "pass_at_5"), (10, "pass_at_10")):
+            if n < k:
+                assert r[col] is None
+            elif n - c < k:
+                assert r[col] == 1.0
+                saw_clamp = True
+            else:
+                engine_tree = 1.0 - float(ff(n - c, k)) / float(ff(n, k))
+                assert r[col] == engine_tree, (r["user_id"], k)
+                exact = 1 - math.comb(n - c, k) / math.comb(n, k)
+                assert abs(r[col] - exact) < 1e-12
+    # the estimator must DISCRIMINATE across tasks at every k
+    for col in ("pass_at_1", "pass_at_5", "pass_at_10"):
+        vals = {r[col] for r in rows if r[col] is not None}
+        assert len(vals) > 10, f"{col} near-constant: {len(vals)} values"
+    assert saw_clamp or all(
+        base[r["user_id"]]["n"] - base[r["user_id"]]["c"] >= 10 for r in rows
+    ), "clamp tier unobserved but inputs say it should fire"
