@@ -175,3 +175,141 @@ def final_epoch_plan(
             f" AS w{len(trajectory) + 1}_micros",
         )
     )
+
+
+def loso_influence(docs: DataFrame, epochs: int = 3) -> DataFrame:
+    """Leave-one-source-out DATA VALUATION for the probe: train the
+    full-corpus model AND one model per held-out source — all in the
+    same jobs — and report, per source, how far the trained table
+    moves without it (exact L1 micro shift, buckets moved, sign
+    flips). The influence question every mixture decision ultimately
+    asks ("which source is actually steering the learned filter"),
+    answered with retraining-grade exactness rather than a gradient
+    approximation.
+
+    Fully RELATIONAL (no per-model literals or driver loops): a
+    heldout spine h in {each source} + '__full__' keys every epoch
+    table, so |sources|+1 models ride the same jobs — per epoch one
+    (h, doc)-grained logit rollup (the <=(257*S)-row weight table is a
+    broadcast join; model membership is a plain filter on the joined
+    row, source <> h) and one (h, bucket) gradient rollup, both
+    map-side-combined. Epoch weight tables are localCheckpointed
+    (bounded rows — pennies) so consumers never re-execute shared
+    lineage (the self-join lesson); the feature table checkpoints once
+    at its fan-out. The update floor is the shift-positive DIV with
+    divisor 1024 * N_h per model (N_h = docs outside h); degenerate
+    heldouts (N_h = 0) drop before any division on both engines.
+
+    Missing-bucket alignment, proven not patched: a bucket j has a row
+    in model h's table iff some doc OUTSIDE h contains j; a bucket
+    whose entire support is h keeps gradient 0 forever, so its absent
+    row IS the correct weight 0 — the final compare decomposes into
+    present pairs plus the full-model mass of h's missing buckets
+    (l1 += T_full - present_full_mass, etc.), no cross-join universe
+    needed. Conversely every bucket of a doc in h's corpus has a row
+    (that doc supports it), so the epoch logit inner join is complete.
+
+    The 100-TB view: S+1 retrainings cost (h, doc)-grained rows — S x
+    corpus, the honest price of S exact retrainings, but only
+    (strings, BIGINTs) ever shuffle and every rollup map-side-
+    combines; at production S one shards the spine. Reference:
+    massimostanzione/distgrep is grep-only; data-valuation surface per
+    the brief's LLM-pipeline north star (mixture/attribution ops)."""
+    per_doc = per_doc_features(docs, ("source",)).localCheckpoint()
+    feats = (
+        per_doc.selectExpr("doc_id", "source", "y", "explode(bs) AS bucket")
+        .localCheckpoint()
+    )
+    spine = (
+        feats.select("source").distinct().selectExpr("source AS h")
+        .union(feats.sparkSession.range(1).selectExpr("'__full__' AS h"))
+        .localCheckpoint()
+    )
+    nh = (
+        spine.join(
+            per_doc.selectExpr("doc_id", "source AS src"),
+            F.expr("h = '__full__' OR src <> h"),
+        )
+        .groupBy("h")
+        .agg(F.expr("CAST(count(*) AS BIGINT) AS nd"))
+        .where("nd > 0")
+        .localCheckpoint()
+    )
+
+    upd = (
+        f"((g + {MICRO} * {Q_ETA} * nd) DIV ({Q_ETA} * nd)) - {MICRO}"
+    )
+
+    # epoch 1 from W_0 = 0: the gradient is the positive-support mass
+    w = (
+        spine.join(
+            feats.selectExpr("source AS src", "y", "bucket"),
+            F.expr("h = '__full__' OR src <> h"),
+        )
+        .groupBy("h", "bucket")
+        .agg(F.expr(f"CAST(sum(y * {MICRO}) AS BIGINT) AS g"))
+        .join(nh, "h")
+        .selectExpr("h", "bucket", f"{upd} AS w")
+        .localCheckpoint()
+    )
+    for _ in range(epochs - 1):
+        logits = (
+            feats.join(F.broadcast(w), "bucket")
+            .where("h = '__full__' OR source <> h")
+            .groupBy("h", "doc_id", "y")
+            .agg(F.expr("CAST(sum(w) AS BIGINT) AS logit"))
+        )
+        g = (
+            logits.selectExpr("h", "doc_id", f"y * {MICRO} - logit AS resid")
+            .join(feats.selectExpr("doc_id", "bucket"), "doc_id")
+            .groupBy("h", "bucket")
+            .agg(F.expr("CAST(sum(resid) AS BIGINT) AS g"))
+        )
+        w = (
+            w.selectExpr("h", "bucket", "w AS w_prev")
+            .join(g, ["h", "bucket"])
+            .join(nh, "h")
+            .selectExpr("h", "bucket", f"w_prev + ({upd}) AS w")
+            .localCheckpoint()
+        )
+    full = w.where("h = '__full__'").selectExpr("bucket", "w AS w_full")
+    tot = full.agg(
+        F.expr("CAST(sum(abs(w_full)) AS BIGINT) AS t_mass"),
+        F.expr("CAST(sum(CASE WHEN w_full <> 0 THEN 1 ELSE 0 END)"
+               " AS BIGINT) AS t_nz"),
+        F.expr("CAST(sum(CASE WHEN w_full > 0 THEN 1 ELSE 0 END)"
+               " AS BIGINT) AS t_pos"),
+    )
+    present = (
+        w.where("h <> '__full__'")
+        .join(F.broadcast(full), "bucket")
+        .groupBy("h")
+        .agg(
+            F.expr("CAST(sum(abs(w_full - w)) AS BIGINT) AS l1_p"),
+            F.expr("CAST(sum(abs(w_full)) AS BIGINT) AS mass_p"),
+            F.expr("CAST(sum(CASE WHEN w_full <> 0 THEN 1 ELSE 0 END)"
+                   " AS BIGINT) AS nz_p"),
+            F.expr("CAST(sum(CASE WHEN w_full > 0 THEN 1 ELSE 0 END)"
+                   " AS BIGINT) AS pos_p"),
+            F.expr("CAST(sum(CASE WHEN w <> w_full THEN 1 ELSE 0 END)"
+                   " AS BIGINT) AS moved_p"),
+            F.expr("CAST(sum(CASE WHEN (w > 0) <> (w_full > 0)"
+                   " THEN 1 ELSE 0 END) AS BIGINT) AS flip_p"),
+        )
+    )
+    return (
+        present.crossJoin(F.broadcast(tot))
+        .join(nh.selectExpr("h", "nd"), "h")
+        .crossJoin(
+            F.broadcast(
+                nh.where("h = '__full__'").selectExpr("nd AS nd_full")
+            )
+        )
+        .selectExpr(
+            "h AS heldout_source",
+            "nd_full - nd AS n_docs_held",
+            "l1_p + (t_mass - mass_p) AS l1_shift_micros",
+            "moved_p + (t_nz - nz_p) AS n_buckets_moved",
+            "flip_p + (t_pos - pos_p) AS n_sign_flips",
+        )
+    )

@@ -916,6 +916,134 @@ def q_quality_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "quality_probe_loso_influence",
+    oracle="""
+    WITH docs_y AS MATERIALIZED (
+      SELECT doc_id, source, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+             string_split_regex(trim(text), '\s+') AS t
+      FROM documents
+    ),
+    feats AS MATERIALIZED (
+      SELECT DISTINCT doc_id, source, y,
+             (strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1) AS bucket
+      FROM (SELECT doc_id, source, y, unnest(t) AS tok FROM docs_y)
+    ),
+    hs AS MATERIALIZED (
+      SELECT source AS h FROM docs_y GROUP BY source
+      UNION ALL SELECT '__full__' AS h
+    ),
+    nh AS MATERIALIZED (
+      SELECT hs.h, CAST(count(*) AS BIGINT) AS nd
+      FROM hs JOIN docs_y d ON (hs.h = '__full__' OR d.source <> hs.h)
+      GROUP BY hs.h
+      HAVING count(*) > 0
+    ),
+    w1 AS MATERIALIZED (
+      SELECT g.h, g.bucket, g.g // (1024 * nh.nd) AS w
+      FROM (
+        SELECT hs.h, f.bucket, CAST(sum(f.y * 1000000) AS BIGINT) AS g
+        FROM hs JOIN feats f ON (hs.h = '__full__' OR f.source <> hs.h)
+        GROUP BY hs.h, f.bucket
+      ) g JOIN nh ON nh.h = g.h
+    ),
+    l2 AS (
+      SELECT w.h, f.doc_id, f.y, CAST(sum(w.w) AS BIGINT) AS logit
+      FROM feats f JOIN w1 w USING (bucket)
+      WHERE w.h = '__full__' OR f.source <> w.h
+      GROUP BY w.h, f.doc_id, f.y
+    ),
+    g2 AS MATERIALIZED (
+      SELECT l.h, f.bucket, CAST(sum(l.y * 1000000 - l.logit) AS BIGINT) AS g
+      FROM l2 l JOIN feats f USING (doc_id)
+      GROUP BY l.h, f.bucket
+    ),
+    w2 AS MATERIALIZED (
+      SELECT w1.h, w1.bucket, w1.w + g2.g // (1024 * nh.nd) AS w
+      FROM w1
+        JOIN g2 ON g2.h = w1.h AND g2.bucket = w1.bucket
+        JOIN nh ON nh.h = w1.h
+    ),
+    l3 AS (
+      SELECT w.h, f.doc_id, f.y, CAST(sum(w.w) AS BIGINT) AS logit
+      FROM feats f JOIN w2 w USING (bucket)
+      WHERE w.h = '__full__' OR f.source <> w.h
+      GROUP BY w.h, f.doc_id, f.y
+    ),
+    g3 AS MATERIALIZED (
+      SELECT l.h, f.bucket, CAST(sum(l.y * 1000000 - l.logit) AS BIGINT) AS g
+      FROM l3 l JOIN feats f USING (doc_id)
+      GROUP BY l.h, f.bucket
+    ),
+    w3 AS MATERIALIZED (
+      SELECT w2.h, w2.bucket, w2.w + g3.g // (1024 * nh.nd) AS w
+      FROM w2
+        JOIN g3 ON g3.h = w2.h AND g3.bucket = w2.bucket
+        JOIN nh ON nh.h = w2.h
+    ),
+    fullw AS MATERIALIZED (
+      SELECT bucket, w AS w_full FROM w3 WHERE h = '__full__'
+    ),
+    tot AS MATERIALIZED (
+      SELECT CAST(sum(abs(w_full)) AS BIGINT) AS t_mass,
+             CAST(sum(CASE WHEN w_full <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS t_nz,
+             CAST(sum(CASE WHEN w_full > 0 THEN 1 ELSE 0 END) AS BIGINT) AS t_pos
+      FROM fullw
+    ),
+    pres AS (
+      SELECT w.h,
+             CAST(sum(abs(f.w_full - w.w)) AS BIGINT) AS l1_p,
+             CAST(sum(abs(f.w_full)) AS BIGINT) AS mass_p,
+             CAST(sum(CASE WHEN f.w_full <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS nz_p,
+             CAST(sum(CASE WHEN f.w_full > 0 THEN 1 ELSE 0 END) AS BIGINT) AS pos_p,
+             CAST(sum(CASE WHEN w.w <> f.w_full THEN 1 ELSE 0 END) AS BIGINT) AS moved_p,
+             CAST(sum(CASE WHEN (w.w > 0) <> (f.w_full > 0) THEN 1 ELSE 0 END) AS BIGINT) AS flip_p
+      FROM w3 w JOIN fullw f USING (bucket)
+      WHERE w.h <> '__full__'
+      GROUP BY w.h
+    )
+    SELECT p.h AS heldout_source,
+           (SELECT nd FROM nh WHERE h = '__full__') - nh.nd AS n_docs_held,
+           p.l1_p + (t.t_mass - p.mass_p) AS l1_shift_micros,
+           p.moved_p + (t.t_nz - p.nz_p) AS n_buckets_moved,
+           p.flip_p + (t.t_pos - p.pos_p) AS n_sign_flips
+    FROM pres p JOIN nh ON nh.h = p.h CROSS JOIN tot t
+    """,
+)
+def q_quality_probe_loso_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-source-out DATA VALUATION of the trained quality probe
+    (operators/linearprobe.loso_influence): retrain the 3-epoch
+    integer-exact linear probe once per held-out source — all models
+    keyed by a heldout spine and riding the SAME grouped jobs — and
+    report per source how far the trained table moves without it
+    (exact L1 micro shift vs the full model, buckets moved, sign
+    flips). The attribution question behind every mixture-reweighting
+    decision (DoReMi/DSIR-adjacent), answered with retraining-grade
+    exactness: no gradient approximation, no float anywhere, so the
+    whole report is hash-pinned cross-engine.
+
+    The missing-bucket theorem does the alignment work (a bucket
+    absent from model h's table has gradient 0 under h forever — its
+    weight IS 0), so the final compare decomposes into present pairs
+    plus the full model's mass over h's missing buckets; no cross-join
+    bucket universe exists on either engine. The twin mirrors the
+    relational epochs (MATERIALIZED at every fan-out); the heldout
+    spine OR-join is a deliberate bounded nested-loop (|sources|+1
+    rows — a corpus has dozens of sources, not millions). Certified
+    against the per-source-filtered Python reference trainer on the
+    rich corpus in pytest.
+
+    The 100-TB view: S+1 exact retrainings in 2 map-side-combined
+    exchanges per epoch over (h, doc)-grained BIGINT rows — S x corpus
+    is the honest price of S retrainings; shard the spine at
+    production S. Reference: massimostanzione/distgrep is grep-only
+    (worker.go:24-43); data-valuation surface per the brief."""
+    from distgrep_spark.operators.linearprobe import loso_influence
+
+    return loso_influence(load_table(spark, sf_dir, "documents"))
+
+
+@query(
     "text_curation_funnel",
     oracle=r"""
     WITH scored AS (

@@ -517,3 +517,47 @@ def test_probe_trainer_properties_hold_on_random_corpora():
             prev = w
 
     check()
+
+
+def test_loso_influence_matches_filtered_reference(spark, rich_dir):
+    """quality_probe_loso_influence vs the plain-Python trainer run
+    once per held-out source: every reported summary (L1 shift,
+    buckets moved, sign flips, docs held) must equal the reference
+    computed from full-vs-filtered trajectories exactly, and the
+    influence signal must be non-vacuous (every source moves the
+    model; shifts are not all equal)."""
+    import duckdb
+
+    rows = duckdb.connect().execute(
+        f"SELECT doc_id, trim(text), lang, source FROM"
+        f" '{rich_dir}/documents.parquet/*.parquet'"
+    ).fetchall()
+    full_texts = {d: (t, lang) for d, t, lang, _ in rows}
+    _, full_traj = _reference_probe(full_texts, epochs=3)
+    wf = full_traj[2]
+    expect = {}
+    for s in sorted({src for _, _, _, src in rows}):
+        sub = {d: (t, lang) for d, t, lang, src in rows if src != s}
+        _, traj = _reference_probe(sub, epochs=3)
+        wh = traj[2]
+        expect[s] = (
+            len(full_texts) - len(sub),
+            sum(abs(a - b) for a, b in zip(wf, wh)),
+            sum(1 for a, b in zip(wf, wh) if a != b),
+            sum(1 for a, b in zip(wf, wh) if (a > 0) != (b > 0)),
+        )
+    got = {
+        r["heldout_source"]: (
+            r["n_docs_held"],
+            r["l1_shift_micros"],
+            r["n_buckets_moved"],
+            r["n_sign_flips"],
+        )
+        for r in q.QUERIES["quality_probe_loso_influence"](
+            spark, rich_dir
+        ).collect()
+    }
+    assert got == expect
+    shifts = [v[1] for v in got.values()]
+    assert all(s > 0 for s in shifts), "a source moved nothing: vacuous"
+    assert len(set(shifts)) > 1, "all sources equally influential: vacuous"
