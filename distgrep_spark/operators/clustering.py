@@ -124,7 +124,7 @@ def kmeans(
             F.col(id_col), F.lit(0).cast("int").alias("cluster")
         ).limit(0)
 
-    assigned = _assign(df, cents, id_col, vec_col).localCheckpoint()
+    assigned = _assign(df, cents, id_col, vec_col).localCheckpoint(eager=False)
     for _ in range(max_iter):
         new_cents_rows = (
             assigned.select("cluster", F.posexplode("_v").alias("dim", "v"))
@@ -141,7 +141,7 @@ def kmeans(
             [by_cluster[c][d] for d in range(dim)] if c in by_cluster else cents[c]
             for c in range(k)
         ]
-        new_assigned = _assign(df, cents, id_col, vec_col).localCheckpoint()
+        new_assigned = _assign(df, cents, id_col, vec_col).localCheckpoint(eager=False)
         changed = (
             new_assigned.alias("n")
             .join(assigned.alias("o"), id_col)

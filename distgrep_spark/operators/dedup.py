@@ -136,7 +136,7 @@ def ngram_jaccard_pairs(
             g.join(rare, "gram")
             .groupBy("gram")
             .agg(F.sort_array(F.collect_set(F.col(id_col))).alias("ds"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         sizes = (
             posts.select(F.explode("ds").alias(id_col))
@@ -193,7 +193,7 @@ def ngram_jaccard_pairs(
             doc_grams.groupBy("gs")
             .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("members"))
             .selectExpr("members[0] AS pid", "gs", "members", "size(gs) AS n")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         canon = (
             prof.select("pid", F.explode("gs").alias("gram"))
@@ -337,7 +337,7 @@ def minhash_lsh_pairs(
     # per branch.
     sigs = minhash_signatures(
         df, n=n, num_hashes=num_hashes, text_col=text_col, id_col=id_col
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     # The band join carries ONLY (id, bkey): routing the 64-long
     # signature array through the banding explode would replicate it
     # x16 per side into the join shuffle (~8 KB/doc, measured round 4);

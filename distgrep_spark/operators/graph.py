@@ -39,7 +39,7 @@ def connected_components(
     """
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     und = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    und = und.where(F.col("src") != F.col("dst")).distinct().localCheckpoint()
+    und = und.where(F.col("src") != F.col("dst")).distinct().localCheckpoint(eager=False)
 
     labels = vertices.select(F.col(id_col).alias("id"), F.col(id_col).alias("comp"))
     for _ in range(max_iter):
@@ -56,7 +56,7 @@ def connected_components(
                     F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
                 ).alias("comp"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         changed = (
             new_labels.alias("n")
@@ -249,7 +249,7 @@ def connected_components_star(
         cur = _precontract_local(cur)
     else:
         cur = cur.distinct()
-    cur = cur.localCheckpoint()
+    cur = cur.localCheckpoint(eager=False)
 
     def _sig(df: DataFrame):
         # one aggregate job over the just-checkpointed edges: (count,
@@ -298,7 +298,7 @@ def connected_components_star(
             .union(mins2.select(F.col("src"), F.col("m").alias("dst")))
             .where(F.col("src") != F.col("dst"))
             .distinct()
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         # fixpoint = identical edge set (labels only ever decrease)
         sig = _sig(small)

@@ -215,15 +215,15 @@ def loso_influence(docs: DataFrame, epochs: int = 3) -> DataFrame:
     combines; at production S one shards the spine. Reference:
     massimostanzione/distgrep is grep-only; data-valuation surface per
     the brief's LLM-pipeline north star (mixture/attribution ops)."""
-    per_doc = per_doc_features(docs, ("source",)).localCheckpoint()
+    per_doc = per_doc_features(docs, ("source",)).localCheckpoint(eager=False)
     feats = (
         per_doc.selectExpr("doc_id", "source", "y", "explode(bs) AS bucket")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     spine = (
         feats.select("source").distinct().selectExpr("source AS h")
         .union(feats.sparkSession.range(1).selectExpr("'__full__' AS h"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     nh = (
         spine.join(
@@ -233,7 +233,7 @@ def loso_influence(docs: DataFrame, epochs: int = 3) -> DataFrame:
         .groupBy("h")
         .agg(F.expr("CAST(count(*) AS BIGINT) AS nd"))
         .where("nd > 0")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
 
     upd = (
@@ -250,7 +250,7 @@ def loso_influence(docs: DataFrame, epochs: int = 3) -> DataFrame:
         .agg(F.expr(f"CAST(sum(y * {MICRO}) AS BIGINT) AS g"))
         .join(nh, "h")
         .selectExpr("h", "bucket", f"{upd} AS w")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     for _ in range(epochs - 1):
         logits = (
@@ -270,7 +270,7 @@ def loso_influence(docs: DataFrame, epochs: int = 3) -> DataFrame:
             .join(g, ["h", "bucket"])
             .join(nh, "h")
             .selectExpr("h", "bucket", f"w_prev + ({upd}) AS w")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     full = w.where("h = '__full__'").selectExpr("bucket", "w AS w_full")
     tot = full.agg(

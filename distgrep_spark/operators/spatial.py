@@ -143,7 +143,7 @@ def grid_neighbor_pairs(
                 f"CAST(least((n - 1) DIV {int(hot_threshold)} + 1,"
                 f" {int(max_splits)}) AS INT) AS _splits",
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         b = build.join(F.broadcast(hot), ["cx", "cy"], "left").withColumn(
             "_salt",

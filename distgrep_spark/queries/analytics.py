@@ -303,7 +303,7 @@ def q_er_resolve_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     recs = spark.sql(
         _ER_RECS_SQL.format(str_t="STRING", customer="customer")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     b = recs.selectExpr("rec_id", "name", "substr(name, 1, 6) AS blk")
     left = b.selectExpr("rec_id AS ra", "name AS na", "blk")
     right = b.selectExpr("rec_id AS rb", "name AS nb", "blk")
@@ -611,7 +611,7 @@ def q_orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("frequency"),
             dsum("o_totalprice", "monetary"),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     # One job pulls all three boundary sets (<= 3*63 scalars).
     fracs = ", ".join(repr(i / 64) + "D" for i in range(1, 64))
@@ -785,7 +785,7 @@ def q_text_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("gs")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("members"))
         .selectExpr("members[0] AS pid", "gs", "members", "size(gs) AS n")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     canon = (
         prof.select(F.col("pid"), F.explode("gs").alias("gram"))
@@ -1113,7 +1113,7 @@ def q_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("w"))
         .where(F.col("w") >= 2)
         .select("u", "v")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     adj = edges.select(F.col("u").alias("s"), F.col("v").alias("d")).unionAll(
         edges.select(F.col("v").alias("s"), F.col("u").alias("d"))
@@ -1566,7 +1566,7 @@ def q_part_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = (
         p.groupBy("cents")
         .agg(F.expr("CAST(max(size) AS BIGINT)").alias("msize"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     bs = percentile_boundaries(m, "cents", 64)
     mb = m.selectExpr(
@@ -2353,7 +2353,7 @@ def q_part_abc_xyz_classification(spark: SparkSession, sf_dir: str) -> DataFrame
             F.expr("CAST(sum(q) AS BIGINT)     AS s1"),
             F.expr("CAST(sum(q * q) AS BIGINT) AS s2"),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     bs = percentile_boundaries(per_part, "revenue_cents", 64, descending=True)
     pb = per_part.selectExpr(
@@ -2693,7 +2693,7 @@ def q_graph_modularity_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("w"))
         .where(F.col("w") >= 2)
         .select("u", "v")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     pu = part.selectExpr("p_partkey AS u", "p_brand AS bu")
     pv = part.selectExpr("p_partkey AS v", "p_brand AS bv")
@@ -2808,7 +2808,7 @@ def q_graph_assortativity_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("w"))
         .where(F.col("w") >= 2)
         .select("u", "v")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     deg = (
         edges.selectExpr("u AS node")
@@ -3057,7 +3057,7 @@ def q_orders_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("o_custkey")
         .agg(F.expr("CAST(sum(c) AS BIGINT) AS cents"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     bs = percentile_boundaries(spend, "cents", 64)
     sb = spend.selectExpr(
@@ -4133,7 +4133,7 @@ def q_embed_rvq_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             "d1 AS e1",
             "zip_with(qv, cvec1, (a, b) -> a - b) AS r",
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     cb2 = win1.where("vec_id >= 8 AND vec_id < 16").selectExpr(
         "vec_id - 8 AS cid2", "r AS cvec2"
@@ -4264,7 +4264,7 @@ def q_orders_abc_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .groupBy("o_custkey")
             .agg(F.expr("CAST(sum(cents) AS BIGINT) AS cents"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         bs = percentile_boundaries(r, "cents", 64, descending=True)
         rb = r.selectExpr(
@@ -4702,7 +4702,7 @@ def q_orders_fsegment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("h", "o_custkey")
         .agg(F.expr("CAST(count(*) AS BIGINT) AS freq"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     bs = percentile_boundaries(fc, "freq", 64)
     fb = fc.selectExpr(

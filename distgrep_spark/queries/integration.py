@@ -444,7 +444,7 @@ def q_corpus_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (
         load_table(spark, sf_dir, "documents")
         .selectExpr("doc_id", "source", "CAST(n_chars AS BIGINT) AS v")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     bs = percentile_boundaries(docs, "v", 64)
     db = docs.selectExpr(
@@ -734,7 +734,7 @@ def q_orders_bradley_terry_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         # denominator branches below read ~300 materialized rows instead
         # of re-executing the fact-scan + basket explode once per branch
         # (first audit of this plan counted 28 shuffles; 4 after)
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     dirs = pair.selectExpr(
         "bi AS b", "bj AS o", "n_ij", "w_ij AS w"
@@ -982,20 +982,20 @@ def _bt_iters(spark: SparkSession, sf_dir: str, k: int):
                 " AS BIGINT) AS w_ij"
             ),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     dirs = pair.selectExpr(
         "bi AS b", "bj AS o", "n_ij", "w_ij AS w"
     ).unionByName(
         pair.selectExpr("bj AS b", "bi AS o", "n_ij", "n_ij - w_ij AS w")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     tot = dirs.groupBy("b").agg(
         F.expr("CAST(sum(n_ij) AS BIGINT) AS n_i"),
         F.expr("CAST(sum(w) AS BIGINT) AS wins_i"),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     u = tot.selectExpr(
         "b", "(wins_i * 1048576) DIV n_i AS u"
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     u0 = u
     prev = u
     for _ in range(k):
@@ -1014,7 +1014,7 @@ def _bt_iters(spark: SparkSession, sf_dir: str, k: int):
             )
             .join(F.broadcast(tot.select("b", "wins_i")), "b")
             .selectExpr("b", "(wins_i * 1099511627776) DIV t AS u")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     return tot, u0, prev, u
 

@@ -783,7 +783,7 @@ def q_text_quality_train_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    per_doc = per_doc_features(docs).localCheckpoint()  # fans out to every epoch
+    per_doc = per_doc_features(docs).localCheckpoint(eager=False)  # fans out to every epoch
     n_docs = per_doc.count()
     trajectory = train_probe(per_doc, n_docs, epochs=2)
     return final_epoch_plan(per_doc, trajectory, n_docs)
@@ -888,12 +888,12 @@ def q_quality_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    per_doc = per_doc_features(docs, ("source",)).localCheckpoint()
+    per_doc = per_doc_features(docs, ("source",)).localCheckpoint(eager=False)
     n_docs = per_doc.count()
     w3 = train_probe(per_doc, n_docs, epochs=3)[-1]
     scored = per_doc.selectExpr(
         "doc_id", "source", "y", logit_expr(w3)
-    ).localCheckpoint()  # fans out to totals AND the report
+    ).localCheckpoint(eager=False)  # fans out to totals AND the report
     tot = scored.agg(
         F.expr("CAST(sum(logit_micros) AS BIGINT) AS s"),
         F.expr("CAST(count(*) AS BIGINT) AS m"),
@@ -1557,7 +1557,7 @@ def q_pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select(
             "doc_id", token_count(F.col("text")).cast("bigint").alias("n_tokens")
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     bs = percentile_boundaries(toks, "doc_id", 64)
     tb = toks.selectExpr(
@@ -1684,7 +1684,7 @@ def q_dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.groupBy("embedding")
         .agg(F.sort_array(F.collect_list("vec_id")).alias("members"))
         .selectExpr("members[0] AS pid", "embedding", "members")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     v = prof.select("pid", "members", as_double(F.col("embedding")).alias("e"))
     v = v.select("pid", "members", "e", norm(F.col("e")).alias("nrm"))
@@ -2613,7 +2613,7 @@ def q_tokenizer_mixture_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     enc = cur.selectExpr(
         "source", "doc_id", "CAST(size(t) AS BIGINT) AS n_enc"
-    ).localCheckpoint()  # fans out to src rollup AND ranked window
+    ).localCheckpoint(eager=False)  # fans out to src rollup AND ranked window
     src = enc.groupBy("source").agg(
         F.expr("CAST(count(*) AS BIGINT) AS n_docs"),
         F.expr("CAST(sum(n_enc) AS BIGINT) AS enc_tokens"),
@@ -2759,7 +2759,7 @@ def q_text_bpe_train_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     from distgrep_spark.functions.textfns import tokens
 
     docs = load_table(spark, sf_dir, "documents")
-    cur = docs.select("doc_id", tokens(F.col("text")).alias("t")).localCheckpoint()
+    cur = docs.select("doc_id", tokens(F.col("text")).alias("t")).localCheckpoint(eager=False)
     merges: list[tuple[int, str, str, int]] = []
     for r in range(1, _BPE_TRAIN_K + 1):
         top = (
@@ -2782,7 +2782,7 @@ def q_text_bpe_train_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         merges.append((r, a, b, int(n)))
         cur = cur.selectExpr(
             "doc_id", _bpe_step_expr(a, b)
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
     return spark.createDataFrame(
         merges, "merge_rank bigint, pair_a string, pair_b string, n bigint"
     )
@@ -3922,7 +3922,7 @@ def q_text_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
                  HAVING count(*) <= 8)
         SELECT g.doc_id, g.gram FROM grams g JOIN rare USING (gram)
         """
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     capped.createOrReplaceTempView("knn_capped_v")
     return spark.sql(
         r"""
@@ -4270,7 +4270,7 @@ def q_dedup_simhash_radius_report(
         )
         SELECT * FROM grams
         """
-    ).localCheckpoint().createOrReplaceTempView("shr_grams_v")
+    ).localCheckpoint(eager=False).createOrReplaceTempView("shr_grams_v")
     # blocks is the plan's fan-out point (consumed by the two candidate
     # join sides AND the signature pivot); Spark inlines CTEs, so an
     # un-materialized blocks re-executed the whole signature pipeline
@@ -4319,7 +4319,7 @@ def q_dedup_simhash_radius_report(
         FROM pc JOIN pn ON pc.pid = pn.pid
         GROUP BY pc.pid, p DIV 4
         """
-    ).localCheckpoint().createOrReplaceTempView("shr_blocks_v")
+    ).localCheckpoint(eager=False).createOrReplaceTempView("shr_blocks_v")
     return spark.sql(
         """
         WITH blocks AS (SELECT * FROM shr_blocks_v),

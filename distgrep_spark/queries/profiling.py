@@ -572,7 +572,7 @@ def q_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         # The checkpoint lets the four slices below read materialized
         # blocks instead of re-running the explode per branch (the
         # graph_pagerank_step shared-lineage lesson).
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     pairs = counts.where(
         F.col("part_a").isNotNull() & F.col("part_b").isNotNull()
@@ -740,7 +740,7 @@ def q_graph_pagerank_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("degree"),
             F.round(F.sum(F.lit(1.0) / F.col("deg_src")), 4).alias("contrib"),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     n_nodes = pn.count()  # bounded: ONE scalar off the checkpointed rollup
     return pn.selectExpr(
@@ -844,9 +844,9 @@ def _pagerank_iters(spark: SparkSession, sf_dir: str, k: int):
             F.count(F.lit(1)).over(Window.partitionBy("src")).cast("bigint"),
         )
         .select("src", "dst", "deg_src")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
-    nodes = ew.select("src").distinct().localCheckpoint()
+    nodes = ew.select("src").distinct().localCheckpoint(eager=False)
     n_nodes = nodes.count()  # bounded scalar pull off the checkpointed rollup
     if n_nodes == 0:
         # empty graph (empty/degenerate input): no nodes, no iterations —
@@ -856,7 +856,7 @@ def _pagerank_iters(spark: SparkSession, sf_dir: str, k: int):
     base = (15 * _PR_SCALE) // (100 * n_nodes)
     pr = nodes.selectExpr(
         "src AS part", f"CAST({_PR_SCALE // n_nodes} AS BIGINT) AS pr"
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     prev = pr
     for _ in range(k):
         prev = pr
@@ -869,7 +869,7 @@ def _pagerank_iters(spark: SparkSession, sf_dir: str, k: int):
                     " AS BIGINT) AS pr"
                 )
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     return pr, prev
 
@@ -1005,7 +1005,7 @@ def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("w"))
         .where(F.col("w") >= 2)
         .select("u", "v")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     deg = (
         edges.select(F.col("u").alias("node"))
@@ -1019,9 +1019,9 @@ def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         # recomputes it saves at fixture scale (A/B warm: 1.9 s
         # oriented-ckpt vs 1.5 s deg-ckpt). At 100 TB, where the
         # orientation joins shuffle instead of broadcasting, add
-        # .localCheckpoint() on oriented too — depth of reuse beats
+        # .localCheckpoint(eager=False) on oriented too — depth of reuse beats
         # re-shuffling there.
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     wedges = deg.agg(
         # integer DIV keeps the whole fold in BIGINT (d*(d-1) is even,
@@ -1566,14 +1566,14 @@ def q_graph_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("e")
         )
         .select("e.src", "e.dst")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     seeds = edges.where("src % 97 = 0").selectExpr("src AS seed").distinct()
     h1 = (
         seeds.join(edges, F.col("seed") == F.col("src"))
         .selectExpr("seed", "dst AS node")
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
 
     def expand(front: DataFrame) -> DataFrame:
@@ -1583,7 +1583,7 @@ def q_graph_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.explode("sds").alias("seed"), F.col("dst").alias("node"))
             .where(F.col("node") != F.col("seed"))
         )
-        return nxt.unionByName(front).distinct().localCheckpoint()
+        return nxt.unionByName(front).distinct().localCheckpoint(eager=False)
 
     h2 = expand(h1)
     h3 = expand(h2)
@@ -1683,7 +1683,7 @@ def q_graph_local_clustering_hubs(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(F.count(F.lit(1)).alias("w"))
         .where("w >= 2")
         .select("u", "v")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     deg = (
         edges.selectExpr("u AS node")
@@ -1691,7 +1691,7 @@ def q_graph_local_clustering_hubs(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy("node")
         .agg(F.expr("CAST(count(*) AS BIGINT) AS d"))
     )
-    hubs = deg.orderBy(F.desc("d"), "node").limit(20).localCheckpoint()
+    hubs = deg.orderBy(F.desc("d"), "node").limit(20).localCheckpoint(eager=False)
     nbr = (
         edges.join(F.broadcast(hubs.selectExpr("node AS hub")),
                    F.col("u") == F.col("hub"))
@@ -1701,7 +1701,7 @@ def q_graph_local_clustering_hubs(spark: SparkSession, sf_dir: str) -> DataFrame
                        F.col("v") == F.col("hub"))
             .selectExpr("hub", "u AS x")
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     na = nbr.selectExpr("hub", "x AS xa")
     nb = nbr.selectExpr("hub AS hub2", "x AS xb")

@@ -1698,7 +1698,7 @@ def q_events_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame
     per_user = (
         ev.groupBy("user_id")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     bs = percentile_boundaries(per_user, "n", 64, descending=True)
     pb = per_user.selectExpr(
@@ -2915,7 +2915,7 @@ def q_privacy_dp_quantile_expmech(spark: SparkSession, sf_dir: str) -> DataFrame
         # re-scan pathology; at 100 TB that is 7 corpus scans). One
         # checkpoint of the <=65-row histogram makes every downstream
         # branch 64-row arithmetic.
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     n = hist.agg(F.expr("CAST(coalesce(sum(h), 0) AS BIGINT) AS n"))
     cand = (
@@ -3121,7 +3121,7 @@ def q_agg_theta_intersection_gate(spark: SparkSession, sf_dir: str) -> DataFrame
             " THEN CAST(floor(value * 1000 + 0.5) AS BIGINT)"
             " ELSE 0 END) AS BIGINT) AS pm"
         ),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     a = u.where("cm >= 3200000").select("user_id")
     b = u.where("pm >= 3200000").select("user_id")
     sa = a.agg(
@@ -3291,7 +3291,7 @@ def q_profile_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(n_chars AS BIGINT) AS n_chars",
         r"CAST(size(split(trim(text), '\\s+')) AS BIGINT) AS n_tokens",
         "md5(text) AS h",
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     base = d.agg(
         F.expr("CAST(count(*) AS BIGINT) AS n_docs"),
         F.expr("CAST(count(DISTINCT source) AS BIGINT) AS n_sources"),

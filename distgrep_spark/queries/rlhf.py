@@ -302,7 +302,7 @@ def q_rlhf_preference_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         # ded feeds BOTH the gram pipeline and the scored join below —
         # a shared lineage re-executes per branch (the self-join lesson;
         # A/B at sf0.1: 1.98 s -> 1.52 s warm, 6.2 -> 2.2 cold)
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
 
     # Stage 2: DSIR importance over survivors (exact BIGINT ratios).
     grams = ded.select(
@@ -344,7 +344,7 @@ def q_rlhf_preference_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         # four stages (BT, conformal, candidates, final join) fan out
         # from here — materialize once instead of re-running the gram
         # pipeline per branch
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
 
     # Stage 3: Bradley-Terry over (lang, length-cell) basket matches.
@@ -375,7 +375,7 @@ def q_rlhf_preference_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         # |sources|^2-bounded match matrix (<= 400 rows at any scale)
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     dirs = pair.selectExpr(
         "bi AS b", "bj AS o", "n_ij", "w_ij AS w"

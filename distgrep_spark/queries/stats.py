@@ -426,7 +426,7 @@ def q_graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("w"))
         .where(F.col("w") >= 2)
         .select("u", "v")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     und = edges.selectExpr("u AS a", "v AS b").unionAll(
         edges.selectExpr("v AS a", "u AS b")
@@ -650,7 +650,7 @@ def q_recursive_order_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     express)."""
     orders = load_table(spark, sf_dir, "orders")
     orders.createOrReplaceTempView("rchain_orders")
-    seq = spark.sql(_RCHAIN_SEQ_SQL.format(orders="rchain_orders")).localCheckpoint()
+    seq = spark.sql(_RCHAIN_SEQ_SQL.format(orders="rchain_orders")).localCheckpoint(eager=False)
     seq.createOrReplaceTempView("rchain_seq")
     return spark.sql(_RCHAIN_SQL.format(seq="rchain_seq"))
 
@@ -1432,7 +1432,7 @@ def q_stats_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(count(*) AS BIGINT) AS n_v"),
             F.expr("CAST(sum(grp) AS BIGINT) AS a_v"),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     bs = percentile_boundaries(v, "cents", 64)
     vb = v.selectExpr(
@@ -2195,7 +2195,7 @@ def q_stats_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "datediff(CAST(ts AS DATE), DATE '1970-01-01') AS d",
     ).groupBy("event_type", "d").agg(
         F.expr("CAST(count(*) AS BIGINT) AS c")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     a = daily.selectExpr("event_type AS et_a", "d AS d1", "c AS c1")
     b = daily.selectExpr("event_type AS et_b", "d AS d2", "c AS c2")
     s = (
@@ -2352,7 +2352,7 @@ def q_stats_sprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " AS conv"
             )
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     bs = percentile_boundaries(u, "user_id", 64)
     ub = u.selectExpr(
@@ -2373,7 +2373,7 @@ def q_stats_sprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"element_at({offs_s}, bk + 1) + sum(conv) OVER"
         " (PARTITION BY bk ORDER BY user_id ROWS UNBOUNDED PRECEDING) AS s",
     )
-    llr = w.selectExpr("t", f"{_SPRT_STEP} * (2 * s - t) AS l").localCheckpoint()
+    llr = w.selectExpr("t", f"{_SPRT_STEP} * (2 * s - t) AS l").localCheckpoint(eager=False)
     n_obs = llr.count()
     return llr.agg(
         F.expr("CAST(count(*) AS BIGINT) AS n_obs"),
@@ -2499,7 +2499,7 @@ def q_stats_conformal_calibration(spark: SparkSession, sf_dir: str) -> DataFrame
         # 5 rows; checkpointed so the three passes below (calibration
         # count, rank order statistic, test coverage) don't re-run the
         # median aggregation inside each branch's lineage
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     sc = ev.join(F.broadcast(med), "event_type").selectExpr(
         "event_type", "is_cal", "abs(CAST(cents AS DOUBLE) - med) AS score"
@@ -2521,7 +2521,7 @@ def q_stats_conformal_calibration(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .where("rk = least((9 * (n_cal + 1) + 9) DIV 10, n_cal)")
         .selectExpr("event_type", "n_cal", "score AS q_radius")
-        .localCheckpoint()  # 5 rows: one radius per event type
+        .localCheckpoint(eager=False)  # 5 rows: one radius per event type
     )
     test = (
         sc.where("NOT is_cal")
