@@ -111,7 +111,21 @@ def kmeans(
     assignment changes. Ties in the distance argmin break to the lowest
     cluster index on both assignment passes, so results are stable for a
     fixed centroid sequence.
-    """
+
+    Loop shape (r11 optimization): each Lloyd round is ONE
+    driver-blocking job — a single map-side pass computes the row's
+    assignment under the CURRENT centroids and (for the convergence
+    check) under the PREVIOUS centroids, both against from_json
+    literals; one groupBy((cluster, dim)) exchange then carries the
+    k x dim average rollup AND the moved-row count (counted once per
+    row on the dim-0 slice), and the <= k x dim result rows are the
+    only thing collected. The old form ran three jobs per round
+    (two-level rollup collect + assignment checkpoint + changed-count
+    join) — 31 driver jobs at sf0.1 vs ~6 now, and at cluster scale
+    each job is a full barrier. Recomputing the previous assignment
+    from its literal is bit-identical (same expression tree, same
+    scan), so the early-stop semantics and the returned assignment are
+    unchanged."""
     init = (
         df.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
     )
@@ -124,31 +138,52 @@ def kmeans(
             F.col(id_col), F.lit(0).cast("int").alias("cluster")
         ).limit(0)
 
-    assigned = _assign(df, cents, id_col, vec_col).localCheckpoint(eager=False)
+    def _argmin(cs: list[list[float]]):
+        cl = F.from_json(F.lit(json.dumps(cs)), "array<array<double>>")
+        d = F.transform(cl, lambda c: l2sq(F.col("_v"), c))
+        return (F.array_position(d, F.array_min(d)) - 1).cast("int")
+
+    dim = len(cents[0])
+    prev: list[list[float]] | None = None
     for _ in range(max_iter):
-        new_cents_rows = (
-            assigned.select("cluster", F.posexplode("_v").alias("dim", "v"))
-            .groupBy("cluster", "dim")
-            .agg(F.avg("v").alias("a"))
-            .groupBy("cluster")
-            .agg(F.map_from_entries(F.collect_list(F.struct("dim", "a"))).alias("m"))
+        pe = (
+            df.select(as_double(F.col(vec_col)).alias("_v"))
+            .withColumn("_new", _argmin(cents))
+            .withColumn(
+                "_old", _argmin(prev) if prev is not None else F.col("_new")
+            )
+            .select("_new", "_old", F.posexplode("_v").alias("dim", "v"))
+        )
+        rows = (
+            pe.groupBy("_new", "dim")
+            .agg(
+                F.avg("v").alias("a"),
+                F.sum(
+                    F.when(
+                        (F.col("dim") == 0) & (F.col("_new") != F.col("_old")),
+                        1,
+                    ).otherwise(0)
+                ).alias("chg"),
+            )
             .collect()
         )
-        by_cluster = {r["cluster"]: r["m"] for r in new_cents_rows}
-        dim = len(cents[0])
+        if prev is not None and sum(r["chg"] for r in rows) == 0:
+            # assignment under `cents` == assignment under `prev`:
+            # exactly the old `changed == 0` break, one round earlier
+            # in centroid terms (the rollup under `cents` is discarded,
+            # matching the old loop which never updated past a stable
+            # assignment).
+            break
+        by_cd = {(r["_new"], r["dim"]): r["a"] for r in rows}
         # empty clusters keep their previous centroid
+        prev = cents
         cents = [
-            [by_cluster[c][d] for d in range(dim)] if c in by_cluster else cents[c]
+            [by_cd[(c, d)] for d in range(dim)]
+            if (c, 0) in by_cd
+            else cents[c]
             for c in range(k)
         ]
-        new_assigned = _assign(df, cents, id_col, vec_col).localCheckpoint(eager=False)
-        changed = (
-            new_assigned.alias("n")
-            .join(assigned.alias("o"), id_col)
-            .where(F.col("n.cluster") != F.col("o.cluster"))
-            .count()
-        )
-        assigned = new_assigned
-        if changed == 0:
-            break
-    return assigned.select(id_col, "cluster")
+    # Converged: `cents` is the stable round's table. Ran out of
+    # budget: `cents` is C_max_iter (the old loop's final assigned =
+    # A(C_max_iter)). Either way the result is one map-side pass.
+    return _assign(df, cents, id_col, vec_col).select(id_col, "cluster")

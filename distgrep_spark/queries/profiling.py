@@ -449,8 +449,11 @@ def q_agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
     the repo's transcendental convention. pytest cross-checks the
     builtin ``corr`` agrees to 1e-9 at sf0.001. The SHAPE is the same
     single-pass partial-agg as any sum — n, sx..sxy combine
-    map-side; only 6 doubles per group cross the wire."""
-    li = load_table(spark, sf_dir, "lineitem")
+    map-side; only 6 doubles per group cross the wire. spread=True:
+    the 5 decimal component sums are real per-row CPU serialized on the
+    fixture's one scan task (r11 A/B x5 reps: 2.35 -> 1.60 s median;
+    size-guarded no-op on production multi-split files)."""
+    li = load_table(spark, sf_dir, "lineitem", spread=True)
     comp = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
         F.expr("CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE)").alias("sx"),
@@ -1317,8 +1320,12 @@ def q_graph_label_prop_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     one map-side-combinable (dst, label) rollup; the argmax window
     hash-partitions by dst. Per step the shuffle carries one row per
     (node, distinct neighbor label) — bounded by edges, never
-    quadratic."""
-    li = load_table(spark, sf_dir, "lineitem")
+    quadratic. spread=True: this query is single-lineage (no edge
+    checkpoint), so the basket partial collect_set is the critical
+    path's one scan task (r11 A/B x5 reps: 3.57 -> 3.13 s median; the
+    checkpointed graph siblings measured NEGATIVE — their checkpoint
+    rereads dominate — so only this one opts in)."""
+    li = load_table(spark, sf_dir, "lineitem", spread=True)
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     baskets = (
         li.select("l_orderkey", "l_partkey")

@@ -856,8 +856,11 @@ def q_sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5-rank precedent, CLAUDE.md); replicate sums are exact BIGINTs
     and each mean is one IEEE division. No shuffle grows with B: the
     16× row expansion is map-side and combines before the 16-row
-    exchange."""
-    orders = load_table(spark, sf_dir, "orders")
+    exchange. spread=True: the 16x md5 expansion (2.4M digests at
+    sf0.1) is pure per-row CPU serialized on the fixture's single scan
+    task (r11 A/B x5 reps: 1.95 -> 1.42 s median; size-guarded no-op at
+    production split sizes)."""
+    orders = load_table(spark, sf_dir, "orders", spread=True)
     base = orders.selectExpr(
         "o_orderkey", "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents"
     )
