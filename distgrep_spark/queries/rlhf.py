@@ -24,6 +24,8 @@ stage on keys that stay bounded (digests, grams, |sources|² matrices,
 
 from __future__ import annotations
 
+import json
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -479,10 +481,19 @@ def q_rlhf_preference_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for d in rel
     ]
-    picks = spark.createDataFrame(
-        pick_rows,
-        "doc_id bigint, rel_rank bigint, pick_order bigint,"
-        " redundancy bigint, mmr_score bigint",
+    # one from_json literal, not createDataFrame: a Python-pickled
+    # local RDD pays a Python-worker launch per task per evaluation
+    # (measured ~0.6 s/stage on the BT kernel); the literal
+    # constant-folds into a pure-JVM local relation (r11)
+    pick_cols = ["doc_id", "rel_rank", "pick_order", "redundancy", "mmr_score"]
+    picks = spark.range(0, 1, 1, 1).select(
+        F.inline(
+            F.from_json(
+                F.lit(json.dumps([dict(zip(pick_cols, r)) for r in pick_rows])),
+                "array<struct<doc_id:bigint,rel_rank:bigint,"
+                "pick_order:bigint,redundancy:bigint,mmr_score:bigint>>",
+            )
+        )
     )
 
     return (
