@@ -1118,14 +1118,33 @@ def q_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     adj = edges.select(F.col("u").alias("s"), F.col("v").alias("d")).unionAll(
         edges.select(F.col("v").alias("s"), F.col("u").alias("d"))
     )
-    deg = adj.groupBy(F.col("s").alias("node")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("dg")
+    # Posting-list rollup instead of the two-sided adjacency self-join
+    # (r11, the LSH lesson): collect each node's sorted neighbor set
+    # ONCE, emit its C(d,2) canonical pairs map-side, and count — the
+    # old x.join(y, "via") shuffled adj twice and sort-merge-compared
+    # |adj|x|adj| probes; this is one exchange to build the lists and
+    # one map-side-combined pair rollup. deg = size(ns) falls out of
+    # the same rollup (adj rows are distinct), so adj executes once
+    # instead of three times; nbrs carries the fan-out checkpoint.
+    nbrs = (
+        adj.groupBy(F.col("s").alias("via"))
+        .agg(F.sort_array(F.collect_set("d")).alias("ns"))
+        .localCheckpoint(eager=False)
     )
-    x = adj.select(F.col("s").alias("part_a"), F.col("d").alias("via"))
-    y = adj.select(F.col("s").alias("via"), F.col("d").alias("part_b"))
+    deg = nbrs.select(
+        F.col("via").alias("node"), F.expr("CAST(size(ns) AS BIGINT) AS dg")
+    )
     two_hop = (
-        x.join(y, "via")
-        .where(F.col("part_a") < F.col("part_b"))
+        nbrs.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ns, (x, i) ->"
+                    " transform(slice(ns, i + 2, size(ns)), y ->"
+                    "   struct(x AS part_a, y AS part_b))))"
+                )
+            ).alias("e")
+        )
+        .select("e.part_a", "e.part_b")
         .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("common_neighbors"))
         .where(F.col("common_neighbors") >= 2)
@@ -2698,17 +2717,27 @@ def q_graph_modularity_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     pu = part.selectExpr("p_partkey AS u", "p_brand AS bu")
     pv = part.selectExpr("p_partkey AS v", "p_brand AS bv")
     labeled = edges.join(F.broadcast(pu), "u").join(F.broadcast(pv), "v")
-    m = labeled.agg(F.expr("CAST(count(*) AS BIGINT) AS n_edges"))
+    # Cell collapse (r11, the evalqa pattern): m/deg/intra each
+    # re-executed the labeled edge pass (three branches, no cross-
+    # branch exchange reuse under AQE). ONE map-side-combined rollup
+    # to <= |brands|² (bu, bv) cells carries all three — the same
+    # exact BIGINT counts derive from the checkpointed cells table.
+    cells = (
+        labeled.groupBy("bu", "bv")
+        .agg(F.expr("CAST(count(*) AS BIGINT) AS n"))
+        .localCheckpoint(eager=False)
+    )
+    m = cells.agg(F.expr("CAST(sum(n) AS BIGINT) AS n_edges"))
     deg = (
-        labeled.selectExpr("bu AS brand")
-        .unionAll(labeled.selectExpr("bv AS brand"))
+        cells.selectExpr("bu AS brand", "n")
+        .unionAll(cells.selectExpr("bv AS brand", "n"))
         .groupBy("brand")
-        .agg(F.expr("CAST(count(*) AS BIGINT) AS d_c"))
+        .agg(F.expr("CAST(sum(n) AS BIGINT) AS d_c"))
     )
     intra = (
-        labeled.where("bu = bv")
+        cells.where("bu = bv")
         .groupBy(F.col("bu").alias("brand"))
-        .agg(F.expr("CAST(count(*) AS BIGINT) AS e_c"))
+        .agg(F.expr("CAST(sum(n) AS BIGINT) AS e_c"))
     )
     return (
         deg.join(intra, "brand", "left")
@@ -2815,20 +2844,25 @@ def q_graph_assortativity_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(edges.selectExpr("v AS node"))
         .groupBy("node")
         .agg(F.expr("CAST(count(*) AS BIGINT) AS d"))
+        .localCheckpoint(eager=False)
     )
     du = deg.selectExpr("node AS u", "d AS du")
     dv = deg.selectExpr("node AS v", "d AS dv")
     both = edges.join(du, "u").join(dv, "v")
-    ends = both.selectExpr("du AS x", "dv AS y").unionAll(
-        both.selectExpr("dv AS x", "du AS y")
-    )
-    s = ends.agg(
-        F.expr("CAST(count(*) AS BIGINT)   AS n"),
-        F.expr("CAST(sum(x) AS BIGINT)     AS sx"),
-        F.expr("CAST(sum(y) AS BIGINT)     AS sy"),
-        F.expr("CAST(sum(x * x) AS BIGINT) AS sxx"),
-        F.expr("CAST(sum(x * y) AS BIGINT) AS sxy"),
-        F.expr("CAST(sum(y * y) AS BIGINT) AS syy"),
+    # Symmetrization folded algebraically (r11): the old form unioned
+    # both(x=du,y=dv) with its swap, re-executing the joined lineage
+    # on each branch (AQE reuses no exchange across union branches —
+    # the self-join lesson). Over ends = both ∪ swap(both) the moments
+    # are exactly n = 2E, sx = sy = Σ(du+dv), sxx = syy = Σ(du²+dv²),
+    # sxy = Σ 2·du·dv — same BIGINTs, one pass, no union. deg is the
+    # remaining fan-out (du and dv) and carries the lazy checkpoint.
+    s = both.agg(
+        F.expr("CAST(2 * count(*) AS BIGINT)        AS n"),
+        F.expr("CAST(sum(du + dv) AS BIGINT)        AS sx"),
+        F.expr("CAST(sum(du + dv) AS BIGINT)        AS sy"),
+        F.expr("CAST(sum(du * du + dv * dv) AS BIGINT) AS sxx"),
+        F.expr("CAST(sum(2 * du * dv) AS BIGINT)    AS sxy"),
+        F.expr("CAST(sum(du * du + dv * dv) AS BIGINT) AS syy"),
     )
     return s.selectExpr(
         "n AS n_edge_ends",

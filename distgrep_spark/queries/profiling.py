@@ -1680,12 +1680,30 @@ def q_graph_local_clustering_hubs(spark: SparkSession, sf_dir: str) -> DataFrame
     aggregate; the graph family's fourth kernel (CC, PageRank,
     global triangles, local clustering)."""
     li = load_table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    a = items.selectExpr("l_orderkey AS ok", "l_partkey AS u")
-    b = items.selectExpr("l_orderkey AS ok", "l_partkey AS v")
+    # Edge build by basket explode (r11): ONE order-keyed shuffle to
+    # collect each basket, u<v pairs emitted map-side from the sorted
+    # set, then the (u, v) rollup — not the items-table self-join,
+    # which re-executes the distinct projection on both branches and
+    # pays a join shuffle on top (the graph_label_prop_step round-5
+    # finding, applied here same as graph_khop_reach/assortativity).
+    # collect_set == DISTINCT per order, so the edge multiset is
+    # identical to the old self-join's.
+    baskets = (
+        li.select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+    )
     edges = (
-        a.join(b, "ok")
-        .where("u < v")
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) ->"
+                    " transform(slice(ps, i + 2, size(ps)), y ->"
+                    "   struct(x AS u, y AS v))))"
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
         .groupBy("u", "v")
         .agg(F.count(F.lit(1)).alias("w"))
         .where("w >= 2")

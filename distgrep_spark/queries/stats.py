@@ -431,8 +431,15 @@ def q_graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     und = edges.selectExpr("u AS a", "v AS b").unionAll(
         edges.selectExpr("v AS a", "u AS b")
     )
-    deg0 = und.groupBy(F.col("a").alias("node")).agg(
-        F.expr("CAST(count(*) AS BIGINT) AS deg0")
+    deg0 = (
+        und.groupBy(F.col("a").alias("node"))
+        .agg(F.expr("CAST(count(*) AS BIGINT) AS deg0"))
+        # node-count rows consumed by alive (broadcast-built twice in
+        # deg1's semi-joins) and the final join — without the
+        # checkpoint the und-union + exchange re-executes per branch
+        # (ReusedExchange does not fire across branches under AQE;
+        # same deg-ckpt choice as graph_triangle_count, r11)
+        .localCheckpoint(eager=False)
     )
     alive = deg0.where(F.col("deg0") >= _KCORE_K).select("node")
     deg1 = (
