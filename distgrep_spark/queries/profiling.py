@@ -1320,12 +1320,13 @@ def q_graph_label_prop_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     one map-side-combinable (dst, label) rollup; the argmax window
     hash-partitions by dst. Per step the shuffle carries one row per
     (node, distinct neighbor label) — bounded by edges, never
-    quadratic. spread=True: this query is single-lineage (no edge
-    checkpoint), so the basket partial collect_set is the critical
-    path's one scan task (r11 A/B x5 reps: 3.57 -> 3.13 s median; the
-    checkpointed graph siblings measured NEGATIVE — their checkpoint
-    rereads dominate — so only this one opts in)."""
-    li = load_table(spark, sf_dir, "lineitem", spread=True)
+    quadratic. spread stays OFF: an early r11 A/B (3.57 -> 3.13 s)
+    adopted spread=True here, but the full-bench re-measure in a later
+    window showed it net-negative (in-suite 1.96 -> 2.45 s; interleaved
+    x5 solo A/B 2.15 spread vs 1.87 default) — the round-robin exchange
+    costs more than the scan parallelism buys once the basket rollup's
+    own exchange rebalances, same as the checkpointed graph siblings."""
+    li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     baskets = (
         li.select("l_orderkey", "l_partkey")
