@@ -474,7 +474,14 @@ def simhash_pairs(
     ≥1 quarter (pigeonhole), so the equi-join on (band, quarter) finds all
     such pairs; the exact Hamming distance then verifies. No quadratic
     pass, no RNG."""
-    sh = simhash(df, text_col=text_col, id_col=id_col)
+    # r11: sh is the fan-out point — the quarter table feeds BOTH sides
+    # of the band equi-join, and AQE reuses no exchange across branches,
+    # so without the checkpoint the tokenize-explode + 16-word signature
+    # aggregate (the expensive part) executes twice. Materialized form is
+    # 16 bytes/row (doc_id, simhash).
+    sh = simhash(df, text_col=text_col, id_col=id_col).localCheckpoint(
+        eager=False
+    )
     quarters = sh.select(
         id_col,
         "simhash",

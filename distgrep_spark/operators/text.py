@@ -403,7 +403,13 @@ def exact_substr_scrub(
     """
     toks = df.selectExpr(
         f"{id_col} AS doc_id", f"split(trim({text_col}), '\\\\s+') AS t"
-    )
+    ).localCheckpoint(eager=False)
+    # r11: toks fans out to THREE consumers (grams, pos, the n_tokens
+    # projection) and re-tokenized the corpus per branch; the lazy
+    # checkpoint materializes it once (interleaved x5 A/B at sf0.1:
+    # 3.17 -> 2.86 s). Checkpointing GRAMS instead was measured
+    # net-negative (position-exploded table is ~n_tokens rows — the
+    # materialization costs more than the recompute it saves).
     grams = toks.selectExpr(
         "doc_id",
         f"explode(CASE WHEN size(t) >= {n} THEN sequence(0, size(t) - {n}) "

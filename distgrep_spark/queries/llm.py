@@ -492,6 +492,12 @@ def _ann_recall_frame(exact: DataFrame, approx: DataFrame, min_found: int) -> Da
     recall_ok asserts >= min_found of the k true neighbors were returned.
     The exact side is the already-SQL-oracled brute-force ranking, so the
     oracle only re-derives the query list and pins the claim columns."""
+    # r11 note: a localCheckpoint on exact (consumed by the semi-join AND
+    # the n_exact rollup) was A/B'd NET-NEGATIVE here (lsh 1.99 -> 2.11 s,
+    # ivf 2.72 -> 2.74 s median, interleaved x5): materializing exact at
+    # build serializes it against the approx branch that otherwise runs
+    # concurrently in one job — the round-8 mid-pipeline-checkpoint
+    # lesson. Left un-checkpointed on purpose.
     hits = exact.join(
         approx.select("query_id", "vec_id"), ["query_id", "vec_id"], "left_semi"
     )

@@ -1283,9 +1283,20 @@ def q_dedup_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", "source", tokens(F.col("text")).alias("t"))
-    grams = toks.select(
-        "doc_id", "source", F.explode(ngrams_of_tokens(F.col("t"), 3)).alias("gram")
-    ).distinct()
+    grams = (
+        toks.select(
+            "doc_id",
+            "source",
+            F.explode(ngrams_of_tokens(F.col("t"), 3)).alias("gram"),
+        )
+        .distinct()
+        # r11: grams is the fan-out point — consumed by the test bit-set,
+        # the training scan AND the exact-verify gram set; without the
+        # checkpoint the tokenize+explode+distinct pipeline executes 3x
+        # (AQE reuses no exchange across branches). Interleaved x5 A/B at
+        # sf0.1: 2.86 -> 2.02 s median, results identical.
+        .localCheckpoint(eager=False)
+    )
     test_bits = (
         grams.where(F.col("source") == "src0")
         .agg(
