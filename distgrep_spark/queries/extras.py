@@ -77,24 +77,37 @@ def q_scalar_map_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
     map_from_entries, then read it back via element_at / size / map_keys.
     The fixture's line numbers are NOT unique per order (unlike real
     TPC-H), and Spark's ANSI mode rejects duplicate map keys outright —
-    so keys are pre-aggregated (max quantity per line number) first,
-    which also keeps the oracle deterministic."""
+    so duplicate keys are resolved to the max quantity per line number,
+    which also keeps the oracle deterministic.
+
+    Round 11: ONE l_orderkey exchange instead of two. The former
+    (l_orderkey, l_linenumber) max pre-aggregation ran as its own
+    exchange feeding a second l_orderkey exchange — two full passes of
+    the fact table over the network. Per-order line counts are bounded
+    (<= 7 lineitems), so the dedup moves into the reduce side as an
+    array operation: collect the raw (lineno, qty) structs under one
+    orderkey-keyed exchange, sort ascending, and keep the LAST struct
+    of each lineno run (ascending sort puts the max qty last within a
+    lineno) — bit-identical map entries, half the exchanges (the
+    bradley_terry one-fact-exchange pattern, guide §2.3/§2.4)."""
     li = load_table(spark, sf_dir, "lineitem")
-    per_line = li.groupBy("l_orderkey", "l_linenumber").agg(
-        F.max("l_quantity").alias("q")
+    entries = li.groupBy("l_orderkey").agg(
+        F.sort_array(
+            F.collect_list(F.struct("l_linenumber", F.col("l_quantity").alias("q")))
+        ).alias("es")
     )
-    m = F.map_from_entries(
-        F.sort_array(F.collect_list(F.struct("l_linenumber", "q")))
+    # try_element_at, not es[i+1]: ANSI throws on an out-of-bounds []
+    # index and OR conjuncts don't guarantee short-circuit (the
+    # text_bpe_encode lesson) — every disjunct must be safely evaluable.
+    m = F.expr(
+        "map_from_entries(filter(es, (x, i) -> i = size(es) - 1"
+        " OR try_element_at(es, i + 2).l_linenumber != x.l_linenumber))"
     )
-    return (
-        per_line.groupBy("l_orderkey")
-        .agg(m.alias("m"))
-        .select(
-            "l_orderkey",
-            F.element_at("m", F.lit(1)).alias("qty_line1"),
-            F.size("m").alias("n_lines"),
-            F.array_max(F.map_keys("m")).alias("max_lineno"),
-        )
+    return entries.select("l_orderkey", m.alias("m")).select(
+        "l_orderkey",
+        F.element_at("m", F.lit(1)).alias("qty_line1"),
+        F.size("m").alias("n_lines"),
+        F.array_max(F.map_keys("m")).alias("max_lineno"),
     )
 
 

@@ -1324,18 +1324,28 @@ def q_dedup_clusters_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/graph.py): exact-dup pairs feed the component search, and
     the resulting labels must equal min-doc-id per text group — which is
     exactly the (non-iterative) SQL oracle, making the fixpoint itself
-    oracle-checked."""
+    oracle-checked.
+
+    Round 11: the pair generator is the posting-list rollup (groupBy
+    digest + in-bucket C(m,2) explode), not a two-sided md5 self-join —
+    the self-join executed the hash scan twice (AQE reuses no exchange
+    across branches) and shuffled the table twice; the rollup is ONE
+    map-side-combined exchange of (digest, doc_id) and emits the
+    identical ordered pair set (doc_a < doc_b within each bucket)."""
     from distgrep_spark.operators.graph import dedup_clusters
 
     docs = load_table(spark, sf_dir, "documents")
-    hashed = docs.select("doc_id", F.md5("text").alias("h"))
     pairs = (
-        hashed.alias("a")
-        .join(
-            hashed.alias("b"),
-            (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        docs.select(F.md5("text").alias("h"), "doc_id")
+        .groupBy("h")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .where(F.size("ids") >= 2)
+        .selectExpr(
+            "explode(flatten(transform(ids, (x, i) ->"
+            " transform(slice(ids, i + 2, size(ids)),"
+            " y -> struct(x AS doc_a, y AS doc_b))))) AS p"
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .select("p.doc_a", "p.doc_b")
     )
     return dedup_clusters(docs, pairs)
 
@@ -3552,11 +3562,20 @@ def q_text_ngram_novelty_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.selectExpr(
         "doc_id", "source", r"split(trim(text), '\\s+') AS t"
     )
-    grams = toks.select(
-        "doc_id",
-        "source",
-        F.explode(ngrams_of_tokens(F.col("t"), 3)).alias("gram"),
-    ).distinct()
+    # grams is the plan's fan-out point (firsts AND per_source consume
+    # it; Spark reuses no exchange across branches), so without the
+    # checkpoint the tokenize+explode+distinct executed twice — the
+    # measured fan-out-checkpoint family (round 11; same as
+    # dedup_bloom_decontaminate's grams).
+    grams = (
+        toks.select(
+            "doc_id",
+            "source",
+            F.explode(ngrams_of_tokens(F.col("t"), 3)).alias("gram"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     firsts = grams.groupBy("gram").agg(
         F.expr("min_by(source, doc_id) AS first_source")
     )

@@ -120,10 +120,21 @@ def agg_approx_distinct_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     a per-value max, so the estimate is insertion-order- and
     partition-layout-independent — a deterministic number on a fixed
     corpus (measured exact at rsd=0.01, sf0.01). A FALSE row fails the
-    driver's hash gate."""
+    driver's hash gate.
+
+    Round 11: both aggregates run over the DISTINCT (event_type,
+    user_id) rollup instead of the raw facts. Mixing count_distinct
+    with a non-distinct aggregate plans an Expand that doubles every
+    fact row into the exchange; deduplicating first is a map-side-
+    combined single exchange, and both results are provably unchanged —
+    count over distinct pairs IS count_distinct, and HLL registers are
+    per-value maxima, so duplicate inputs are no-ops (the
+    additive-sketches-from-the-key-rollup lesson). Plan: Expand gone,
+    2x fact rows -> 1x distinct pairs shuffled."""
     ev = load_table(spark, sf_dir, "events")
-    both = ev.groupBy("event_type").agg(
-        F.count_distinct("user_id").alias("n_users"),
+    pairs = ev.select("event_type", "user_id").distinct()
+    both = pairs.groupBy("event_type").agg(
+        F.count("user_id").alias("n_users"),
         F.approx_count_distinct("user_id", 0.01).alias("_approx"),
     )
     return both.select(
