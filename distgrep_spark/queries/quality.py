@@ -2316,10 +2316,30 @@ def q_agg_hll_union_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     change cannot flip them (HLL registers are order-free maxima —
     verified: identical estimates under repartition(13)), but a
     degraded sketch must. Exact sides cost one text-keyed rollup per
-    grain — the certification price, as in every gate."""
+    grain — the certification price, as in every gate.
+
+    Round 11 shape: everything derives from ONE distinct (source, text)
+    rollup. Mixing count_distinct with hll_sketch_agg planned the
+    partial sketch buffer per (source, text) distinct group — a sketch
+    per distinct TEXT riding the exchange (the agg_approx_distinct_error
+    finding); deduplicating first makes both aggregates cheap and
+    provably unchanged (count over distinct pairs IS count_distinct;
+    HLL state is a function of the inserted SET, so duplicate inserts
+    are no-ops). The rollup is lazily checkpointed at its fan-out (the
+    per-source grain AND the corpus-exact grain consume it — no second
+    scan of documents). `per` (<= |sources| rows) is deliberately NOT
+    checkpointed: its extra materialization barrier serialized the gate
+    and union branches that otherwise run concurrently and A/B'd
+    net-negative x7 at sf0.1 (+0.28 s median — the mid-pipeline-
+    checkpoint lesson); at 100 TB, where its two consumers would each
+    re-run a full pairs exchange, add .localCheckpoint(eager=False) on
+    per too — a |sources|-row write is free there."""
     docs = load_table(spark, sf_dir, "documents")
-    per = docs.groupBy("source").agg(
-        F.count_distinct("text").alias("exact_n"),
+    pairs = (
+        docs.select("source", "text").distinct().localCheckpoint(eager=False)
+    )
+    per = pairs.groupBy("source").agg(
+        F.count("text").alias("exact_n"),
         F.hll_sketch_agg("text").alias("sk"),
     )
     per_rows = per.select(
@@ -2333,7 +2353,7 @@ def q_agg_hll_union_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     union_est = per.agg(
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_union")
     )
-    union_exact = docs.agg(F.count_distinct("text").alias("exact_n"))
+    union_exact = pairs.agg(F.count_distinct("text").alias("exact_n"))
     union_row = (
         union_exact.crossJoin(F.broadcast(union_est))
         .select(
