@@ -3975,11 +3975,17 @@ def q_sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     repartition codes by list_id so each probe touches nprobe
     partitions — the layout_zorder_sort argument applied to ANN."""
     emb = load_table(spark, sf_dir, "embeddings")
+    # q8 is the plan's fan-out point: the full-corpus quantize fed the
+    # coarse-assign branch AND the subs/codes branch as separate
+    # executions (8 scans in the round-11 audit; the filter-pushdown
+    # consumers — coarse, cents, probes, lut — were already cheap).
+    # Lazy checkpoint: quantize once, scans 8 -> 0, walls flat at
+    # sf0.1 (A/B x6 interleaved, results identical).
     q8 = emb.selectExpr(
         "vec_id",
         "transform(embedding, v -> CAST(greatest(-127.0D, least(127.0D, "
         "floor(CAST(v AS DOUBLE) * 200 + 0.5))) AS BIGINT)) AS qv",
-    )
+    ).localCheckpoint(eager=False)
     coarse = q8.where(F.col("vec_id") < _IVFPQ_COARSE_K).selectExpr(
         "vec_id AS ccid", "qv AS cvec"
     )

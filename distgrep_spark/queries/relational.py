@@ -484,15 +484,27 @@ def sort_global(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def set_union_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNION (distinct) / INTERSECT / EXCEPT over two keyed views, tagged
-    and stacked so one query exercises all three set operators."""
+    and stacked so one query exercises all three set operators.
+
+    Round 11: both input views are lazily checkpointed at their fan-out
+    — each feeds all three set operators, and Spark reuses no exchange
+    across branches, so the un-checkpointed form scanned each table 3x
+    and ran big's distinct exchange 3x (plan: 6 scans -> 0). Walls flat
+    at sf0.1 (floor-bound); at 100 TB this is two saved full scans plus
+    two saved distinct shuffles."""
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     big = (
         o.where(F.col("o_totalprice") > 300000)
         .select(F.col("o_custkey").alias("c_custkey"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
-    mach = c.where(F.col("c_mktsegment") == "MACHINERY").select("c_custkey")
+    mach = (
+        c.where(F.col("c_mktsegment") == "MACHINERY")
+        .select("c_custkey")
+        .localCheckpoint(eager=False)
+    )
     return (
         big.union(mach).distinct().select(F.lit("union").alias("op"), "c_custkey")
         .unionAll(big.intersect(mach).select(F.lit("intersect").alias("op"), "c_custkey"))
