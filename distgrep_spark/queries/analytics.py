@@ -3748,9 +3748,16 @@ def q_stats_standardized_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey % 2 AS cohort",
         "CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS urgent",
     )
-    cells = o.groupBy("seg", "cohort").agg(
-        F.expr("CAST(sum(urgent) AS BIGINT) AS x"),
-        F.expr("CAST(count(*) AS BIGINT) AS n"),
+    # cells (<= |segs| x 2 rows) is the fan-out point: terms, strata,
+    # and tot all descend from it, so un-checkpointed the fact join +
+    # rollup executed 3x (6 scans in the round-11 audit -> 0).
+    cells = (
+        o.groupBy("seg", "cohort")
+        .agg(
+            F.expr("CAST(sum(urgent) AS BIGINT) AS x"),
+            F.expr("CAST(count(*) AS BIGINT) AS n"),
+        )
+        .localCheckpoint(eager=False)
     )
     strata = cells.groupBy("seg").agg(F.expr("CAST(sum(n) AS BIGINT) AS n_s"))
     tot = strata.agg(F.expr("CAST(sum(n_s) AS BIGINT) AS n_tot"))

@@ -1678,11 +1678,17 @@ def q_funnel_k_step_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     massimostanzione/distgrep is grep-only (worker.go:24-43); analytics
     extension surface per SURVEY.md §2.2.
     """
+    # Round 11: s1 and s2 each feed the next stage AND a stage-count —
+    # un-checkpointed, the chain re-executed per count branch (s1 x3,
+    # s2 x2; 6 event scans in the audit -> 3, one per stage filter),
+    # and the three crossJoined count aggs fuse into ONE tagged-union
+    # rollup (the graph_khop_reach count-fusion family).
     ev = load_table(spark, sf_dir, "events")
     s1 = (
         ev.where(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t1"))
+        .localCheckpoint(eager=False)
     )
     s2 = (
         ev.where(F.col("event_type") == "click")
@@ -1690,6 +1696,7 @@ def q_funnel_k_step_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.expr("ts > t1 AND ts <= t1 + INTERVAL 24 HOURS"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t2"))
+        .localCheckpoint(eager=False)
     )
     s3 = (
         ev.where(F.col("event_type") == "purchase")
@@ -1699,9 +1706,25 @@ def q_funnel_k_step_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("ts").alias("t3"))
     )
     n = (
-        s1.agg(F.expr("CAST(count(*) AS BIGINT) AS n1"))
-        .crossJoin(s2.agg(F.expr("CAST(count(*) AS BIGINT) AS n2")))
-        .crossJoin(s3.agg(F.expr("CAST(count(*) AS BIGINT) AS n3")))
+        s1.selectExpr("1 AS lvl")
+        .unionAll(s2.selectExpr("2 AS lvl"))
+        .unionAll(s3.selectExpr("3 AS lvl"))
+        .agg(
+            # coalesce: a global sum over an EMPTY union is NULL, while
+            # the former per-stage count() aggs gave 0 (empty-input rule)
+            F.expr(
+                "CAST(coalesce(sum(CASE WHEN lvl = 1 THEN 1 ELSE 0 END), 0)"
+                " AS BIGINT) AS n1"
+            ),
+            F.expr(
+                "CAST(coalesce(sum(CASE WHEN lvl = 2 THEN 1 ELSE 0 END), 0)"
+                " AS BIGINT) AS n2"
+            ),
+            F.expr(
+                "CAST(coalesce(sum(CASE WHEN lvl = 3 THEN 1 ELSE 0 END), 0)"
+                " AS BIGINT) AS n3"
+            ),
+        )
     )
     return n.selectExpr(
         "stack(3,"

@@ -218,7 +218,12 @@ def q_er_fellegi_sunter_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     recs = spark.sql(
         _ER_RECS_SQL.format(str_t="STRING", customer="customer")
     )
-    b = recs.selectExpr("rec_id", "name", "substr(name, 1, 6) AS blk")
+    # b feeds BOTH sides of the block equi-join (same-lineage self-join
+    # family): un-checkpointed, the record-variant generation executed
+    # twice (round-11 audit: 6 scans -> 0).
+    b = recs.selectExpr(
+        "rec_id", "name", "substr(name, 1, 6) AS blk"
+    ).localCheckpoint(eager=False)
     left = b.selectExpr("rec_id AS ra", "name AS na", "blk")
     right = b.selectExpr("rec_id AS rb", "name AS nb", "blk")
     pairs = (
