@@ -75,7 +75,9 @@ BNLJ_ALLOWLIST: dict[str, str] = {
     # key, so the broadcast is <= k rows at ANY corpus scale. Unsound
     # to auto-prove (a literal `<` on a non-unique column bounds
     # nothing), hence named here.
-    "quality_probe_loso_influence": "heldout spine broadcast (distinct sources + '__full__' sentinel — |sources|+1 rows, 9-21 on the fixtures; a mixture has dozens of sources by design, never millions) OR-joined to the doc table so every model's membership rides one pass; the walker can't prove a DISTINCT bounded",
+    # quality_probe_loso_influence left this list in round 11: the
+    # driver-side epoch rewrite (OPTIMIZATION_r11.md) replaced the
+    # OR-joined heldout spine with a from_json literal — no BNLJ remains.
     "sim_cosine_topk": "5-query probe set (vec_id < 5, unique key) broadcast against the corpus — the brute-force ANN baseline by design",
     "sim_cosine_topk_pandas": "same 5-query probe broadcast; Pandas-UDF scoring variant",
     "sim_ann_lsh_recall": "two 5-query probe broadcasts (LSH candidates + exact baseline the recall gate compares)",
