@@ -112,20 +112,27 @@ def kmeans(
     cluster index on both assignment passes, so results are stable for a
     fixed centroid sequence.
 
-    Loop shape (r11 optimization): each Lloyd round is ONE
-    driver-blocking job — a single map-side pass computes the row's
-    assignment under the CURRENT centroids and (for the convergence
-    check) under the PREVIOUS centroids, both against from_json
-    literals; one groupBy((cluster, dim)) exchange then carries the
-    k x dim average rollup AND the moved-row count (counted once per
-    row on the dim-0 slice), and the <= k x dim result rows are the
-    only thing collected. The old form ran three jobs per round
+    Loop shape (r11 optimization, refined in session 3): each Lloyd
+    round is ONE driver-blocking job and ONE argmin pass — a map-side
+    assignment under the current from_json centroid literal feeds a
+    groupBy((cluster, dim)) average rollup, and the <= k x dim result
+    rows are the only thing collected. Early stop is the CENTROID
+    FIXPOINT on the driver (new_cents == cents, exact float compare of
+    collected lists): assignment stability implies the centroid
+    fixpoint exactly one round later (same assignment -> same group
+    means), and a fixpoint trivially implies assignment stability, so
+    the returned labels are identical to the classic changed==0 loop —
+    verified by collect-compare against BOTH earlier forms at
+    sf0.001/0.01/0.1 (k=10, max_iter=4). A missed fixpoint (a float
+    near-tie at scale) can only repeat identical rounds, never change
+    labels. History: the original form ran three jobs per round
     (two-level rollup collect + assignment checkpoint + changed-count
-    join) — 31 driver jobs at sf0.1 vs ~6 now, and at cluster scale
-    each job is a full barrier. Recomputing the previous assignment
-    from its literal is bit-identical (same expression tree, same
-    scan), so the early-stop semantics and the returned assignment are
-    unchanged."""
+    join; 31 driver jobs, 4.2 s interleaved); the first r11 rewrite
+    fused the round into one job but paid TWO argmin passes per row
+    per round (assignment under current AND previous centroids,
+    2.9 s); this form keeps the one-job round at one argmin pass
+    (2.7 s, and at 100 TB each round saves a full distance pass over
+    the corpus)."""
     init = (
         df.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
     )
@@ -144,46 +151,29 @@ def kmeans(
         return (F.array_position(d, F.array_min(d)) - 1).cast("int")
 
     dim = len(cents[0])
-    prev: list[list[float]] | None = None
     for _ in range(max_iter):
-        pe = (
-            df.select(as_double(F.col(vec_col)).alias("_v"))
-            .withColumn("_new", _argmin(cents))
-            .withColumn(
-                "_old", _argmin(prev) if prev is not None else F.col("_new")
-            )
-            .select("_new", "_old", F.posexplode("_v").alias("dim", "v"))
-        )
         rows = (
-            pe.groupBy("_new", "dim")
-            .agg(
-                F.avg("v").alias("a"),
-                F.sum(
-                    F.when(
-                        (F.col("dim") == 0) & (F.col("_new") != F.col("_old")),
-                        1,
-                    ).otherwise(0)
-                ).alias("chg"),
-            )
+            df.select(as_double(F.col(vec_col)).alias("_v"))
+            .withColumn("_c", _argmin(cents))
+            .select("_c", F.posexplode("_v").alias("dim", "v"))
+            .groupBy("_c", "dim")
+            .agg(F.avg("v").alias("a"))
             .collect()
         )
-        if prev is not None and sum(r["chg"] for r in rows) == 0:
-            # assignment under `cents` == assignment under `prev`:
-            # exactly the old `changed == 0` break, one round earlier
-            # in centroid terms (the rollup under `cents` is discarded,
-            # matching the old loop which never updated past a stable
-            # assignment).
-            break
-        by_cd = {(r["_new"], r["dim"]): r["a"] for r in rows}
+        by_cd = {(r["_c"], r["dim"]): r["a"] for r in rows}
         # empty clusters keep their previous centroid
-        prev = cents
-        cents = [
+        new_cents = [
             [by_cd[(c, d)] for d in range(dim)]
             if (c, 0) in by_cd
             else cents[c]
             for c in range(k)
         ]
-    # Converged: `cents` is the stable round's table. Ran out of
-    # budget: `cents` is C_max_iter (the old loop's final assigned =
+        if new_cents == cents:
+            # centroid fixpoint: the assignment was stable last round,
+            # so A(cents) below equals the classic loop's final table.
+            break
+        cents = new_cents
+    # Converged: `cents` is the fixpoint table. Ran out of budget:
+    # `cents` is C_max_iter (the classic loop's final assigned =
     # A(C_max_iter)). Either way the result is one map-side pass.
     return _assign(df, cents, id_col, vec_col).select(id_col, "cluster")
