@@ -147,6 +147,17 @@ def main() -> None:
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     errors = sorted(n for n, t in timings.items() if t < 0)
+    # Drift anchor (round-11 verdict ask #1): the in-process median of
+    # the tpch_q* walls. The 22 TPC-H shapes are never edited between
+    # rounds, so host/VM-window speed drift moves the anchor and every
+    # other query alike; cross-round comparisons should divide by it
+    # (r10->r11 lost all per-query signal to a 1.54x window). Additive
+    # key only — metric/value/queries/sf and the noop-sink timing
+    # methodology are unchanged. None under shard mode (no tpch rows).
+    tpch_walls = sorted(
+        t for n, t in timings.items() if n.startswith("tpch_q") and t >= 0
+    )
+    anchor = tpch_walls[len(tpch_walls) // 2] if tpch_walls else None
     # The driver captures only the TAIL of stdout (~2,000 chars), so the
     # stdout JSON line must stay compact: total + headline per-query
     # timings + error names only. The full per-query map goes to stderr
@@ -160,10 +171,21 @@ def main() -> None:
         "n_errors": len(errors),
         "reps": reps,
         "sf": float(sf) if sf else None,
+        "anchor_sec": anchor,
     }
     out = json.dumps(line)
     assert len(out) < 1900, f"stdout bench line too long ({len(out)} chars)"
-    full = dict(line, queries=timings, spreads=spreads, errors=errors)
+    # BENCH_FULL additionally carries every query's anchor-normalized
+    # ratio so a PERF comparison can be drift-normalized from the
+    # artifact alone (tools/bench_regression.py uses the same anchor).
+    norm = (
+        {n: round(t / anchor, 3) for n, t in timings.items() if t >= 0}
+        if anchor
+        else {}
+    )
+    full = dict(
+        line, queries=timings, spreads=spreads, errors=errors, normalized=norm
+    )
     print(json.dumps(full), file=sys.stderr)
     try:
         here = os.path.dirname(os.path.abspath(__file__))

@@ -21,6 +21,16 @@ from pyspark.sql import functions as F
 
 from distgrep_spark.operators.similarity import as_double, l2sq
 
+# Hard cap on the k x dim centroid matrix collected to the driver each
+# Lloyd round (the ONLY data that ever reaches the driver). 2^20 cells
+# = 8 MB of doubles — far above any real codebook (IVF: k<=65536,
+# dim<=4096 only with k<=256) and far below driver-memory trouble. The
+# loud raise mirrors linearprobe's bounded-collect guard: if a caller
+# ever asks for a codebook that is no longer "a few KB on the driver",
+# fail fast instead of silently turning a map-side algorithm into a
+# driver bottleneck (guide section 5).
+_MAX_CODEBOOK_CELLS = 1 << 20
+
 
 def centroids_by(
     df: DataFrame,
@@ -120,12 +130,22 @@ def kmeans(
     FIXPOINT on the driver (new_cents == cents, exact float compare of
     collected lists): assignment stability implies the centroid
     fixpoint exactly one round later (same assignment -> same group
-    means), and a fixpoint trivially implies assignment stability, so
-    the returned labels are identical to the classic changed==0 loop —
-    verified by collect-compare against BOTH earlier forms at
-    sf0.001/0.01/0.1 (k=10, max_iter=4). A missed fixpoint (a float
-    near-tie at scale) can only repeat identical rounds, never change
-    labels. History: the original form ran three jobs per round
+    means) and a fixpoint trivially implies assignment stability, so
+    on the fixtures the returned labels are identical to the classic
+    changed==0 loop — verified by collect-compare against BOTH earlier
+    forms at sf0.001/0.01/0.1 (k=10, max_iter=4). Caveat at scale
+    (r11 advisor): the compared means are plain partial-merge-order-
+    dependent F.avg doubles, so a stable assignment is NOT guaranteed
+    to reproduce bit-identical means across rounds. A missed fixpoint
+    usually just re-runs an identical round, but because cents is
+    reassigned to the ulp-shifted new_cents it can in principle flip a
+    distance near-tie's argmin vs the classic loop. The declared
+    kmeans_clusters query gates on cluster SIZES (rows-only), which a
+    one-ulp tie flip of one vector cannot realistically perturb on the
+    fixtures; a production caller that needs bit-stable labels should
+    quantize the fixpoint compare (e.g. struct.pack bit patterns of a
+    sorted-fold mean, like centroids_by). History: the original form
+    ran three jobs per round
     (two-level rollup collect + assignment checkpoint + changed-count
     join; 31 driver jobs, 4.2 s interleaved); the first r11 rewrite
     fused the round into one job but paid TWO argmin passes per row
@@ -151,6 +171,13 @@ def kmeans(
         return (F.array_position(d, F.array_min(d)) - 1).cast("int")
 
     dim = len(cents[0])
+    if k * dim > _MAX_CODEBOOK_CELLS:
+        raise ValueError(
+            f"kmeans codebook k*dim = {k}*{dim} = {k * dim} exceeds the "
+            f"driver-collect bound {_MAX_CODEBOOK_CELLS}; the per-round "
+            "collected centroid matrix would no longer be driver-trivial "
+            "(train on a sample / reduce k or dim)"
+        )
     for _ in range(max_iter):
         rows = (
             df.select(as_double(F.col(vec_col)).alias("_v"))

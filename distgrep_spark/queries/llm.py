@@ -931,7 +931,7 @@ def q_quality_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "quality_probe_loso_influence",
-    oracle="""
+    oracle=r"""
     WITH docs_y AS MATERIALIZED (
       SELECT doc_id, source, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
              string_split_regex(trim(text), '\s+') AS t
@@ -4290,58 +4290,75 @@ def q_dedup_simhash_radius_report(
     iterated per stage."""
     docs = load_table(spark, sf_dir, "documents")
     docs.createOrReplaceTempView("shr_docs_v")
+    # Round-12 plan restructure (verdict ask #2: 11 shuffles -> <= 8).
+    # Three moves, results identical (pinned by the brute-force test in
+    # tests/test_dedup.py and the sf0.01/sf0.1 oracle):
+    #  1. checkpoint the PROFILE table (doc_id -> pid, gs) instead of
+    #     the raw gram pairs: collect_set subsumes the old per-(doc,
+    #     gram) DISTINCT exchange, and pm no longer re-runs the whole
+    #     collect_set/md5 rollup (the r8 checkpoint only covered the
+    #     signature side).
+    #  2. build the one-row-per-profile signature in ONE exchange: the
+    #     representative gram set rides the pid rollup (no pg DISTINCT,
+    #     no pn join — n = size(gs)), and the (pid, p) / pid regroupings
+    #     ride the established hashpartitioning(pid) (subset clustering,
+    #     no new exchange).
+    #  3. posting-list candidate generation (the dedup_clusters_cc /
+    #     market_basket pattern): group the 4 (k, val) bucket rows and
+    #     pair IN-LIST, carrying (m, b0..b3) as scalars so hamming and
+    #     doc-pair mass are computed at pair-emission — the old two-
+    #     sided block self-join plus TWO sigs joins and TWO pm joins
+    #     disappear, and the d <= 2 filter runs BEFORE the pair-dedup
+    #     shuffle. The report tail is the khop tagged-union fusion: one
+    #     UNION (cross-profile pairs + per-profile C(m,2) d=0 mass) into
+    #     ONE conditional aggregate, replacing within + d0 + uni.
+    # Measured (sf0.1, interleaved): see OPTIMIZATION_r12.md; plan pair
+    # in plans/r12/ (Exchange count 11 -> 6).
     spark.sql(
         r"""
         WITH toks AS (
           SELECT doc_id, split(trim(text), '\\s+') AS t FROM shr_docs_v
         ),
         grams AS (
-          SELECT DISTINCT doc_id,
-                 concat_ws(' ', t[i], t[i+1], t[i+2]) AS gram
+          SELECT doc_id, concat_ws(' ', t[i], t[i+1], t[i+2]) AS gram
           FROM toks
           LATERAL VIEW explode(
             CASE WHEN size(t) >= 3 THEN sequence(0, size(t) - 3)
                  ELSE array() END) AS i
         )
-        SELECT * FROM grams
+        SELECT doc_id,
+               md5(concat_ws(char(31), sort_array(collect_set(gram))))
+                 AS pid,
+               sort_array(collect_set(gram)) AS gs
+        FROM grams GROUP BY doc_id
         """
-    ).localCheckpoint(eager=False).createOrReplaceTempView("shr_grams_v")
-    # blocks is the plan's fan-out point (consumed by the two candidate
-    # join sides AND the signature pivot); Spark inlines CTEs, so an
-    # un-materialized blocks re-executed the whole signature pipeline
-    # per reference — plan_audit counted 38 shuffles. Checkpointing the
-    # 4-rows-per-profile table collapses the upstream to one execution
-    # (measured: 38 -> 12 shuffles, 3.97 -> 3.15 s sf0.1, x8 6.1 -> 5.4 s).
+    ).localCheckpoint(eager=False).createOrReplaceTempView("shr_prof_v")
     spark.sql(
         """
-        WITH prof AS (
-          SELECT doc_id,
-                 md5(concat_ws(char(31), sort_array(collect_set(gram))))
-                   AS pid
-          FROM shr_grams_v GROUP BY doc_id
+        WITH reps AS (
+          SELECT pid, max(gs) AS gs FROM shr_prof_v GROUP BY pid
         ),
         pg AS (
-          SELECT DISTINCT p.pid, g.gram, md5(g.gram) AS h
-          FROM shr_grams_v g JOIN prof p USING (doc_id)
-        ),
-        pn AS (
-          SELECT pid, CAST(count(*) AS BIGINT) AS n FROM pg GROUP BY pid
+          SELECT pid, size(gs) AS n, md5(gram) AS h
+          FROM reps LATERAL VIEW explode(gs) AS gram
         ),
         pc AS (
-          SELECT pid, p,
+          SELECT pid, p, max(n) AS n,
                  CAST(sum((v DIV 8) % 2) AS BIGINT) AS c0,
                  CAST(sum((v DIV 4) % 2) AS BIGINT) AS c1,
                  CAST(sum((v DIV 2) % 2) AS BIGINT) AS c2,
                  CAST(sum(v % 2) AS BIGINT) AS c3
           FROM (
-            SELECT pid, p,
+            SELECT pid, n, p,
                    locate(substr(h, 1 + CAST(p AS INT), 1),
                           '0123456789abcdef') - 1 AS v
             FROM pg LATERAL VIEW explode(sequence(0, 15)) AS p
           ) GROUP BY pid, p
         )
-        SELECT pc.pid, CAST(p DIV 4 AS INT) AS k,
-               CAST(sum(
+        , sel AS (
+          -- bits materialized ONCE per (pid, p) row before the 4-way
+          -- conditional pivot (the CASE-branches-don't-CSE lesson)
+          SELECT pid, p DIV 4 AS k,
                  shiftleft(CASE WHEN 2 * c0 >= n THEN 1 ELSE 0 END,
                            CAST(4 * (p % 4) AS INT))
                  + shiftleft(CASE WHEN 2 * c1 >= n THEN 1 ELSE 0 END,
@@ -4349,69 +4366,67 @@ def q_dedup_simhash_radius_report(
                  + shiftleft(CASE WHEN 2 * c2 >= n THEN 1 ELSE 0 END,
                              CAST(4 * (p % 4) + 2 AS INT))
                  + shiftleft(CASE WHEN 2 * c3 >= n THEN 1 ELSE 0 END,
-                             CAST(4 * (p % 4) + 3 AS INT))
-               ) AS BIGINT) AS val
-        FROM pc JOIN pn ON pc.pid = pn.pid
-        GROUP BY pc.pid, p DIV 4
+                             CAST(4 * (p % 4) + 3 AS INT)) AS bits
+          FROM pc
+        )
+        SELECT pid,
+               CAST(sum(CASE WHEN k = 0 THEN bits ELSE 0 END) AS BIGINT)
+                 AS b0,
+               CAST(sum(CASE WHEN k = 1 THEN bits ELSE 0 END) AS BIGINT)
+                 AS b1,
+               CAST(sum(CASE WHEN k = 2 THEN bits ELSE 0 END) AS BIGINT)
+                 AS b2,
+               CAST(sum(CASE WHEN k = 3 THEN bits ELSE 0 END) AS BIGINT)
+                 AS b3
+        FROM sel GROUP BY pid
         """
-    ).localCheckpoint(eager=False).createOrReplaceTempView("shr_blocks_v")
+    ).localCheckpoint(eager=False).createOrReplaceTempView("shr_sigs_v")
     return spark.sql(
         """
-        WITH blocks AS (SELECT * FROM shr_blocks_v),
-        pm AS (
+        WITH pm AS (
           SELECT pid, CAST(count(*) AS BIGINT) AS m
-          FROM (SELECT doc_id,
-                       md5(concat_ws(char(31), sort_array(collect_set(gram))))
-                         AS pid
-                FROM shr_grams_v GROUP BY doc_id)
-          GROUP BY pid
+          FROM shr_prof_v GROUP BY pid
         ),
-        sigs AS (
-          SELECT pid,
-                 CAST(sum(CASE WHEN k = 0 THEN val ELSE 0 END) AS BIGINT) AS b0,
-                 CAST(sum(CASE WHEN k = 1 THEN val ELSE 0 END) AS BIGINT) AS b1,
-                 CAST(sum(CASE WHEN k = 2 THEN val ELSE 0 END) AS BIGINT) AS b2,
-                 CAST(sum(CASE WHEN k = 3 THEN val ELSE 0 END) AS BIGINT) AS b3
-          FROM blocks GROUP BY pid
+        prow AS (
+          SELECT s.pid, pm.m, s.b0, s.b1, s.b2, s.b3
+          FROM shr_sigs_v s JOIN pm ON s.pid = pm.pid
         ),
-        cand AS (
-          SELECT DISTINCT a.pid AS pa, b.pid AS pb
-          FROM blocks a JOIN blocks b
-            ON a.k = b.k AND a.val = b.val AND a.pid < b.pid
+        buckets AS (
+          SELECT k, element_at(array(b0, b1, b2, b3), k + 1) AS val,
+                 pid, m, b0, b1, b2, b3
+          FROM prow LATERAL VIEW explode(sequence(0, 3)) AS k
         ),
-        ham AS (
-          SELECT c.pa, c.pb,
-                 bit_count(sa.b0 ^ sb.b0) + bit_count(sa.b1 ^ sb.b1)
-                 + bit_count(sa.b2 ^ sb.b2) + bit_count(sa.b3 ^ sb.b3) AS d
-          FROM cand c
-          JOIN sigs sa ON c.pa = sa.pid
-          JOIN sigs sb ON c.pb = sb.pid
+        posts AS (
+          SELECT k, val,
+                 sort_array(collect_list(struct(pid, m, b0, b1, b2, b3)))
+                   AS s
+          FROM buckets GROUP BY k, val
         ),
-        within AS (
-          SELECT d, CAST(sum(ma.m * mb.m) AS BIGINT) AS n_pairs,
-                 CAST(count(*) AS BIGINT) AS n_profile_pairs
-          FROM ham JOIN pm ma ON pa = ma.pid JOIN pm mb ON pb = mb.pid
-          WHERE d <= 2
-          GROUP BY d
+        pairs AS (
+          SELECT DISTINCT p.pa, p.pb, p.d, p.mass
+          FROM posts
+          LATERAL VIEW explode(flatten(transform(s, (x, i) ->
+            transform(slice(s, i + 2, size(s)), y ->
+              struct(x.pid AS pa, y.pid AS pb,
+                     bit_count(x.b0 ^ y.b0) + bit_count(x.b1 ^ y.b1)
+                     + bit_count(x.b2 ^ y.b2) + bit_count(x.b3 ^ y.b3)
+                       AS d,
+                     x.m * y.m AS mass))))) AS p
+          WHERE p.d <= 2
         ),
-        d0 AS (
-          SELECT CAST(0 AS BIGINT) AS d,
-                 CAST(coalesce(sum(m * (m - 1) DIV 2), 0) AS BIGINT)
-                   AS n_pairs,
-                 CAST(sum(CASE WHEN m >= 2 THEN 1 ELSE 0 END) AS BIGINT)
-                   AS n_profile_pairs
-          FROM pm
-        ),
-        spine AS (SELECT explode(sequence(0, 2)) AS d),
         uni AS (
-          SELECT d, CAST(sum(n_pairs) AS BIGINT) AS n_pairs,
-                 CAST(sum(n_profile_pairs) AS BIGINT) AS n_profile_pairs
-          FROM (SELECT * FROM d0
+          SELECT d, CAST(sum(np) AS BIGINT) AS n_pairs,
+                 CAST(sum(npp) AS BIGINT) AS n_profile_pairs
+          FROM (SELECT CAST(d AS BIGINT) AS d, mass AS np,
+                       CAST(1 AS BIGINT) AS npp
+                FROM pairs
                 UNION ALL
-                SELECT CAST(d AS BIGINT), n_pairs, n_profile_pairs
-                FROM within)
+                SELECT CAST(0 AS BIGINT) AS d, m * (m - 1) DIV 2 AS np,
+                       CAST(1 AS BIGINT) AS npp
+                FROM pm WHERE m >= 2)
           GROUP BY d
-        )
+        ),
+        spine AS (SELECT explode(sequence(0, 2)) AS d)
         SELECT CAST(s.d AS BIGINT) AS hamming,
                coalesce(u.n_pairs, 0L) AS n_pairs,
                coalesce(u.n_profile_pairs, 0L) AS n_profile_pairs

@@ -289,161 +289,184 @@ def q_rlhf_preference_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate, iterated); Xie et al. 2023 (DSIR); Hunter 2004 (BT-MM);
     Vovk et al. 2005 (split conformal); Carbonell & Goldstein 1998
     (MMR)."""
-    from distgrep_spark.functions.textfns import ngrams_of_tokens, tokens
-
     docs = load_table(spark, sf_dir, "documents")
 
-    # Stage 1: exact dedup (digest shuffle; min-doc_id survivor).
-    ded = docs.groupBy(F.md5("text").alias("digest")).agg(
-        F.min("doc_id").alias("doc_id"),
-        F.expr("min_by(lang, doc_id)").alias("lang"),
-        F.expr("min_by(source, doc_id)").alias("source"),
-        F.expr("min_by(text, doc_id)").alias("text"),
-        F.expr("min_by(n_chars, doc_id)").alias("n_chars"),
-        F.expr("CAST(count(*) AS BIGINT)").alias("n_copies"),
-        # ded feeds BOTH the gram pipeline and the scored join below —
-        # a shared lineage re-executes per branch (the self-join lesson;
-        # A/B at sf0.1: 1.98 s -> 1.52 s warm, 6.2 -> 2.2 cold)
-    ).localCheckpoint(eager=False)
+    # Round-12 build-cost restructure (verdict ask #3): the registry-max
+    # 5 s wall was measured to be ~3.1 s of DRIVER-SIDE plan
+    # construction (tools/profile_queries: build 3.4 s of which the
+    # page collect is 0.27 s; per-stage: the gram-pipeline checkpoint
+    # call 0.90 s, scored 0.72 s, pair 0.42 s — every Dataset
+    # transformation eagerly re-analyzes its whole plan, and
+    # localCheckpoint(eager=False) pays physical planning at CALL
+    # time). Each distributed stage is now ONE spark.sql analysis pass
+    # over temp views, with the SAME checkpoints at the same fan-out
+    # points and the same broadcast hints; the distributed plan shape,
+    # every expression, and the result are unchanged (all-arms
+    # collect-equality in tools/ab_r12.py; interleaved A/B in
+    # OPTIMIZATION_r12.md). cg is additionally checkpointed (it fans
+    # out to tstat, the corpus totals, and the dscore probe — the
+    # tokenize + trigram pipeline previously re-executed 3x), and the
+    # totals come straight from cg (sum over grams of f_t == sum over
+    # cg of c where lang = 'en': identical exact BIGINTs), so tstat
+    # feeds only the dscore join.
+    docs.createOrReplaceTempView("rlhf_docs_v")
+
+    # Stage 1: exact dedup (digest shuffle; min-doc_id survivor). ded
+    # feeds BOTH the gram pipeline and the scored join — a shared
+    # lineage re-executes per branch (the self-join lesson; A/B at
+    # sf0.1: 1.98 s -> 1.52 s warm, 6.2 -> 2.2 cold).
+    spark.sql(
+        """
+        SELECT md5(text) AS digest, min(doc_id) AS doc_id,
+               min_by(lang, doc_id) AS lang,
+               min_by(source, doc_id) AS source,
+               min_by(text, doc_id) AS text,
+               min_by(n_chars, doc_id) AS n_chars,
+               CAST(count(*) AS BIGINT) AS n_copies
+        FROM rlhf_docs_v GROUP BY md5(text)
+        """
+    ).localCheckpoint(eager=False).createOrReplaceTempView("rlhf_ded_v")
 
     # Stage 2: DSIR importance over survivors (exact BIGINT ratios).
-    grams = ded.select(
-        "doc_id", "lang", tokens(F.col("text")).alias("t")
-    ).select(
-        "doc_id",
-        "lang",
-        F.explode(ngrams_of_tokens(F.col("t"), 3)).alias("gram"),
-    )
-    cg = grams.groupBy("doc_id", "lang", "gram").agg(
-        F.expr("CAST(count(*) AS BIGINT) AS c")
-    )
-    tstat = cg.groupBy("gram").agg(
-        F.expr(
-            "CAST(sum(CASE WHEN lang = 'en' THEN c ELSE 0 END) AS BIGINT)"
-            " AS f_t"
+    spark.sql(
+        r"""
+        WITH toks AS (
+          SELECT doc_id, lang, split(trim(text), '\\s+') AS t
+          FROM rlhf_ded_v
         ),
-        F.expr("CAST(sum(c) AS BIGINT) AS f_s"),
-    )
-    tot = tstat.agg(
-        F.expr("CAST(sum(f_t) AS BIGINT) AS n_t"),
-        F.expr("CAST(sum(f_s) AS BIGINT) AS n_s"),
-    )
-    dscore = (
-        cg.join(tstat, "gram")
-        .crossJoin(F.broadcast(tot))
-        .groupBy("doc_id")
-        .agg(
-            F.expr(
-                "CAST(sum(c * (f_t * n_s - f_s * n_t)) AS BIGINT)"
-                " AS score_num"
-            )
+        grams AS (
+          SELECT doc_id, lang, concat_ws(' ', t[i], t[i+1], t[i+2]) AS gram
+          FROM toks
+          LATERAL VIEW explode(
+            CASE WHEN size(t) >= 3 THEN sequence(0, size(t) - 3)
+                 ELSE array() END) AS i
         )
-    )
-    scored = (
-        ded.select("doc_id", "lang", "source", "n_chars", "n_copies")
-        .join(dscore, "doc_id", "left")
-        .withColumn("score_num", F.expr("coalesce(score_num, 0L)"))
-        # four stages (BT, conformal, candidates, final join) fan out
-        # from here — materialize once instead of re-running the gram
-        # pipeline per branch
-        .localCheckpoint(eager=False)
-    )
+        SELECT doc_id, lang, gram, CAST(count(*) AS BIGINT) AS c
+        FROM grams GROUP BY doc_id, lang, gram
+        """
+    ).localCheckpoint(eager=False).createOrReplaceTempView("rlhf_cg_v")
+    # four stages (BT, conformal, candidates, final join) fan out from
+    # scored — materialize once instead of re-running the gram pipeline
+    # per branch
+    spark.sql(
+        """
+        WITH tstat AS (
+          SELECT gram,
+                 CAST(sum(CASE WHEN lang = 'en' THEN c ELSE 0 END)
+                      AS BIGINT) AS f_t,
+                 CAST(sum(c) AS BIGINT) AS f_s
+          FROM rlhf_cg_v GROUP BY gram
+        ),
+        tot AS (
+          SELECT CAST(sum(CASE WHEN lang = 'en' THEN c ELSE 0 END)
+                      AS BIGINT) AS n_t,
+                 CAST(sum(c) AS BIGINT) AS n_s
+          FROM rlhf_cg_v
+        ),
+        dscore AS (
+          SELECT /*+ BROADCAST(tot) */ c.doc_id,
+                 CAST(sum(c.c * (ts.f_t * tot.n_s - ts.f_s * tot.n_t))
+                      AS BIGINT) AS score_num
+          FROM rlhf_cg_v c JOIN tstat ts USING (gram) CROSS JOIN tot
+          GROUP BY c.doc_id
+        )
+        SELECT d.doc_id, d.lang, d.source, d.n_chars, d.n_copies,
+               coalesce(s.score_num, 0L) AS score_num
+        FROM rlhf_ded_v d LEFT JOIN dscore s USING (doc_id)
+        """
+    ).localCheckpoint(eager=False).createOrReplaceTempView("rlhf_scored_v")
 
-    # Stage 3: Bradley-Terry over (lang, length-cell) basket matches.
-    bq = scored.groupBy(
-        "lang", F.expr("n_chars DIV 256").alias("bk"), "source"
-    ).agg(F.expr("max(score_num) AS q"))
-    baskets = bq.groupBy("lang", "bk").agg(
-        F.expr("sort_array(collect_list(struct(source AS s, q))) AS bs")
-    )
-    pair = (
-        baskets.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(bs, (x, i) ->"
-                    " transform(slice(bs, i + 2, size(bs)), y ->"
-                    "   struct(x.s AS bi, y.s AS bj,"
-                    "          x.q AS qi, y.q AS qj))))"
-                )
-            ).alias("m")
+    # Stage 3: Bradley-Terry over (lang, length-cell) basket matches;
+    # pair is the |sources|^2-bounded match matrix (<= 400 rows at any
+    # scale), checkpointed because dirs/w0/denom fan out from it.
+    spark.sql(
+        """
+        WITH bq AS (
+          SELECT lang, n_chars DIV 256 AS bk, source, max(score_num) AS q
+          FROM rlhf_scored_v GROUP BY lang, n_chars DIV 256, source
+        ),
+        baskets AS (
+          SELECT lang, bk,
+                 sort_array(collect_list(struct(source AS s, q))) AS bs
+          FROM bq GROUP BY lang, bk
         )
-        .where("m.qi <> m.qj")
-        .groupBy("m.bi", "m.bj")
-        .agg(
-            F.expr("CAST(count(*) AS BIGINT) AS n_ij"),
-            F.expr(
-                "CAST(sum(CASE WHEN m.qi > m.qj THEN 1 ELSE 0 END)"
-                " AS BIGINT) AS w_ij"
-            ),
+        SELECT m.bi, m.bj, CAST(count(*) AS BIGINT) AS n_ij,
+               CAST(sum(CASE WHEN m.qi > m.qj THEN 1 ELSE 0 END)
+                    AS BIGINT) AS w_ij
+        FROM baskets
+        LATERAL VIEW explode(flatten(transform(bs, (x, i) ->
+          transform(slice(bs, i + 2, size(bs)), y ->
+            struct(x.s AS bi, y.s AS bj, x.q AS qi, y.q AS qj))))) AS m
+        WHERE m.qi <> m.qj
+        GROUP BY m.bi, m.bj
+        """
+    ).localCheckpoint(eager=False).createOrReplaceTempView("rlhf_pair_v")
+    bt = spark.sql(
+        """
+        WITH dirs AS (
+          SELECT bi AS b, bj AS o, n_ij, w_ij AS w FROM rlhf_pair_v
+          UNION ALL
+          SELECT bj AS b, bi AS o, n_ij, n_ij - w_ij AS w FROM rlhf_pair_v
+        ),
+        w0 AS (
+          SELECT b, n_i, wins_i,
+                 CAST(wins_i AS DOUBLE) / CAST(n_i AS DOUBLE) AS r0
+          FROM (SELECT b, CAST(sum(n_ij) AS BIGINT) AS n_i,
+                       CAST(sum(w) AS BIGINT) AS wins_i
+                FROM dirs GROUP BY b)
+        ),
+        denom AS (
+          SELECT /*+ BROADCAST(wi), BROADCAST(wj) */ d.b,
+                 CAST(sum(CAST(floor(CAST(d.n_ij AS DOUBLE)
+                   / (wi.r0 + wj.r0) * 1048576 + 0.5) AS BIGINT))
+                   AS BIGINT) AS den
+          FROM dirs d JOIN w0 wi ON d.b = wi.b JOIN w0 wj ON d.o = wj.b
+          GROUP BY d.b
         )
-        # |sources|^2-bounded match matrix (<= 400 rows at any scale)
-        .localCheckpoint(eager=False)
-    )
-    dirs = pair.selectExpr(
-        "bi AS b", "bj AS o", "n_ij", "w_ij AS w"
-    ).unionByName(
-        pair.selectExpr("bj AS b", "bi AS o", "n_ij", "n_ij - w_ij AS w")
-    )
-    w0 = dirs.groupBy("b").agg(
-        F.expr("CAST(sum(n_ij) AS BIGINT) AS n_i"),
-        F.expr("CAST(sum(w) AS BIGINT) AS wins_i"),
-    ).selectExpr(
-        "b", "n_i", "wins_i",
-        "CAST(wins_i AS DOUBLE) / CAST(n_i AS DOUBLE) AS r0",
-    )
-    wi = w0.selectExpr("b AS _bi", "r0 AS _ri")
-    wj = w0.selectExpr("b AS _bj", "r0 AS _rj")
-    denom = (
-        dirs.join(F.broadcast(wi), F.col("b") == F.col("_bi"))
-        .join(F.broadcast(wj), F.col("o") == F.col("_bj"))
-        .selectExpr(
-            "b",
-            "CAST(floor(CAST(n_ij AS DOUBLE) / (_ri + _rj) * 1048576 + 0.5)"
-            " AS BIGINT) AS t",
-        )
-        .groupBy("b")
-        .agg(F.expr("CAST(sum(t) AS BIGINT) AS den"))
-        .selectExpr("b AS _bd", "den")
-    )
-    bt = w0.join(F.broadcast(denom), F.col("b") == F.col("_bd")).selectExpr(
-        "b AS source",
-        "round(CAST(wins_i AS DOUBLE) * 1048576 / CAST(den AS DOUBLE), 6)"
-        " AS bt_strength",
+        SELECT /*+ BROADCAST(dn) */ w0.b AS source,
+               round(CAST(w0.wins_i AS DOUBLE) * 1048576
+                     / CAST(dn.den AS DOUBLE), 6) AS bt_strength
+        FROM w0 JOIN denom dn ON w0.b = dn.b
+        """
     )
 
     # Stage 4: split-conformal per-lang threshold (clamped integer rank).
-    thr = (
-        scored.where("doc_id % 2 = 0")
-        .selectExpr(
-            "lang",
-            "score_num",
-            "CAST(row_number() OVER (PARTITION BY lang"
-            " ORDER BY score_num, doc_id) AS BIGINT) AS r",
-            "CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS n",
+    thr = spark.sql(
+        """
+        SELECT lang, score_num AS cal_threshold
+        FROM (
+          SELECT lang, score_num,
+                 CAST(row_number() OVER (PARTITION BY lang
+                      ORDER BY score_num, doc_id) AS BIGINT) AS r,
+                 CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS n
+          FROM rlhf_scored_v WHERE doc_id % 2 = 0
         )
-        .where("r = least(n, greatest(CAST(1 AS BIGINT), (n + 10) DIV 10))")
-        .selectExpr("lang", "score_num AS cal_threshold")
+        WHERE r = least(n, greatest(CAST(1 AS BIGINT), (n + 10) DIV 10))
+        """
     )
 
     # Stage 5: top-20 page (TakeOrderedAndProject) + driver MMR greedy.
     # Pool = docs present in the vector index (left-semi): MMR needs an
     # embedding, and the fixtures don't embed every doc (sf0.1: 2000
     # vectors / 5000 docs, measured).
-    emb = load_table(spark, sf_dir, "embeddings").selectExpr(
+    load_table(spark, sf_dir, "embeddings").selectExpr(
         "vec_id", f"{_QUANT} AS qv"
+    ).createOrReplaceTempView("rlhf_emb_v")
+    cand = spark.sql(
+        """
+        SELECT doc_id, lang, source, n_copies, score_num
+        FROM rlhf_scored_v s
+        LEFT SEMI JOIN rlhf_emb_v e ON s.doc_id = e.vec_id
+        ORDER BY score_num DESC, doc_id LIMIT 20
+        """
     )
-    cand = (
-        scored.join(emb.select("vec_id"),
-                    scored.doc_id == F.col("vec_id"), "left_semi")
-        .orderBy(F.desc("score_num"), "doc_id")
-        .limit(20)
-        .select("doc_id", "lang", "source", "n_copies", "score_num")
-    )
-    page = (
-        emb.join(F.broadcast(cand), emb.vec_id == cand.doc_id)
-        .select("doc_id", "score_num", "qv")
-        .collect()
-    )
+    cand.createOrReplaceTempView("rlhf_cand_v")
+    page = spark.sql(
+        """
+        SELECT /*+ BROADCAST(c) */ c.doc_id, c.score_num, e.qv
+        FROM rlhf_emb_v e JOIN rlhf_cand_v c ON e.vec_id = c.doc_id
+        """
+    ).collect()
     page.sort(key=lambda r: (-r["score_num"], r["doc_id"]))
     qv = {r["doc_id"]: list(r["qv"]) for r in page}
     rel = {

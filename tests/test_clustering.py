@@ -46,6 +46,17 @@ def test_kmeans_assigns_every_point_once(planted):
     assert {r["cluster"] for r in out} <= {0, 1, 2}
 
 
+def test_kmeans_codebook_bound_raises(planted):
+    # the driver-collect guard (r11 verdict ask #7): k*dim above the
+    # codebook bound must fail loudly BEFORE any per-round collect, not
+    # silently pull an unbounded matrix to the driver each round
+    from distgrep_spark.operators.clustering import _MAX_CODEBOOK_CELLS
+
+    too_many = _MAX_CODEBOOK_CELLS // 4 + 1  # dim=4 fixture => k*dim > bound
+    with pytest.raises(ValueError, match="driver-collect bound"):
+        kmeans(planted, k=too_many)
+
+
 def test_centroids_by_label_long_form(planted):
     cents = centroids_by(planted, "label").collect()
     assert len(cents) == 3 * 4
